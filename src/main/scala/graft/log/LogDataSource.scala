@@ -1,0 +1,234 @@
+package graft.log
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.compress.{CompressionCodecFactory, SplittableCompressionCodec}
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, LineRecordReader}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.SparkException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `log` source: text log files → typed rows via one
+  * user-configured regex per line (the rebuild of the reference plugin's
+  * entire surface — SURVEY.md §2A).
+  *
+  * Registration (`META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`)
+  * is the Spark analogue of the reference's classpath-scanning registration
+  * (`drill-module.conf:1`, `LogFormatPlugin.java:51-58`).
+  *
+  * Scale posture (SURVEY.md §7.2 P5): unlike the reference
+  * (`blockSplittable=false`, `LogFormatPlugin.java:56` — 1 task per file,
+  * even a 1 TB one), uncompressed files are split at
+  * `spark.sql.files.maxPartitionBytes` boundaries and read with Hadoop
+  * line-framing semantics, so a single huge log file fans out across the
+  * cluster. Compressed files stay one-split-per-file unless the codec is
+  * splittable (bzip2), matching `IS_COMPRESSIBLE` decompress-on-read
+  * (`LogFormatPlugin.java:45`, `LogRecordReader.java:124-129`).
+  */
+class LogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "log"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogOptions.fromMap(options).schema // all config validation at plan time (SURVEY.md §3.1)
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = LogOptions.fromMap(new CaseInsensitiveStringMap(properties))
+    new LogTable(schema, opts, LogDataSource.paths(properties.asScala.toMap))
+  }
+}
+
+object LogDataSource {
+  /** Extract load paths from DSV2 options: `path` (single) or `paths`
+    * (JSON-encoded array, as the DataFrameReader writes it).
+    */
+  def paths(props: Map[String, String]): Seq[String] = {
+    val multi = props.get("paths").toSeq.flatMap { json =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val single = props.get("path").toSeq
+    val all = multi ++ single
+    require(all.nonEmpty, "[log] no input path specified")
+    all
+  }
+}
+
+final class LogTable(tableSchema: StructType, opts: LogOptions, paths: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"log(${paths.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LogScanBuilder(tableSchema, opts, paths)
+}
+
+/** Projection pruning is real here: the reader converts only required
+  * groups (the reference declares pushdown but ignores it —
+  * `LogFormatPlugin.java:76-79`, SURVEY.md §4.1).
+  */
+final class LogScanBuilder(fullSchema: StructType, opts: LogOptions, paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new LogScan(required, opts, paths)
+}
+
+final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LogScan(pattern=${opts.pattern}, required=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codecs = new CompressionCodecFactory(conf)
+
+    val files = ArrayBuffer.empty[FileStatus]
+    paths.foreach { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+      if (matched.isEmpty) throw new SparkException(s"[log] path not found: $p")
+      matched.foreach { st =>
+        if (st.isFile) files += st // explicit file: read regardless of extension
+        else listRecursive(fs, st).foreach { f =>
+          if (matchesExtension(f.getPath.getName)) files += f
+        }
+      }
+    }
+
+    // Split sizing follows Spark's own FilePartition.maxSplitBytes formula so
+    // local[32] and a 1000-executor cluster both get sensible fan-out.
+    val sqlConf = org.apache.spark.sql.GraftSql.sqlConf(spark)
+    val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
+    val openCost = sqlConf.filesOpenCostInBytes
+    val minPartitionNum = spark.sparkContext.defaultParallelism
+    val totalBytes = files.map(_.getLen + openCost).sum
+    val bytesPerCore = totalBytes / math.max(minPartitionNum, 1)
+    val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
+
+    val parts = ArrayBuffer.empty[InputPartition]
+    files.foreach { f =>
+      val codec = codecs.getCodec(f.getPath)
+      val splittable = codec == null || codec.isInstanceOf[SplittableCompressionCodec]
+      if (!splittable || f.getLen == 0) {
+        parts += LogInputPartition(f.getPath.toString, 0, f.getLen)
+      } else {
+        var offset = 0L
+        while (offset < f.getLen) {
+          val len = math.min(maxSplit, f.getLen - offset)
+          parts += LogInputPartition(f.getPath.toString, offset, len)
+          offset += len
+        }
+      }
+    }
+    parts.toArray
+  }
+
+  private def listRecursive(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] =
+    if (st.isFile) Seq(st)
+    else fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _))
+
+  /** Extension routing (`LogFormatPlugin.java:96-104`): a directory scan
+    * includes `*.{ext}` plus compressed variants `*.{ext}.{codec}`.
+    */
+  private def matchesExtension(name: String): Boolean = {
+    val base = LogScan.CodecSuffixes.foldLeft(name) { (n, suf) =>
+      if (n.endsWith(suf)) n.dropRight(suf.length) else n
+    }
+    opts.extensions.exists(ext => base.endsWith("." + ext))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    new LogPartitionReaderFactory(
+      opts, required, new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+object LogScan {
+  val CodecSuffixes = Seq(".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst")
+}
+
+final case class LogInputPartition(path: String, start: Long, length: Long) extends InputPartition
+
+final class LogPartitionReaderFactory(
+    opts: LogOptions, required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LogPartitionReader(partition.asInstanceOf[LogInputPartition], opts, required, conf.value)
+}
+
+/** One split of one file → rows. Uses Hadoop's `LineRecordReader`, which
+  * gives exactly the semantics the reference's `BufferedReader.readLine()`
+  * loop has (`LogRecordReader.java:202-212`) plus correct split-boundary
+  * handling (skip partial first line, read past `end` to finish the last
+  * line) and decompress-on-read for codec'd files.
+  */
+final class LogPartitionReader(
+    part: LogInputPartition, opts: LogOptions, required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val parser = new LineParser(opts, required)
+  private val reader = {
+    val split = new FileSplit(new Path(part.path), part.start, part.length, Array.empty[String])
+    val r = new LineRecordReader()
+    r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    r
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      val line = reader.getCurrentValue.toString
+      if (line.trim.nonEmpty) { // empty-line skip, LRR:216-219
+        current =
+          try parser.parse(line)
+          catch {
+            case e: SparkException =>
+              throw new SparkException(s"${e.getMessage} (file=${part.path})", e.getCause)
+          }
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Hadoop `Configuration` is not `Serializable`; ship it via its own
+  * `write`/`readFields` wire format (same trick Spark uses internally).
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

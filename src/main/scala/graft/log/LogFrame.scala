@@ -1,0 +1,125 @@
+package graft.log
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass regex extraction: match the pattern ONCE per line and return all
+  * capture groups as an array (`null` array when the line doesn't match;
+  * `null` element for an unparticipating optional group).
+  *
+  * This is the codegen'd answer to SURVEY.md §4.3: the naive
+  * `regexp_extract(value, pat, i)` for i=1..N re-evaluates the regex N times
+  * per line, while the reference matches once (`LogRecordReader.java:224`)
+  * and reads N groups. Semantics preserved: unanchored `find()`
+  * (`LogRecordReader.java:225`).
+  */
+case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpression {
+  @transient private lazy val compiled = Pattern.compile(pattern)
+  private val groupCount = Pattern.compile(pattern).matcher("").groupCount()
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "parse_log_line"
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = compiled.matcher(input.toString)
+    if (!m.find()) null
+    else {
+      val arr = new Array[Any](groupCount)
+      var i = 0
+      while (i < groupCount) {
+        val g = m.group(i + 1)
+        arr(i) = if (g == null) null else UTF8String.fromString(g)
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patternRef = ctx.addReferenceObj("pattern", compiled, classOf[Pattern].getName)
+    val n = groupCount
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("m")
+      val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i")
+      val g = ctx.freshName("g")
+      s"""
+         |java.util.regex.Matcher $m = $patternRef.matcher($c.toString());
+         |if ($m.find()) {
+         |  Object[] $arr = new Object[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    String $g = $m.group($i + 1);
+         |    $arr[$i] = $g == null ? null : UTF8String.fromString($g);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseLogLine =
+    copy(child = newChild)
+}
+
+/** Expression-only alternative to the DSV2 source (SURVEY.md §3.3): parse a
+  * DataFrame/stream of raw lines (column `value`, as produced by
+  * `spark.read.text` / `spark.readStream.text`) into the same typed schema
+  * the `log` source yields. PERMISSIVE semantics only — the whole point of
+  * this path is staying inside whole-stage codegen.
+  */
+object LogFrame {
+
+  def parseLogLine(line: Column, pattern: String): Column =
+    GraftSql.column(ParseLogLine(GraftSql.expression(line), pattern))
+
+  /** `lines` must have a StringType column `value`; returns the typed log
+    * schema (declared fields + `unmatched_lines`), blank lines dropped.
+    */
+  def parse(lines: DataFrame, opts: LogOptions): DataFrame = {
+    val nonBlank = lines.filter(length(trim(col("value"))) > 0) // LRR:216-219
+    val parsed = nonBlank.withColumn("__groups", parseLogLine(col("value"), opts.pattern))
+    val fields = opts.fieldNames.zipWithIndex.map { case (name, i) =>
+      typed(element_at(col("__groups"), i + 1), opts.dataTypes(i), opts).as(name)
+    }
+    val unmatched = when(col("__groups").isNull, col("value"))
+      .otherwise(lit(null).cast(StringType)).as(LogOptions.UnmatchedCol)
+    parsed.select(fields :+ unmatched: _*)
+  }
+
+  /** String group → typed column, tolerant (NULL on parse failure) —
+    * same mapping as LineParser.convert (SURVEY.md §1.3) but in pure
+    * Catalyst expressions.
+    */
+  private def typed(c: Column, dt: String, opts: LogOptions): Column = dt match {
+    case "INT" | "INTEGER"   => try_cast_int(c)
+    case "DOUBLE" | "FLOAT8" => c.cast(DoubleType)
+    case "FLOAT" | "FLOAT4"  => c.cast(FloatType)
+    case "DATE"              => to_date(c, opts.dateFormat)
+    case "TIMESTAMP"         => to_timestamp(c, opts.dateFormat)
+    case "TIME" => // millis-of-day via a 1970-01-01-anchored timestamp parse
+      (unix_micros(to_timestamp(concat(lit("1970-01-01 "), c), "yyyy-MM-dd " + opts.timeFormat)) / 1000L)
+        .cast(IntegerType)
+    case _ => c
+  }
+
+  private def try_cast_int(c: Column): Column =
+    when(c.rlike("^-?\\d+$"), c.cast(IntegerType)).otherwise(lit(null).cast(IntegerType))
+
+  /** Structured-Streaming log tail: `readStream` over a directory of log
+    * files with the same parse semantics (SURVEY.md §2B streaming row).
+    */
+  def stream(spark: org.apache.spark.sql.SparkSession, path: String, options: Map[String, String]): DataFrame = {
+    val opts = LogOptions.fromMap(options)
+    parse(spark.readStream.text(path), opts)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.log
+
+import java.util.regex.{Pattern, PatternSyntaxException}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Parsed + validated configuration of the `log` data source.
+  *
+  * Mirrors the reference plugin's config surface
+  * (`LogFormatPlugin.java:86-94` — pattern/fieldNames/dataTypes/dateFormat/
+  * timeFormat/extensions/errorOnMismatch) with validation performed eagerly
+  * at planning time (the reference validates lazily in the scan operator,
+  * `LogRecordReader.java:155-199`; failing on `load()` instead is a
+  * documented improvement — see SURVEY.md §3.1).
+  *
+  * Documented divergences from the reference (SURVEY.md §7.4):
+  *   - `unmatched_lines` column is always present (static schema) instead of
+  *     materializing only when a line fails the regex.
+  *   - Absent optional capture groups become NULL, not `""` (the reference's
+  *     `""` makes numeric casts fatal even in tolerant mode,
+  *     `LogRecordReader.java:234-239` + `301-303`).
+  *   - `timeFormat` is honored (the reference compiles `dateFormat` instead —
+  *     bug at `LogRecordReader.java:324`; we implement the README-documented
+  *     behavior).
+  *   - TIME parse failures follow `errorOnMismatch` like DATE (reference:
+  *     always fatal, `LogRecordReader.java:269`).
+  *   - No 4096-byte VARCHAR truncation hazard (`LogRecordReader.java:93`).
+  */
+final case class LogOptions(
+    pattern: String,
+    fieldNames: Seq[String],
+    dataTypes: Seq[String], // normalized UPPERCASE, same length as fieldNames
+    dateFormat: String,
+    timeFormat: String,
+    extensions: Seq[String],
+    failFast: Boolean) {
+
+  /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
+    * represented as IntegerType millis-of-day, Drill's wire semantics —
+    * `LogRecordReader.java:271-273`).
+    */
+  def sparkType(dt: String): DataType = dt match {
+    case "INT" | "INTEGER"  => IntegerType
+    case "DOUBLE" | "FLOAT8" => DoubleType
+    case "FLOAT" | "FLOAT4"  => FloatType
+    case "DATE"              => DateType
+    case "TIMESTAMP"         => TimestampType
+    case "TIME"              => IntegerType
+    case _                   => StringType // reference's final `else`: any unknown type is VARCHAR
+  }
+
+  /** Full table schema: declared fields in order, plus the always-present
+    * `unmatched_lines` fallback column (SURVEY.md §1.2).
+    */
+  lazy val schema: StructType = StructType(
+    fieldNames.zip(dataTypes).map { case (n, t) =>
+      StructField(n, sparkType(t), nullable = true)
+    } :+ StructField(LogOptions.UnmatchedCol, StringType, nullable = true))
+
+  lazy val compiledPattern: Pattern = Pattern.compile(pattern)
+}
+
+object LogOptions {
+  val UnmatchedCol = "unmatched_lines"
+  val DefaultPattern = "(.*)" // LogFormatPlugin.java:93
+  val DefaultTimeFormat = "HH:mm:ss" // LogFormatPlugin.java:92
+  val KnownTypes: Set[String] =
+    Set("INT", "INTEGER", "DOUBLE", "FLOAT8", "FLOAT", "FLOAT4", "DATE", "TIMESTAMP", "TIME", "VARCHAR")
+
+  def fromMap(options: CaseInsensitiveStringMap): LogOptions =
+    fromMap(options.asCaseSensitiveMap().asScala.toMap)
+
+  /** Validation order mirrors `LogRecordReader.java:155-199`. */
+  def fromMap(options: Map[String, String]): LogOptions = {
+    val opts = options.map { case (k, v) => k.toLowerCase -> v }
+    def get(k: String): Option[String] = opts.get(k.toLowerCase).map(_.trim).filter(_.nonEmpty)
+
+    val pattern = get("pattern").getOrElse(DefaultPattern)
+    val compiled =
+      try Pattern.compile(pattern)
+      catch {
+        case e: PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"[log] invalid regex pattern '$pattern': ${e.getMessage}") // LRR:162-167
+      }
+    val groupCount = compiled.matcher("").groupCount()
+    if (groupCount == 0) {
+      throw new IllegalArgumentException(
+        s"[log] pattern '$pattern' has no capture groups; each column is one capture group") // LRR:158-161
+    }
+
+    val fieldNames = get("fieldnames") match {
+      case Some(s) => s.split(",").map(_.trim).toSeq
+      case None =>
+        // Reference has no default names (config error). We default to
+        // "line" for the single-group default pattern and field_i otherwise —
+        // documented convenience divergence (FIXTURES.md #2).
+        if (groupCount == 1) Seq("line") else (1 to groupCount).map(i => s"field_$i")
+    }
+    if (fieldNames.size != groupCount) {
+      throw new IllegalArgumentException(
+        s"[log] pattern has $groupCount capture groups but fieldNames has ${fieldNames.size} entries " +
+          s"(${fieldNames.mkString(",")}); they must match") // LRR:169-184, error both directions
+    }
+
+    // dataTypes: null or wrong count → all-VARCHAR fallback (LRR:185-191).
+    val dataTypes = get("datatypes").map(_.split(",").map(_.trim.toUpperCase).toSeq) match {
+      case Some(ts) if ts.size == fieldNames.size => ts
+      case _ => Seq.fill(fieldNames.size)("VARCHAR")
+    }
+
+    val dateFormat = get("dateformat").getOrElse("")
+    val timeFormat = get("timeformat").getOrElse(DefaultTimeFormat)
+    val needsDate = dataTypes.exists(t => t == "DATE" || t == "TIMESTAMP")
+    if (needsDate && dateFormat.isEmpty) {
+      throw new IllegalArgumentException(
+        "[log] dateFormat is required when any field has type DATE or TIMESTAMP") // LRR:193-195, 310-318
+    }
+
+    val extensions = get("extensions").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("log"))
+
+    // `errorOnMismatch` (reference name, LogFormatPlugin.java:94) with
+    // CSV-style `mode` PERMISSIVE/FAILFAST as an idiomatic alias.
+    val failFast = get("mode").map(_.toUpperCase) match {
+      case Some("FAILFAST")   => true
+      case Some("PERMISSIVE") => false
+      case Some(other) =>
+        throw new IllegalArgumentException(s"[log] unsupported mode '$other' (PERMISSIVE or FAILFAST)")
+      case None => get("erroronmismatch").exists(_.toBoolean)
+    }
+
+    LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions, failFast)
+  }
+}

@@ -1,0 +1,183 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Golden tests for the DSV2 `log` source over FIXTURES.md #1-#6. */
+class LogSourceSpec extends SparkSpec {
+
+  private val mysqlOpts = Map(
+    "pattern" -> "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)",
+    "fieldNames" -> "date, time, pid, action, query",
+    "dataTypes" -> "DATE, TIME, INT, VARCHAR, VARCHAR",
+    "dateFormat" -> "yyMMdd",
+    "timeFormat" -> "HH:mm:ss")
+
+  private def readMysql(path: String): DataFrame =
+    spark.read.format("log").options(mysqlOpts).load(path)
+
+  test("fixture 1: README mysql.log golden rows") {
+    val df = readMysql(fixture("mysql.log"))
+    assert(df.schema == StructType(Seq(
+      StructField("date", DateType), StructField("time", IntegerType),
+      StructField("pid", IntegerType), StructField("action", StringType),
+      StructField("query", StringType), StructField("unmatched_lines", StringType))))
+    val rows = df.orderBy("time").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("unmatched_lines") == null))
+    val r0 = rows.find(_.getAs[Int]("time") == 21 * 3600000 + 32000).get
+    assert(r0.getAs[Date]("date").toString == "2007-08-23")
+    assert(r0.getAs[Int]("pid") == 1)
+    assert(r0.getAs[String]("action") == "Connect")
+    assert(r0.getAs[String]("query") == "root@localhost on test1")
+  }
+
+  test("fixture 1: aggregation over the source (P1 flagship shape)") {
+    import org.apache.spark.sql.functions._
+    val agg = readMysql(fixture("mysql.log"))
+      .groupBy("action").agg(count("*").as("n"), min("time").as("min_t"))
+      .orderBy("action").collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Connect", 1L), ("Query", 4L)))
+  }
+
+  test("fixture 2: default config — pattern (.*), all-VARCHAR, blank lines skipped") {
+    val df = spark.read.format("log").load(fixture("default.log"))
+    assert(df.schema.fieldNames.toSeq == Seq("line", "unmatched_lines"))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    val lines = df.collect().map(_.getString(0)).sorted.toSeq
+    assert(lines == Seq("alpha line", "beta line", "gamma line"))
+  }
+
+  test("fixture 3: unmatched routing + empty optional group -> NULL") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+)\\s+(INFO|WARN|ERROR)\\s*(\\w+)?(?:\\s+(.*))?")
+      .option("fieldNames", "ts_ms, level, component, msg")
+      .option("dataTypes", "INT, VARCHAR, VARCHAR, VARCHAR")
+      .load(fixture("mixed.log"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val matched = rows.filter(_.getAs[String]("unmatched_lines") == null)
+    assert(matched.length == 2)
+    val r1 = matched.find(_.getAs[Int]("ts_ms") == 1000).get
+    assert(r1.getAs[String]("level") == "INFO" && r1.getAs[String]("component") == "startup")
+    val r3 = matched.find(_.getAs[Int]("ts_ms") == 2000).get
+    assert(r3.getAs[String]("level") == "WARN")
+    assert(r3.getAs[String]("component") == null) // divergence: NULL not ""
+    val un = rows.filter(_.getAs[String]("unmatched_lines") != null)
+    assert(un.head.getAs[String]("unmatched_lines") == "garbage line that matches nothing")
+    assert(un.head.getAs[String]("level") == null)
+  }
+
+  test("fixture 3: FAILFAST mode throws on unmatched line") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+)\\s+(INFO|WARN|ERROR)\\s*(\\w+)?(?:\\s+(.*))?")
+      .option("fieldNames", "ts_ms, level, component, msg")
+      .option("mode", "FAILFAST")
+      .load(fixture("mixed.log"))
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("FAILFAST") ||
+      Option(e.getCause).exists(_.getMessage.contains("FAILFAST")))
+  }
+
+  test("fixture 4: gzip transparently decompressed, same rows") {
+    val plain = readMysql(fixture("mysql.log")).orderBy("time").collect().toSeq
+    val gz = readMysql(fixture("mysql.log.gz")).orderBy("time").collect().toSeq
+    assert(gz == plain)
+  }
+
+  test("fixture 5: >4KB field survives intact (no 4096-byte truncation)") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+)\\s+(\\w+)\\s+(.+)")
+      .option("fieldNames", "id, level, payload")
+      .option("dataTypes", "INT, VARCHAR, VARCHAR")
+      .load(fixture("longline.log"))
+    val r = df.collect().head
+    assert(r.getAs[String]("payload").length == 5000)
+  }
+
+  test("fixture 6: per-type tolerant failures -> NULL in PERMISSIVE") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\S+)\\s(\\S+)\\s+(\\S+)\\s(\\w+)\\s+(.+)")
+      .option("fieldNames", "date, time, pid, action, query")
+      .option("dataTypes", "DATE, TIME, INT, VARCHAR, VARCHAR")
+      .option("dateFormat", "yyMMdd")
+      .load(fixture("badtypes.log"))
+    val rows = df.orderBy("action").collect()
+    assert(rows.length == 2)
+    val bad = rows.find(_.getAs[String]("action") == "Connect").get
+    assert(bad.getAs[Date]("date") == null)   // 991301: month 13 -> null
+    assert(bad.isNullAt(bad.fieldIndex("time"))) // 25:99:99 -> null (not fatal; divergence from LRR:269)
+    assert(bad.isNullAt(bad.fieldIndex("pid")))  // notanint -> null
+    val ok = rows.find(_.getAs[String]("action") == "Query").get
+    assert(ok.getAs[Int]("pid") == 7 && ok.getAs[Date]("date").toString == "2007-08-23")
+  }
+
+  test("fixture 6: FAILFAST makes bad typed value fatal") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\S+)\\s(\\S+)\\s+(\\S+)\\s(\\w+)\\s+(.+)")
+      .option("fieldNames", "date, time, pid, action, query")
+      .option("dataTypes", "DATE, TIME, INT, VARCHAR, VARCHAR")
+      .option("dateFormat", "yyMMdd")
+      .option("errorOnMismatch", "true")
+      .load(fixture("badtypes.log"))
+    intercept[Exception](df.collect())
+  }
+
+  test("config validation: group/fieldNames mismatch fails at load, both directions") {
+    val base = spark.read.format("log").option("pattern", "(\\d+) (\\w+)")
+    intercept[IllegalArgumentException](
+      base.option("fieldNames", "a").load(fixture("default.log")))
+    intercept[IllegalArgumentException](
+      base.option("fieldNames", "a,b,c").load(fixture("default.log")))
+  }
+
+  test("config validation: invalid regex, zero groups, missing dateFormat") {
+    intercept[IllegalArgumentException](
+      spark.read.format("log").option("pattern", "(unclosed").load(fixture("default.log")))
+    intercept[IllegalArgumentException](
+      spark.read.format("log").option("pattern", "no groups").load(fixture("default.log")))
+    intercept[IllegalArgumentException](
+      spark.read.format("log").option("pattern", "(\\d+)")
+        .option("fieldNames", "d").option("dataTypes", "DATE")
+        .load(fixture("default.log")))
+  }
+
+  test("dataTypes wrong count falls back to all-VARCHAR (LRR:185-191)") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+)\\s+(\\w+)\\s+(.+)")
+      .option("fieldNames", "id, level, msg")
+      .option("dataTypes", "INT, VARCHAR") // wrong count
+      .load(fixture("longline.log"))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+  }
+
+  test("projection pruning reaches the scan (ReadSchema only has required cols)") {
+    val df = readMysql(fixture("mysql.log")).select("action")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("action") && !scan.contains("query"))
+    assert(df.distinct().count() == 2)
+  }
+
+  test("unanchored find(): pattern matching mid-line still extracts (LRR:225)") {
+    val df = spark.read.format("log")
+      .option("pattern", "pid=(\\d+)")
+      .option("fieldNames", "pid")
+      .option("dataTypes", "INT")
+      .load(fixture("midline.log"))
+    val rows = df.orderBy("pid").collect()
+    assert(rows.map(_.getAs[Integer]("pid")).toSeq == Seq(7, 42))
+  }
+
+  test("directory load filters by extensions option") {
+    val dir = new java.io.File(getClass.getResource("/fixtures").toURI).getAbsolutePath
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)")
+      .option("fieldNames", "date, time, pid, action, query")
+      .load(dir)
+    // mysql.log + mysql.log.gz both match ".log"; others match too (all *.log)
+    assert(df.count() > 0)
+  }
+}
