@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>`/`array<double>` columns using only
+  * codegen'd builtins (`zip_with`/`aggregate`/`transform`) — no UDFs, no
+  * driver-side math, scales linearly with rows (SURVEY.md north-star:
+  * similarity search over an embedding column).
+  *
+  * All accumulation is sequential left-to-right in double precision, which
+  * is exactly what the DuckDB oracle's list functions do — keeping
+  * cross-engine results bit-comparable after rounding.
+  */
+object VectorFunctions {
+
+  def toDoubleArray(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic random hyperplanes for sign-LSH: `planes(seed, n, dim)`
+    * is reproducible across JVMs (java.util.Random's LCG is part of its
+    * spec), so bucketing is stable between runs and between executors.
+    */
+  def hyperplanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id: bit j = (v · plane_j) > 0. nPlanes <= 31.
+    * Cosine-similar vectors collide with probability 1 - theta/pi per bit
+    * (Charikar, STOC'02 SimHash), so same-bucket candidates are
+    * near-neighbors with tunable recall via nPlanes / multi-table OR-ing.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 31, "bucket packed into an int")
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = typedlit(p.toSeq)
+      when(dot(vec, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+}

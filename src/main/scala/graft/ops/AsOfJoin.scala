@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the latest right row with
+  * the same key and `rightTime <= leftTime`.
+  *
+  * Implemented as the union + last_value(ignoreNulls) window trick — ONE
+  * shuffle on the key, no join explosion: both sides are unioned, sorted
+  * within key by time (right rows sort before left rows at equal times so
+  * `<=` holds), and each left row picks up the running "most recent right
+  * values". A join-then-filter formulation would shuffle both sides AND
+  * explode |left| x |right-per-key| intermediates; this stays linear, which
+  * is what survives a 100x scale-up.
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns to carry onto left rows. Left and
+    *   value column names must not collide.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+    val r = right.select(
+      (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__isLeft") +:
+        valueCols.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows (tag 0) sort before left rows (tag 1) at the same __t → "<="
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__isLeft") === 1).drop("__k", "__t", "__isLeft")
+  }
+}

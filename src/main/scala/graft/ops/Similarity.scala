@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers (SURVEY.md north-star "similarity search"):
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the full corpus; one scan, no corpus shuffle. This is the
+  *    correctness baseline and is already the right plan when |queries| is
+  *    small: at 100 TB the corpus is scanned once, map-side, and only
+  *    |queries| x k rows survive the per-partition top-k before the final
+  *    window.
+  *  - [[lshTopK]]: sign-LSH (random hyperplanes) bucketing — corpus and
+  *    queries are bucketed by `nPlanes` hyperplane signs across `tables`
+  *    independent tables; only same-bucket pairs are scored. Recall is
+  *    tuned by (nPlanes, tables); candidates shrink by ~2^nPlanes.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `corpus` for each row of `queries` (both need
+    * `idCol` + `vecCol`). Returns (query_id, rank, neighbor_id, cosine).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineSimilarity(col("__cv"), col("__qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Approximate top-k: OR-amplified sign-LSH. Each of `tables` hash tables
+    * buckets vectors by an `nPlanes`-bit signature; a corpus vector is a
+    * candidate for a query if they share a bucket in ANY table. Candidates
+    * are then exactly scored and top-k'd — same output shape as brute force.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 8,
+      tables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+
+    val bucketed = (0 until tables).map { t =>
+      val planes = hyperplanes(seed + t, nPlanes, dim)
+      val cb = c.withColumn("__t", lit(t)).withColumn("__bucket", lshBucket(col("__cv"), planes))
+      val qb = q.withColumn("__t", lit(t)).withColumn("__bucket", lshBucket(col("__qv"), planes))
+      cb.join(broadcast(qb), Seq("__t", "__bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__cv", "__qv")
+    }.reduce(_ unionAll _)
+
+    val candidates = bucketed.dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosineSimilarity(col("__cv"), col("__qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash64, TextFunctions}
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar execution"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "spark sql optimizes declarative plans with catalyst and tungsten codegen")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical normalized text") {
+    val out = Dedup.exact(docs, "doc_id", TextFunctions.contentFingerprint($"text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Long]("dup_count") == 2) // docs 1 and 4
+  }
+
+  test("minhash signature is deterministic and identical for identical docs") {
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature($"text", 3, 64).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 64)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.contains((3L, 5L))) // unrelated
+  }
+
+  test("verifyJaccard computes exact shingle jaccard on candidates") {
+    val cands = Seq((1L, 4L), (1L, 3L)).toDF("idA", "idB")
+    val verified = Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB")) -> r.getAs[Double]("jaccard")).toMap
+    assert(verified((1L, 4L)) == 1.0)
+    assert(verified((1L, 3L)) < 0.1)
+  }
+
+  test("tokenJaccardPairs exact inverted-index jaccard with blocking") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.tokenJaccardPairs(blocked, "doc_id", "text", "blk", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.8)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
+  }
+
+  test("simhash: identical docs equal, near-dups within few bits, unrelated far") {
+    val fp = docs.select($"doc_id", SimHash64(TextFunctions.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(4L))
+    assert(ham(fp(1L), fp(2L)) <= 12)
+    assert(ham(fp(1L), fp(3L)) > 12)
+  }
+
+  test("simhash codegen and interpreted agree") {
+    val viaExpr = docs.select(SimHash64(TextFunctions.tokens($"text")).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    val direct = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .trim.split("\\s+").filter(_.nonEmpty)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString): Array[Any])
+      SimHash64.compute(arr)
+    }.toSeq
+    assert(viaExpr == direct)
+  }
+
+  test("minhash LSH on documents table: recall vs exact jaccard >= 0.9 at t=0.7") {
+    val real = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val exact = Dedup.tokenJaccardPairs(
+      real.withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.0)
+    // ground truth: shingle-3 jaccard >= 0.7 via verify on all pairs
+    val allPairs = exact.select("idA", "idB")
+    val truth = Dedup.verifyJaccard(allPairs, real, "doc_id", "text")
+      .filter($"jaccard" >= 0.7).select("idA", "idB")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (truth.nonEmpty) {
+      val cand = Dedup.minhashCandidatePairs(real, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = truth.count(cand.contains).toDouble / truth.size
+      assert(recall >= 0.9, s"recall=$recall over ${truth.size} true pairs")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("brute-force topk: k rows per query, ranked by descending cosine") {
+    val out = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val rows = out.collect()
+    assert(rows.length == 5 * 5)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val cosines = sorted.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("self-similarity sanity: nearest neighbor of a duplicated vector is its twin") {
+    import spark.implicits._
+    val twin = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(99999L))
+    val corpus = emb.unionByName(twin)
+    val out = Similarity.bruteForceTopK(corpus, emb.filter($"vec_id" === 0), "vec_id", "embedding", 1)
+      .collect().head
+    assert(out.getLong(2) == 99999L && math.abs(out.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("LSH topk recall@5 >= 0.5 vs brute force on sf0.001") {
+    // random 64-dim embeddings: even true top-5 neighbors are near-orthogonal
+    // (cos ~0.3 => per-bit collision ~0.6), so use short signatures + more
+    // OR-tables: expected recall ~ 1-(1-0.6^4)^8 ~ 0.7
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, nPlanes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("LSH is deterministic across runs (seeded hyperplanes)") {
+    def run() = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+      dim = 64, nPlanes = 6, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RollingHashFingerprint, TextFunctions}
+import graft.ops.{AsOfJoin, Multimodal}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / shingles / counts") {
+    val df = Seq("The quick, brown fox!  Jumps.").toDF("text")
+    val r = df.select(
+      TextFunctions.tokens($"text").as("t"),
+      TextFunctions.shingles($"text", 2).as("s"),
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.bpeishTokenCount($"text").as("b")).collect().head
+    assert(r.getSeq[String](0) == Seq("the", "quick", "brown", "fox", "jumps"))
+    assert(r.getSeq[String](1) == Seq("the quick", "quick brown", "brown fox", "fox jumps"))
+    assert(r.getInt(2) == 5)
+    assert(r.getInt(3) == 8) // 5 words + 3 punctuation marks
+  }
+
+  test("short doc yields single whole-text shingle") {
+    val r = Seq("one two").toDF("text")
+      .select(TextFunctions.shingles($"text", 3)).collect().head
+    assert(r.getSeq[String](0) == Seq("one two"))
+  }
+
+  test("langId picks the language with most marker stopwords; und when none") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "el perro de la casa que ladra",
+      "xyzzy plugh qwertz").toDF("text")
+    val out = df.select(TextFunctions.langId($"text")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+
+  test("quality score components and composite are deterministic") {
+    val good = "the quick brown fox jumps over a lazy dog and it is fine today"
+    val bad = "!!! ??? ### $$$ %%%"
+    val out = Seq(good, bad).toDF("text")
+      .select(TextFunctions.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(out(0) > 0.9)
+    assert(out(1) < 0.5)
+  }
+
+  test("rolling-hash fingerprint: equal for equal text, shared for shared windows") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (3L, "completely different payload here")).toDF("id", "text")
+    val fp = df.select($"id", RollingHashFingerprint($"text", 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    // matches the direct computation (codegen path == scala path)
+    assert(fp(1L) == RollingHashFingerprint.compute("abcdefghijklmnopqrstuvwxyz0123456789", 8))
+  }
+
+  test("as-of join backward: latest right row at-or-before each left time") {
+    val trades = Seq((1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1, 5, 100.0), (1, 10, 101.0), (1, 18, 102.0), (2, 99, 999.0))
+      .toDF("k", "qt", "px")
+    val out = AsOfJoin.backward(trades, quotes, "k", "k", "t", "qt", Seq("px"))
+      .orderBy("t").collect().map(r => (r.getAs[String]("trade"), r.getAs[Any]("px")))
+    assert(out.toSeq == Seq(("t1", 101.0), ("t3", null), ("t2", 102.0)))
+  }
+
+  test("multimodal: binary attach + batch stub decode keeps partitioning and determinism") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 100)
+    val media = Multimodal.attachBinary(docs, "text")
+      .select(col("doc_id").as("id"), col("content"), col("media_meta"))
+    assert(media.schema("media_meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("n_bytes", "mime", "sha256"))
+    val feats = Multimodal.extractFeatures(spark, media, dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(r => r.brightness >= 0.0 && r.brightness <= 1.0))
+    // determinism
+    val again = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    assert(rows.map(r => (r.id, r.feature.toSeq)).toSet ==
+      again.map(r => (r.id, r.feature.toSeq)).toSet)
+    // no shuffle introduced by extractFeatures
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
