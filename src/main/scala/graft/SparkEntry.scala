@@ -1,13 +1,652 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RollingHashFingerprint, SimHash64, TextFunctions => TF}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity}
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
+  * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
+  * DuckDB SQL over the same parquet tables (omitted only where the operator
+  * is intentionally not SQL-expressible, e.g. xxhash-seeded MinHash — those
+  * get the driver's rows-only check and are gated by ScalaTest recall
+  * specs instead).
+  *
+  * Conventions for oracle parity: every result is deterministically
+  * ORDER BY'd, every double is round()'d, every derived integer is cast to
+  * long (DuckDB integer functions return BIGINT), and column names are
+  * aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Engine-agnostic rounding: `floor(x*10^d + 0.5)/10^d` with identical
+    * IEEE ops on both sides. Spark's round() (BigDecimal.valueOf shortest
+    * repr, HALF_UP) and DuckDB's round() (binary multiply) disagree on
+    * half-boundary doubles — this formula IS the cross-engine spec.
+    */
+  private def r(c: org.apache.spark.sql.Column, digits: Int) = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries nanosecond timestamps, which Spark's parquet
+    * reader rejects; read them as long nanos and convert to TimestampType
+    * (micros). DuckDB reads the same column natively as TIMESTAMP_NS —
+    * truncation ns→us never crosses the second/hour boundaries our queries
+    * group by.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Synthesized log lines from the events table (deterministic
+    * `format_string`), written as text and read back through the `log`
+    * source — SURVEY.md §5.4's round-trip trick that makes the custom
+    * source oracle-checkable: DuckDB reproduces the aggregate from the
+    * events table directly.
+    */
+  private def logDir(spark: SparkSession, dir: String, flavor: String): String = {
+    val out = s"/tmp/graft_logs/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$flavor"
+    val ev = events(spark, dir)
+    val lines = flavor match {
+      case "plain" =>
+        ev.select(format_string("%d %s user=%d %.2f",
+          col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
+      case "mixed" => // error-type events become non-matching garbage lines
+        ev.select(
+          when(col("event_type") === "error",
+            concat(lit("!!corrupt "), col("props")))
+            .otherwise(format_string("%d %s user=%d %.2f",
+              col("event_id"), col("event_type"), col("user_id"), col("value")))
+            .as("value"))
+      case "dated" =>
+        ev.select(format_string("%s %s evt=%d",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("event_id"))
+          .as("value"))
+    }
+    lines.write.mode("overwrite").text(out)
+    out
+  }
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: events → log lines → `log` source scan (regex extract +
+    * typed coercion) → host aggregation. Exercises SURVEY.md §2A #1-#11
+    * end-to-end on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qLogParseAgg(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------- log-source queries §2A
+
+  private def qLogParseAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "plain")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r(sum("value"), 2).as("sum_value"),
+        max("event_id").cast("long").as("max_event_id"))
+      .orderBy("event_type")
+  }
+
+  private def qLogUnmatched(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "mixed")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .load(path)
+      .agg(
+        count(col("event_type")).cast("long").as("n_matched"),
+        count(col("unmatched_lines")).cast("long").as("n_unmatched"))
+  }
+
+  private def qLogTypedDates(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "dated")
+    spark.read.format("log")
+      .option("pattern", "(\\S+) (\\d{2}:\\d{2}:\\d{2}) (\\w+) evt=(\\d+)")
+      .option("fieldNames", "d, tm, event_type, event_id")
+      .option("dataTypes", "DATE, TIME, VARCHAR, INT")
+      .option("dateFormat", "yyyy-MM-dd")
+      .option("timeFormat", "HH:mm:ss")
+      .option("extensions", "txt")
+      .load(path)
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("d")) // string: stable dtype across engines
+      .agg(count(lit(1)).as("n"),
+        min(col("tm")).cast("long").as("min_ms_of_day"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("d")
+  }
+
+  // ------------------------------------------------ relational surface §2B
+
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r(sum("l_quantity"), 2).as("sum_qty"),
+        r(sum("l_extendedprice"), 2).as("sum_base"),
+        r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        r(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qFilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(200)
+
+  private def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), r(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("p_brand")
+
+  private def qJoin5Way(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+
+  private def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(spark, dir, "orders").filter(col("o_totalprice") > 200000)
+    t(spark, dir, "customer")
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), r(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
+  private def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"), col("o_orderkey"),
+        col("o_totalprice").as("price"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  private def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    t(spark, dir, "lineitem")
+      .withColumn("prev_ship", lag(col("l_shipdate"), 1).over(w))
+      .withColumn("gap_days", datediff(col("l_shipdate"), col("prev_ship")))
+      .groupBy("l_suppkey")
+      .agg(count(col("gap_days")).as("n_gaps"),
+        r(avg(col("gap_days")), 4).as("avg_gap"),
+        max(col("gap_days")).cast("long").as("max_gap"))
+      .orderBy("l_suppkey")
+  }
+
+  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), r(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  private def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("n"))
+      .orderBy("st", "pr")
+
+  private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n"),
+        r(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  private def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val h1 = o.filter(col("o_orderdate") < lit("1998-01-01")).select("o_custkey").distinct()
+    val h2 = o.filter(col("o_orderdate") >= lit("1998-01-01")).select("o_custkey").distinct()
+    h1.intersect(h2).agg(count(lit(1)).as("n_both"))
+      .crossJoin(h1.except(h2).agg(count(lit(1)).as("n_only_early")))
+      .crossJoin(h1.union(h2).distinct().agg(count(lit(1)).as("n_any")))
+  }
+
+  private def qScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pr"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        length(col("o_orderstatus")).cast("long").as("ls"),
+        r(sqrt(col("o_totalprice")), 4).as("sq"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("cc"))
+      .orderBy("o_orderkey")
+
+  private def qRegexExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+      .orderBy("k_bucket")
+
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select("event_id", "user_id", "ts", "event_type")
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    AsOfJoin.backward(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_totalprice"))
+      .groupBy("event_type")
+      .agg(count(col("o_totalprice")).as("n_with_order"),
+        r(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy("event_type")
+  }
+
+  /** Structured Streaming over the events data (file stream → tumbling
+    * 1-hour windows → memory sink, AvailableNow so the batch drains
+    * synchronously). Oracle: plain date_trunc aggregation.
+    */
+  private def qStreamingWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = t(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a directory
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"))
+    // complete mode: a single AvailableNow batch emits every window (append
+    // mode would withhold all of them — the watermark only advances after
+    // the final batch, with no later batch left to flush).
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    spark.table("graft_stream_out").orderBy("hour", "event_type")
+  }
+
+  // ------------------------------------------------- LLM-pipeline queries
+
+  private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TF.contentFingerprint(col("text"))).as("n_distinct"))
+      .orderBy("lang")
+
+  private def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(TF.contentFingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1)
+      .agg(count(lit(1)).as("n_dup_groups"),
+        coalesce(sum(col("sz")), lit(0L)).as("n_dup_docs"))
+
+  private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.tokenJaccardPairs(
+        t(spark, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", "lang", 0.8)
+      .agg(count(lit(1)).as("n_pairs"),
+        r(avg("jaccard"), 3).as("avg_jaccard"))
+
+  private def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    Dedup.verifyJaccard(cand.select("idA", "idB"), docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+      .agg(count(lit(1)).as("n_neardup_pairs"), round(avg("jaccard"), 3).as("avg_j"))
+  }
+
+  private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = t(spark, dir, "documents")
+      .select(col("doc_id"), SimHash64(TF.tokens(col("text"))).as("fp"))
+    // band join: 4 x 16-bit bands; pairs agreeing on any band get verified
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("idA"), col("fp").as("fpA"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("idB"), col("fp").as("fpB"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB", "fpA", "fpB").dropDuplicates("idA", "idB")
+      .withColumn("hamming", bit_count(col("fpA").bitwiseXOR(col("fpB"))))
+      .filter(col("hamming") <= 8)
+      .agg(count(lit(1)).as("n_simhash_pairs"))
+  }
+
+  private def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def qEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        dim = 64, nPlanes = 4, tables = 8)
+      .agg(count(lit(1)).as("n_results"), countDistinct(col("query_id")).as("n_queries"))
+  }
+
+  private def qLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(TF.langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pred_lang")
+
+  private def qQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(TF.qualityScore(col("text")).as("score"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("score")
+
+  private def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        sum(TF.bpeishTokenCount(col("text")).cast("long")).as("sum_bpe"),
+        r(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy("source")
+
+  private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.attachBinary(t(spark, dir, "documents"), "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("media_meta.n_bytes").cast("long")).as("total_bytes"),
+        countDistinct(col("media_meta.sha256")).as("n_distinct_content"))
+      .orderBy("source")
+
+  private def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBinary(t(spark, dir, "documents"), "text")
+      .select(col("doc_id").as("id"), col("content"))
+    Multimodal.extractFeatures(spark, media, dim = 16).toDF()
+      .agg(count(lit(1)).as("n"),
+        round(avg("brightness"), 4).as("avg_brightness"),
+        sum("n_bytes").cast("long").as("total_bytes"))
+  }
+
+  private def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(countDistinct(RollingHashFingerprint(col("text"), 16)).as("n_fp"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  // ---------------------------------------------------------------- maps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_log_parse_agg" -> (qLogParseAgg _),
+    "q_log_unmatched" -> (qLogUnmatched _),
+    "q_log_typed_dates" -> (qLogTypedDates _),
+    "q1_agg" -> (q1Agg _),
+    "q_filter_project" -> (qFilterProject _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_5way" -> (qJoin5Way _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_topk" -> (qWindowTopk _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_setops" -> (qSetOps _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_regex_extract" -> (qRegexExtract _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_streaming_window" -> (qStreamingWindow _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_groups" -> (qDedupGroups _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_embed_topk" -> (qEmbedTopk _),
+    "q_embed_lsh" -> (qEmbedLsh _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_token_stats" -> (qTokenStats _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_rolling_fingerprint" -> (qRollingFingerprint _))
+
+  // DuckDB SQL fragments shared below.
+  private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
+  private val FpSql = s"substr(md5($NormSql), 1, 16)"
+  private val ToksSql =
+    s"list_filter(string_split_regex($NormSql, '\\s+'), x -> x <> '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_log_parse_agg" ->
+      """SELECT event_type, count(*) AS n, floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value,
+        |       max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_log_unmatched" ->
+      """SELECT count(*) FILTER (WHERE event_type <> 'error') AS n_matched,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_unmatched
+        |FROM events""".stripMargin,
+    "q_log_typed_dates" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n,
+        |       min((date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+        |            + date_part('second', ts)) * 1000) AS min_ms_of_day,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS sum_disc,
+        |       floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty, count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS net
+        |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n, floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_5way" ->
+      """SELECT r_name, n_name,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue, count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n, floor(sum(c_acctbal) * 100 + 0.5) / 100 AS sum_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_window_lag" ->
+      """SELECT l_suppkey, count(gap_days) AS n_gaps,
+        |       floor(avg(gap_days) * 10000 + 0.5) / 10000 AS avg_gap, max(gap_days) AS max_gap
+        |FROM (
+        |  SELECT l_suppkey,
+        |         datediff('day',
+        |           lag(l_shipdate) OVER (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC),
+        |           l_shipdate) AS gap_days
+        |  FROM lineitem)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pr,
+        |       count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n,
+        |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |     INTERSECT
+        |     SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')) AS n_both,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |     EXCEPT
+        |     SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')) AS n_only_early,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_any""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS pr, year(o_orderdate) AS y,
+        |       month(o_orderdate) AS m, length(o_orderstatus) AS ls,
+        |       floor(sqrt(o_totalprice) * 10000 + 0.5) / 10000 AS sq,
+        |       concat(o_orderstatus, '-', o_orderpriority) AS cc
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n, max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_type, count(o_totalprice) AS n_with_order,
+        |       floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_price
+        |FROM events ASOF LEFT JOIN orders
+        |  ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_streaming_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT lang, count(*) AS n_docs, count(DISTINCT $FpSql) AS n_distinct
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_groups" ->
+      s"""SELECT count(*) AS n_dup_groups, coalesce(sum(sz), 0) AS n_dup_docs FROM (
+         |  SELECT $FpSql AS fp, count(*) AS sz FROM documents GROUP BY 1 HAVING count(*) > 1)""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT lang, doc_id, unnest($ToksSql) AS tok
+         |  FROM documents WHERE doc_id < 500),
+         |counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         |  FROM toks a JOIN toks b
+         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT i * 1.0 / (ca.n + cb.n - i) AS jac
+         |  FROM inter JOIN counts ca ON ida = ca.doc_id JOIN counts cb ON idb = cb.doc_id)
+         |SELECT count(*) AS n_pairs, floor(avg(jac) * 1000 + 0.5) / 1000 AS avg_jaccard
+         |FROM j WHERE jac >= 0.8""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT ' ' || trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) || ' ' AS p
+        |  FROM documents),
+        |s AS (
+        |  SELECT
+        |   (length(p)-length(regexp_replace(p,' the ',' ','g')))/4 + (length(p)-length(regexp_replace(p,' and ',' ','g')))/4 + (length(p)-length(regexp_replace(p,' of ',' ','g')))/3 + (length(p)-length(regexp_replace(p,' is ',' ','g')))/3 AS s_en,
+        |   (length(p)-length(regexp_replace(p,' el ',' ','g')))/3 + (length(p)-length(regexp_replace(p,' la ',' ','g')))/3 + (length(p)-length(regexp_replace(p,' de ',' ','g')))/3 + (length(p)-length(regexp_replace(p,' que ',' ','g')))/4 AS s_es,
+        |   (length(p)-length(regexp_replace(p,' le ',' ','g')))/3 + (length(p)-length(regexp_replace(p,' la ',' ','g')))/3 + (length(p)-length(regexp_replace(p,' et ',' ','g')))/3 + (length(p)-length(regexp_replace(p,' les ',' ','g')))/4 AS s_fr,
+        |   (length(p)-length(regexp_replace(p,' der ',' ','g')))/4 + (length(p)-length(regexp_replace(p,' die ',' ','g')))/4 + (length(p)-length(regexp_replace(p,' und ',' ','g')))/4 + (length(p)-length(regexp_replace(p,' ist ',' ','g')))/4 AS s_de
+        |  FROM scored)
+        |SELECT CASE
+        |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+        |  WHEN s_de > 0 THEN 'de'
+        |  ELSE 'und' END AS pred_lang, count(*) AS n
+        |FROM s GROUP BY 1 ORDER BY pred_lang""".stripMargin,
+    "q_quality" ->
+      s"""WITH f AS (
+         |  SELECT len($ToksSql) AS n_tok,
+         |    (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |      / greatest(len($ToksSql), 1) AS mean_wl,
+         |    len(list_filter($ToksSql, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |      / greatest(len($ToksSql), 1) AS stop_ratio
+         |  FROM documents)
+         |SELECT round((
+         |    (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS score,
+         |  count(*) AS n
+         |FROM f GROUP BY 1 ORDER BY score""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT source, sum(len($ToksSql)) AS sum_tokens,
+         |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS sum_bpe,
+         |  floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT source, count(*) AS n, sum(strlen(text)) AS total_bytes,
+        |       count(DISTINCT sha256(text)) AS n_distinct_content
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_embed_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }
