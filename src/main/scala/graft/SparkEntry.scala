@@ -36,6 +36,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Small single-file inputs arrive as one partition; CPU-heavy per-row
+    * pipelines (tokenize, hash, decode) need them spread across cores. At
+    * cluster scale inputs have enough splits and this is a no-op.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** events.parquet carries nanosecond timestamps, which Spark's parquet
     * reader rejects; read them as long nanos and convert to TimestampType
     * (micros). DuckDB reads the same column natively as TIMESTAMP_NS —
@@ -343,7 +352,7 @@ object SparkEntry {
   }
 
   private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val fp = t(spark, dir, "documents")
+    val fp = spread(t(spark, dir, "documents"))
       .select(col("doc_id"), SimHash64(TF.tokens(col("text"))).as("fp"))
     // band join: 4 x 16-bit bands; pairs agreeing on any band get verified
     val banded = fp.select(col("doc_id"), col("fp"),
@@ -375,19 +384,19 @@ object SparkEntry {
   }
 
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    spread(t(spark, dir, "documents"))
       .groupBy(TF.langId(col("text")).as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")
 
   private def qQuality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    spread(t(spark, dir, "documents"))
       .groupBy(TF.qualityScore(col("text")).as("score"))
       .agg(count(lit(1)).as("n"))
       .orderBy("score")
 
   private def qTokenStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    spread(t(spark, dir, "documents"))
       .groupBy("source")
       .agg(
         sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"),
@@ -404,7 +413,7 @@ object SparkEntry {
       .orderBy("source")
 
   private def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.attachBinary(t(spark, dir, "documents"), "text")
+    val media = Multimodal.attachBinary(spread(t(spark, dir, "documents")), "text")
       .select(col("doc_id").as("id"), col("content"))
     Multimodal.extractFeatures(spark, media, dim = 16).toDF()
       .agg(count(lit(1)).as("n"),
@@ -413,7 +422,7 @@ object SparkEntry {
   }
 
   private def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    spread(t(spark, dir, "documents"))
       .groupBy("lang")
       .agg(countDistinct(RollingHashFingerprint(col("text"), 16)).as("n_fp"),
         count(lit(1)).as("n"))

@@ -32,14 +32,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .drop("__key")
 
-  /** MinHash signature: `numHashes` permutations approximated by seeded
-    * xxhash64 (Broder's min-wise independent permutations); component i =
-    * min over shingles of hash_i(shingle). One pass, pure codegen'd builtins.
+  /** MinHash signature: shingle → xxhash64 (once per shingle), then the
+    * one-pass [[graft.functions.MinHashSignature]] codegen expression
+    * updates all `numHashes` minima in a single scan of the hash array.
+    * (The earlier `transform(sequence(0,63), i -> array_min(...))`
+    * composition re-evaluated the whole tokenize/shingle pipeline per
+    * component — ~60x slower at sf0.1.)
     */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(TextFunctions.shingles(text, shingleN), s => xxhash64(i, s))))
+    graft.functions.MinHashSignature(
+      transform(TextFunctions.shingles(text, shingleN), s => xxhash64(s)), numHashes)
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
     * components, each band hashed to one bucket key.
@@ -65,33 +67,49 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(
+    // Shingling+hashing is CPU-bound: spread a small (few-file) input over
+    // all cores before it — at cluster scale the input already has enough
+    // splits and this is a no-op.
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // Signatures are used three times (banding + both sides of the pair
+    // join); persist so the shingle/hash pipeline runs exactly once. At
+    // cluster scale this is the "checkpoint the signatures" step — 64
+    // longs/doc, ~0.5 KB/doc.
+    val sigs = spread.select(
       col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs
-      .select(col("__id"), col("__sig"),
+      .select(col("__id"),
         posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bkey")))
 
-    // Degenerate-bucket guard: a bucket of B identical docs yields B^2/2
-    // pairs; cap it (coverage loss is logged by callers via the returned
-    // bucket stats if needed). Window count avoids a second shuffle.
+    // Degenerate-bucket guard: a bucket of B near-identical docs yields
+    // B^2/2 pairs; cap it (an explicit, documented coverage bound). Window
+    // count avoids a second shuffle.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bkey")
     val capped = banded.withColumn("__bsize", count(lit(1)).over(w))
       .filter(col("__bsize") <= maxBucketSize)
       .drop("__bsize")
 
-    val a = capped.select(col("__band"), col("__bkey"),
-      col("__id").as("idA"), col("__sig").as("__sigA"))
-    val b = capped.select(col("__band"), col("__bkey"),
-      col("__id").as("idB"), col("__sig").as("__sigB"))
-    a.join(b, Seq("__band", "__bkey"))
+    // Self-join on NARROW (band, bkey, id) rows only; signatures re-attach
+    // after pair dedup so est_jaccard is computed once per distinct pair.
+    val a = capped.select(col("__band"), col("__bkey"), col("__id").as("idA"))
+    val b = capped.select(col("__band"), col("__bkey"), col("__id").as("idB"))
+    val pairs = a.join(b, Seq("__band", "__bkey"))
       .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+
+    pairs
+      .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
+      .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
       .select(col("idA"), col("idB"),
         (aggregate(zip_with(col("__sigA"), col("__sigB"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / lit(numHashes).cast("double")).as("est_jaccard"))
-      .groupBy("idA", "idB").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Exact shingle-set Jaccard for a set of candidate pairs (verification
@@ -104,8 +122,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__vid"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("__sh"))
+    // Only documents that appear in a candidate pair need shingling —
+    // broadcast the (small) id set and map-side filter the corpus before
+    // the expensive shingle computation.
+    val ids = candidates
+      .select(explode(array(col("idA"), col("idB"))).as("__vid")).distinct()
+    val sh = df.join(broadcast(ids), col(idCol) === col("__vid"), "left_semi")
+      .select(col(idCol).as("__vid"),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__vid", "idA").withColumnRenamed("__sh", "__shA"), "idA")
       .join(sh.withColumnRenamed("__vid", "idB").withColumnRenamed("__sh", "__shB"), "idB")
@@ -126,7 +150,9 @@ object Dedup {
       textCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val toks = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val toks = spread.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("__tok"))
     val counts = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = toks.alias("a")
