@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64}
+
+/** SQL-surface registration of the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT parse_log_line(value, '(\\d+)') ...")` works next to
+  * the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * No custom optimizer rules or strategies are injected — per SURVEY.md
+  * §4.2, Catalyst's built-ins cover every rewrite this engine needs; the
+  * extension surface is deliberately limited to scalar functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("parse_log_line"),
+      info("parse_log_line", "parse_log_line(line, pattern) - one-pass regex extract of all capture groups"),
+      (args: Seq[Expression]) => ParseLogLineSql.build(args)))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(hashes, n) - n-component MinHash of array<long>"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, ParseLogLineSql.intArg(args, 1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint", "rolling_fingerprint(text, window) - winnowing min rolling hash"),
+      (args: Seq[Expression]) => RollingHashFingerprint(args.head, ParseLogLineSql.intArg(args, 1))))
+  }
+}

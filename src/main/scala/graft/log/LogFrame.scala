@@ -101,19 +101,19 @@ object LogFrame {
     * Catalyst expressions.
     */
   private def typed(c: Column, dt: String, opts: LogOptions): Column = dt match {
-    case "INT" | "INTEGER"   => try_cast_int(c)
-    case "DOUBLE" | "FLOAT8" => c.cast(DoubleType)
-    case "FLOAT" | "FLOAT4"  => c.cast(FloatType)
-    case "DATE"              => to_date(c, opts.dateFormat)
-    case "TIMESTAMP"         => to_timestamp(c, opts.dateFormat)
+    // try_* variants throughout: ANSI mode (Spark 4 default) makes plain
+    // cast/to_date on malformed input a task failure, but this path is
+    // PERMISSIVE by contract (NULL on conversion failure).
+    case "INT" | "INTEGER"   => c.try_cast(IntegerType)
+    case "DOUBLE" | "FLOAT8" => c.try_cast(DoubleType)
+    case "FLOAT" | "FLOAT4"  => c.try_cast(FloatType)
+    case "DATE"              => call_function("try_to_date", c, lit(opts.dateFormat))
+    case "TIMESTAMP"         => try_to_timestamp(c, lit(opts.dateFormat))
     case "TIME" => // millis-of-day via a 1970-01-01-anchored timestamp parse
-      (unix_micros(to_timestamp(concat(lit("1970-01-01 "), c), "yyyy-MM-dd " + opts.timeFormat)) / 1000L)
-        .cast(IntegerType)
+      (unix_micros(try_to_timestamp(concat(lit("1970-01-01 "), c),
+        lit("yyyy-MM-dd " + opts.timeFormat))) / 1000L).cast(IntegerType)
     case _ => c
   }
-
-  private def try_cast_int(c: Column): Column =
-    when(c.rlike("^-?\\d+$"), c.cast(IntegerType)).otherwise(lit(null).cast(IntegerType))
 
   /** Structured-Streaming log tail: `readStream` over a directory of log
     * files with the same parse semantics (SURVEY.md §2B streaming row).
