@@ -243,6 +243,28 @@ object SparkEntry {
         col("n"))
       .orderBy("st", "pr")
 
+  private def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("n"), col("sum_price"))
+      .orderBy("st", "pr")
+
+  private def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), countDistinct(col("k")).as("n_k"),
+        max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))
+      .orderBy("event_type")
+
   private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
@@ -444,6 +466,8 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_json_extract" -> (qJsonExtract _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -548,6 +572,17 @@ object SparkEntry {
         |       count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY st, pr""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pr,
+        |       count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY st, pr""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n,
         |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
@@ -587,7 +622,7 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n_docs, count(DISTINCT $FpSql) AS n_distinct
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_groups" ->
-      s"""SELECT count(*) AS n_dup_groups, coalesce(sum(sz), 0) AS n_dup_docs FROM (
+      s"""SELECT count(*) AS n_dup_groups, CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_dup_docs FROM (
          |  SELECT $FpSql AS fp, count(*) AS sz FROM documents GROUP BY 1 HAVING count(*) > 1)""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH toks AS (
@@ -641,12 +676,12 @@ object SparkEntry {
          |  count(*) AS n
          |FROM f GROUP BY 1 ORDER BY score""".stripMargin,
     "q_token_stats" ->
-      s"""SELECT source, sum(len($ToksSql)) AS sum_tokens,
-         |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS sum_bpe,
+      s"""SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe,
          |  floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_multimodal_meta" ->
-      """SELECT source, count(*) AS n, sum(strlen(text)) AS total_bytes,
+      """SELECT source, count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       count(DISTINCT sha256(text)) AS n_distinct_content
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_embed_topk" ->

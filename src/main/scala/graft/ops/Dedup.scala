@@ -41,7 +41,7 @@ object Dedup {
     */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
     graft.functions.MinHashSignature(
-      transform(TextFunctions.shingles(text, shingleN), s => xxhash64(s)), numHashes)
+      graft.functions.HashedShingles(text, shingleN), numHashes)
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`
     * components, each band hashed to one bucket key.

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that decide 100 TB behavior —
+  * filters/projections reaching the parquet scan, small dims broadcast,
+  * one-shuffle as-of join, codegen coverage — asserted so they can't
+  * silently regress.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan
+  }
+  private def planStr(df: DataFrame): String = plan(df).toString
+
+  test("parquet filter pushdown: shipdate predicate reaches the scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-01") && col("l_quantity") > 10)
+      .select("l_orderkey")
+    val leaves = plan(df).collectLeaves().mkString("\n")
+    assert(leaves.contains("PushedFilters") && leaves.contains("l_shipdate"),
+      s"no pushed filter in:\n$leaves")
+    assert(leaves.contains("ReadSchema") && !leaves.contains("l_extendedprice"),
+      "projection not pruned to required columns")
+  }
+
+  test("broadcast join: dimension tables broadcast, no shuffle of the small side") {
+    val p = planStr(SparkEntry.queries("q_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n${p.take(2000)}")
+  }
+
+  test("5-way join plan broadcasts nation and region") {
+    val p = planStr(SparkEntry.queries("q_join_5way")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("as-of join is a single shuffle (no join explosion node)") {
+    import graft.ops.AsOfJoin
+    import spark.implicits._
+    val l = Seq((1, 10), (2, 20)).toDF("k", "t")
+    val r = Seq((1, 5, 1.0), (2, 15, 2.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.backward(l, r, "k", "k", "t", "rt", Seq("v"))
+    val p = planStr(out)
+    assert(!p.contains("Join"), s"as-of should be window-based, not a join:\n${p.take(1500)}")
+    val shuffles = plan(out).collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"expected at most union+window shuffles, got ${shuffles.size}")
+  }
+
+  test("log scan: only required capture groups in scan output; codegen'd consumer") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)")
+      .option("fieldNames", "date, time, pid, action, query")
+      .option("dataTypes", "DATE, TIME, INT, VARCHAR, VARCHAR")
+      .option("dateFormat", "yyMMdd")
+      .load(fixture("mysql.log"))
+      .groupBy("action").count()
+    val p = planStr(df)
+    // AQE's plan string marks whole-stage-codegen stages with "*(n)"
+    assert(p.contains("*("), s"aggregation should be codegen'd:\n${p.take(800)}")
+    val leaf = plan(df).collectLeaves().head.toString
+    assert(leaf.contains("required=action") || leaf.contains("Output [1]"),
+      s"scan should output only 'action':\n$leaf")
+  }
+
+  test("minhash signature pipeline contains the one-pass expressions (no 64x transform)") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigPlan = docs.select(Dedup.minhashSignature(col("text"), 3, 64))
+      .queryExecution.optimizedPlan.toString
+    assert(sigPlan.contains("minhash_signature") && sigPlan.contains("hashed_shingles"),
+      s"expected custom one-pass expressions in:\n${sigPlan.take(800)}")
+  }
+
+  test("brute-force topk broadcasts the query side") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = planStr(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3))
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side should be broadcast")
+  }
+}
