@@ -265,6 +265,40 @@ object SparkEntry {
         max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))
       .orderBy("event_type")
 
+  private def qSupplierTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("s_name"))
+      .limit(10)
+
+  /** HLL sketch (approx_count_distinct) next to the exact count — the
+    * scale path for distinct counting; accuracy asserted in ScalaTest
+    * (sketch families differ across engines, so no DuckDB oracle).
+    */
+  private def qHll(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  /** Session windows (30-minute gap) over the events stream-table; the
+    * oracle reproduces sessionization with the lag/cumsum islands trick.
+    */
+  private def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id")
+
   private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
@@ -468,6 +502,9 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_supplier_topk" -> (qSupplierTopk _),
+    "q_hll" -> (qHll _),
+    "q_session_window" -> (qSessionWindow _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -583,6 +620,30 @@ object SparkEntry {
         |       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_supplier_topk" ->
+      """SELECT s_name, n_name,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY s_name, n_name ORDER BY revenue DESC, s_name LIMIT 10""".stripMargin,
+    "q_session_window" ->
+      """WITH b AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |per AS (SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       max(n_events) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n,
         |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
