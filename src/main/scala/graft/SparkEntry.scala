@@ -338,8 +338,13 @@ object SparkEntry {
 
   private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select("event_id", "user_id", "ts", "event_type")
+    // o_orderdate is day-granular: a customer can place several orders the
+    // same day, making raw as-of tie-breaking nondeterministic in ANY
+    // engine. Pre-aggregate to one row per (custkey, date) so both sides
+    // (and the DuckDB ASOF oracle) resolve ties identically.
     val orders = t(spark, dir, "orders")
-      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_totalprice").as("o_totalprice"))
     AsOfJoin.backward(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
         Seq("o_totalprice"))
       .groupBy("event_type")
@@ -672,7 +677,9 @@ object SparkEntry {
     "q_asof_join" ->
       """SELECT event_type, count(o_totalprice) AS n_with_order,
         |       floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_price
-        |FROM events ASOF LEFT JOIN orders
+        |FROM events ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2) orders
         |  ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_streaming_window" ->

@@ -171,6 +171,23 @@ class LogSourceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Integer]("pid")).toSeq == Seq(7, 42))
   }
 
+  test("SQL DDL: CREATE TABLE ... USING log, then plain SQL over it") {
+    spark.sql("DROP TABLE IF EXISTS mysql_logs_spec")
+    // raw interpolator: s""" processes \\ escapes and would halve the
+    // backslashes before the SQL parser unescapes them again
+    spark.sql(raw"""CREATE TABLE mysql_logs_spec USING log OPTIONS (
+      path '${fixture("mysql.log")}',
+      pattern '(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)',
+      fieldNames 'date, time, pid, action, query',
+      dataTypes 'DATE, TIME, INT, VARCHAR, VARCHAR',
+      dateFormat 'yyMMdd')""")
+    val rows = spark.sql(
+      "SELECT action, count(*) n FROM mysql_logs_spec GROUP BY action ORDER BY action")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("Connect", 1L), ("Query", 4L)))
+    spark.sql("DROP TABLE mysql_logs_spec")
+  }
+
   test("directory load filters by extensions option") {
     val dir = new java.io.File(getClass.getResource("/fixtures").toURI).getAbsolutePath
     val df = spark.read.format("log")
