@@ -112,6 +112,27 @@ object Dedup {
           .cast("double") / lit(numHashes).cast("double")).as("est_jaccard"))
   }
 
+  /** End-to-end near-duplicate removal: LSH candidates → exact-Jaccard
+    * verification → drop the higher id of every verified pair (transitive
+    * chains collapse toward their minimum id, the standard LSH-dedup
+    * behavior). One anti-join, no driver-side state — the whole pipeline
+    * is shuffle-bounded by bands x docs.
+    */
+  def nearDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cand = minhashCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+    val dupIds = verifyJaccard(cand.select("idA", "idB"), df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("idB").as("__dup")).distinct()
+    df.join(dupIds, col(idCol) === col("__dup"), "left_anti")
+  }
+
   /** Exact shingle-set Jaccard for a set of candidate pairs (verification
     * stage after LSH blocking): array_intersect/array_union on distinct
     * shingle arrays — no explode, no extra shuffle beyond the two joins.

@@ -81,6 +81,14 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == direct)
   }
 
+  test("nearDedup keeps the min id of each duplicate cluster, drops the rest") {
+    val out = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L) && !out.contains(4L)) // exact dup pair (1,4): keep 1
+    assert(!out.contains(2L)) // near-dup of 1 above 0.8
+    assert(out.contains(3L) && out.contains(5L)) // unrelated docs survive
+  }
+
   test("minhash LSH on documents table: recall vs exact jaccard >= 0.9 at t=0.7") {
     val real = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val exact = Dedup.tokenJaccardPairs(
