@@ -444,6 +444,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_results"), countDistinct(col("query_id")).as("n_queries"))
   }
 
+  private def qEmbedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding", nLists = 16, iterations = 3)
+    graft.ops.IvfIndex.search(model, emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nProbe = 4)
+      .agg(count(lit(1)).as("n_results"), countDistinct(col("query_id")).as("n_queries"))
+  }
+
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
       .groupBy(TF.langId(col("text")).as("pred_lang"))
@@ -523,6 +531,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_lsh" -> (qEmbedLsh _),
+    "q_embed_ivf" -> (qEmbedIvf _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer partitions the corpus into `nLists` cells; a query probes only
+  * its `nProbe` nearest cells and scores candidates exactly.
+  *
+  * This is the second scale path for similarity search next to sign-LSH
+  * ([[Similarity.lshTopK]]): IVF adapts to the data distribution (cells
+  * follow density) where LSH is data-oblivious.
+  *
+  * Scale design: each Lloyd iteration is one corpus scan + one shuffle of
+  * (cell, position, value) triples; the centroid model (nLists x dim
+  * doubles) is the ONLY driver-side state — standard practice for a model
+  * that must broadcast to every task. Assignment and search are
+  * broadcast-joins against that small model, so the corpus never shuffles.
+  *
+  * Centroids initialize from the `nLists` lowest-id vectors and Lloyd
+  * iterations are fixed-count (no RNG anywhere; the only nondeterminism
+  * left is floating-point summation order inside avg()).
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[(Int, Seq[Double])])
+
+  /** Train the coarse quantizer. */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      iterations: Int = 5): Model = {
+    val vecs = corpus.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+    var centroids: Array[(Int, Seq[Double])] = vecs
+      .orderBy("__id").limit(nLists).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    for (_ <- 0 until iterations) {
+      val assigned = assign(vecs, "__v", centroids)
+      val next = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(avg("__x").as("__m"))
+        .groupBy("__cell")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pairs"))
+        .select(col("__cell"), transform(col("__pairs"), p => p.getField("__m")).as("__c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // empty cells keep their previous centroid
+      val byCell = next.toMap
+      centroids = centroids.map { case (cell, c) => (cell, byCell.getOrElse(cell, c)) }
+    }
+    Model(centroids)
+  }
+
+  /** Nearest-centroid cell id(s) for each row's vector (broadcast model,
+    * no shuffle). `nProbe` > 1 explodes each row into its n nearest cells.
+    */
+  private def assign(
+      df: DataFrame, vecCol: String, centroids: Array[(Int, Seq[Double])], nProbe: Int = 1): DataFrame = {
+    // distance to each centroid as a literal-array expression; cells ranked
+    // by (distance, cell) for determinism
+    val dists = array(centroids.map { case (cell, c) =>
+      val cLit = typedlit(c)
+      struct(
+        aggregate(zip_with(col(vecCol), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    val ranked = array_sort(dists)
+    if (nProbe == 1) df.withColumn("__cell", element_at(ranked, 1).getField("cell"))
+    else df.withColumn("__cell",
+      explode(transform(slice(ranked, 1, nProbe), s => s.getField("cell"))))
+  }
+
+  /** Search: probe `nProbe` cells per query, score candidates exactly,
+    * return (query_id, rank, neighbor_id, cosine) like the other top-k ops.
+    */
+  def search(
+      model: Model,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val c = assign(
+      corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv")),
+      "__cv", model.centroids)
+    val q = assign(
+      queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv")),
+      "__qv", model.centroids, nProbe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineSimilarity(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

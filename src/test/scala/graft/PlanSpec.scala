@@ -75,6 +75,13 @@ class PlanSpec extends SparkSpec {
       s"expected custom one-pass expressions in:\n${sigPlan.take(800)}")
   }
 
+  test("window top-k gets partial-limit pushdown (WindowGroupLimit)") {
+    // rank<=k filters push a per-partition top-k below the shuffle — the
+    // reason Window+row_number top-k is scale-safe on 100 TB
+    val p = planStr(SparkEntry.queries("q_window_topk")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
+  }
+
   test("brute-force topk broadcasts the query side") {
     import graft.ops.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
