@@ -92,13 +92,27 @@ object LogOptions {
         s"[log] pattern '$pattern' has no capture groups; each column is one capture group") // LRR:158-161
     }
 
+    // `schema` option sugar (SURVEY.md §1.4): "name TYPE, name TYPE" in one
+    // string, instead of parallel fieldNames/dataTypes lists. Explicit
+    // fieldNames/dataTypes win if both are given.
+    val schemaPairs: Option[Seq[(String, String)]] = get("schema").map {
+      _.split(",").map(_.trim).toSeq.map { entry =>
+        entry.split("\\s+") match {
+          case Array(n, t) => (n, t)
+          case _ => throw new IllegalArgumentException(
+            s"[log] schema option entry '$entry' must be 'name TYPE'")
+        }
+      }
+    }
+
     val fieldNames = get("fieldnames") match {
       case Some(s) => s.split(",").map(_.trim).toSeq
-      case None =>
+      case None => schemaPairs.map(_.map(_._1)) getOrElse {
         // Reference has no default names (config error). We default to
         // "line" for the single-group default pattern and field_i otherwise —
         // documented convenience divergence (FIXTURES.md #2).
         if (groupCount == 1) Seq("line") else (1 to groupCount).map(i => s"field_$i")
+      }
     }
     if (fieldNames.size != groupCount) {
       throw new IllegalArgumentException(
@@ -107,7 +121,8 @@ object LogOptions {
     }
 
     // dataTypes: null or wrong count → all-VARCHAR fallback (LRR:185-191).
-    val dataTypes = get("datatypes").map(_.split(",").map(_.trim.toUpperCase).toSeq) match {
+    val dataTypes = get("datatypes").map(_.split(",").map(_.trim.toUpperCase).toSeq)
+      .orElse(schemaPairs.map(_.map(_._2.toUpperCase))) match {
       case Some(ts) if ts.size == fieldNames.size => ts
       case _ => Seq.fill(fieldNames.size)("VARCHAR")
     }

@@ -188,6 +188,21 @@ class LogSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE mysql_logs_spec")
   }
 
+  test("schema option sugar: single DDL-ish string instead of parallel lists") {
+    val df = spark.read.format("log")
+      .option("pattern", mysqlOpts("pattern"))
+      .option("schema", "date DATE, time TIME, pid INT, action VARCHAR, query VARCHAR")
+      .option("dateFormat", "yyMMdd")
+      .load(fixture("mysql.log"))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("date", "time", "pid", "action", "query", "unmatched_lines"))
+    assert(df.schema("pid").dataType == IntegerType)
+    assert(df.count() == 5)
+    intercept[IllegalArgumentException](
+      spark.read.format("log").option("pattern", "(\\d+)")
+        .option("schema", "too many words here").load(fixture("default.log")))
+  }
+
   test("directory load filters by extensions option") {
     val dir = new java.io.File(getClass.getResource("/fixtures").toURI).getAbsolutePath
     val df = spark.read.format("log")
