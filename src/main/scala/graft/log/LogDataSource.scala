@@ -75,7 +75,7 @@ final class LogTable(tableSchema: StructType, opts: LogOptions, paths: Seq[Strin
   override def name(): String = s"log(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(tableSchema, opts, paths)
 }
@@ -95,6 +95,9 @@ final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LogMicroBatchStream(opts, required, paths, checkpointLocation)
   override def description(): String =
     s"LogScan(pattern=${opts.pattern}, required=${required.fieldNames.mkString(",")})"
 
@@ -149,15 +152,8 @@ final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
     if (st.isFile) Seq(st)
     else fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _))
 
-  /** Extension routing (`LogFormatPlugin.java:96-104`): a directory scan
-    * includes `*.{ext}` plus compressed variants `*.{ext}.{codec}`.
-    */
-  private def matchesExtension(name: String): Boolean = {
-    val base = LogScan.CodecSuffixes.foldLeft(name) { (n, suf) =>
-      if (n.endsWith(suf)) n.dropRight(suf.length) else n
-    }
-    opts.extensions.exists(ext => base.endsWith("." + ext))
-  }
+  private def matchesExtension(name: String): Boolean =
+    LogScan.matchesExtension(name, opts.extensions)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -168,6 +164,16 @@ final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
 
 object LogScan {
   val CodecSuffixes = Seq(".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst")
+
+  /** Extension routing (`LogFormatPlugin.java:96-104`): a directory scan
+    * includes `*.{ext}` plus compressed variants `*.{ext}.{codec}`.
+    */
+  def matchesExtension(name: String, extensions: Seq[String]): Boolean = {
+    val base = CodecSuffixes.foldLeft(name) { (n, suf) =>
+      if (n.endsWith(suf)) n.dropRight(suf.length) else n
+    }
+    extensions.exists(ext => base.endsWith("." + ext))
+  }
 }
 
 final case class LogInputPartition(path: String, start: Long, length: Long) extends InputPartition
