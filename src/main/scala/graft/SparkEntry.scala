@@ -452,6 +452,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_results"), countDistinct(col("query_id")).as("n_queries"))
   }
 
+  /** Embedding-cosine near-duplicate detection (dedup family): exact
+    * all-pairs on a bounded id-subset so the DuckDB oracle can reproduce it
+    * (the unbounded scale path is LSH/IVF blocking, q_embed_lsh/_ivf).
+    */
+  private def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val sub = t(spark, dir, "embeddings").filter(col("vec_id") < 2000)
+    val a = sub.select(col("vec_id").as("ida"), toDoubleArray(col("embedding")).as("__va"))
+    val b = sub.select(col("vec_id").as("idb"), toDoubleArray(col("embedding")).as("__vb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("c", cosineSimilarity(col("__va"), col("__vb")))
+      .filter(col("c") >= 0.4)
+      .agg(count(lit(1)).as("n_pairs"), r(avg("c"), 3).as("avg_cos"))
+  }
+
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
       .groupBy(TF.langId(col("text")).as("pred_lang"))
@@ -532,6 +547,7 @@ object SparkEntry {
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -761,6 +777,20 @@ object SparkEntry {
       """SELECT source, count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       count(DISTINCT sha256(text)) AS n_distinct_content
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT count(*) AS n_pairs, floor(avg(c) * 1000 + 0.5) / 1000 AS avg_cos FROM (
+        |  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
+        |WHERE c >= 0.4""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT count(*) AS n_pairs, floor(avg(c) * 1000 + 0.5) / 1000 AS avg_cos FROM (
+        |  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
+        |WHERE c >= 0.4""".stripMargin,
     "q_embed_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
