@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64}
+import graft.functions.{HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT parse_log_line(value, '(\\d+)') ...")` works next to
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(hashes, n) - n-component MinHash of array<long>"),
       (args: Seq[Expression]) => MinHashSignature(args.head, ParseLogLineSql.intArg(args, 1))))
+    e.injectFunction((
+      FunctionIdentifier("hashed_shingles"),
+      info("hashed_shingles", "hashed_shingles(text, n) - xxhash64 of each word n-gram"),
+      (args: Seq[Expression]) => HashedShingles(args.head, ParseLogLineSql.intArg(args, 1))))
     e.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint", "rolling_fingerprint(text, window) - winnowing min rolling hash"),

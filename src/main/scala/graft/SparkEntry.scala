@@ -459,12 +459,37 @@ object SparkEntry {
   private def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val sub = t(spark, dir, "embeddings").filter(col("vec_id") < 2000)
-    val a = sub.select(col("vec_id").as("ida"), toDoubleArray(col("embedding")).as("__va"))
+    // probe side must be spread: a single-file subset is 1 partition and the
+    // broadcast nested-loop join would otherwise run on 1 task
+    val a = spread(sub).select(col("vec_id").as("ida"), toDoubleArray(col("embedding")).as("__va"))
     val b = sub.select(col("vec_id").as("idb"), toDoubleArray(col("embedding")).as("__vb"))
     a.join(broadcast(b), col("ida") < col("idb"))
       .withColumn("c", cosineSimilarity(col("__va"), col("__vb")))
       .filter(col("c") >= 0.4)
       .agg(count(lit(1)).as("n_pairs"), r(avg("c"), 3).as("avg_cos"))
+  }
+
+  /** Multi-format scan/sink round-trip (SURVEY.md §2B "scans: other
+    * formats / sinks"): the same event subset written as CSV and JSON,
+    * read back, joined, and aggregated — oracle reproduces from the
+    * original table.
+    */
+  private def qMultiFormat(spark: SparkSession, dir: String): DataFrame = {
+    val sub = events(spark, dir).filter(col("event_id") < 1000)
+      .select("event_id", "event_type", "value")
+    val base = s"/tmp/graft_formats/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    sub.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    sub.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true")
+      .schema("event_id LONG, event_type STRING, value DOUBLE").csv(s"$base/csv")
+    val fromJson = spark.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+      .json(s"$base/json")
+    fromCsv.alias("c")
+      .join(fromJson.alias("j"), Seq("event_id"))
+      .filter(col("c.event_type") === col("j.event_type"))
+      .groupBy(col("c.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"), r(sum(col("c.value") + col("j.value")), 2).as("sum2"))
+      .orderBy("event_type")
   }
 
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -548,6 +573,7 @@ object SparkEntry {
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_multi_format" -> (qMultiFormat _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -732,6 +758,16 @@ object SparkEntry {
          |  FROM inter JOIN counts ca ON ida = ca.doc_id JOIN counts cb ON idb = cb.doc_id)
          |SELECT count(*) AS n_pairs, floor(avg(jac) * 1000 + 0.5) / 1000 AS avg_jaccard
          |FROM j WHERE jac >= 0.8""".stripMargin,
+    "q_multi_format" ->
+      """SELECT event_type, count(*) AS n,
+        |       floor(sum(value + value) * 100 + 0.5) / 100 AS sum2
+        |FROM events WHERE event_id < 1000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_multi_format" ->
+      """SELECT event_type, count(*) AS n,
+        |       floor(sum(value + value) * 100 + 0.5) / 100 AS sum2
+        |FROM events WHERE event_id < 1000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (
         |  SELECT ' ' || trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) || ' ' AS p

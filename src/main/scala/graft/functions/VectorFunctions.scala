@@ -21,8 +21,10 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd one-pass cosine (see [[CosineSimilarity]]); same value as
+    * `dot(a,b) / (norm(a) * norm(b))` bit-for-bit.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
   /** Deterministic random hyperplanes for sign-LSH: `planes(seed, n, dim)`
     * is reproducible across JVMs (java.util.Random's LCG is part of its
