@@ -530,6 +530,27 @@ object SparkEntry {
         sum("n_bytes").cast("long").as("total_bytes"))
   }
 
+  /** Capstone: the end-to-end training-data pipeline shape — quality
+    * filter, then exact dedup (keep min doc_id per normalized-text
+    * fingerprint), then per-language corpus stats. Every stage is the
+    * declarative operator used elsewhere; the oracle reproduces the whole
+    * chain in SQL.
+    */
+  private def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+      .filter(TF.qualityScore(col("text")) >= 0.75)
+    val w = Window.partitionBy(TF.contentFingerprint(col("text")))
+      .orderBy(col("doc_id").asc)
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        r(avg(TF.tokenCount(col("text"))), 2).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
   private def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
       .groupBy("lang")
@@ -579,7 +600,8 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
-    "q_rolling_fingerprint" -> (qRollingFingerprint _))
+    "q_rolling_fingerprint" -> (qRollingFingerprint _),
+    "q_pipeline_e2e" -> (qPipelineE2e _))
 
   // DuckDB SQL fragments shared below.
   private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
@@ -813,6 +835,44 @@ object SparkEntry {
       """SELECT source, count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       count(DISTINCT sha256(text)) AS n_distinct_content
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT *, round((
+         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
+         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
+         |  FROM documents),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
+         |  FROM scored WHERE q >= 0.75)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
+         |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
+         |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT *, round((
+         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
+         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
+         |  FROM documents),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
+         |  FROM scored WHERE q >= 0.75)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
+         |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
+         |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "q_embed_neardup" ->
       """SELECT count(*) AS n_pairs, floor(avg(c) * 1000 + 0.5) / 1000 AS avg_cos FROM (
         |  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -820,6 +880,44 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
         |WHERE c >= 0.4""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT *, round((
+         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
+         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
+         |  FROM documents),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
+         |  FROM scored WHERE q >= 0.75)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
+         |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
+         |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT *, round((
+         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
+         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
+         |  FROM documents),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
+         |  FROM scored WHERE q >= 0.75)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
+         |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
+         |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "q_embed_neardup" ->
       """SELECT count(*) AS n_pairs, floor(avg(c) * 1000 + 0.5) / 1000 AS avg_cos FROM (
         |  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
