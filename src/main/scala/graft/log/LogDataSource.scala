@@ -130,22 +130,22 @@ final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
     val bytesPerCore = totalBytes / math.max(minPartitionNum, 1)
     val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
 
-    val parts = ArrayBuffer.empty[InputPartition]
+    val chunks = ArrayBuffer.empty[LogChunk]
     files.foreach { f =>
       val codec = codecs.getCodec(f.getPath)
       val splittable = codec == null || codec.isInstanceOf[SplittableCompressionCodec]
       if (!splittable || f.getLen == 0) {
-        parts += LogInputPartition(f.getPath.toString, 0, f.getLen)
+        chunks += LogChunk(f.getPath.toString, 0, f.getLen)
       } else {
         var offset = 0L
         while (offset < f.getLen) {
           val len = math.min(maxSplit, f.getLen - offset)
-          parts += LogInputPartition(f.getPath.toString, offset, len)
+          chunks += LogChunk(f.getPath.toString, offset, len)
           offset += len
         }
       }
     }
-    parts.toArray
+    LogScan.pack(chunks.toSeq, maxSplit, openCost)
   }
 
   private def listRecursive(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] =
@@ -165,6 +165,28 @@ final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
 object LogScan {
   val CodecSuffixes = Seq(".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst")
 
+  /** Bin-pack chunks into partitions of ~maxSplit bytes (Spark's
+    * FilePartition packing: largest-first greedy, `openCost` padding per
+    * chunk) — a million small log files must NOT become a million tasks.
+    */
+  def pack(chunks: Seq[LogChunk], maxSplit: Long, openCost: Long): Array[InputPartition] = {
+    val parts = ArrayBuffer.empty[InputPartition]
+    val current = ArrayBuffer.empty[LogChunk]
+    var currentBytes = 0L
+    chunks.sortBy(-_.length).foreach { c =>
+      val cost = c.length + openCost
+      if (current.nonEmpty && currentBytes + cost > maxSplit) {
+        parts += LogInputPartition(current.toArray)
+        current.clear()
+        currentBytes = 0L
+      }
+      current += c
+      currentBytes += cost
+    }
+    if (current.nonEmpty) parts += LogInputPartition(current.toArray)
+    parts.toArray
+  }
+
   /** Extension routing (`LogFormatPlugin.java:96-104`): a directory scan
     * includes `*.{ext}` plus compressed variants `*.{ext}.{codec}`.
     */
@@ -176,7 +198,10 @@ object LogScan {
   }
 }
 
-final case class LogInputPartition(path: String, start: Long, length: Long) extends InputPartition
+final case class LogChunk(path: String, start: Long, length: Long)
+
+/** One task's work: one or more file chunks read sequentially. */
+final case class LogInputPartition(chunks: Array[LogChunk]) extends InputPartition
 
 final class LogPartitionReaderFactory(
     opts: LogOptions, required: StructType, conf: SerializableHadoopConf)
@@ -185,43 +210,55 @@ final class LogPartitionReaderFactory(
     new LogPartitionReader(partition.asInstanceOf[LogInputPartition], opts, required, conf.value)
 }
 
-/** One split of one file → rows. Uses Hadoop's `LineRecordReader`, which
-  * gives exactly the semantics the reference's `BufferedReader.readLine()`
-  * loop has (`LogRecordReader.java:202-212`) plus correct split-boundary
-  * handling (skip partial first line, read past `end` to finish the last
-  * line) and decompress-on-read for codec'd files.
+/** One partition (one or more file chunks) → rows. Uses Hadoop's
+  * `LineRecordReader`, which gives exactly the semantics the reference's
+  * `BufferedReader.readLine()` loop has (`LogRecordReader.java:202-212`)
+  * plus correct split-boundary handling (skip partial first line, read past
+  * `end` to finish the last line) and decompress-on-read for codec'd files.
   */
 final class LogPartitionReader(
     part: LogInputPartition, opts: LogOptions, required: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val parser = new LineParser(opts, required)
-  private val reader = {
-    val split = new FileSplit(new Path(part.path), part.start, part.length, Array.empty[String])
-    val r = new LineRecordReader()
-    r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-    r
-  }
+  private var chunkIdx = -1
+  private var reader: LineRecordReader = _
   private var current: InternalRow = _
 
+  private def openNextChunk(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    chunkIdx += 1
+    if (chunkIdx >= part.chunks.length) return false
+    val c = part.chunks(chunkIdx)
+    val split = new FileSplit(new Path(c.path), c.start, c.length, Array.empty[String])
+    reader = new LineRecordReader()
+    reader.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    true
+  }
+
   override def next(): Boolean = {
-    while (reader.nextKeyValue()) {
-      val line = reader.getCurrentValue.toString
-      if (line.trim.nonEmpty) { // empty-line skip, LRR:216-219
-        current =
-          try parser.parse(line)
-          catch {
-            case e: SparkException =>
-              throw new SparkException(s"${e.getMessage} (file=${part.path})", e.getCause)
-          }
-        return true
+    while (reader != null || openNextChunk()) {
+      while (reader.nextKeyValue()) {
+        val line = reader.getCurrentValue.toString
+        if (line.trim.nonEmpty) { // empty-line skip, LRR:216-219
+          current =
+            try parser.parse(line)
+            catch {
+              case e: SparkException =>
+                throw new SparkException(
+                  s"${e.getMessage} (file=${part.chunks(chunkIdx).path})", e.getCause)
+            }
+          return true
+        }
       }
+      reader.close()
+      reader = null
     }
     false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 /** Hadoop `Configuration` is not `Serializable`; ship it via its own

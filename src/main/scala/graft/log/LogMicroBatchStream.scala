@@ -46,7 +46,10 @@ final class LogMicroBatchStream(
       val p = f.getPath.toString
       target.contains(p) && !seen.contains(p)
     })
-    fresh.map(f => LogInputPartition(f.getPath.toString, 0, f.getLen): InputPartition).toArray
+    val conf = org.apache.spark.sql.GraftSql.sqlConf(spark)
+    LogScan.pack(
+      fresh.map(f => LogChunk(f.getPath.toString, 0, f.getLen)),
+      conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -35,7 +35,10 @@ object IvfIndex {
       vecCol: String,
       nLists: Int,
       iterations: Int = 5): Model = {
+    // Lloyd iterations re-scan the vectors `iterations` times — persist so
+    // the parquet read + double-cast runs once (unpersisted before return).
     val vecs = corpus.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[(Int, Seq[Double])] = vecs
       .orderBy("__id").limit(nLists).collect()
       .zipWithIndex
@@ -56,6 +59,7 @@ object IvfIndex {
       val byCell = next.toMap
       centroids = centroids.map { case (cell, c) => (cell, byCell.getOrElse(cell, c)) }
     }
+    vecs.unpersist(blocking = false)
     Model(centroids)
   }
 

@@ -203,6 +203,20 @@ class LogSourceSpec extends SparkSpec {
         .option("schema", "too many words here").load(fixture("default.log")))
   }
 
+  test("many small files pack into few partitions (no task-per-file explosion)") {
+    val dir = java.nio.file.Files.createTempDirectory("packing").toFile
+    for (i <- 0 until 200)
+      java.nio.file.Files.writeString(new java.io.File(dir, s"f$i.log").toPath, s"$i INFO x\n")
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) (.+)")
+      .option("schema", "id INT, level VARCHAR, msg VARCHAR")
+      .load(dir.getAbsolutePath)
+    assert(df.count() == 200)
+    assert(df.rdd.getNumPartitions <= 8,
+      s"200 tiny files should bin-pack, got ${df.rdd.getNumPartitions} partitions")
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0) == 19900L)
+  }
+
   test("directory load filters by extensions option") {
     val dir = new java.io.File(getClass.getResource("/fixtures").toURI).getAbsolutePath
     val df = spark.read.format("log")
