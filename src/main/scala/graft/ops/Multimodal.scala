@@ -49,6 +49,72 @@ object Multimodal {
     (brightness, feat)
   }
 
+  final case class ResizedMedia(id: Long, width: Int, height: Int, pixels: Array[Byte])
+  final case class Frame(id: Long, frameIdx: Int, offset: Long, length: Int, sha8: String)
+
+  /** STUB resize: deterministic fake wxh grayscale "thumbnail" derived from
+    * the content bytes. Stands in for image decode+resize; output schema
+    * and batch shape are what a real thumbnailer produces.
+    */
+  def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var s = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < bytes.length) { s = s * 31 + bytes(i); i += 1 }
+    i = 0
+    while (i < out.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(i) = (s >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Frame sampling plumbing: pick `nFrames` evenly spaced byte-range
+    * "frames" from an opaque video payload. The ranges and digests are
+    * real; a production decoder replaces the range arithmetic with
+    * keyframe offsets.
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame, // (id: long, content: binary)
+      nFrames: Int,
+      batchSize: Int = 64): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { m =>
+            val n = math.max(1, math.min(nFrames, m.content.length))
+            val step = math.max(1, m.content.length / n)
+            (0 until n).map { f =>
+              val off = (f * step).toLong
+              val len = math.min(step, m.content.length - off).toInt
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              md.update(m.content, off.toInt, math.max(len, 0))
+              val sha8 = md.digest().take(4).map("%02x".format(_)).mkString
+              Frame(m.id, f, off, len, sha8)
+            }
+          }
+        }
+      }
+  }
+
+  /** Batch resize over partitions (same mapInPandas-shaped plumbing). */
+  def resizeAll(
+      spark: SparkSession,
+      media: DataFrame,
+      w: Int,
+      h: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(m =>
+          ResizedMedia(m.id, w, h, stubResize(m.content, w, h))))
+      }
+  }
+
   /** Batch feature extraction over partitions — the Scala analogue of a
     * `mapInPandas` decode UDF: rows are processed in bounded batches
     * (vectorized-decoder shape), output is a typed Dataset, partitioning of

@@ -68,6 +68,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", 101.0), ("t3", null), ("t2", 102.0)))
   }
 
+  test("multimodal: resize and frame-sample plumbing (deterministic, shuffle-free)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 50)
+    val media = graft.ops.Multimodal.attachBinary(docs, "text")
+      .select(col("doc_id").as("id"), col("content"))
+    val resized = graft.ops.Multimodal.resizeAll(spark, media, 8, 8).collect()
+    assert(resized.length == 50)
+    assert(resized.forall(_.pixels.length == 64))
+    val frames = graft.ops.Multimodal.sampleFrames(spark, media, 4)
+    val rows = frames.collect()
+    assert(rows.groupBy(_.id).forall(_._2.length == 4))
+    assert(rows.forall(f => f.offset >= 0 && f.length >= 0 && f.sha8.length == 8))
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    // deterministic across runs
+    assert(rows.map(f => (f.id, f.frameIdx, f.sha8)).toSet ==
+      graft.ops.Multimodal.sampleFrames(spark, media, 4).collect()
+        .map(f => (f.id, f.frameIdx, f.sha8)).toSet)
+  }
+
+  test("HLL sketch accuracy: approx_count_distinct within 5% of exact") {
+    val q = SparkEntry.queries("q_hll")(spark, sf).collect()
+    q.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("multimodal: binary attach + batch stub decode keeps partitioning and determinism") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 100)
     val media = Multimodal.attachBinary(docs, "text")
