@@ -414,7 +414,8 @@ object SparkEntry {
 
   private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val fp = spread(t(spark, dir, "documents"))
-      .select(col("doc_id"), SimHash64(TF.tokens(col("text"))).as("fp"))
+      .select(col("doc_id"),
+        SimHash64(graft.functions.TokenizeWords(col("text"))).as("fp"))
     // band join: 4 x 16-bit bands; pairs agreeing on any band get verified
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
