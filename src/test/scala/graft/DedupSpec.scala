@@ -24,6 +24,17 @@ class DedupSpec extends SparkSpec {
     assert(r1.getAs[Long]("dup_count") == 2) // docs 1 and 4
   }
 
+  test("HashedShingles equals xxhash64 over TextFunctions.shingles (paths can't drift)") {
+    import org.apache.spark.sql.functions.{col, transform, xxhash64}
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val fused = real.select(graft.functions.HashedShingles(col("text"), 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val composed = real.select(
+      transform(TextFunctions.shingles(col("text"), 3), s => xxhash64(s)).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fused.toSeq == composed.toSeq)
+  }
+
   test("minhash signature is deterministic and identical for identical docs") {
     val sigs = docs.select($"doc_id",
       Dedup.minhashSignature($"text", 3, 64).as("sig")).collect()
