@@ -65,6 +65,9 @@ object SparkEntry {
     */
   private def logDir(spark: SparkSession, dir: String, flavor: String): String = {
     val out = s"/tmp/graft_logs/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$flavor"
+    // content is deterministic per (dir, flavor): skip the rewrite when a
+    // complete previous write exists (_SUCCESS is written last)
+    if (new java.io.File(s"$out/_SUCCESS").exists()) return out
     val ev = events(spark, dir)
     val lines = flavor match {
       case "plain" =>
