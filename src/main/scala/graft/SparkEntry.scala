@@ -555,6 +555,11 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  private def qTfidfTop(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TfIdf.topTermsPerGroup(
+      t(spark, dir, "documents"), "doc_id", "text", "lang", 5)
+      .orderBy("lang", "rank")
+
   private def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
       .groupBy("lang")
@@ -605,7 +610,8 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
-    "q_pipeline_e2e" -> (qPipelineE2e _))
+    "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_tfidf_top" -> (qTfidfTop _))
 
   // DuckDB SQL fragments shared below.
   private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
@@ -839,6 +845,20 @@ object SparkEntry {
       """SELECT source, count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       count(DISTINCT sha256(text)) AS n_distinct_content
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_tfidf_top" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
+         |dfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |g AS (SELECT lang, term, count(*) AS n_occurrences FROM toks GROUP BY 1, 2)
+         |SELECT lang, rank, term, n_occurrences FROM (
+         |  SELECT lang, term, n_occurrences,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_occurrences * (SELECT nd FROM n) * 1.0 / df DESC,
+         |                    term ASC) AS rank
+         |  FROM g JOIN dfreq USING (term))
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH scored AS (
          |  SELECT *, round((
@@ -858,6 +878,20 @@ object SparkEntry {
          |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
          |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
          |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_tfidf_top" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
+         |dfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |g AS (SELECT lang, term, count(*) AS n_occurrences FROM toks GROUP BY 1, 2)
+         |SELECT lang, rank, term, n_occurrences FROM (
+         |  SELECT lang, term, n_occurrences,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_occurrences * (SELECT nd FROM n) * 1.0 / df DESC,
+         |                    term ASC) AS rank
+         |  FROM g JOIN dfreq USING (term))
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH scored AS (
          |  SELECT *, round((
@@ -884,6 +918,20 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
         |WHERE c >= 0.4""".stripMargin,
+    "q_tfidf_top" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
+         |dfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |g AS (SELECT lang, term, count(*) AS n_occurrences FROM toks GROUP BY 1, 2)
+         |SELECT lang, rank, term, n_occurrences FROM (
+         |  SELECT lang, term, n_occurrences,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_occurrences * (SELECT nd FROM n) * 1.0 / df DESC,
+         |                    term ASC) AS rank
+         |  FROM g JOIN dfreq USING (term))
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH scored AS (
          |  SELECT *, round((
@@ -903,6 +951,20 @@ object SparkEntry {
          |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
          |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
          |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_tfidf_top" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
+         |dfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |g AS (SELECT lang, term, count(*) AS n_occurrences FROM toks GROUP BY 1, 2)
+         |SELECT lang, rank, term, n_occurrences FROM (
+         |  SELECT lang, term, n_occurrences,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_occurrences * (SELECT nd FROM n) * 1.0 / df DESC,
+         |                    term ASC) AS rank
+         |  FROM g JOIN dfreq USING (term))
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH scored AS (
          |  SELECT *, round((

@@ -86,6 +86,22 @@ class TextOpsSpec extends SparkSpec {
         .map(f => (f.id, f.frameIdx, f.sha8)).toSet)
   }
 
+  test("tf-idf weights and top terms per group") {
+    val df = Seq(
+      (1L, "en", "apple banana apple"),
+      (2L, "en", "banana cherry"),
+      (3L, "fr", "pomme banana")).toDF("doc_id", "lang", "text")
+    val w = graft.ops.TfIdf.weights(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(w((1L, "apple")) == ((2L, 1L)))  // tf=2, df=1
+    assert(w((1L, "banana")) == ((1L, 3L))) // banana in all 3 docs
+    val top = graft.ops.TfIdf.topTermsPerGroup(df, "doc_id", "text", "lang", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // en: apple (2 occ, df 1 -> 6.0) beats banana (2 occ, df 3 -> 2.0) and cherry (1 occ, df 1 -> 3.0)
+    assert(top.toSeq.filter(_._1 == "en") == Seq(("en", 1L, "apple"), ("en", 2L, "cherry")))
+    assert(top.toSeq.filter(_._1 == "fr").map(_._3) == Seq("pomme", "banana"))
+  }
+
   test("HLL sketch accuracy: approx_count_distinct within 5% of exact") {
     val q = SparkEntry.queries("q_hll")(spark, sf).collect()
     q.foreach { r =>
