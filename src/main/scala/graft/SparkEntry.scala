@@ -383,6 +383,18 @@ object SparkEntry {
     spark.table("graft_stream_out").orderBy("hour", "event_type")
   }
 
+  /** Sliding windows (1 h window, 30 min slide) over events — each event
+    * lands in exactly two windows; the oracle materializes both window
+    * starts per event explicitly.
+    */
+  private def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+
   // ------------------------------------------------- LLM-pipeline queries
 
   private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -594,6 +606,7 @@ object SparkEntry {
     "q_regex_extract" -> (qRegexExtract _),
     "q_asof_join" -> (qAsofJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
+    "q_sliding_window" -> (qSlidingWindow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -769,6 +782,22 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+        |         event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+        |         event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT lang, count(*) AS n_docs, count(DISTINCT $FpSql) AS n_distinct
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
