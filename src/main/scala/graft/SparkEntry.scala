@@ -54,7 +54,10 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer `div`, not `/`: double division rounds at 2^53 and 2024
+      // epoch-nanos are ~1.7e18 (ulp 256 ns) — a boundary event could land
+      // in the wrong window vs DuckDB's native ns truncation
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Synthesized log lines from the events table (deterministic
@@ -790,14 +793,6 @@ object SparkEntry {
         |         event_type
         |  FROM events)
         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
-    "q_sliding_window" ->
-      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n
-        |FROM (
-        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
-        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
-        |         event_type
-        |  FROM events)
-        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT lang, count(*) AS n_docs, count(DISTINCT $FpSql) AS n_distinct
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -819,11 +814,6 @@ object SparkEntry {
          |  FROM inter JOIN counts ca ON ida = ca.doc_id JOIN counts cb ON idb = cb.doc_id)
          |SELECT count(*) AS n_pairs, floor(avg(jac) * 1000 + 0.5) / 1000 AS avg_jaccard
          |FROM j WHERE jac >= 0.8""".stripMargin,
-    "q_multi_format" ->
-      """SELECT event_type, count(*) AS n,
-        |       floor(sum(value + value) * 100 + 0.5) / 100 AS sum2
-        |FROM events WHERE event_id < 1000
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_multi_format" ->
       """SELECT event_type, count(*) AS n,
         |       floor(sum(value + value) * 100 + 0.5) / 100 AS sum2
@@ -874,112 +864,6 @@ object SparkEntry {
       """SELECT source, count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       count(DISTINCT sha256(text)) AS n_distinct_content
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "q_tfidf_top" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
-         |dfreq AS (
-         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-         |n AS (SELECT count(*) AS nd FROM documents),
-         |g AS (SELECT lang, term, count(*) AS n_occurrences FROM toks GROUP BY 1, 2)
-         |SELECT lang, rank, term, n_occurrences FROM (
-         |  SELECT lang, term, n_occurrences,
-         |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY n_occurrences * (SELECT nd FROM n) * 1.0 / df DESC,
-         |                    term ASC) AS rank
-         |  FROM g JOIN dfreq USING (term))
-         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-    "q_pipeline_e2e" ->
-      s"""WITH scored AS (
-         |  SELECT *, round((
-         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
-         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
-         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
-         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
-         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
-         |  FROM documents),
-         |deduped AS (
-         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
-         |  FROM scored WHERE q >= 0.75)
-         |SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
-         |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
-         |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_tfidf_top" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
-         |dfreq AS (
-         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-         |n AS (SELECT count(*) AS nd FROM documents),
-         |g AS (SELECT lang, term, count(*) AS n_occurrences FROM toks GROUP BY 1, 2)
-         |SELECT lang, rank, term, n_occurrences FROM (
-         |  SELECT lang, term, n_occurrences,
-         |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY n_occurrences * (SELECT nd FROM n) * 1.0 / df DESC,
-         |                    term ASC) AS rank
-         |  FROM g JOIN dfreq USING (term))
-         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-    "q_pipeline_e2e" ->
-      s"""WITH scored AS (
-         |  SELECT *, round((
-         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
-         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
-         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
-         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
-         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
-         |  FROM documents),
-         |deduped AS (
-         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
-         |  FROM scored WHERE q >= 0.75)
-         |SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
-         |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
-         |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_embed_neardup" ->
-      """SELECT count(*) AS n_pairs, floor(avg(c) * 1000 + 0.5) / 1000 AS avg_cos FROM (
-        |  SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                CAST(b.embedding AS DOUBLE[])) AS c
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000)
-        |WHERE c >= 0.4""".stripMargin,
-    "q_tfidf_top" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
-         |dfreq AS (
-         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-         |n AS (SELECT count(*) AS nd FROM documents),
-         |g AS (SELECT lang, term, count(*) AS n_occurrences FROM toks GROUP BY 1, 2)
-         |SELECT lang, rank, term, n_occurrences FROM (
-         |  SELECT lang, term, n_occurrences,
-         |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY n_occurrences * (SELECT nd FROM n) * 1.0 / df DESC,
-         |                    term ASC) AS rank
-         |  FROM g JOIN dfreq USING (term))
-         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-    "q_pipeline_e2e" ->
-      s"""WITH scored AS (
-         |  SELECT *, round((
-         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
-         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
-         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
-         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
-         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
-         |  FROM documents),
-         |deduped AS (
-         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
-         |  FROM scored WHERE q >= 0.75)
-         |SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens,
-         |       floor(avg(len($ToksSql)) * 100 + 0.5) / 100 AS avg_tokens
-         |FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "q_tfidf_top" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),

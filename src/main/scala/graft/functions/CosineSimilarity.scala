@@ -58,7 +58,11 @@ object CosineSimilarity {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: 0/0 = NaN would sort ABOVE every real cosine in a
+    // descending top-k (Spark orders NaN greater than any double), so an
+    // all-zero embedding would silently become everyone's rank-1 neighbor
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def apply(a: Column, b: Column): Column =

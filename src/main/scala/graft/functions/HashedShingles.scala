@@ -50,10 +50,15 @@ object HashedShingles {
     * to space, whitespace-split, empties dropped.
     */
   def tokenize(text: String): Array[String] = {
-    val sb = new java.lang.StringBuilder(text.length)
+    // String.toLowerCase first (not per-char Character.toLowerCase): 1:M
+    // Unicode case mappings ('\u0130' -> "i" + combining dot) must match
+    // what Spark's lower() produces, or shingle hashes drift from the
+    // Catalyst composition this is spec-pinned to.
+    val lowered = text.toLowerCase
+    val sb = new java.lang.StringBuilder(lowered.length)
     var i = 0
-    while (i < text.length) {
-      val ch = Character.toLowerCase(text.charAt(i))
+    while (i < lowered.length) {
+      val ch = lowered.charAt(i)
       sb.append(if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) ch else ' ')
       i += 1
     }

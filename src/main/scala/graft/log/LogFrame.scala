@@ -76,6 +76,11 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
   * `spark.read.text` / `spark.readStream.text`) into the same typed schema
   * the `log` source yields. PERMISSIVE semantics only — the whole point of
   * this path is staying inside whole-stage codegen.
+  *
+  * TIME/TIMESTAMP parity with the DSV2 source requires
+  * `spark.sql.session.timeZone=UTC` (the engine-wide default here):
+  * `try_to_timestamp` parses in the session zone while `LineParser` pins
+  * UTC, so a non-UTC session shifts these two paths apart.
   */
 object LogFrame {
 

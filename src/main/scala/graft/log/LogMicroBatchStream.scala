@@ -40,16 +40,26 @@ final class LogMicroBatchStream(
   override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // Replay-safe: the batch is defined by the OFFSETS (end \ start), not by
+    // a fresh directory listing — a checkpointed batch must replay the same
+    // files after restart; a file named in `end` that has since vanished is
+    // a hard error, not silent data loss.
     val seen = start.asInstanceOf[LogStreamOffset].files.toSet
-    val target = end.asInstanceOf[LogStreamOffset].files.toSet
-    val fresh = listFiles().filter(f => {
-      val p = f.getPath.toString
-      target.contains(p) && !seen.contains(p)
-    })
-    val conf = org.apache.spark.sql.GraftSql.sqlConf(spark)
-    LogScan.pack(
-      fresh.map(f => LogChunk(f.getPath.toString, 0, f.getLen)),
-      conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes)
+    val fresh = end.asInstanceOf[LogStreamOffset].files.filterNot(seen)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val chunks = fresh.map { p =>
+      val hp = new Path(p)
+      val st = try hp.getFileSystem(conf).getFileStatus(hp)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new org.apache.spark.SparkException(
+            s"[log] committed stream offset references missing file $p " +
+              "(deleted before its batch completed?)", e)
+      }
+      LogChunk(p, 0, st.getLen)
+    }
+    val sqlConf = org.apache.spark.sql.GraftSql.sqlConf(spark)
+    LogScan.pack(chunks, sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -63,12 +73,13 @@ final class LogMicroBatchStream(
     paths.foreach { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
+      def walk(st: FileStatus): Unit =
+        if (st.isFile) {
+          if (LogScan.matchesExtension(st.getPath.getName, opts.extensions)) out += st
+        } else fs.listStatus(st.getPath).foreach(walk) // recursive, matching the batch scan
       Option(fs.globStatus(hp)).getOrElse(Array.empty).foreach { st =>
-        if (st.isFile) out += st
-        else
-          fs.listStatus(st.getPath).foreach { f =>
-            if (f.isFile && LogScan.matchesExtension(f.getPath.getName, opts.extensions)) out += f
-          }
+        if (st.isFile) out += st // explicit file: read regardless of extension
+        else walk(st)
       }
     }
     out.toSeq

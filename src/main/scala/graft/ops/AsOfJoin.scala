@@ -39,9 +39,15 @@ object AsOfJoin {
     // right rows (tag 0) sort before left rows (tag 1) at the same __t → "<="
     val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    // Fill ONE struct of all value columns atomically: per-column
+    // last(ignoreNulls) would stitch fields from DIFFERENT right rows
+    // whenever a carried column is null on the most recent row.
+    val packed = unioned.withColumn("__vals",
+      when(col("__isLeft") === 0, struct(valueCols.map(col): _*)))
+    val filled = packed.withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+    val expanded = valueCols.foldLeft(filled) { (df, v) =>
+      df.withColumn(v, col("__vals").getField(v))
     }
-    filled.filter(col("__isLeft") === 1).drop("__k", "__t", "__isLeft")
+    expanded.filter(col("__isLeft") === 1).drop("__k", "__t", "__isLeft", "__vals")
   }
 }

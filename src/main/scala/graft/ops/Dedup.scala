@@ -76,7 +76,9 @@ object Dedup {
     // Signatures are used three times (banding + both sides of the pair
     // join); persist so the shingle/hash pipeline runs exactly once. At
     // cluster scale this is the "checkpoint the signatures" step — 64
-    // longs/doc, ~0.5 KB/doc.
+    // longs/doc, ~0.5 KB/doc. The cache is handed off to the returned plan
+    // (cannot unpersist before the caller's action); long-lived sessions
+    // rely on LRU eviction, or spark.catalog.clearCache() between runs.
     val sigs = spread.select(
       col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))

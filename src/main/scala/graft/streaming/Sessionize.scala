@@ -10,8 +10,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `session_window` covers the declarative half).
   *
   * Emits one [[Session]] row per closed session: a session closes when no
-  * event arrives for `gapMillis` (event-time, driven by the watermark) —
-  * or, in batch mode, at end of input.
+  * event arrives for `gapMillis` (event-time, driven by the watermark).
+  * In batch mode only sessions closed by a LATER event are emitted — the
+  * trailing open session per user stays unemitted (identical to streaming
+  * semantics, where it would still be awaiting its timeout).
   */
 object Sessionize {
 

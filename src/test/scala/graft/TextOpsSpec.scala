@@ -68,6 +68,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", 101.0), ("t3", null), ("t2", 102.0)))
   }
 
+  test("as-of join does not stitch value columns from different right rows") {
+    val left = Seq((1, 30)).toDF("k", "t")
+    val right = Seq((1, 10, Some(5.0), None: Option[Double]), (1, 20, None, Some(7.0)))
+      .toDF("k", "rt", "x", "y")
+    val out = AsOfJoin.backward(left, right, "k", "k", "t", "rt", Seq("x", "y"))
+      .collect().head
+    // most recent right row is (t=20, x=null, y=7.0): take it atomically,
+    // not x=5.0 resurrected from the older row
+    assert(out.getAs[Any]("x") == null && out.getAs[Double]("y") == 7.0)
+  }
+
   test("multimodal: resize and frame-sample plumbing (deterministic, shuffle-free)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 50)
     val media = graft.ops.Multimodal.attachBinary(docs, "text")
