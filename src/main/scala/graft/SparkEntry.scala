@@ -369,7 +369,10 @@ object SparkEntry {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a directory
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer `div` like the batch path (events()): double division rounds
+      // at 2^53 and epoch-nanos exceed it — a boundary event would land in
+      // the wrong window vs the oracle's native ns truncation
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -424,10 +427,15 @@ object SparkEntry {
 
   private def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-    Dedup.verifyJaccard(cand.select("idA", "idB"), docs, "doc_id", "text")
+    val (cand, sigs) = Dedup.minhashCandidatePairsWithSignatures(docs, "doc_id", "text")
+    // materialize the 1-row aggregate eagerly so the signature cache is
+    // released per run instead of accumulating across bench iterations
+    val out = Dedup.verifyJaccard(cand.select("idA", "idB"), docs, "doc_id", "text")
       .filter(col("jaccard") >= 0.8)
       .agg(count(lit(1)).as("n_neardup_pairs"), round(avg("jaccard"), 3).as("avg_j"))
+      .localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   private def qSimhash(spark: SparkSession, dir: String): DataFrame = {

@@ -147,6 +147,18 @@ object LogOptions {
       case None => get("erroronmismatch").exists(_.toBoolean)
     }
 
+    // Unknown type names silently become VARCHAR in the reference (final
+    // `else`, LogRecordReader.java:274-276) — keep that in tolerant mode but
+    // surface it: warn in PERMISSIVE, fail in FAILFAST (a typo'd 'INTGER'
+    // should not silently widen a column; documented divergence).
+    val unknown = dataTypes.filterNot(KnownTypes.contains)
+    if (unknown.nonEmpty) {
+      val msg = s"[log] unknown dataTypes ${unknown.mkString(",")} fall back to VARCHAR " +
+        s"(known: ${KnownTypes.toSeq.sorted.mkString(",")})"
+      if (failFast) throw new IllegalArgumentException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions, failFast)
   }
 }

@@ -64,7 +64,22 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidatePairsWithSignatures(
+      df, idCol, textCol, shingleN, numHashes, bands, maxBucketSize)._1
+
+  /** Like [[minhashCandidatePairs]] but also returns the persisted signature
+    * DataFrame so end-to-end callers can `unpersist()` it once their
+    * terminal action completes (otherwise only LRU eviction reclaims it).
+    */
+  def minhashCandidatePairsWithSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // Shingling+hashing is CPU-bound: spread a small (few-file) input over
@@ -76,9 +91,9 @@ object Dedup {
     // Signatures are used three times (banding + both sides of the pair
     // join); persist so the shingle/hash pipeline runs exactly once. At
     // cluster scale this is the "checkpoint the signatures" step — 64
-    // longs/doc, ~0.5 KB/doc. The cache is handed off to the returned plan
-    // (cannot unpersist before the caller's action); long-lived sessions
-    // rely on LRU eviction, or spark.catalog.clearCache() between runs.
+    // longs/doc, ~0.5 KB/doc. The persisted handle is returned so callers
+    // can unpersist after their terminal action (see nearDedup); otherwise
+    // LRU eviction / spark.catalog.clearCache() reclaims it.
     val sigs = spread.select(
       col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
@@ -89,8 +104,9 @@ object Dedup {
         posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bkey")))
 
     // Degenerate-bucket guard: a bucket of B near-identical docs yields
-    // B^2/2 pairs; cap it (an explicit, documented coverage bound). Window
-    // count avoids a second shuffle.
+    // B^2/2 pairs; cap it — an explicit, documented coverage bound (dropped
+    // buckets are not counted at runtime; counting would cost an extra
+    // action). Window count avoids a second shuffle.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bkey")
     val capped = banded.withColumn("__bsize", count(lit(1)).over(w))
       .filter(col("__bsize") <= maxBucketSize)
@@ -105,13 +121,14 @@ object Dedup {
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
 
-    pairs
+    val withEst = pairs
       .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
       .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
       .select(col("idA"), col("idB"),
         (aggregate(zip_with(col("__sigA"), col("__sigB"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / lit(numHashes).cast("double")).as("est_jaccard"))
+    (withEst, sigs)
   }
 
   /** End-to-end near-duplicate removal: LSH candidates → exact-Jaccard
@@ -128,10 +145,17 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
-    val cand = minhashCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+    val (cand, sigs) =
+      minhashCandidatePairsWithSignatures(df, idCol, textCol, shingleN, numHashes, bands)
+    // Materialize the (small: one id per duplicate) dup-id set eagerly so the
+    // signature cache can be released NOW instead of leaking until session
+    // end; localCheckpoint also cuts the lineage, so the returned plan no
+    // longer references the unpersisted signatures.
     val dupIds = verifyJaccard(cand.select("idA", "idB"), df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("idB").as("__dup")).distinct()
+      .localCheckpoint(true)
+    sigs.unpersist(blocking = false)
     df.join(dupIds, col(idCol) === col("__dup"), "left_anti")
   }
 

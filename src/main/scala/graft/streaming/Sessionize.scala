@@ -55,8 +55,14 @@ object Sessionize {
             cur.foreach { s =>
               state.update(s)
               if (!state.hasTimedOut) {
-                try state.setTimeoutTimestamp(s.end + gapMillis)
-                catch { case _: UnsupportedOperationException => () } // batch mode: no timeouts
+                try {
+                  // A late event can extend a session whose end+gap is already
+                  // at/behind the watermark; Spark rejects timeouts <= watermark
+                  // (IllegalArgumentException), so clamp to watermark+1 — the
+                  // session then closes on the very next timeout sweep.
+                  val wm = try state.getCurrentWatermarkMs() catch { case _: Exception => Long.MinValue }
+                  state.setTimeoutTimestamp(math.max(s.end + gapMillis, wm + 1))
+                } catch { case _: UnsupportedOperationException => () } // batch mode: no timeouts
               }
             }
             closed.reverseIterator
