@@ -87,8 +87,13 @@ object SparkEntry {
         ev.select(format_string("%s %s evt=%d",
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("event_id"))
           .as("value"))
+      case "plain_gz" => // same lines as "plain", gzip-compressed (codec path)
+        ev.select(format_string("%d %s user=%d %.2f",
+          col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
     }
-    lines.write.mode("overwrite").text(out)
+    if (flavor.endsWith("_gz"))
+      lines.write.mode("overwrite").option("compression", "gzip").text(out)
+    else lines.write.mode("overwrite").text(out)
     out
   }
 
@@ -146,6 +151,67 @@ object SparkEntry {
         min(col("tm")).cast("long").as("min_ms_of_day"),
         countDistinct(col("event_type")).as("n_types"))
       .orderBy("d")
+  }
+
+  /** TIMESTAMP coercion end-to-end (ref `LogRecordReader.java:256-267`):
+    * the full date+time string is ONE capture group typed TIMESTAMP, parsed
+    * with the shared `dateFormat` (the reference has no separate timestamp
+    * format). Aggregates group on and emit the parsed timestamps.
+    */
+  private def qLogTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "dated")
+    spark.read.format("log")
+      .option("pattern", "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) (\\w+) evt=(\\d+)")
+      .option("fieldNames", "ts, event_type, event_id")
+      .option("dataTypes", "TIMESTAMP, VARCHAR, INT")
+      .option("dateFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("extensions", "txt")
+      .load(path)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+        min(col("event_id")).cast("long").as("min_event_id"))
+      .orderBy("hour")
+  }
+
+  /** FAILFAST end-to-end over clean input (ref `LogRecordReader.java:283-292`
+    * strict half): the query only succeeds if every line matches AND every
+    * coercion succeeds — the oracle reproduces the aggregate, proving the
+    * strict path ran to completion (the throwing cases are unit-tested).
+    */
+  private def qLogFailfast(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "plain")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .option("mode", "FAILFAST")
+      .load(path)
+      .groupBy((col("user_id") % 10).cast("long").as("user_bucket"))
+      .agg(count(lit(1)).as("n"), r(sum("value"), 2).as("sum_value"))
+      .orderBy("user_bucket")
+  }
+
+  /** Compressed-input codec path (ref `LogRecordReader.java:124-129`
+    * decompress-on-read): same scan as q_log_parse_agg but over gzip'd
+    * files — one non-splittable split per .gz file, codec-detected by
+    * suffix; extension routing matches `*.txt.gz` against `txt`.
+    */
+  private def qLogGzip(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "plain_gz")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r(max("value"), 2).as("max_value"),
+        sum(col("user_id").cast("long")).as("sum_users"))
+      .orderBy("event_type")
   }
 
   // ------------------------------------------------ relational surface §2B
@@ -596,6 +662,9 @@ object SparkEntry {
     "q_log_parse_agg" -> (qLogParseAgg _),
     "q_log_unmatched" -> (qLogUnmatched _),
     "q_log_typed_dates" -> (qLogTypedDates _),
+    "q_log_timestamp" -> (qLogTimestamp _),
+    "q_log_failfast" -> (qLogFailfast _),
+    "q_log_gzip" -> (qLogGzip _),
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -658,6 +727,21 @@ object SparkEntry {
         |            + date_part('second', ts)) * 1000) AS min_ms_of_day,
         |       count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "q_log_timestamp" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, count(*) AS n,
+        |       strftime(min(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |       strftime(max(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS max_ts,
+        |       min(event_id) AS min_event_id
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_log_failfast" ->
+      """SELECT user_id % 10 AS user_bucket, count(*) AS n,
+        |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q_log_gzip" ->
+      """SELECT event_type, count(*) AS n,
+        |       floor(max(round(value, 2)) * 100 + 0.5) / 100 AS max_value,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
         |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
