@@ -190,17 +190,37 @@ object Dedup {
     * inverted-index join (explode tokens → join on token → count
     * intersections). SQL-reproducible for the oracle; the blocking column
     * keeps the pair space linear-ish instead of all-pairs.
+    *
+    * `maxDf` is the hot-token guard: a token present in K docs of one block
+    * contributes K² join rows (a stopword inside one language block is a
+    * quadratic hot key at corpus scale), so tokens with per-block document
+    * frequency above `maxDf` are dropped BEFORE the join — the standard
+    * prefix/df filter. The cap applies to intersections AND per-doc sizes
+    * alike, so the result is still a true Jaccard — of the df<=maxDf token
+    * sets (an explicit, logged coverage bound: pairs similar ONLY through
+    * ubiquitous tokens are not reported). Default = no cap (exact).
     */
   def tokenJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val toks = spread.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+    val allToks = spread.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("__tok"))
+    val toks = if (maxDf == Long.MaxValue) allToks else {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"tokenJaccardPairs: coverage bound maxDf=$maxDf — tokens in more than " +
+          s"$maxDf docs of a block are excluded from the Jaccard vocabulary")
+      val dfreq = allToks.groupBy("__blk", "__tok").agg(count(lit(1)).as("__df"))
+      // shuffle join on (blk, tok) — the same key the inverted-index join
+      // below uses, so the exchange is reused across both
+      allToks.join(dfreq.filter(col("__df") <= maxDf).select("__blk", "__tok"),
+        Seq("__blk", "__tok"))
+    }
     val counts = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = toks.alias("a")
       .join(toks.alias("b"),

@@ -70,6 +70,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
   }
 
+  test("tokenJaccardPairs maxDf cap drops hot tokens from the vocabulary") {
+    // 'common' appears in every doc — the quadratic hot key a stopword
+    // becomes at corpus scale; the cap excludes it from the vocabulary on
+    // both the intersection AND size sides (still a true Jaccard).
+    val heavy = Seq(
+      (1L, "common alpha beta gamma"),
+      (2L, "common alpha beta delta"),
+      (3L, "common zeta eta theta"),
+      (4L, "common zeta eta theta")
+    ).toDF("doc_id", "text").withColumn("blk", lit(1))
+    val un = Dedup.tokenJaccardPairs(heavy, "doc_id", "text", "blk", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(un((1L, 2L)) == 0.6 && un((3L, 4L)) == 1.0)
+    val capped = Dedup.tokenJaccardPairs(heavy, "doc_id", "text", "blk", 0.5, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 'common' (df=4) gone: (1,2) = |{alpha,beta}| / |{alpha,beta,gamma,delta}|
+    assert(capped((1L, 2L)) == 0.5 && capped((3L, 4L)) == 1.0)
+    // identical docs stay 1.0 because the cap removes the token from BOTH sides
+  }
+
   test("simhash: identical docs equal, near-dups within few bits, unrelated far") {
     val fp = docs.select($"doc_id", SimHash64(TextFunctions.tokens($"text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
