@@ -65,22 +65,21 @@ object IvfIndex {
 
   /** Nearest-centroid cell id(s) for each row's vector (broadcast model,
     * no shuffle). `nProbe` > 1 explodes each row into its n nearest cells.
+    *
+    * The centroid matrix is carried as ONE codegen reference object inside
+    * [[graft.functions.NearestCentroids]] — a literal-per-centroid
+    * expression tree would blow up analysis/codegen at realistic `nLists`
+    * (>= 1024); this plan stays one node at any list count.
     */
   private def assign(
       df: DataFrame, vecCol: String, centroids: Array[(Int, Seq[Double])], nProbe: Int = 1): DataFrame = {
-    // distance to each centroid as a literal-array expression; cells ranked
-    // by (distance, cell) for determinism
-    val dists = array(centroids.map { case (cell, c) =>
-      val cLit = typedlit(c)
-      struct(
-        aggregate(zip_with(col(vecCol), cLit, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v).as("d"),
-        lit(cell).as("cell"))
-    }.toIndexedSeq: _*)
-    val ranked = array_sort(dists)
-    if (nProbe == 1) df.withColumn("__cell", element_at(ranked, 1).getField("cell"))
-    else df.withColumn("__cell",
-      explode(transform(slice(ranked, 1, nProbe), s => s.getField("cell"))))
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.iterator.map(_._1).zipWithIndex.forall { case (c, i) => c == i },
+      "centroid cells must be 0..n-1")
+    val matrix = sorted.map(_._2.toArray)
+    val probes = graft.functions.NearestCentroids(col(vecCol), matrix, nProbe)
+    if (nProbe == 1) df.withColumn("__cell", element_at(probes, 1))
+    else df.withColumn("__cell", explode(probes))
   }
 
   /** Search: probe `nProbe` cells per query, score candidates exactly,

@@ -26,6 +26,37 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("NearestCentroids matches a reference argmin-k with (dist, index) ties") {
+    import org.apache.spark.sql.Row
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq(0.9, 0.1)), Row(Seq(0.0, 0.0))),
+      org.apache.spark.sql.types.StructType.fromDDL("v array<double>"))
+    val out = df.select(graft.functions.NearestCentroids(col("v"), cents, 3).as("p"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    // (0.9,0.1): d = [0.82, 0.02, 1.62, 0.02] -> tie between cells 1 and 3 broken by index
+    assert(out(0) == Seq(1, 3, 0))
+    // (0,0): d = [0, 1, 1, 1] -> 0 first, then index-ordered ties
+    assert(out(1) == Seq(0, 1, 2))
+  }
+
+  test("IVF at nLists=256: no literal blowup in the plan, recall holds") {
+    val model = IvfIndex.train(emb, "vec_id", "embedding", nLists = 256, iterations = 2)
+    assert(model.centroids.length == 256)
+    val out = IvfIndex.search(model, emb, queries, "vec_id", "embedding", 5, nProbe = 64)
+    // the centroid matrix must ride as a reference object, not 256 literals
+    val lits = out.queryExecution.analyzed.collect { case p => p }
+      .flatMap(_.expressions)
+      .map(_.collect { case l: org.apache.spark.sql.catalyst.expressions.Literal => l }.size)
+      .sum
+    assert(lits < 64, s"plan carries $lits literals — centroid literal blowup")
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("IVF search output shape: k ranked rows per query, no self-matches") {
     val model = IvfIndex.train(emb, "vec_id", "embedding", nLists = 4, iterations = 2)
     val out = IvfIndex.search(model, emb, queries, "vec_id", "embedding", 3, nProbe = 4)
