@@ -1,10 +1,10 @@
 package graft.log
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
@@ -15,10 +15,19 @@ import org.apache.spark.sql.types.StructType
   *
   * Semantics follow Spark's own file stream source: files are immutable
   * once seen (appends to an already-processed file are ignored), discovery
-  * is by listing, an offset is the set of seen files. The offset is
-  * serialized as a sorted path list — simple and correct; for very
-  * long-running queries over millions of files Spark's compact file-log
-  * approach would be the follow-up.
+  * is by listing.
+  *
+  * OFFSETS ARE O(1): an offset is a single index into a persistent file
+  * log under `<checkpoint>/graft-file-log/` — entry `i` lists the paths
+  * first discovered at index `i`, so the offset JSON no longer grows with
+  * the total number of files seen (the round-1 design serialized the full
+  * seen-file list into every offset). Every `CompactInterval` entries a
+  * cumulative `.compact` entry is also written, so a restart rebuilds the
+  * seen-set from the latest compact + tail instead of replaying the whole
+  * log. Individual entries are retained (never deleted) so ANY
+  * checkpointed `(start, end]` range replays exactly — the same
+  * determinism contract as before: a batch is defined by its log entries,
+  * not by a fresh directory listing.
   */
 final class LogMicroBatchStream(
     opts: LogOptions,
@@ -27,25 +36,45 @@ final class LogMicroBatchStream(
     checkpointLocation: String)
     extends MicroBatchStream {
 
+  import LogMicroBatchStream._
+
   private val spark = SparkSession.active
   private val hadoopConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+  private val logDir = new Path(checkpointLocation, "graft-file-log")
 
-  override def initialOffset(): Offset = LogStreamOffset(Nil)
+  // In-memory view rebuilt from the persistent log at (re)start: the seen
+  // set and the highest written index. The driver holds one entry per seen
+  // file — the same footprint Spark's FileStreamSource keeps; the OFFSET
+  // stays a single long either way.
+  private var maxIndex: Long = -1L
+  private val seen = mutable.HashSet.empty[String]
+  restoreFromLog()
 
-  override def latestOffset(): Offset =
-    LogStreamOffset(listFiles().map(_.getPath.toString).sorted)
+  override def initialOffset(): Offset = LogStreamIndexOffset(-1L)
 
-  override def deserializeOffset(json: String): Offset = LogStreamOffset.fromJson(json)
+  override def latestOffset(): Offset = {
+    val fresh = listFiles().map(_.getPath.toString).filterNot(seen).sorted
+    if (fresh.nonEmpty) {
+      maxIndex += 1
+      writeEntry(maxIndex, fresh)
+      seen ++= fresh
+      if (maxIndex > 0 && maxIndex % CompactInterval == 0)
+        writeCompact(maxIndex, seen.toSeq.sorted)
+    }
+    LogStreamIndexOffset(maxIndex)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LogStreamIndexOffset.fromJson(json)
 
   override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    // Replay-safe: the batch is defined by the OFFSETS (end \ start), not by
+    // Replay-safe: the batch is defined by LOG ENTRIES (start, end], not by
     // a fresh directory listing — a checkpointed batch must replay the same
-    // files after restart; a file named in `end` that has since vanished is
-    // a hard error, not silent data loss.
-    val seen = start.asInstanceOf[LogStreamOffset].files.toSet
-    val fresh = end.asInstanceOf[LogStreamOffset].files.filterNot(seen)
+    // files after restart; a file named in the log that has since vanished
+    // is a hard error, not silent data loss.
+    val fresh = filesOf(start, end)
     val conf = spark.sparkContext.hadoopConfiguration
     val chunks = fresh.map { p =>
       val hp = new Path(p)
@@ -67,6 +96,76 @@ final class LogMicroBatchStream(
 
   override def stop(): Unit = ()
 
+  // ------------------------------------------------------------ file log
+
+  private def fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def entryPath(i: Long) = new Path(logDir, f"$i%020d")
+  private def compactPath(i: Long) = new Path(logDir, f"$i%020d$CompactSuffix")
+
+  private def writeEntry(i: Long, files: Seq[String]): Unit =
+    atomicWrite(entryPath(i), files)
+
+  private def writeCompact(i: Long, files: Seq[String]): Unit =
+    atomicWrite(compactPath(i), files)
+
+  /** Temp-file + rename so a crashed driver never leaves a torn entry. */
+  private def atomicWrite(path: Path, files: Seq[String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(toJson(files).getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, path)) {
+      fs.delete(tmp, false)
+      // a concurrent/previous attempt wrote the same deterministic content
+      if (!fs.exists(path))
+        throw new org.apache.spark.SparkException(s"[log] cannot write stream log entry $path")
+    }
+  }
+
+  private def readEntry(path: Path): Seq[String] = {
+    val in = fs.open(path)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      fromJson(bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+
+  /** Rebuild (seen, maxIndex) from the latest compact entry + tail. */
+  private def restoreFromLog(): Unit = {
+    if (!fs.exists(logDir)) return
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+    if (names.isEmpty) return
+    val compacts = names.filter(_.endsWith(CompactSuffix))
+    val lastCompact = compacts.lastOption.map(n => n.stripSuffix(CompactSuffix).toLong)
+    lastCompact.foreach { i => seen ++= readEntry(compactPath(i)) }
+    val tail = names.filterNot(_.endsWith(CompactSuffix)).map(_.toLong)
+      .filter(i => lastCompact.forall(_ < i))
+    tail.foreach { i => seen ++= readEntry(entryPath(i)) }
+    maxIndex = names.map(_.stripSuffix(CompactSuffix).toLong).max
+  }
+
+  /** Files added in (start, end], for index and (legacy path-list) offsets. */
+  private def filesOf(start: Offset, end: Offset): Seq[String] = {
+    def cumulative(i: Long): Set[String] =
+      (0L to i).flatMap(j => readEntry(entryPath(j))).toSet
+    (start, end) match {
+      case (LogStreamIndexOffset(s), LogStreamIndexOffset(e)) =>
+        ((s + 1) to e).flatMap(i => readEntry(entryPath(i))).sorted
+      case (LogStreamOffset(sf), LogStreamIndexOffset(e)) => // legacy start
+        (cumulative(e) -- sf).toSeq.sorted
+      case (LogStreamIndexOffset(s), LogStreamOffset(ef)) => // legacy end
+        (ef.toSet -- cumulative(s)).toSeq.sorted
+      case (LogStreamOffset(sf), LogStreamOffset(ef)) =>
+        (ef.toSet -- sf.toSet).toSeq.sorted
+      case other => throw new IllegalStateException(s"[log] unexpected offsets $other")
+    }
+  }
+
   private def listFiles(): Seq[FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = ArrayBuffer.empty[FileStatus]
@@ -86,17 +185,49 @@ final class LogMicroBatchStream(
   }
 }
 
-/** Offset = sorted set of already-ingested file paths. */
-final case class LogStreamOffset(files: Seq[String]) extends Offset {
-  override def json(): String = {
+object LogMicroBatchStream {
+  val CompactInterval = 10
+  val CompactSuffix = ".compact"
+
+  private[log] def toJson(files: Seq[String]): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.writeValueAsString(files.toArray)
   }
+
+  private[log] def fromJson(json: String): Seq[String] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.readValue(json, classOf[Array[String]]).toSeq
+  }
+}
+
+/** O(1) offset: an index into the persistent file log. */
+final case class LogStreamIndexOffset(index: Long) extends Offset {
+  override def json(): String = s"""{"index":$index}"""
+}
+
+object LogStreamIndexOffset {
+  /** Parses index offsets; a legacy round-1 offset (JSON array of paths)
+    * deserializes to [[LogStreamOffset]] so old checkpoints keep working.
+    */
+  def fromJson(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("[")) LogStreamOffset(LogMicroBatchStream.fromJson(t))
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      LogStreamIndexOffset(m.readTree(t).get("index").asLong())
+    }
+  }
+}
+
+/** Legacy (round-1) offset: the full sorted set of already-ingested file
+  * paths. Still deserializable for checkpoint compatibility; new offsets
+  * are [[LogStreamIndexOffset]].
+  */
+final case class LogStreamOffset(files: Seq[String]) extends Offset {
+  override def json(): String = LogMicroBatchStream.toJson(files)
 }
 
 object LogStreamOffset {
-  def fromJson(json: String): LogStreamOffset = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    LogStreamOffset(m.readValue(json, classOf[Array[String]]).toSeq)
-  }
+  def fromJson(json: String): LogStreamOffset =
+    LogStreamOffset(LogMicroBatchStream.fromJson(json))
 }

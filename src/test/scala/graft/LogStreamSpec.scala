@@ -44,6 +44,55 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart after many files: O(1) index offsets, compacted log, no re-reads") {
+    val dir = Files.createTempDirectory("logstream_restart").toFile
+    val ckpt = Files.createTempDirectory("logstream_ckpt").toFile.getAbsolutePath
+    def writeLog(i: Int): Unit =
+      Files.writeString(new File(dir, f"f$i%03d.log").toPath, s"$i INFO payload")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    def start() = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+) (.+)")
+      .option("schema", "id INT, level VARCHAR, msg VARCHAR")
+      .load(dir.getAbsolutePath)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("id").collect().foreach(r => got.add(r.getInt(0)))
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    // phase 1: 12 ticks -> 12 log entries, crossing the compact interval
+    val q1 = start()
+    try {
+      (1 to 12).foreach { i => writeLog(i); q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(got.size == 12)
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.map(_.toInt).sum == (1 to 12).sum)
+
+    // phase 2: restart from the checkpoint; only NEW files may arrive
+    got.clear()
+    (13 to 15).foreach(writeLog)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.asScala.map(_.toInt).toSet == (13 to 15).toSet,
+      s"restart must read exactly the new files, got ${got.asScala}")
+
+    // offsets in the checkpoint are O(1) indexes, not path lists
+    val offsetDir = new File(ckpt, "offsets")
+    val latest = offsetDir.listFiles().filter(f => f.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    val txt = Files.readString(latest.toPath)
+    assert(txt.contains("\"index\""), txt)
+    assert(!txt.contains(".log"), s"offset still carries file paths: $txt")
+
+    // the persistent file log compacted at the interval boundary
+    def findCompacts(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(findCompacts)
+      else if (f.getName.endsWith(".compact")) Seq(f) else Nil
+    assert(findCompacts(new File(ckpt)).nonEmpty, "no .compact entry written")
+  }
+
   test("streaming aggregation over the native log stream") {
     val dir = Files.createTempDirectory("logstream_agg").toFile
     Files.writeString(new File(dir, "x.log").toPath,
