@@ -771,6 +771,45 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Gopher-style repetition filter stats per source. */
+  private def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    spread(t(spark, dir, "documents"))
+      .groupBy("source")
+      .agg(r(avg(TF.repetitionRatio(col("text"))), 4).as("avg_rep"),
+        count(when(TF.repetitionRatio(col("text")) > 0.2, 1)).as("n_repetitive"))
+      .orderBy("source")
+
+  /** PII redaction end-to-end: inject a deterministic email+phone into
+    * every 10th doc, redact, and verify the redaction removed all of them.
+    * Injection happens in-query so the oracle reproduces the whole chain
+    * (the base corpus carries no PII of its own).
+    */
+  private def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = spread(t(spark, dir, "documents"))
+      .withColumn("text2",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call +1 555 123 4567")))
+          .otherwise(col("text")))
+    injected.agg(
+      count(when(col("text2").rlike(TF.EmailRegex), 1)).as("n_docs_with_pii"),
+      count(when(TF.redactPii(col("text2")).rlike(TF.EmailRegex)
+        || TF.redactPii(col("text2")).rlike(TF.PhoneRegex), 1)).as("n_after_redact"),
+      sum((length(col("text2")) - length(TF.redactPii(col("text2")))).cast("long"))
+        .as("chars_removed"))
+  }
+
+  /** Benchmark decontamination: corpus docs sharing an 8-token shingle with
+    * the doc_id<20 "eval set"; oracle reproduces the shingle-overlap join.
+    */
+  private def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Decontaminate.contaminated(
+        spread(docs), docs.filter(col("doc_id") < 20), "doc_id", "text", 8)
+      .agg(count(lit(1)).as("n_contaminated"),
+        coalesce(sum("doc_id"), lit(0L)).as("sum_ids"))
+  }
+
   private def qTfidfTop(spark: SparkSession, dir: String): DataFrame =
     graft.ops.TfIdf.topTermsPerGroup(
       t(spark, dir, "documents"), "doc_id", "text", "lang", 5)
@@ -846,6 +885,9 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
+    "q_repetition" -> (qRepetition _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_tfidf_top" -> (qTfidfTop _))
 
@@ -1213,6 +1255,44 @@ object SparkEntry {
         |SELECT count(*) AS n, floor(avg(br) * 10000 + 0.5) / 10000 AS avg_brightness,
         |       CAST(sum(nb) AS BIGINT) AS total_bytes, true AS features_ok
         |FROM b""".stripMargin,
+    "q_repetition" ->
+      s"""SELECT source,
+         |  floor(avg((len($ToksSql) - len(list_distinct($ToksSql))) * 1.0
+         |            / greatest(len($ToksSql), 1)) * 10000 + 0.5) / 10000 AS avg_rep,
+         |  count(*) FILTER (WHERE (len($ToksSql) - len(list_distinct($ToksSql))) * 1.0
+         |            / greatest(len($ToksSql), 1) > 0.2) AS n_repetitive
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT CASE WHEN doc_id % 10 = 0
+        |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or call +1 555 123 4567'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT t, regexp_replace(
+        |           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS rt
+        |  FROM inj)
+        |SELECT
+        |  count(*) FILTER (WHERE regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_docs_with_pii,
+        |  count(*) FILTER (WHERE regexp_matches(rt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |                      OR regexp_matches(rt, '\+?\d[\d -]{7,}\d')) AS n_after_redact,
+        |  CAST(sum(length(t) - length(rt)) AS BIGINT) AS chars_removed
+        |FROM red""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(range(len(t)-7),
+         |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         |                     || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]) END)) AS s
+         |  FROM tk),
+         |es AS (SELECT doc_id AS eid, s FROM sh WHERE doc_id < 20),
+         |c AS (SELECT DISTINCT sh.doc_id FROM sh JOIN es ON sh.s = es.s AND sh.doc_id <> es.eid)
+         |SELECT count(*) AS n_contaminated,
+         |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_ids FROM c""".stripMargin,
     "q_embed_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -104,4 +104,27 @@ object TextFunctions {
     */
   def contentFingerprint(c: Column): Column =
     substring(md5(normalizeText(c)), 1, 16)
+
+  /** Within-document token repetition ratio (Gopher-style repetition
+    * filter): 1 - distinct/total tokens, 0 for empty docs. High values
+    * flag boilerplate/spam for pipeline filtering. SQL-reproducible.
+    */
+  def repetitionRatio(c: Column): Column = {
+    val ts = tokens(c)
+    (size(ts) - size(array_distinct(ts))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII redaction: emails then phone-number-shaped digit runs replaced by
+    * fixed tags. Both patterns use the regex subset Java and RE2 share, so
+    * the oracle reproduces the replacement byte-for-byte; a production
+    * deployment extends the pattern list the same way.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailRegex, "<EMAIL>"),
+      PhoneRegex, "<PHONE>")
 }

@@ -106,11 +106,17 @@ object Dedup {
     // Degenerate-bucket guard: a bucket of B near-identical docs yields
     // B^2/2 pairs; cap it — an explicit, documented coverage bound (dropped
     // buckets are not counted at runtime; counting would cost an extra
-    // action). Window count avoids a second shuffle.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bkey")
-    val capped = banded.withColumn("__bsize", count(lit(1)).over(w))
-      .filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
+    // action). Hash-aggregate + anti-join on the oversized-bucket keys:
+    // unlike the earlier window-count formulation this never SORTS the
+    // banded rows (at corpus scale that sort dominates). The oversized key
+    // list is usually tiny (degenerate buckets only) and AQE converts the
+    // anti-join to broadcast at runtime; no forced hint, because a
+    // pathological all-duplicates corpus can make it large.
+    val oversized = banded.groupBy("__band", "__bkey")
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucketSize)
+      .select("__band", "__bkey")
+    val capped = banded.join(oversized, Seq("__band", "__bkey"), "left_anti")
 
     // Self-join on NARROW (band, bkey, id) rows only; signatures re-attach
     // after pair dedup so est_jaccard is computed once per distinct pair.

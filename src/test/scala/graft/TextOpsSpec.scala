@@ -27,6 +27,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getSeq[String](0) == Seq("one two"))
   }
 
+  test("repetitionRatio: duplicate-token fraction, 0 for empty") {
+    val df = Seq("a b a b a", "all distinct words here", "").toDF("text")
+    val out = df.select(TextFunctions.repetitionRatio($"text")).collect().map(_.getDouble(0))
+    assert(out(0) == 3.0 / 5.0) // 5 tokens, 2 distinct
+    assert(out(1) == 0.0)
+    assert(out(2) == 0.0)
+  }
+
+  test("redactPii replaces emails and phone-shaped runs with fixed tags") {
+    val df = Seq(
+      "write to jane.doe+x@mail.example.org today",
+      "call +1 555 123 4567 now",
+      "nothing sensitive at all").toDF("text")
+    val out = df.select(TextFunctions.redactPii($"text")).collect().map(_.getString(0))
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "call <PHONE> now")
+    assert(out(2) == "nothing sensitive at all")
+  }
+
+  test("decontaminate flags corpus docs sharing an n-token shingle with the eval set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // contains eval 8-gram
+      (2L, "totally unrelated text about columnar execution engines here now"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta")      // the eval doc itself
+    ).toDF("doc_id", "text")
+    val eval = corpus.filter($"doc_id" === 10L)
+    val out = graft.ops.Decontaminate.contaminated(corpus, eval, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L)) // doc 2 clean; doc 10 does not contaminate itself
+  }
+
   test("langId picks the language with most marker stopwords; und when none") {
     val df = Seq(
       "the cat and the dog of the house is big",
