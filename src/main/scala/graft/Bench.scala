@@ -24,26 +24,26 @@ object Bench {
     SparkEntry.entry(spark).count()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val failedRuns = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     for (_ <- 0 until n; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      val t =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => Double.NaN }
-      times(name) = times(name) :+ t
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => failedRuns(name) += 1 }
+      // time-to-failure is charged too: a query that starts crashing must
+      // never make the headline total DECREASE (it is flagged, not dropped)
+      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    def min(xs: List[Double]): Double = {
-      val ok = xs.filterNot(_.isNaN)
-      if (ok.isEmpty) -1.0 else ok.min
-    }
-    def median(xs: List[Double]): Double = {
-      val ok = xs.filterNot(_.isNaN).sorted
-      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
-    }
+    def min(xs: List[Double]): Double = xs.min
+    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val failed = names.map(_._1).filter(k => failedRuns(k) == n)
     val mins = names.map { case (k, _) => k -> min(times(k)) }
-    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = mins.map(_._2).filter(_ >= 0).sum
-    val medianTotal = names.map { case (k, _) => median(times(k)) }.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$n,"median_total":$medianTotal,"sf":"$sfDir"}""")
+    val qs = mins.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (failed.contains(k)) -1.0 else v)
+    }.mkString("{", ",", "}")
+    val total = mins.map(_._2).sum
+    val medianTotal = names.map { case (k, _) => median(times(k)) }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$n,"median_total":$medianTotal,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

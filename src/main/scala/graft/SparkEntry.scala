@@ -60,6 +60,20 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  /** One-time /tmp materialization: contents are deterministic per key, so
+    * a complete previous write (sentinel present — written last) is reused
+    * and repeated bench runs never pay the sink write again.
+    */
+  private def oncePerDir(out: String, sentinel: String)(write: => Unit): String = {
+    if (!new java.io.File(s"$out/$sentinel").exists()) write
+    out
+  }
+
   /** Synthesized log lines from the events table (deterministic
     * `format_string`), written as text and read back through the `log`
     * source — SURVEY.md §5.4's round-trip trick that makes the custom
@@ -68,8 +82,6 @@ object SparkEntry {
     */
   private def logDir(spark: SparkSession, dir: String, flavor: String): String = {
     val out = s"/tmp/graft_logs/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$flavor"
-    // content is deterministic per (dir, flavor): skip the rewrite when a
-    // complete previous write exists (_SUCCESS is written last)
     if (new java.io.File(s"$out/_SUCCESS").exists()) return out
     val ev = events(spark, dir)
     val lines = flavor match {
@@ -456,7 +468,10 @@ object SparkEntry {
       .format("memory").queryName("graft_stream_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    if (!q.awaitTermination(300000)) {
+      q.stop() // a partial memory table would silently fail the oracle
+      throw new IllegalStateException("[graft] q_streaming_window drain timed out after 300 s")
+    }
     spark.table("graft_stream_out").orderBy("hour", "event_type")
   }
 
@@ -474,19 +489,15 @@ object SparkEntry {
   private def qStreamingSink(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val srcDir = s"/tmp/graft_stream_src/$key"
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete()
-    }
     // one-time: events as 8 ts-range parquet chunks (timestamps already
     // converted to micros, so the stream side needs no nanos handling).
     // Chunks are written SEQUENTIALLY so file mtimes ascend with event time:
     // the file stream ingests oldest-first, i.e. in event-time order — rows
     // arriving behind the watermark would be dropped as late (correct
     // streaming semantics, but not what this query measures).
-    if (!new java.io.File(s"$srcDir/_OK").exists()) {
-      deleteRec(new java.io.File(srcDir))
+    val srcDir = oncePerDir(s"/tmp/graft_stream_src/$key", "_OK") {
+      val out = s"/tmp/graft_stream_src/$key"
+      deleteRec(new java.io.File(out))
       val ev = events(spark, dir).select("event_id", "event_type", "user_id", "ts", "value")
         .withColumn("__us", expr("unix_micros(ts)"))
       val r0 = ev.agg(min("__us"), max("__us")).head()
@@ -494,9 +505,9 @@ object SparkEntry {
       val step = math.max(1L, (hi - lo) / 8 + 1)
       for (i <- 0 until 8) {
         ev.filter(col("__us") >= lo + i * step && col("__us") < lo + (i + 1) * step)
-          .drop("__us").coalesce(1).write.mode("append").parquet(srcDir)
+          .drop("__us").coalesce(1).write.mode("append").parquet(out)
       }
-      new java.io.File(s"$srcDir/_OK").createNewFile()
+      new java.io.File(s"$out/_OK").createNewFile()
     }
     val sinkDir = s"/tmp/graft_stream_sink/$key"
     deleteRec(new java.io.File(sinkDir)) // fresh sink per run (deterministic re-runs)
@@ -517,8 +528,16 @@ object SparkEntry {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
-    spark.read.parquet(sinkDir).orderBy("hour", "event_type")
+    if (!q.awaitTermination(300000)) {
+      q.stop() // never read a half-written sink under a live writer
+      throw new IllegalStateException("[graft] q_streaming_sink drain timed out after 300 s")
+    }
+    // zero emitted windows (event span shorter than the watermark delay)
+    // leaves no sink directory — that is the correct empty result
+    if (!new java.io.File(sinkDir).exists())
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("hour STRING, event_type STRING, n LONG"))
+    else spark.read.parquet(sinkDir).orderBy("hour", "event_type")
   }
 
   /** Sliding windows (1 h window, 30 min slide) over events — each event
@@ -685,13 +704,11 @@ object SparkEntry {
   private def qMultiFormat(spark: SparkSession, dir: String): DataFrame = {
     val sub = events(spark, dir).filter(col("event_id") < 1000)
       .select("event_id", "event_type", "value")
-    val base = s"/tmp/graft_formats/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    // content is deterministic per dir: skip the rewrite when a complete
-    // previous write exists (keeps the sink write out of repeated bench runs)
-    if (!new java.io.File(s"$base/csv/_SUCCESS").exists() ||
-        !new java.io.File(s"$base/json/_SUCCESS").exists()) {
-      sub.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
-      sub.write.mode("overwrite").json(s"$base/json")
+    val base = oncePerDir(
+        s"/tmp/graft_formats/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", "json/_SUCCESS") {
+      val b = s"/tmp/graft_formats/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      sub.write.mode("overwrite").option("header", "true").csv(s"$b/csv")
+      sub.write.mode("overwrite").json(s"$b/json") // json last = the sentinel
     }
     val fromCsv = spark.read.option("header", "true")
       .schema("event_id LONG, event_type STRING, value DOUBLE").csv(s"$base/csv")
@@ -791,12 +808,16 @@ object SparkEntry {
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or call +1 555 123 4567")))
           .otherwise(col("text")))
-    injected.agg(
-      count(when(col("text2").rlike(TF.EmailRegex), 1)).as("n_docs_with_pii"),
-      count(when(TF.redactPii(col("text2")).rlike(TF.EmailRegex)
-        || TF.redactPii(col("text2")).rlike(TF.PhoneRegex), 1)).as("n_after_redact"),
-      sum((length(col("text2")) - length(TF.redactPii(col("text2")))).cast("long"))
-        .as("chars_removed"))
+    injected
+      // redact ONCE per row; three aggregate branches over the same column
+      // would each re-run the chained regex replaces
+      .withColumn("__red", TF.redactPii(col("text2")))
+      .agg(
+        count(when(col("text2").rlike(TF.EmailRegex), 1)).as("n_docs_with_pii"),
+        count(when(col("__red").rlike(TF.EmailRegex)
+          || col("__red").rlike(TF.PhoneRegex), 1)).as("n_after_redact"),
+        sum((length(col("text2")) - length(col("__red"))).cast("long"))
+          .as("chars_removed"))
   }
 
   /** Benchmark decontamination: corpus docs sharing an 8-token shingle with

@@ -69,6 +69,10 @@ object NearestCentroids {
       var d = 0.0
       var i = 0
       while (i < dim) { val t = v.getDouble(i) - c(i); d += t * t; i += 1 }
+      // NaN distance (corrupt centroid/vector) must rank LAST, as the old
+      // array_sort path ordered it; with strict `<` insertion a raw NaN
+      // would instead wedge into the buffer and block finite candidates
+      if (java.lang.Double.isNaN(d)) d = Double.PositiveInfinity
       if (filled < kk) {
         var p = filled
         while (p > 0 && d < bestD(p - 1)) {

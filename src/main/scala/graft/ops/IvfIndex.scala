@@ -73,13 +73,15 @@ object IvfIndex {
     */
   private def assign(
       df: DataFrame, vecCol: String, centroids: Array[(Int, Seq[Double])], nProbe: Int = 1): DataFrame = {
+    // sorted by cell id, so matrix-position tie-break == (distance, cell)
+    // like the previous array_sort formulation; positions translate back to
+    // cell ids through ONE literal id array (cells need not be contiguous)
     val sorted = centroids.sortBy(_._1)
-    require(sorted.iterator.map(_._1).zipWithIndex.forall { case (c, i) => c == i },
-      "centroid cells must be 0..n-1")
     val matrix = sorted.map(_._2.toArray)
+    val ids = typedlit(sorted.map(_._1).toSeq)
     val probes = graft.functions.NearestCentroids(col(vecCol), matrix, nProbe)
-    if (nProbe == 1) df.withColumn("__cell", element_at(probes, 1))
-    else df.withColumn("__cell", explode(probes))
+    if (nProbe == 1) df.withColumn("__cell", element_at(ids, element_at(probes, 1) + 1))
+    else df.withColumn("__cell", explode(transform(probes, p => element_at(ids, p + 1))))
   }
 
   /** Search: probe `nProbe` cells per query, score candidates exactly,
