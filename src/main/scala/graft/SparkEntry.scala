@@ -388,6 +388,36 @@ object SparkEntry {
         max("n_events").as("max_session_events"))
       .orderBy("user_id")
 
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`: lower + (upper-lower)*frac on the sorted values).
+    */
+  private def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(r(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        r(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Hourly-count anomaly detection per event type: hours at >= 2x the
+    * type's mean hourly rate. The comparison is INTEGER arithmetic
+    * (n * n_hours >= 2 * total), so the threshold is bit-exact across
+    * engines — no FP boundary can flip a row.
+    */
+  private def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    hourly
+      .withColumn("tot", sum("n").over(w))
+      .withColumn("nh", count(lit(1)).over(w))
+      .filter(col("n") * col("nh") >= col("tot") * 2)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_anomalous_hours"), max("n").as("max_hourly"))
+      .orderBy("event_type")
+  }
+
   private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
@@ -883,6 +913,8 @@ object SparkEntry {
     "q_hll" -> (qHll _),
     "q_session_window" -> (qSessionWindow _),
     "q_distinct_agg" -> (qDistinctAgg _),
+    "q_percentile" -> (qPercentile _),
+    "q_event_anomaly" -> (qEventAnomaly _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_regex_extract" -> (qRegexExtract _),
@@ -1090,6 +1122,24 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n,
         |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        |       floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000 AS p95,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_event_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, n,
+        |         sum(n) OVER (PARTITION BY event_type) AS tot,
+        |         count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM h)
+        |SELECT event_type, count(*) AS n_anomalous_hours, max(n) AS max_hourly
+        |FROM s WHERE n * nh >= tot * 2 GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_setops" ->
       """SELECT
         |  (SELECT count(*) FROM (

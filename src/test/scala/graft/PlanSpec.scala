@@ -88,4 +88,24 @@ class PlanSpec extends SparkSpec {
     val p = planStr(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3))
     assert(p.contains("BroadcastNestedLoopJoin"), "query side should be broadcast")
   }
+
+  test("minhash candidate plan: bucket cap is sort-free in the logical plan") {
+    // the degenerate-bucket guard is a hash-aggregate + anti-join, NOT a
+    // window count — a window would sort every banded row at corpus scale
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val sorts = plan.collect { case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(sorts.isEmpty && windows.isEmpty,
+      s"bucket cap must not sort banded rows: sorts=${sorts.size} windows=${windows.size}")
+  }
+
+  test("decontaminate broadcasts the eval-set side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = planStr(graft.ops.Decontaminate.contaminated(
+      docs, docs.filter(col("doc_id") < 20), "doc_id", "text", 8))
+    assert(p.contains("BroadcastHashJoin"), s"eval side should broadcast:\n${p.take(800)}")
+  }
 }
