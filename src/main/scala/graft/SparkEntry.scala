@@ -634,15 +634,12 @@ object SparkEntry {
     * Full recall is NOT claimed: short near-dup docs can sit at hamming
     * 8-12 on a 64-bit code (measured J=0.92 pairs at hamming 11) — the
     * honest fix at scale is a 128/256-bit code, not looser bands. The
-    * exact side here is minhash+verify, whose own full recall IS
-    * oracle-proven by q_minhash_lsh.
+    * exact side here is [[Dedup.shingleJaccardPairs]] — the same
+    * inverted-index computation the oracle SQL performs.
     */
   private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    // exact ground truth (same pipeline q_minhash_lsh proves against the oracle)
-    val (cand0, sigs) = Dedup.minhashCandidatePairsWithSignatures(docs, "doc_id", "text")
-    val truth = Dedup.verifyJaccard(cand0.select("idA", "idB"), docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.8)
+    val truth = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.8)
     // simhash banded candidates
     val fp = spread(docs)
       .select(col("doc_id"),
@@ -659,13 +656,10 @@ object SparkEntry {
       .withColumn("hamming", bit_count(col("fpA").bitwiseXOR(col("fpB"))))
       .filter(col("hamming") <= 8)
       .select(col("idA"), col("idB"), lit(1).as("__hit"))
-    val out = truth.join(simCand, Seq("idA", "idB"), "left")
+    truth.join(simCand, Seq("idA", "idB"), "left")
       .agg(count(lit(1)).as("n_true_pairs"), r(avg("jaccard"), 3).as("avg_j"),
         (sum(coalesce(col("__hit"), lit(0))).cast("double") /
           count(lit(1)).cast("double") >= 0.9).as("simhash_recall_ok"))
-      .localCheckpoint(true)
-    sigs.unpersist(blocking = false)
-    out
   }
 
   private def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {

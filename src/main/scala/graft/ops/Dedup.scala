@@ -192,6 +192,40 @@ object Dedup {
       .select("idA", "idB", "jaccard")
   }
 
+  /** EXACT shingle-set Jaccard >= threshold over ALL pairs, via a hashed
+    * shingle inverted-index join — no LSH, no candidates, no misses. Docs
+    * only meet if they share a shingle, and n-token shingles are rare
+    * across non-duplicates, so the join stays sparse (unlike single-token
+    * inverted indexes, which need [[tokenJaccardPairs]]' df cap). This is
+    * the ground-truth generator the sketch pipelines are graded against;
+    * joins on xxhash64 of each shingle (8 bytes vs ~50-char strings,
+    * collision odds ~2^-64 per cross-doc shingle pair).
+    */
+  def shingleJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spreadDf = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val sh = spreadDf.select(col(idCol).as("__id"),
+      explode(array_distinct(graft.functions.HashedShingles(col(textCol), shingleN))).as("__h"))
+    val counts = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(counts.select(col("__id").as("idA"), col("__n").as("__nA")), "idA")
+      .join(counts.select(col("__id").as("idB"), col("__n").as("__nB")), "idB")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__nA") + col("__nB") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
   /** Exact token-set Jaccard over all same-`blockCol` pairs via the
     * inverted-index join (explode tokens → join on token → count
     * intersections). SQL-reproducible for the oracle; the blocking column

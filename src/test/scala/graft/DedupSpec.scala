@@ -70,6 +70,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
   }
 
+  test("shingleJaccardPairs: exact inverted-index pairs agree with verifyJaccard") {
+    val pairs = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L))) // the dup cluster
+    assert(pairs((1L, 4L)) == 1.0) // exact dup
+    // values equal the shingle-set verify computation used elsewhere
+    val via = Dedup.verifyJaccard(
+      Seq((1L, 2L)).toDF("idA", "idB"), docs, "doc_id", "text")
+      .collect().head.getDouble(2)
+    assert(pairs((1L, 2L)) == via)
+  }
+
   test("tokenJaccardPairs maxDf cap drops hot tokens from the vocabulary") {
     // 'common' appears in every doc — the quadratic hot key a stopword
     // becomes at corpus scale; the cap excludes it from the vocabulary on
