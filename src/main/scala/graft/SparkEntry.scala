@@ -505,27 +505,16 @@ object SparkEntry {
     spark.table("graft_stream_out").orderBy("hour", "event_type")
   }
 
-  /** The PRODUCTION streaming shape (complete+memory above is the oracle
-    * harness): append mode + foreachBatch parquet sink. Events arrive as
-    * several time-chunked files (micro-batches), the watermark advances
-    * between batches, and each window row is emitted exactly once when the
-    * watermark passes its end — no driver-side state, no ever-growing
-    * complete-mode store. The trailing windows the watermark never passes
-    * (the final hour) are correctly withheld; the oracle reproduces that
-    * cutoff. Production-hardening note: exactly-once across restarts would
-    * partition the sink by batchId (or use a transactional sink); plain
-    * append is exact for a single AvailableNow drain.
+  /** One-time: events as 8 ts-range parquet chunks (timestamps already
+    * converted to micros, so the stream side needs no nanos handling).
+    * Chunks are written SEQUENTIALLY so file mtimes ascend with event time:
+    * the file stream ingests oldest-first, i.e. in event-time order — rows
+    * arriving behind the watermark would be dropped as late (correct
+    * streaming semantics, but not what these queries measure).
     */
-  private def qStreamingSink(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def streamChunksDir(spark: SparkSession, dir: String): String = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    // one-time: events as 8 ts-range parquet chunks (timestamps already
-    // converted to micros, so the stream side needs no nanos handling).
-    // Chunks are written SEQUENTIALLY so file mtimes ascend with event time:
-    // the file stream ingests oldest-first, i.e. in event-time order — rows
-    // arriving behind the watermark would be dropped as late (correct
-    // streaming semantics, but not what this query measures).
-    val srcDir = oncePerDir(s"/tmp/graft_stream_src/$key", "_OK") {
+    oncePerDir(s"/tmp/graft_stream_src/$key", "_OK") {
       val out = s"/tmp/graft_stream_src/$key"
       deleteRec(new java.io.File(out))
       val ev = events(spark, dir).select("event_id", "event_type", "user_id", "ts", "value")
@@ -539,6 +528,23 @@ object SparkEntry {
       }
       new java.io.File(s"$out/_OK").createNewFile()
     }
+  }
+
+  /** The PRODUCTION streaming shape (complete+memory above is the oracle
+    * harness): append mode + foreachBatch parquet sink. Events arrive as
+    * several time-chunked files (micro-batches), the watermark advances
+    * between batches, and each window row is emitted exactly once when the
+    * watermark passes its end — no driver-side state, no ever-growing
+    * complete-mode store. The trailing windows the watermark never passes
+    * (the final hour) are correctly withheld; the oracle reproduces that
+    * cutoff. Production-hardening note: exactly-once across restarts would
+    * partition the sink by batchId (or use a transactional sink); plain
+    * append is exact for a single AvailableNow drain.
+    */
+  private def qStreamingSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = streamChunksDir(spark, dir)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val sinkDir = s"/tmp/graft_stream_sink/$key"
     deleteRec(new java.io.File(sinkDir)) // fresh sink per run (deterministic re-runs)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -568,6 +574,52 @@ object SparkEntry {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL("hour STRING, event_type STRING, n LONG"))
     else spark.read.parquet(sinkDir).orderBy("hour", "event_type")
+  }
+
+  /** Stream-stream INTERVAL join (the remaining big streaming shape):
+    * clicks joined to same-user purchases within the following hour, both
+    * sides watermarked, state bounded by the join's time range. Inner-join
+    * matches emit as soon as both rows have arrived (no watermark
+    * withholding), so with event-time-ordered ingestion the result equals
+    * the batch interval join — which is exactly what the oracle runs.
+    */
+  private def qStreamingJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = streamChunksDir(spark, dir)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val sinkDir = s"/tmp/graft_stream_join_sink/$key"
+    deleteRec(new java.io.File(sinkDir))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_join_ckpt").toString
+    val schema = spark.read.parquet(srcDir).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(srcDir)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val matches = clicks.join(purchases,
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+    val q = matches.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("[graft] q_streaming_join drain timed out after 300 s")
+    }
+    if (!new java.io.File(sinkDir).exists())
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("hour STRING, n_matches LONG, n_users LONG"))
+    else spark.read.parquet(sinkDir)
+      .groupBy(date_format(col("cts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n_matches"), countDistinct(col("cu")).as("n_users"))
+      .orderBy("hour")
   }
 
   /** Sliding windows (1 h window, 30 min slide) over events — each event
@@ -729,20 +781,25 @@ object SparkEntry {
     val sub = events(spark, dir).filter(col("event_id") < 1000)
       .select("event_id", "event_type", "value")
     val base = oncePerDir(
-        s"/tmp/graft_formats/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", "json/_SUCCESS") {
+        s"/tmp/graft_formats/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", "orc/_SUCCESS") {
       val b = s"/tmp/graft_formats/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       sub.write.mode("overwrite").option("header", "true").csv(s"$b/csv")
-      sub.write.mode("overwrite").json(s"$b/json") // json last = the sentinel
+      sub.write.mode("overwrite").json(s"$b/json")
+      sub.write.mode("overwrite").orc(s"$b/orc") // orc last = the sentinel
     }
     val fromCsv = spark.read.option("header", "true")
       .schema("event_id LONG, event_type STRING, value DOUBLE").csv(s"$base/csv")
     val fromJson = spark.read.schema("event_id LONG, event_type STRING, value DOUBLE")
       .json(s"$base/json")
+    val fromOrc = spark.read.orc(s"$base/orc")
     fromCsv.alias("c")
       .join(fromJson.alias("j"), Seq("event_id"))
-      .filter(col("c.event_type") === col("j.event_type"))
+      .join(fromOrc.alias("o"), Seq("event_id"))
+      .filter(col("c.event_type") === col("j.event_type") &&
+        col("c.event_type") === col("o.event_type"))
       .groupBy(col("c.event_type").as("event_type"))
-      .agg(count(lit(1)).as("n"), r(sum(col("c.value") + col("j.value")), 2).as("sum2"))
+      .agg(count(lit(1)).as("n"),
+        r(sum(col("c.value") + col("j.value") + col("o.value")), 2).as("sum3"))
       .orderBy("event_type")
   }
 
@@ -915,6 +972,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
+    "q_streaming_join" -> (qStreamingJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_groups" -> (qDedupGroups _),
@@ -1174,6 +1232,15 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |        <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_streaming_join" ->
+      """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
+        |       count(*) AS n_matches, count(DISTINCT c.user_id) AS n_users
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n
         |FROM (
@@ -1205,7 +1272,7 @@ object SparkEntry {
          |FROM j WHERE jac >= 0.8""".stripMargin,
     "q_multi_format" ->
       """SELECT event_type, count(*) AS n,
-        |       floor(sum(value + value) * 100 + 0.5) / 100 AS sum2
+        |       floor(sum(value + value + value) * 100 + 0.5) / 100 AS sum3
         |FROM events WHERE event_id < 1000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_lang_id" ->

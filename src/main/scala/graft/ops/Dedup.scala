@@ -167,7 +167,9 @@ object Dedup {
 
   /** Exact shingle-set Jaccard for a set of candidate pairs (verification
     * stage after LSH blocking): array_intersect/array_union on distinct
-    * shingle arrays — no explode, no extra shuffle beyond the two joins.
+    * HASHED shingle arrays (8-byte longs instead of ~50-char strings; the
+    * set Jaccard is identical up to ~2^-64 collisions) — no explode, no
+    * extra shuffle beyond the two joins.
     */
   def verifyJaccard(
       candidates: DataFrame, // (idA, idB)
@@ -182,7 +184,7 @@ object Dedup {
       .select(explode(array(col("idA"), col("idB"))).as("__vid")).distinct()
     val sh = df.join(broadcast(ids), col(idCol) === col("__vid"), "left_semi")
       .select(col(idCol).as("__vid"),
-        array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("__sh"))
+        array_distinct(graft.functions.HashedShingles(col(textCol), shingleN)).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__vid", "idA").withColumnRenamed("__sh", "__shA"), "idA")
       .join(sh.withColumnRenamed("__vid", "idB").withColumnRenamed("__sh", "__shB"), "idB")
