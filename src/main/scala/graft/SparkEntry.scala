@@ -455,6 +455,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
       .orderBy("k_bucket")
 
+  /** Batch range (interval) join through [[graft.ops.RangeJoin]]'s
+    * bucketized equi-join — same semantics as the raw interval predicate
+    * (which Spark would execute as a nested-loop join), same oracle as the
+    * streaming variant; `PlanSpec` asserts the plan is a shuffled
+    * equi-join, not a cartesian/BNLJ.
+    */
+  private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    graft.ops.RangeJoin.intervalJoin(clicks, purchases, "cu", "pu", "cts", "pts",
+        0L, 3600000000L)
+      .groupBy(date_format(col("cts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n_matches"), countDistinct(col("cu")).as("n_users"))
+      .orderBy("hour")
+  }
+
+  /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
+    * salt changes the physical key distribution, never the result, which
+    * is exactly what the oracle checks with a plain join.
+    */
+  private def qSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewJoin.saltedInner(
+        t(spark, dir, "lineitem"), t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "l_orderkey", "o_orderkey", saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), r(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
   private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select("event_id", "user_id", "ts", "event_type")
     // o_orderdate is day-granular: a customer can place several orders the
@@ -970,6 +1001,8 @@ object SparkEntry {
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_join" -> (qStreamingJoin _),
@@ -1221,6 +1254,20 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, 2) orders
         |  ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_range_join" ->
+      """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
+        |       count(*) AS n_matches, count(DISTINCT c.user_id) AS n_users
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_streaming_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |       count(*) AS n

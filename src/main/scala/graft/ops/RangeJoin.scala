@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-aware range (interval) join: left rows matched to right rows with
+  * `tsR` in `[tsL + lower, tsL + upper]` sharing an equi-key.
+  *
+  * Spark's optimizer turns a raw interval predicate into a broadcast
+  * nested-loop (or cartesian) join — O(|L| x |R|) per key and a
+  * non-starter at 100 TB. This operator BUCKETIZES time into
+  * `upper - lower`-wide buckets: the left side explodes to the (at most
+  * two) buckets its interval can touch, the right side lands in exactly
+  * one, and the join becomes a plain shuffled equi-join on (key, bucket)
+  * + a residual filter. Each true pair meets exactly once (the right
+  * row's single bucket appears at most once in the left row's pair), so
+  * no dedup pass is needed.
+  */
+object RangeJoin {
+
+  /** @param lowerUs inclusive lower bound of `tsR - tsL` in microseconds
+    * @param upperUs inclusive upper bound, `upperUs > lowerUs`
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      lowerUs: Long,
+      upperUs: Long): DataFrame = {
+    require(upperUs > lowerUs, "upperUs must exceed lowerUs")
+    val w = upperUs - lowerUs
+    def bucket(c: Column): Column = floor(c / w)
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bkt",
+        explode(array_distinct(array(
+          bucket(col("__lus") + lowerUs), bucket(col("__lus") + upperUs)))))
+    val r = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bkt", bucket(col("__rus")))
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("__bkt") === r("__bkt") &&
+          col("__rus") >= col("__lus") + lowerUs &&
+          col("__rus") <= col("__lus") + upperUs)
+      .drop("__bkt", "__lus", "__rus")
+  }
+}

@@ -102,6 +102,14 @@ class PlanSpec extends SparkSpec {
       s"bucket cap must not sort banded rows: sorts=${sorts.size} windows=${windows.size}")
   }
 
+  test("range join is a shuffled equi-join, not a nested-loop/cartesian") {
+    val p = planStr(SparkEntry.queries("q_range_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketized range join must not fall back to O(n*m):\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n${p.take(800)}")
+  }
+
   test("decontaminate broadcasts the eval-set side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = planStr(graft.ops.Decontaminate.contaminated(
