@@ -622,8 +622,16 @@ object SparkEntry {
     deleteRec(new java.io.File(sinkDir))
     val ckpt = java.nio.file.Files.createTempDirectory("graft_join_ckpt").toString
     val schema = spark.read.parquet(srcDir).schema
+    // 4 files/trigger -> 2 data batches: cross-batch matching is exercised
+    // (click in batch 1, purchase in batch 2) without paying per-batch
+    // state-store commit overhead 4 more times. The stateful operator's
+    // partition count is fixed at query start from shuffle.partitions; a
+    // stream-stream join keeps 4 state stores per partition, so cap it —
+    // at real scale this is sized to executor count, not left at default.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     def src() = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      .option("maxFilesPerTrigger", "4").parquet(srcDir)
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
@@ -640,7 +648,10 @@ object SparkEntry {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(300000)) {
+    val finished =
+      try q.awaitTermination(300000)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    if (!finished) {
       q.stop()
       throw new IllegalStateException("[graft] q_streaming_join drain timed out after 300 s")
     }
