@@ -626,10 +626,11 @@ object SparkEntry {
     // (click in batch 1, purchase in batch 2) without paying per-batch
     // state-store commit overhead 4 more times. The stateful operator's
     // partition count is fixed at query start from shuffle.partitions; a
-    // stream-stream join keeps 4 state stores per partition, so cap it —
-    // at real scale this is sized to executor count, not left at default.
+    // stream-stream join keeps 4 state stores per partition, so CAP it at 8
+    // (never raise — Bench runs with fewer) — at real scale this is sized
+    // to executor count, not left at default.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val capped = math.min(prevShuffle.toInt, 8).toString
     def src() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "4").parquet(srcDir)
     val clicks = src().filter(col("event_type") === "click")
@@ -641,18 +642,21 @@ object SparkEntry {
     val matches = clicks.join(purchases,
       col("cu") === col("pu") &&
         col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
-    val q = matches.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // the override lives inside one try/finally so ANY failure — plan
+    // analysis, start(), or the drain — restores the session conf
     val finished =
-      try q.awaitTermination(300000)
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", capped)
+        val q = matches.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(sinkDir)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000)) { q.stop(); false } else true
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     if (!finished) {
-      q.stop()
       throw new IllegalStateException("[graft] q_streaming_join drain timed out after 300 s")
     }
     if (!new java.io.File(sinkDir).exists())
@@ -733,7 +737,7 @@ object SparkEntry {
     */
   private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val truth = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val (truth, posts) = Dedup.shingleJaccardPairsWithPostings(docs, "doc_id", "text", 3, 0.8)
     // simhash banded candidates
     val fp = spread(docs)
       .select(col("doc_id"),
@@ -750,10 +754,15 @@ object SparkEntry {
       .withColumn("hamming", bit_count(col("fpA").bitwiseXOR(col("fpB"))))
       .filter(col("hamming") <= 8)
       .select(col("idA"), col("idB"), lit(1).as("__hit"))
-    truth.join(simCand, Seq("idA", "idB"), "left")
+    // materialize the 1-row aggregate eagerly so the postings cache is
+    // released per run instead of accumulating across bench iterations
+    val out = truth.join(simCand, Seq("idA", "idB"), "left")
       .agg(count(lit(1)).as("n_true_pairs"), r(avg("jaccard"), 3).as("avg_j"),
         (sum(coalesce(col("__hit"), lit(0))).cast("double") /
           count(lit(1)).cast("double") >= 0.9).as("simhash_recall_ok"))
+      .localCheckpoint(true)
+    posts.unpersist(blocking = false)
+    out
   }
 
   private def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {

@@ -83,11 +83,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // Shingling+hashing is CPU-bound: spread a small (few-file) input over
-    // all cores before it — at cluster scale the input already has enough
-    // splits and this is a no-op.
-    val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // all cores before it.
+    val spread = spreadDf(df)
     // Signatures are used three times (banding + both sides of the pair
     // join); persist so the shingle/hash pipeline runs exactly once. At
     // cluster scale this is the "checkpoint the signatures" step — 64
@@ -194,6 +191,38 @@ object Dedup {
       .select("idA", "idB", "jaccard")
   }
 
+  /** Spread a small (few-partition) input across all cores before
+    * CPU-heavy per-row work; a no-op once inputs have enough splits.
+    */
+  private def spreadDf(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Shared inverted-index Jaccard assembly over a postings list
+    * `(__id, postingCols...)`: per-doc set sizes, a<b self-join on the
+    * posting key for intersections, |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    * Serves both the token variant (posting key = block+token) and the
+    * shingle variant (posting key = shingle hash).
+    */
+  private def invertedIndexJaccard(
+      posts: DataFrame, postingCols: Seq[String], threshold: Double): DataFrame = {
+    val counts = posts.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = posts.alias("a")
+      .join(posts.alias("b"),
+        postingCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(counts.select(col("__id").as("idA"), col("__n").as("__nA")), "idA")
+      .join(counts.select(col("__id").as("idB"), col("__n").as("__nB")), "idB")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__nA") + col("__nB") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
   /** EXACT shingle-set Jaccard >= threshold over ALL pairs, via a hashed
     * shingle inverted-index join — no LSH, no candidates, no misses. Docs
     * only meet if they share a shingle, and n-token shingles are rare
@@ -208,24 +237,26 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spreadDf = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val sh = spreadDf.select(col(idCol).as("__id"),
+      threshold: Double = 0.8): DataFrame =
+    shingleJaccardPairsWithPostings(df, idCol, textCol, shingleN, threshold)._1
+
+  /** Like [[shingleJaccardPairs]] but returns the PERSISTED postings
+    * DataFrame too: the postings feed the self-join and the per-doc size
+    * aggregate (different shuffle keys, so without the persist the whole
+    * tokenize+hash+explode pipeline runs twice); callers unpersist after
+    * their terminal action — same contract as
+    * [[minhashCandidatePairsWithSignatures]].
+    */
+  def shingleJaccardPairsWithPostings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val posts = spreadDf(df).select(col(idCol).as("__id"),
       explode(array_distinct(graft.functions.HashedShingles(col(textCol), shingleN))).as("__h"))
-    val counts = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val inter = sh.alias("a")
-      .join(sh.alias("b"),
-        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
-      .agg(count(lit(1)).as("__i"))
-    inter
-      .join(counts.select(col("__id").as("idA"), col("__n").as("__nA")), "idA")
-      .join(counts.select(col("__id").as("idB"), col("__n").as("__nB")), "idB")
-      .withColumn("jaccard",
-        col("__i").cast("double") / (col("__nA") + col("__nB") - col("__i")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("idA", "idB", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (invertedIndexJaccard(posts, Seq("__h"), threshold), posts)
   }
 
   /** Exact token-set Jaccard over all same-`blockCol` pairs via the
@@ -249,9 +280,7 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val allToks = spread.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+    val allToks = spreadDf(df).select(col(blockCol).as("__blk"), col(idCol).as("__id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("__tok"))
     val toks = if (maxDf == Long.MaxValue) allToks else {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -263,19 +292,6 @@ object Dedup {
       allToks.join(dfreq.filter(col("__df") <= maxDf).select("__blk", "__tok"),
         Seq("__blk", "__tok"))
     }
-    val counts = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val inter = toks.alias("a")
-      .join(toks.alias("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__tok") === col("b.__tok") &&
-          col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("idA"), col("b.__id").as("idB"))
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(counts.select(col("__id").as("idA"), col("__n").as("__nA")), "idA")
-      .join(counts.select(col("__id").as("idB"), col("__n").as("__nB")), "idB")
-      .withColumn("jaccard",
-        col("__inter").cast("double") / (col("__nA") + col("__nB") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("idA", "idB", "jaccard")
+    invertedIndexJaccard(toks, Seq("__blk", "__tok"), threshold)
   }
 }

@@ -32,7 +32,12 @@ object RangeJoin {
       upperUs: Long): DataFrame = {
     require(upperUs > lowerUs, "upperUs must exceed lowerUs")
     val w = upperUs - lowerUs
-    def bucket(c: Column): Column = floor(c / w)
+    // bucket identity = the bucket's START (floor(c/w)*w), computed as
+    // c - pmod(c, w): pure LONG arithmetic, exact for any sign. A
+    // `floor(c / w)` quotient would divide as double and can misplace a
+    // bucket once |c| exceeds 2^53 — the same hazard the ns->us paths
+    // avoid with integer `div`.
+    def bucket(c: Column): Column = c - pmod(c, lit(w))
     val l = left
       .withColumn("__lus", unix_micros(col(leftTs)))
       .withColumn("__bkt",
