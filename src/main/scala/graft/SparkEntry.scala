@@ -455,6 +455,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
       .orderBy("k_bucket")
 
+  /** FORWARD as-of join ([[AsOfJoin.forward]] — the backward twin's
+    * reversed window): each click attaches the same user's next purchase
+    * at-or-after it. Oracle: DuckDB ASOF with `<=`.
+    */
+  private def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    AsOfJoin.forward(clicks, purchases, "user_id", "pu", "ts", "pts", Seq("pts"))
+      .agg(count(lit(1)).as("n_clicks"), count(col("pts")).as("n_matched"),
+        r(avg((unix_micros(col("pts")) - unix_micros(col("ts"))) / lit(1e6)), 2)
+          .as("avg_gap_s"))
+  }
+
   /** Batch range (interval) join through [[graft.ops.RangeJoin]]'s
     * bucketized equi-join — same semantics as the raw interval predicate
     * (which Spark would execute as a nested-loop join), same oracle as the
@@ -899,6 +914,21 @@ object SparkEntry {
           max(abs(element_at(col("feature"), 1))) <= 256.0).as("features_ok"))
   }
 
+  /** Video-style frame sampling through the `mapPartitions` plumbing: 4
+    * evenly spaced byte-range "frames" per payload. Offsets/lengths are
+    * integer arithmetic and the per-frame digest is sha256 over the byte
+    * range — documents are ASCII, so the oracle reproduces every column
+    * (including digests) in SQL.
+    */
+  private def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBinary(spread(t(spark, dir, "documents")), "text")
+      .select(col("doc_id").as("id"), col("content"))
+    Multimodal.sampleFrames(spark, media, nFrames = 4).toDF()
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("length").cast("long")).as("total_len"),
+        countDistinct(col("sha8")).as("n_digests"))
+  }
+
   /** Capstone: the end-to-end training-data pipeline shape — quality
     * filter, then exact dedup (keep min doc_id per normalized-text
     * fingerprint), then per-language corpus stats. Every stage is the
@@ -1021,6 +1051,7 @@ object SparkEntry {
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_range_join" -> (qRangeJoin _),
     "q_skew_join" -> (qSkewJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
@@ -1042,6 +1073,7 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -1274,6 +1306,12 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, 2) orders
         |  ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_forward" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_clicks, count(pts) AS n_matched,
+        |       floor(avg((epoch_us(pts) - epoch_us(ts)) / 1000000.0) * 100 + 0.5) / 100 AS avg_gap_s
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.pts""".stripMargin,
     "q_range_join" ->
       """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
         |       count(*) AS n_matches, count(DISTINCT c.user_id) AS n_users
@@ -1492,6 +1530,19 @@ object SparkEntry {
          |c AS (SELECT DISTINCT sh.doc_id FROM sh JOIN es ON sh.s = es.s AND sh.doc_id <> es.eid)
          |SELECT count(*) AS n_contaminated,
          |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_ids FROM c""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT text, strlen(text) AS L FROM documents),
+        |f AS (SELECT text, L, greatest(1, least(4, L)) AS n FROM d),
+        |g AS (SELECT text, L, n, greatest(1, L // n) AS step FROM f),
+        |fr AS (SELECT text, L, step, unnest(range(n)) AS fi FROM g),
+        |fx AS (
+        |  SELECT least(step, L - fi * step) AS len,
+        |         substr(sha256(substr(text, CAST(fi * step + 1 AS BIGINT),
+        |                              CAST(least(step, L - fi * step) AS BIGINT))), 1, 8) AS sha8
+        |  FROM fr)
+        |SELECT count(*) AS n_frames, CAST(sum(len) AS BIGINT) AS total_len,
+        |       count(DISTINCT sha8) AS n_digests
+        |FROM fx""".stripMargin,
     "q_embed_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -50,4 +50,39 @@ object AsOfJoin {
     }
     expanded.filter(col("__isLeft") === 1).drop("__k", "__t", "__isLeft", "__vals")
   }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * with the same key and `rightTime >= leftTime`. Same single-shuffle
+    * union+window shape as [[backward]], with the window reversed: rows
+    * sort descending in time (right rows first at equal times so `>=`
+    * holds) and each left row picks up the running "nearest future right
+    * values".
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+    val r = right.select(
+      (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__isLeft") +:
+        valueCols.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // DESC time; right rows (tag 0) first at the same __t → ">=" holds
+    val w = Window.partitionBy("__k").orderBy(col("__t").desc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = unioned.withColumn("__vals",
+      when(col("__isLeft") === 0, struct(valueCols.map(col): _*)))
+    val filled = packed.withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+    val expanded = valueCols.foldLeft(filled) { (df, v) =>
+      df.withColumn(v, col("__vals").getField(v))
+    }
+    expanded.filter(col("__isLeft") === 1).drop("__k", "__t", "__isLeft", "__vals")
+  }
 }

@@ -99,6 +99,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", 101.0), ("t3", null), ("t2", 102.0)))
   }
 
+  test("as-of join forward: earliest right row at-or-after each left time") {
+    val trades = Seq((1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1, 5, 100.0), (1, 10, 101.0), (1, 18, 102.0), (2, 9, 999.0))
+      .toDF("k", "qt", "px")
+    val out = AsOfJoin.forward(trades, quotes, "k", "k", "t", "qt", Seq("px"))
+      .orderBy("t").collect().map(r => (r.getAs[String]("trade"), r.getAs[Any]("px")))
+    // t1@10 -> quote@10 (>=, equal time matches); t2@20 -> none after; t3@15 -> none for k=2
+    assert(out.toSeq == Seq(("t1", 101.0), ("t3", null), ("t2", null)))
+  }
+
   test("as-of join does not stitch value columns from different right rows") {
     val left = Seq((1, 30)).toDF("k", "t")
     val right = Seq((1, 10, Some(5.0), None: Option[Double]), (1, 20, None, Some(7.0)))
