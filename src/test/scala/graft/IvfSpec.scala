@@ -57,6 +57,20 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVF search accepts models with non-contiguous cell ids") {
+    // a caller may drop empty cells from a trained model; positions map
+    // back to the surviving cell ids
+    val m8 = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8, iterations = 2)
+    val sparse = IvfIndex.Model(m8.centroids.zipWithIndex.collect {
+      case ((_, c), i) if i % 2 == 0 => (i * 3 + 1, c) // ids 1,7,13,19
+    })
+    val out = IvfIndex.search(sparse, emb, queries, "vec_id", "embedding", 3, nProbe = 4)
+      .collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)))
+  }
+
   test("IVF search output shape: k ranked rows per query, no self-matches") {
     val model = IvfIndex.train(emb, "vec_id", "embedding", nLists = 4, iterations = 2)
     val out = IvfIndex.search(model, emb, queries, "vec_id", "embedding", 3, nProbe = 4)
