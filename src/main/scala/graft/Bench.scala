@@ -2,10 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query n times (default 3) against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Per-query time is the MIN
-  * across runs (the first run pays one-time /tmp sink synthesis, JIT, and
-  * shuffle-file warmup; min measures the query); `value` is the sum of
-  * per-query mins, `median_total` the sum of medians.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (also written to
+  * `bench_out.json` so a harness that captures mixed stdout can read the
+  * metric from a file). Per-query time is the MIN across SUCCESSFUL runs
+  * (the first run pays one-time /tmp sink synthesis, JIT, and shuffle-file
+  * warmup; min measures the query); `value` is the sum of per-query mins,
+  * `median_total` the sum of medians.
+  *
+  * Failure accounting: a run that crashes contributes NO time sample — a
+  * fast crash must never lower a query's reported min. A query with at
+  * least one failed run is flagged in `flaky`; one with NO successful run
+  * is flagged in `failed`, reported as -1 in `queries`, and charged its
+  * slowest failure time in the totals (a query that starts crashing must
+  * never make the headline total decrease).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,27 +32,41 @@ object Bench {
     // filesystem metadata) so per-query numbers measure the queries
     SparkEntry.entry(spark).count()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
-    val failedRuns = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val okTimes = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val failTimes = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 0 until n; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => failedRuns(name) += 1 }
-      // time-to-failure is charged too: a query that starts crashing must
-      // never make the headline total DECREASE (it is flagged, not dropped)
-      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) okTimes(name) = okTimes(name) :+ dt
+      else failTimes(name) = failTimes(name) :+ dt
     }
-    def min(xs: List[Double]): Double = xs.min
     def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val failed = names.map(_._1).filter(k => failedRuns(k) == n)
-    val mins = names.map { case (k, _) => k -> min(times(k)) }
-    val qs = mins.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (failed.contains(k)) -1.0 else v)
+    val failed = names.map(_._1).filter(k => okTimes(k).isEmpty)
+    val flaky = names.map(_._1).filter(k => failTimes(k).nonEmpty && okTimes(k).nonEmpty)
+    // charged time: min of successes; all-failed queries charge their
+    // SLOWEST failure (conservative — see scaladoc)
+    def charge(k: String): Double =
+      if (okTimes(k).nonEmpty) okTimes(k).min else failTimes(k).max
+    def chargeMedian(k: String): Double =
+      if (okTimes(k).nonEmpty) median(okTimes(k)) else failTimes(k).max
+    val qs = names.map { case (k, _) =>
+      s"\"" + k + "\":" + (if (okTimes(k).isEmpty) -1.0 else okTimes(k).min)
     }.mkString("{", ",", "}")
-    val total = mins.map(_._2).sum
-    val medianTotal = names.map { case (k, _) => median(times(k)) }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$n,"median_total":$medianTotal,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = names.map { case (k, _) => charge(k) }.sum
+    val medianTotal = names.map { case (k, _) => chargeMedian(k) }.sum
+    def strList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$n,"median_total":$medianTotal,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfDir"}"""
+    // the metric both ways: sole stdout line AND a file, so a harness that
+    // captures interleaved stdout (sbt banners, GC logs) still parses it
+    try {
+      val w = new java.io.PrintWriter("bench_out.json", "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Exception => () }
+    println(json)
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{RollingHashFingerprint, SimHash64, TextFunctions => TF}
+import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
 import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
@@ -753,21 +753,10 @@ object SparkEntry {
   private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val (truth, posts) = Dedup.shingleJaccardPairsWithPostings(docs, "doc_id", "text", 3, 0.8)
-    // simhash banded candidates
-    val fp = spread(docs)
-      .select(col("doc_id"),
-        SimHash64(graft.functions.TokenizeWords(col("text"))).as("fp"))
-    val banded = fp.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 8).map(b =>
-        shiftrightunsigned(col("fp"), b * 8).bitwiseAND(lit(0xffL))): _*))
-        .as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("idA"), col("fp").as("fpA"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("idB"), col("fp").as("fpB"))
-    val simCand = a.join(b, Seq("band", "bkey"))
-      .filter(col("idA") < col("idB"))
-      .select("idA", "idB", "fpA", "fpB").dropDuplicates("idA", "idB")
-      .withColumn("hamming", bit_count(col("fpA").bitwiseXOR(col("fpB"))))
-      .filter(col("hamming") <= 8)
+    // banded simhash candidates via the capped operator (8 x 8-bit bands,
+    // hamming <= 8; degenerate buckets bounded — Dedup.simhashCandidatePairs)
+    val simCand = Dedup.simhashCandidatePairs(docs, "doc_id", "text",
+        bands = 8, maxHamming = 8)
       .select(col("idA"), col("idB"), lit(1).as("__hit"))
     // materialize the 1-row aggregate eagerly so the postings cache is
     // released per run instead of accumulating across bench iterations

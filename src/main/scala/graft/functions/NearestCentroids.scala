@@ -65,10 +65,20 @@ object NearestCentroids {
     var ci = 0
     while (ci < n) {
       val c = cents(ci)
-      val dim = math.min(v.numElements(), c.length)
+      // Malformed inputs rank LAST instead of yielding a plausible-looking
+      // partial distance: a dimension mismatch or a null vector element gets
+      // distance +Infinity (the old aggregate(zip_with) path made these
+      // null; Infinity keeps them out of the top-k the same way).
       var d = 0.0
-      var i = 0
-      while (i < dim) { val t = v.getDouble(i) - c(i); d += t * t; i += 1 }
+      if (v.numElements() != c.length) d = Double.PositiveInfinity
+      else {
+        var i = 0
+        while (i < c.length && !java.lang.Double.isInfinite(d)) {
+          if (v.isNullAt(i)) d = Double.PositiveInfinity
+          else { val t = v.getDouble(i) - c(i); d += t * t }
+          i += 1
+        }
+      }
       // NaN distance (corrupt centroid/vector) must rank LAST, as the old
       // array_sort path ordered it; with strict `<` insertion a raw NaN
       // would instead wedge into the buffer and block finite candidates

@@ -214,7 +214,12 @@ object LogStreamIndexOffset {
     if (t.startsWith("[")) LogStreamOffset(LogMicroBatchStream.fromJson(t))
     else {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      LogStreamIndexOffset(m.readTree(t).get("index").asLong())
+      val node = m.readTree(t).get("index")
+      if (node == null || !node.canConvertToLong) {
+        throw new IllegalArgumentException(
+          s"[log] malformed stream offset JSON (expected {\"index\":<long>} or a path array): $json")
+      }
+      LogStreamIndexOffset(node.asLong())
     }
   }
 }

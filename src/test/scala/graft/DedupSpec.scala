@@ -124,6 +124,32 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == direct)
   }
 
+  test("simhashCandidatePairs finds the dup cluster with correct hamming") {
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0) // identical text, identical fingerprint
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 12) // near-dup
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
+  }
+
+  test("simhashCandidatePairs bucket cap bounds a duplicate-flooded corpus") {
+    // 400 identical docs: every band bucket holds all 400 → without the cap
+    // the self-join materializes ~80k pairs per band; with maxBucketSize=100
+    // every bucket is dropped and the operator completes with zero pairs
+    // (the documented coverage bound — a flood IS the degenerate case).
+    val flood = spark.range(400)
+      .select($"id".as("doc_id"),
+        lit("identical duplicate text repeated across the whole corpus").as("text"))
+    val capped = Dedup.simhashCandidatePairs(flood, "doc_id", "text",
+      maxBucketSize = 100)
+    assert(capped.count() == 0)
+    // and the cap leaves normal-sized buckets untouched
+    val uncapped = Dedup.simhashCandidatePairs(docs, "doc_id", "text",
+      maxHamming = 12, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 4L)))
+  }
+
   test("nearDedup keeps the min id of each duplicate cluster, drops the rest") {
     val out = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
       s"bucket cap must not sort banded rows: sorts=${sorts.size} windows=${windows.size}")
   }
 
+  test("simhash candidate plan: bucket cap is sort-free in the logical plan") {
+    // same invariant as the minhash cap: hash-aggregate + anti-join, never a
+    // window/sort over the banded rows
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val sorts = plan.collect { case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(sorts.isEmpty && windows.isEmpty,
+      s"bucket cap must not sort banded rows: sorts=${sorts.size} windows=${windows.size}")
+  }
+
   test("range join is a shuffled equi-join, not a nested-loop/cartesian") {
     val p = planStr(SparkEntry.queries("q_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
