@@ -47,6 +47,12 @@ object Similarity {
     * buckets vectors by an `nPlanes`-bit signature; a corpus vector is a
     * candidate for a query if they share a bucket in ANY table. Candidates
     * are then exactly scored and top-k'd — same output shape as brute force.
+    *
+    * SINGLE-PASS bucketing: all `tables` bucket ids are computed in one
+    * [[graft.functions.LshBuckets]] codegen expression and `posexplode`d to
+    * (table, bucket) rows, so the corpus is scanned ONCE and joined ONCE on
+    * (table, bucket) — the earlier per-table union re-scanned the corpus
+    * `tables` times, the dominant avoidable cost of this operator at 100 TB.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -60,15 +66,19 @@ object Similarity {
       seed: Long = 7L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+    // same plane tensor the per-table formulation used: table t = seed + t
+    val planes = (0 until tables).map(t => hyperplanes(seed + t, nPlanes, dim)).toArray
 
-    val bucketed = (0 until tables).map { t =>
-      val planes = hyperplanes(seed + t, nPlanes, dim)
-      val cb = c.withColumn("__t", lit(t)).withColumn("__bucket", lshBucket(col("__cv"), planes))
-      val qb = q.withColumn("__t", lit(t)).withColumn("__bucket", lshBucket(col("__qv"), planes))
-      cb.join(broadcast(qb), Seq("__t", "__bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__cv", "__qv")
-    }.reduce(_ unionAll _)
+    // bucket -1 marks malformed vectors (wrong dim / null element) — drop
+    // those rows so they candidate with nothing, not with each other
+    def bucketRows(df: DataFrame, vec: String) = df.select(col("*"),
+      posexplode(graft.functions.LshBuckets(col(vec), planes)).as(Seq("__t", "__bucket")))
+      .filter(col("__bucket") =!= -1)
+
+    val bucketed = bucketRows(c, "__cv")
+      .join(broadcast(bucketRows(q, "__qv")), Seq("__t", "__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "__cv", "__qv")
 
     val candidates = bucketed.dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosineSimilarity(col("__cv"), col("__qv")))

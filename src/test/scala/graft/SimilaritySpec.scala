@@ -52,4 +52,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(run() == run())
   }
+
+  test("LshBuckets one-pass expression equals the per-table lshBucket composition") {
+    import graft.functions.VectorFunctions.{hyperplanes, lshBucket, toDoubleArray}
+    val tables = 4
+    val planes = (0 until tables).map(t => hyperplanes(7L + t, 6, 64)).toArray
+    val v = emb.select(toDoubleArray(col("embedding")).as("v"))
+    val fused = v.select(graft.functions.LshBuckets(col("v"), planes).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    val composed = v.select(array(planes.map(p => lshBucket(col("v"), p)).toSeq: _*).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    assert(fused.toSeq == composed.toSeq)
+  }
+
+  test("lshTopK scans the corpus ONCE regardless of table count") {
+    // the round-2 formulation unioned one corpus scan per hash table (16
+    // scans at tables=16); single-pass bucketing must leave exactly two
+    // parquet scans in the whole physical plan: corpus + queries
+    val out = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, nPlanes = 4, tables = 16)
+    out.collect() // finalize AQE
+    // count scans in the FINAL adaptive plan only (the string also repeats
+    // the initial plan after "== Initial Plan ==")
+    val finalPlan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nScans = "FileScan parquet".r.findAllIn(finalPlan).length
+    assert(nScans == 2, s"expected 2 parquet scans (corpus+queries), got $nScans in:\n$finalPlan")
+  }
 }
