@@ -226,6 +226,44 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** In-reader predicate pushdown (SURVEY.md §4.1 optional item, now
+    * implemented): both conjuncts are claimed by the scan, evaluated inside
+    * [[graft.log.LineParser]] before row materialization — non-qualifying
+    * lines never become rows. Result identical to Catalyst filtering (the
+    * oracle proves it); `LogPushdownSpec`/`PlanSpec` assert the plan shape.
+    */
+  private def qLogPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "plain")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .load(path)
+      .filter(col("event_type") === "click" && col("user_id") < 500)
+      .groupBy((col("user_id") % 10).cast("long").as("user_bucket"))
+      .agg(count(lit(1)).as("n"), r(sum("value"), 2).as("sum_value"))
+      .orderBy("user_bucket")
+  }
+
+  /** DROPMALFORMED mode (CSV-parity third mode, beyond-reference): corrupt
+    * lines are dropped by the reader instead of routed to
+    * `unmatched_lines`; the oracle keeps exactly the non-corrupt events.
+    */
+  private def qLogDropMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "mixed")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .option("mode", "DROPMALFORMED")
+      .load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------ relational surface §2B
 
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
@@ -1013,6 +1051,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_parse_agg" -> (qLogParseAgg _),
+    "q_log_pushdown" -> (qLogPushdown _),
+    "q_log_dropmalformed" -> (qLogDropMalformed _),
     "q_log_unmatched" -> (qLogUnmatched _),
     "q_log_typed_dates" -> (qLogTypedDates _),
     "q_log_timestamp" -> (qLogTimestamp _),
@@ -1121,6 +1161,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value,
         |       max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_log_pushdown" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS n,
+        |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value
+        |FROM events WHERE event_type = 'click' AND user_id < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_log_dropmalformed" ->
+      """SELECT event_type, count(*) AS n,
+        |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_log_unmatched" ->
       """SELECT count(*) FILTER (WHERE event_type <> 'error') AS n_matched,
         |       count(*) FILTER (WHERE event_type = 'error') AS n_unmatched

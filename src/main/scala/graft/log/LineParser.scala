@@ -8,76 +8,151 @@ import java.util.Locale
 import org.apache.spark.SparkException
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Pure `(line: String) => InternalRow` implementing the reference scan's
   * per-row pipeline (SURVEY.md §2A #3-#13): regex match (one `find()` per
   * line, unanchored — `LogRecordReader.java:224-225`), per-group typed
-  * coercion, and matched/unmatched routing into `unmatched_lines`
-  * (`LogRecordReader.java:283-292`).
+  * coercion, matched/unmatched routing into `unmatched_lines`
+  * (`LogRecordReader.java:283-292`), and in-reader evaluation of pushed
+  * predicates. Returns `null` for a line the scan must not emit
+  * (DROPMALFORMED drop, or a pushed filter rejecting the row).
   *
   * Only the columns in `required` are extracted and converted — real
   * projection pruning, unlike the reference which converts every group and
   * lets the host trim downstream (`LogFormatPlugin.java:76-79`,
-  * SURVEY.md §2A #16).
+  * SURVEY.md §2A #16). Two things widen that set deliberately:
+  * filter-referenced columns (a pushed predicate may reference a column the
+  * query never projects) and, in DROPMALFORMED mode, EVERY declared field —
+  * a line dropped under `select(*)` must also be dropped under `count(*)`,
+  * so malformedness cannot depend on projection.
+  *
+  * `filters` must each pass [[LineParser.supportedFilter]] — the ScanBuilder
+  * only claims those, and claiming means Catalyst removes its own copy, so
+  * evaluation here must match Catalyst semantics exactly (null compare =
+  * unknown = drop; double/float total order with NaN greatest; -0.0 == 0.0).
   */
-final class LineParser(opts: LogOptions, required: StructType) extends Serializable {
+final class LineParser(
+    opts: LogOptions,
+    required: StructType,
+    filters: Seq[Filter] = Nil) extends Serializable {
 
-  // (requiredRowOrdinal, captureGroupIndex(1-based), dataTypeName)
-  private val fieldSlots: Array[(Int, Int, String)] =
+  // every filter-referenced column gets a slot in the `fvals` buffer,
+  // filled during conversion (cheaper than re-reading the InternalRow)
+  private val filterSlotOf: Map[String, Int] =
+    filters.flatMap(_.references).distinct.zipWithIndex.toMap
+
+  // (requiredRowOrdinal, captureGroupIndex(1-based), dataTypeName, filterSlot|-1)
+  private val fieldSlots: Array[(Int, Int, String, Int)] =
     required.fields.iterator.zipWithIndex.collect {
       case (f, ord) if f.name != LogOptions.UnmatchedCol =>
         val gi = opts.fieldNames.indexOf(f.name)
         require(gi >= 0, s"[log] required column '${f.name}' not in fieldNames")
-        (ord, gi + 1, opts.dataTypes(gi))
+        (ord, gi + 1, opts.dataTypes(gi), filterSlotOf.getOrElse(f.name, -1))
     }.toArray
+
+  // declared fields NOT in `required` that must still be converted: pushed
+  // filters may reference them; DROPMALFORMED validates all of them
+  private val extraSlots: Array[(Int, String, Int)] = {
+    val inRequired = required.fieldNames.toSet
+    opts.fieldNames.zipWithIndex.collect {
+      case (n, gi) if !inRequired(n) && (opts.dropMalformed || filterSlotOf.contains(n)) =>
+        (gi + 1, opts.dataTypes(gi), filterSlotOf.getOrElse(n, -1))
+    }.toArray
+  }
 
   private val unmatchedOrdinal: Int =
     required.fields.indexWhere(_.name == LogOptions.UnmatchedCol)
+  private val unmatchedFilterSlot: Int =
+    filterSlotOf.getOrElse(LogOptions.UnmatchedCol, -1)
 
   private val numFields = required.length
 
-  // A count(*)-style scan in PERMISSIVE mode needs no regex work at all:
-  // every non-blank line is exactly one row regardless of match.
-  private val needsMatch = fieldSlots.nonEmpty || unmatchedOrdinal >= 0 || opts.failFast
+  // A count(*)-style scan in plain PERMISSIVE mode needs no regex work at
+  // all: every non-blank line is exactly one row regardless of match. Any
+  // strict mode or pushed filter disables the shortcut.
+  private val needsMatch = fieldSlots.nonEmpty || extraSlots.nonEmpty ||
+    unmatchedOrdinal >= 0 || opts.failFast || opts.dropMalformed || filters.nonEmpty
 
   @transient private lazy val matcher = opts.compiledPattern.matcher("")
   @transient private lazy val dateFmt: DateTimeFormatter =
     DateTimeFormatter.ofPattern(opts.dateFormat, Locale.US)
   @transient private lazy val timeFmt: DateTimeFormatter =
     DateTimeFormatter.ofPattern(opts.timeFormat, Locale.US)
+  @transient private lazy val preds: Array[Array[Any] => Boolean] =
+    filters.map(LineParser.compile(_, filterSlotOf)).toArray
+  // one parser per partition reader (single-threaded): reuse the buffer
+  @transient private lazy val fvals = new Array[Any](filterSlotOf.size)
 
-  /** Parse one non-blank line into the required row. Throws in FAILFAST mode
-    * on unmatched lines or unconvertible values; never throws in PERMISSIVE.
+  /** Parse one non-blank line into the required row; `null` means the line
+    * is not emitted (DROPMALFORMED or a pushed filter). Throws in FAILFAST
+    * mode on unmatched lines or unconvertible values.
     */
   def parse(line: String): InternalRow = {
     val row = new GenericInternalRow(numFields)
     if (!needsMatch) return row
+    var s = 0
+    while (s < fvals.length) { fvals(s) = null; s += 1 }
     matcher.reset(line)
     if (matcher.find()) { // unanchored find(), LRR:225 — do not anchor
       var i = 0
       while (i < fieldSlots.length) {
-        val (ord, group, dt) = fieldSlots(i)
+        val (ord, group, dt, fslot) = fieldSlots(i)
         val raw = matcher.group(group)
         // Divergence (SURVEY.md §7.4): unparticipating optional group → NULL,
         // not "" (reference: LRR:234-236 coerces to "" which crashes numeric
-        // parsing fatally even in tolerant mode).
+        // parsing fatally even in tolerant mode). NULL is not malformed.
         if (raw != null) {
-          try row.update(ord, convert(raw, dt))
-          catch {
-            case e: Exception if !opts.failFast => row.update(ord, null) // tolerant: LRR:249-255 semantics
-            case e: Exception =>
+          try {
+            val v = convert(raw, dt)
+            row.update(ord, v)
+            if (fslot >= 0) fvals(fslot) = v
+          } catch {
+            case e: Exception if opts.failFast =>
               throw new SparkException(
                 s"[log] FAILFAST: cannot convert '$raw' to $dt in line: $line", e)
+            case _: Exception if opts.dropMalformed => return null
+            case _: Exception => () // tolerant: NULL, LRR:249-255 semantics
           }
         }
         i += 1
       }
+      var j = 0
+      while (j < extraSlots.length) {
+        val (group, dt, fslot) = extraSlots(j)
+        val raw = matcher.group(group)
+        if (raw != null) {
+          try {
+            val v = convert(raw, dt)
+            if (fslot >= 0) fvals(fslot) = v
+          } catch {
+            case e: Exception if opts.failFast =>
+              throw new SparkException(
+                s"[log] FAILFAST: cannot convert '$raw' to $dt in line: $line", e)
+            case _: Exception if opts.dropMalformed => return null
+            case _: Exception => ()
+          }
+        }
+        j += 1
+      }
     } else if (opts.failFast) {
       throw new SparkException(s"[log] FAILFAST: line does not match pattern '${opts.pattern}': $line") // LRR:284-285
-    } else if (unmatchedOrdinal >= 0) {
-      row.update(unmatchedOrdinal, UTF8String.fromString(line)) // LRR:287-290
+    } else if (opts.dropMalformed) {
+      return null
+    } else {
+      if (unmatchedOrdinal >= 0) {
+        row.update(unmatchedOrdinal, UTF8String.fromString(line)) // LRR:287-290
+      }
+      if (unmatchedFilterSlot >= 0) fvals(unmatchedFilterSlot) = UTF8String.fromString(line)
+    }
+    // matched and unmatched rows alike run the pushed predicates — exactly
+    // the rows Catalyst's own Filter above the scan would have seen
+    var k = 0
+    while (k < preds.length) {
+      if (!preds(k)(fvals)) return null
+      k += 1
     }
     row
   }
@@ -100,5 +175,109 @@ final class LineParser(opts: LogOptions, required: StructType) extends Serializa
       val t = LocalTime.from(timeFmt.parse(raw))
       java.lang.Integer.valueOf(t.toSecondOfDay * 1000 + t.getNano / 1000000)
     case _ => UTF8String.fromString(raw) // VARCHAR / unknown: LRR:276-281, no 4 KB limit
+  }
+}
+
+object LineParser {
+
+  /** Whether a Catalyst source filter can be fully evaluated in the reader.
+    * Conservative by design: comparison/IN only on INT/DOUBLE/FLOAT/string
+    * columns (DATE/TIMESTAMP literals arrive as external objects whose
+    * conversion rules are not worth replicating — they stay residual),
+    * null-tests on any column, string prefix/suffix/contains on strings.
+    * TIME columns surface as IntegerType (millis-of-day), so integer
+    * comparisons on them are already exact.
+    */
+  def supportedFilter(f: Filter, opts: LogOptions): Boolean = {
+    def typeOf(name: String): Option[DataType] =
+      if (name == LogOptions.UnmatchedCol) Some(StringType)
+      else {
+        val gi = opts.fieldNames.indexOf(name)
+        if (gi < 0) None else Some(opts.sparkType(opts.dataTypes(gi)))
+      }
+    def cmpOk(name: String, v: Any): Boolean = typeOf(name).exists {
+      case IntegerType => v.isInstanceOf[java.lang.Integer]
+      case DoubleType  => v.isInstanceOf[java.lang.Double]
+      case FloatType   => v.isInstanceOf[java.lang.Float]
+      case StringType  => v.isInstanceOf[String]
+      case _           => false
+    }
+    def strOk(name: String, v: String): Boolean =
+      v != null && typeOf(name).contains(StringType)
+    f match {
+      case EqualTo(a, v)            => cmpOk(a, v)
+      case GreaterThan(a, v)        => cmpOk(a, v)
+      case GreaterThanOrEqual(a, v) => cmpOk(a, v)
+      case LessThan(a, v)           => cmpOk(a, v)
+      case LessThanOrEqual(a, v)    => cmpOk(a, v)
+      case In(a, vs)                => vs.nonEmpty && vs.forall(cmpOk(a, _))
+      case IsNull(a)                => typeOf(a).isDefined
+      case IsNotNull(a)             => typeOf(a).isDefined
+      case StringStartsWith(a, p)   => strOk(a, p)
+      case StringEndsWith(a, p)     => strOk(a, p)
+      case StringContains(a, p)     => strOk(a, p)
+      case _                        => false // Or/Not/EqualNullSafe/...: residual
+    }
+  }
+
+  /** Spark SQL equality/order semantics for the pushable types: -0.0 == 0.0
+    * and NaN greatest & equal to itself — java.lang compareTo gives the NaN
+    * half, zero-normalization the other.
+    */
+  private def norm(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f  => java.lang.Float.valueOf(0.0f)
+    case other                                         => other
+  }
+
+  private def cmp(x: Any, l: Any): Int =
+    norm(x).asInstanceOf[Comparable[Any]].compareTo(norm(l))
+
+  private def toInternal(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other     => other
+  }
+
+  /** Compile one supported filter to a predicate over the fvals buffer.
+    * SQL three-valued logic: any comparison against NULL is unknown → row
+    * not emitted (same as Catalyst's Filter).
+    */
+  private[log] def compile(f: Filter, slotOf: Map[String, Int]): Array[Any] => Boolean = {
+    def slot(name: String) = slotOf(name)
+    f match {
+      case EqualTo(a, v) =>
+        val s = slot(a); val l = toInternal(v)
+        vals => vals(s) != null && cmp(vals(s), l) == 0
+      case GreaterThan(a, v) =>
+        val s = slot(a); val l = toInternal(v)
+        vals => vals(s) != null && cmp(vals(s), l) > 0
+      case GreaterThanOrEqual(a, v) =>
+        val s = slot(a); val l = toInternal(v)
+        vals => vals(s) != null && cmp(vals(s), l) >= 0
+      case LessThan(a, v) =>
+        val s = slot(a); val l = toInternal(v)
+        vals => vals(s) != null && cmp(vals(s), l) < 0
+      case LessThanOrEqual(a, v) =>
+        val s = slot(a); val l = toInternal(v)
+        vals => vals(s) != null && cmp(vals(s), l) <= 0
+      case In(a, vs) =>
+        val s = slot(a); val ls = vs.map(toInternal)
+        vals => vals(s) != null && ls.exists(l => cmp(vals(s), l) == 0)
+      case IsNull(a) =>
+        val s = slot(a); vals => vals(s) == null
+      case IsNotNull(a) =>
+        val s = slot(a); vals => vals(s) != null
+      case StringStartsWith(a, p) =>
+        val s = slot(a); val u = UTF8String.fromString(p)
+        vals => vals(s) != null && vals(s).asInstanceOf[UTF8String].startsWith(u)
+      case StringEndsWith(a, p) =>
+        val s = slot(a); val u = UTF8String.fromString(p)
+        vals => vals(s) != null && vals(s).asInstanceOf[UTF8String].endsWith(u)
+      case StringContains(a, p) =>
+        val s = slot(a); val u = UTF8String.fromString(p)
+        vals => vals(s) != null && vals(s).asInstanceOf[UTF8String].contains(u)
+      case other =>
+        throw new IllegalStateException(s"[log] filter $other was pushed but is not supported")
+    }
   }
 }

@@ -80,26 +80,44 @@ final class LogTable(tableSchema: StructType, opts: LogOptions, paths: Seq[Strin
     new LogScanBuilder(tableSchema, opts, paths)
 }
 
-/** Projection pruning is real here: the reader converts only required
-  * groups (the reference declares pushdown but ignores it —
-  * `LogFormatPlugin.java:76-79`, SURVEY.md §4.1).
+/** Projection pruning AND predicate pushdown are real here: the reader
+  * converts only required groups (the reference declares pushdown but
+  * ignores it — `LogFormatPlugin.java:76-79`, SURVEY.md §4.1) and evaluates
+  * claimed predicates before emitting rows, so at 100 TB a selective filter
+  * shrinks scan output instead of materializing every line as a row.
+  * Unsupported filters stay residual in Catalyst (SURVEY.md §4.1 optional
+  * item; supported subset in [[LineParser.supportedFilter]]).
   */
 final class LogScanBuilder(fullSchema: StructType, opts: LogOptions, paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new LogScan(required, opts, paths)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, residual) = filters.partition(LineParser.supportedFilter(_, opts))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new LogScan(required, opts, paths, pushed)
 }
 
-final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
+final class LogScan(
+    required: StructType,
+    opts: LogOptions,
+    paths: Seq[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LogMicroBatchStream(opts, required, paths, checkpointLocation)
+    new LogMicroBatchStream(opts, required, paths, checkpointLocation, pushed)
   override def description(): String =
-    s"LogScan(pattern=${opts.pattern}, required=${required.fieldNames.mkString(",")})"
+    s"LogScan(pattern=${opts.pattern}, required=${required.fieldNames.mkString(",")}, " +
+      s"pushed=[${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -158,7 +176,7 @@ final class LogScan(required: StructType, opts: LogOptions, paths: Seq[String])
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     new LogPartitionReaderFactory(
-      opts, required, new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      opts, required, pushed, new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
   }
 }
 
@@ -204,10 +222,14 @@ final case class LogChunk(path: String, start: Long, length: Long)
 final case class LogInputPartition(chunks: Array[LogChunk]) extends InputPartition
 
 final class LogPartitionReaderFactory(
-    opts: LogOptions, required: StructType, conf: SerializableHadoopConf)
+    opts: LogOptions,
+    required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LogPartitionReader(partition.asInstanceOf[LogInputPartition], opts, required, conf.value)
+    new LogPartitionReader(
+      partition.asInstanceOf[LogInputPartition], opts, required, pushed.toSeq, conf.value)
 }
 
 /** One partition (one or more file chunks) → rows. Uses Hadoop's
@@ -217,10 +239,14 @@ final class LogPartitionReaderFactory(
   * `end` to finish the last line) and decompress-on-read for codec'd files.
   */
 final class LogPartitionReader(
-    part: LogInputPartition, opts: LogOptions, required: StructType, conf: Configuration)
+    part: LogInputPartition,
+    opts: LogOptions,
+    required: StructType,
+    pushed: Seq[org.apache.spark.sql.sources.Filter],
+    conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val parser = new LineParser(opts, required)
+  private val parser = new LineParser(opts, required, pushed)
   private var chunkIdx = -1
   private var reader: LineRecordReader = _
   private var current: InternalRow = _
@@ -241,14 +267,18 @@ final class LogPartitionReader(
       while (reader.nextKeyValue()) {
         val line = reader.getCurrentValue.toString
         if (line.trim.nonEmpty) { // empty-line skip, LRR:216-219
-          current =
+          val row =
             try parser.parse(line)
             catch {
               case e: SparkException =>
                 throw new SparkException(
                   s"${e.getMessage} (file=${part.chunks(chunkIdx).path})", e.getCause)
             }
-          return true
+          // null = not emitted (DROPMALFORMED or a pushed filter)
+          if (row != null) {
+            current = row
+            return true
+          }
         }
       }
       reader.close()

@@ -33,7 +33,8 @@ final class LogMicroBatchStream(
     opts: LogOptions,
     required: StructType,
     paths: Seq[String],
-    checkpointLocation: String)
+    checkpointLocation: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream {
 
   import LogMicroBatchStream._
@@ -92,7 +93,7 @@ final class LogMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogPartitionReaderFactory(opts, required, hadoopConf)
+    new LogPartitionReaderFactory(opts, required, pushed, hadoopConf)
 
   override def stop(): Unit = ()
 

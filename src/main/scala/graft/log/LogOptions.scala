@@ -36,7 +36,8 @@ final case class LogOptions(
     dateFormat: String,
     timeFormat: String,
     extensions: Seq[String],
-    failFast: Boolean) {
+    failFast: Boolean,
+    dropMalformed: Boolean = false) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day, Drill's wire semantics —
@@ -138,13 +139,17 @@ object LogOptions {
     val extensions = get("extensions").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("log"))
 
     // `errorOnMismatch` (reference name, LogFormatPlugin.java:94) with
-    // CSV-style `mode` PERMISSIVE/FAILFAST as an idiomatic alias.
-    val failFast = get("mode").map(_.toUpperCase) match {
-      case Some("FAILFAST")   => true
-      case Some("PERMISSIVE") => false
+    // CSV-style `mode` PERMISSIVE/DROPMALFORMED/FAILFAST as an idiomatic
+    // alias. DROPMALFORMED (beyond-reference, the CSV/JSON third mode) drops
+    // unmatched or unconvertible lines instead of routing/nulling them.
+    val (failFast, dropMalformed) = get("mode").map(_.toUpperCase) match {
+      case Some("FAILFAST")      => (true, false)
+      case Some("PERMISSIVE")    => (false, false)
+      case Some("DROPMALFORMED") => (false, true)
       case Some(other) =>
-        throw new IllegalArgumentException(s"[log] unsupported mode '$other' (PERMISSIVE or FAILFAST)")
-      case None => get("erroronmismatch").exists(_.toBoolean)
+        throw new IllegalArgumentException(
+          s"[log] unsupported mode '$other' (PERMISSIVE, DROPMALFORMED or FAILFAST)")
+      case None => (get("erroronmismatch").exists(_.toBoolean), false)
     }
 
     // Unknown type names silently become VARCHAR in the reference (final
@@ -159,6 +164,7 @@ object LogOptions {
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
 
-    LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions, failFast)
+    LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
+      failFast, dropMalformed)
   }
 }

@@ -126,6 +126,60 @@ class LogSourceSpec extends SparkSpec {
     intercept[Exception](df.collect())
   }
 
+  test("DROPMALFORMED: unmatched and unconvertible lines are dropped, not routed") {
+    // mixed.log: 2 matching lines + 1 garbage line
+    val dropped = spark.read.format("log")
+      .option("pattern", "(\\d+)\\s+(INFO|WARN|ERROR)\\s*(\\w+)?(?:\\s+(.*))?")
+      .option("fieldNames", "ts_ms, level, component, msg")
+      .option("dataTypes", "INT, VARCHAR, VARCHAR, VARCHAR")
+      .option("mode", "DROPMALFORMED")
+      .load(fixture("mixed.log"))
+    val rows = dropped.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("unmatched_lines") == null))
+    // badtypes.log: 1 line with unconvertible DATE/TIME/INT values + 1 clean
+    val typed = spark.read.format("log").options(mysqlOpts)
+      .option("mode", "DROPMALFORMED")
+      .load(fixture("badtypes.log"))
+    assert(typed.collect().map(_.getAs[String]("action")).toSeq == Seq("Query"))
+  }
+
+  test("DROPMALFORMED row count is projection-independent (count(*) validates all fields)") {
+    // the bad-typed line must be dropped even when NO column is projected:
+    // all declared fields are validated regardless of pruning
+    val typed = spark.read.format("log").options(mysqlOpts)
+      .option("mode", "DROPMALFORMED")
+      .load(fixture("badtypes.log"))
+    assert(typed.count() == 1)
+    assert(typed.select("action").count() == 1)
+  }
+
+  test("pushdown: claimed predicates filter in the reader, same rows as Catalyst") {
+    import org.apache.spark.sql.functions._
+    val df = readMysql(fixture("mysql.log"))
+    assert(df.filter(col("action") === "Query").count() == 4)
+    assert(df.filter(col("pid") === 21).count() == 2)
+    // filter column pruned from the projection: reader still evaluates it
+    assert(df.filter(col("pid") > 5).select("action").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("Query", "Query"))
+    assert(df.filter(col("query").contains("location")).count() == 2)
+    assert(df.filter(col("action").isin("Connect", "Quit")).count() == 1)
+  }
+
+  test("pushdown: filters apply to unmatched rows exactly like Catalyst") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+)\\s+(INFO|WARN|ERROR)\\s*(\\w+)?(?:\\s+(.*))?")
+      .option("fieldNames", "ts_ms, level, component, msg")
+      .option("dataTypes", "INT, VARCHAR, VARCHAR, VARCHAR")
+      .load(fixture("mixed.log"))
+    // unmatched row has NULL level: comparison drops it, IsNull keeps it
+    assert(df.filter(col("level") === "INFO").count() == 1)
+    assert(df.filter(col("level").isNull).count() == 1)
+    assert(df.filter(col("unmatched_lines").isNotNull).count() == 1)
+    assert(df.filter(col("unmatched_lines").startsWith("garbage")).count() == 1)
+  }
+
   test("config validation: group/fieldNames mismatch fails at load, both directions") {
     val base = spark.read.format("log").option("pattern", "(\\d+) (\\w+)")
     intercept[IllegalArgumentException](

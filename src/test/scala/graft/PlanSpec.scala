@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
       s"scan should output only 'action':\n$leaf")
   }
 
+  test("log scan: supported predicates pushed into the reader, no residual Filter") {
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)")
+      .option("fieldNames", "date, time, pid, action, query")
+      .option("dataTypes", "DATE, TIME, INT, VARCHAR, VARCHAR")
+      .option("dateFormat", "yyMMdd")
+      .load(fixture("mysql.log"))
+      .filter(col("action") === "Query" && col("pid") > 0)
+      .select("pid")
+    val p = plan(df)
+    val leaf = p.collectLeaves().head.toString
+    assert(leaf.contains("EqualTo(action,Query)") && leaf.contains("GreaterThan(pid,0)"),
+      s"predicates should be claimed by the scan:\n$leaf")
+    // fully-claimed predicates leave NO Catalyst Filter node in the plan
+    val filters = p.collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+    assert(filters.isEmpty, s"expected no residual Filter, got:\n${filters.mkString("\n")}")
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 21, 21))
+  }
+
   test("minhash signature pipeline contains the one-pass expressions (no 64x transform)") {
     import graft.ops.Dedup
     val docs = spark.read.parquet(s"$sf/documents.parquet")
