@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming for the `log` source: `spark.readStream
@@ -28,6 +28,12 @@ import org.apache.spark.sql.types.StructType
   * checkpointed `(start, end]` range replays exactly — the same
   * determinism contract as before: a batch is defined by its log entries,
   * not by a fresh directory listing.
+  *
+  * ADMISSION CONTROL: implements `SupportsAdmissionControl`
+  * (`maxFilesPerTrigger` / `maxBytesPerTrigger`, Spark file-source option
+  * semantics) so a discovery burst drains as bounded micro-batches, and
+  * `SupportsTriggerAvailableNow` so `Trigger.AvailableNow` processes exactly
+  * the files present at query start, respecting those limits per batch.
   */
 final class LogMicroBatchStream(
     opts: LogOptions,
@@ -35,7 +41,7 @@ final class LogMicroBatchStream(
     paths: Seq[String],
     checkpointLocation: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import LogMicroBatchStream._
 
@@ -51,18 +57,80 @@ final class LogMicroBatchStream(
   private val seen = mutable.HashSet.empty[String]
   restoreFromLog()
 
+  // Trigger.AvailableNow contract: only files present at prepare time are
+  // admitted, across however many limit-bounded batches that takes; files
+  // arriving during the run wait for the next run.
+  private var availableNowCutoff: Option[Set[String]] = None
+
   override def initialOffset(): Offset = LogStreamIndexOffset(-1L)
 
-  override def latestOffset(): Offset = {
-    val fresh = listFiles().map(_.getPath.toString).filterNot(seen).sorted
-    if (fresh.nonEmpty) {
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCutoff = Some(listFiles().map(_.getPath.toString).toSet)
+
+  /** Admission control (the streaming analogue of an unpruned scan): a
+    * discovery burst — e.g. the backlog after a tail job restarts — is
+    * split into bounded micro-batches per `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` instead of becoming one unbounded batch. Option
+    * semantics match Spark's own file stream source.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      opts.maxFilesPerTrigger.map(ReadLimit.maxFiles),
+      opts.maxBytesPerTrigger.map(ReadLimit.maxBytes)).flatten
+    limits match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val unseen = listFiles().filter(st => !seen(st.getPath.toString))
+      .sortBy(_.getPath.toString)
+    val eligible = availableNowCutoff match {
+      case Some(cut) => unseen.filter(st => cut(st.getPath.toString))
+      case None      => unseen
+    }
+    val admitted = admit(eligible, limit).map(_.getPath.toString)
+    if (admitted.nonEmpty) {
       maxIndex += 1
-      writeEntry(maxIndex, fresh)
-      seen ++= fresh
+      writeEntry(maxIndex, admitted)
+      seen ++= admitted
       if (maxIndex > 0 && maxIndex % CompactInterval == 0)
         writeCompact(maxIndex, seen.toSeq.sorted)
     }
     LogStreamIndexOffset(maxIndex)
+  }
+
+  /** Longest admissible prefix of `fresh` under `limit`. ReadMaxBytes keeps
+    * FileStreamSource semantics: files admitted until the next would exceed
+    * the cap, but always at least one (a single over-cap file must still
+    * make progress). Composite limits apply each constituent in turn —
+    * the strictest prefix wins.
+    */
+  private def admit(fresh: Seq[FileStatus], limit: ReadLimit): Seq[FileStatus] = limit match {
+    case _: ReadAllAvailable => fresh
+    case mf: ReadMaxFiles    => fresh.take(mf.maxFiles)
+    case mb: ReadMaxBytes =>
+      val out = ArrayBuffer.empty[FileStatus]
+      var bytes = 0L
+      val it = fresh.iterator
+      var full = false
+      while (it.hasNext && !full) {
+        val st = it.next()
+        if (out.isEmpty || bytes + st.getLen <= mb.maxBytes) {
+          out += st
+          bytes += st.getLen
+        } else full = true
+      }
+      out.toSeq
+    case comp: CompositeReadLimit =>
+      comp.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, l))
+    case _ => fresh // unknown limit kind: admit everything (fail open)
   }
 
   override def deserializeOffset(json: String): Offset =

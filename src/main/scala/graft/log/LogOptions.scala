@@ -37,7 +37,11 @@ final case class LogOptions(
     timeFormat: String,
     extensions: Seq[String],
     failFast: Boolean,
-    dropMalformed: Boolean = false) {
+    dropMalformed: Boolean = false,
+    // streaming admission control (same option semantics as Spark's file
+    // stream source): cap on files / bytes admitted per micro-batch
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day, Drill's wire semantics —
@@ -164,7 +168,26 @@ object LogOptions {
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
 
+    // Streaming admission control (batch reads ignore these, like the CSV
+    // source ignores maxFilesPerTrigger): a backlog burst — the normal state
+    // when a tail job restarts after downtime — must split into bounded
+    // micro-batches, not one unbounded one.
+    def positiveLong(key: String): Option[Long] = get(key).map { s =>
+      val v = try s.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"[log] $key must be a positive integer, got '$s'")
+      }
+      if (v <= 0) throw new IllegalArgumentException(s"[log] $key must be positive, got $v")
+      v
+    }
+    val maxFilesPerTrigger = positiveLong("maxfilespertrigger").map { v =>
+      if (v > Int.MaxValue) throw new IllegalArgumentException(
+        s"[log] maxFilesPerTrigger too large: $v")
+      v.toInt
+    }
+    val maxBytesPerTrigger = positiveLong("maxbytespertrigger")
+
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
-      failFast, dropMalformed)
+      failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }

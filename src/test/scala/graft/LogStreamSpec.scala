@@ -93,6 +93,69 @@ class LogStreamSpec extends SparkSpec {
     assert(findCompacts(new File(ckpt)).nonEmpty, "no .compact entry written")
   }
 
+  test("admission control: maxFilesPerTrigger splits a backlog into bounded batches") {
+    val dir = Files.createTempDirectory("logstream_admission").toFile
+    (1 to 6).foreach { i =>
+      Files.writeString(new File(dir, f"f$i%02d.log").toPath, s"$i INFO payload")
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Int])]()
+    val q = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+) (.+)")
+      .option("schema", "id INT, level VARCHAR, msg VARCHAR")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir.getAbsolutePath)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ids = b.select("id").collect().map(_.getInt(0)).toSeq
+        if (ids.nonEmpty) batches.add((id, ids)): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toSeq.sortBy(_._1)
+    assert(bs.size == 3, s"6 files at maxFilesPerTrigger=2 must drain in 3 batches, got $bs")
+    assert(bs.forall(_._2.size == 2), s"each batch must carry exactly 2 files' rows: $bs")
+    assert(bs.flatMap(_._2).sorted == (1 to 6), s"no loss, no dupes: $bs")
+  }
+
+  test("admission control: maxBytesPerTrigger bounds batches; restart stays replay-safe") {
+    val dir = Files.createTempDirectory("logstream_bytes").toFile
+    val ckpt = Files.createTempDirectory("logstream_bytes_ckpt").toFile.getAbsolutePath
+    (1 to 4).foreach { i =>
+      Files.writeString(new File(dir, f"g$i%02d.log").toPath, s"$i INFO payload")
+    }
+    val fileLen = new File(dir, "g01.log").length()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    var nBatches = 0
+    def start() = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+) (.+)")
+      .option("schema", "id INT, level VARCHAR, msg VARCHAR")
+      .option("maxBytesPerTrigger", fileLen.toString) // one file per batch
+      .load(dir.getAbsolutePath)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").collect().map(_.getInt(0))
+        if (ids.nonEmpty) { nBatches += 1; ids.foreach(got.add(_)) }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    try assert(q1.awaitTermination(120000)) finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(nBatches == 4, s"4 one-file batches expected, got $nBatches")
+    assert(got.asScala.map(_.toInt).toSeq.sorted == (1 to 4))
+    // restart from checkpoint with a new backlog: limits still apply, no
+    // re-reads of already-committed files
+    got.clear(); nBatches = 0
+    (5 to 6).foreach { i =>
+      Files.writeString(new File(dir, f"g$i%02d.log").toPath, s"$i INFO payload")
+    }
+    val q2 = start()
+    try assert(q2.awaitTermination(120000)) finally q2.stop()
+    assert(nBatches == 2 && got.asScala.map(_.toInt).toSeq.sorted == (5 to 6),
+      s"restart must admit only the new files one per batch, got $nBatches $got")
+  }
+
   test("streaming aggregation over the native log stream") {
     val dir = Files.createTempDirectory("logstream_agg").toFile
     Files.writeString(new File(dir, "x.log").toPath,
