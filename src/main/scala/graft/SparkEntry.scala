@@ -721,6 +721,62 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** The CUSTOM stateful operator ([[graft.streaming.Sessionize]],
+    * `flatMapGroupsWithState`) end-to-end: event-time sessions with a
+    * 30-minute gap over the chunked event stream, emitted on close (by a
+    * later event, or by event-time timeout when the watermark passes
+    * end+gap). The oracle rebuilds sessions with the lag/cumsum islands
+    * trick in MILLISECONDS (the operator works on `Timestamp.getTime`, and
+    * Spark watermarks are ms-precision) and reproduces the emission rule: a
+    * user's non-last sessions always close; the last closes only if
+    * `end + gap < final_watermark` (strict — the exec's timeout check).
+    */
+  private def qSessionizeCustom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = streamChunksDir(spark, dir)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val sinkDir = s"/tmp/graft_sessionize_sink/$key"
+    deleteRec(new java.io.File(sinkDir))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val schema = spark.read.parquet(srcDir).schema
+    import spark.implicits._
+    val ev = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4") // 2 data batches: sessions span batches
+      .parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("userId"), col("ts"), col("event_type").as("eventType"))
+      .as[graft.streaming.Sessionize.Event]
+    val sessions = graft.streaming.Sessionize.sessionize(spark, ev, gapMillis = 30 * 60 * 1000L)
+    // same state-partition cap rationale as q_streaming_join
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val capped = math.min(prevShuffle.toInt, 8).toString
+    val finished =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", capped)
+        val q = sessions.toDF().writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(sinkDir)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000)) { q.stop(); false } else true
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    if (!finished) {
+      throw new IllegalStateException("[graft] q_sessionize_custom drain timed out after 300 s")
+    }
+    if (!new java.io.File(sinkDir).exists())
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id LONG, n_sessions LONG, n_events LONG, max_session_events LONG"))
+    else spark.read.parquet(sinkDir)
+      .groupBy(col("userId").as("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("nEvents").cast("long")).as("n_events"),
+        max(col("nEvents").cast("long")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** Sliding windows (1 h window, 30 min slide) over events — each event
     * lands in exactly two windows; the oracle materializes both window
     * starts per event explicitly.
@@ -1086,6 +1142,7 @@ object SparkEntry {
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_join" -> (qStreamingJoin _),
+    "q_sessionize_custom" -> (qSessionizeCustom _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_groups" -> (qDedupGroups _),
@@ -1385,6 +1442,30 @@ object SparkEntry {
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_sessionize_custom" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+        |marked AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |                OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sid, max(ms) AS s_end, count(*) AS n_ev
+        |  FROM sess GROUP BY user_id, sid),
+        |emitted AS (
+        |  SELECT a.user_id, a.n_ev FROM agg a
+        |  WHERE a.sid < (SELECT max(b.sid) FROM agg b WHERE b.user_id = a.user_id)
+        |     OR a.s_end + 1800000 <
+        |        (SELECT max(ms) FROM ev) - 3600000)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |       CAST(max(n_ev) AS BIGINT) AS max_session_events
+        |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n
         |FROM (
