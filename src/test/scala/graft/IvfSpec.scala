@@ -57,6 +57,26 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("scale probe: 100k vectors, nLists=256, IVF recall@10 >= 0.9 at nProbe=16") {
+    // evidence the reference-object centroid plan holds beyond sf tables:
+    // 100k clustered vectors, a full 256-cell quantizer, 50 queries scored
+    // against exact top-10. Blob members sit in the same (or an adjacent)
+    // cell, so probing 16 of 256 cells must recover nearly all neighbors.
+    val corpus = SyntheticVectors.clustered(spark, 100000, 16, 256, 0.05)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = IvfIndex.train(corpus, "vec_id", "embedding", nLists = 256, iterations = 3)
+      assert(model.centroids.length == 256)
+      val qs = corpus.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val approx = IvfIndex.search(model, corpus, qs, "vec_id", "embedding", 10, nProbe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = exact.count(approx.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall over ${exact.size} true pairs")
+    } finally { corpus.unpersist(blocking = false); () }
+  }
+
   test("IVF search accepts models with non-contiguous cell ids") {
     // a caller may drop empty cells from a trained model; positions map
     // back to the surviving cell ids

@@ -65,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     assert(fused.toSeq == composed.toSeq)
   }
 
+  test("scale probe: 100k-vector clustered corpus, LSH recall@10 >= 0.9") {
+    // evidence the single-scan LSH plan holds beyond the 500-vector sf
+    // tables: 100k vectors in 256 blobs, 50 queries, exact top-10 ground
+    // truth. Near-parallel blob members share hyperplane signs, so modest
+    // (nPlanes, tables) must recover almost all true neighbors.
+    val corpus = SyntheticVectors.clustered(spark, 100000, 16, 256, 0.05)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qs = corpus.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(exact.size == 50 * 10)
+      val approx = Similarity.lshTopK(corpus, qs, "vec_id", "embedding", 10,
+        dim = 16, nPlanes = 12, tables = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = exact.count(approx.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall over ${exact.size} true pairs")
+    } finally { corpus.unpersist(blocking = false); () }
+  }
+
   test("lshTopK scans the corpus ONCE regardless of table count") {
     // the round-2 formulation unioned one corpus scan per hash table (16
     // scans at tables=16); single-pass bucketing must leave exactly two
