@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.ops.{AsOfJoin, Dedup, DupGroups, Multimodal, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -777,6 +777,76 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** One-time: the event chunks with INJECTED duplicates — every third
+    * event repeated inside its own chunk (same-batch dup) and every fifth
+    * event from the trailing hour of a chunk repeated in the NEXT chunk
+    * (cross-batch dup, still inside the 3-hour dedup SLA so the watermark
+    * can never late-drop it before the dedup state sees it).
+    */
+  private def dupStreamChunksDir(spark: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    oncePerDir(s"/tmp/graft_stream_dup_src/$key", "_OK") {
+      val out = s"/tmp/graft_stream_dup_src/$key"
+      deleteRec(new java.io.File(out))
+      val ev = events(spark, dir).select("event_id", "event_type", "user_id", "ts", "value")
+        .withColumn("__us", expr("unix_micros(ts)"))
+      val r0 = ev.agg(min("__us"), max("__us")).head()
+      val (lo, hi) = (r0.getLong(0), r0.getLong(1))
+      val step = math.max(1L, (hi - lo) / 8 + 1)
+      val hourUs = 3600L * 1000000L
+      for (i <- 0 until 8) {
+        val curLo = lo + i * step
+        val cur = ev.filter(col("__us") >= curLo && col("__us") < curLo + step)
+        val sameBatchDups = cur.filter(col("event_id") % 3 === 0)
+        val crossBatchDups = ev.filter(
+          col("__us") >= curLo - hourUs && col("__us") < curLo &&
+            col("event_id") % 5 === 0)
+        cur.unionByName(sameBatchDups).unionByName(crossBatchDups)
+          .drop("__us").coalesce(1).write.mode("append").parquet(out)
+      }
+      new java.io.File(s"$out/_OK").createNewFile()
+    }
+  }
+
+  /** Streaming DEDUPLICATION (`dropDuplicatesWithinWatermark`) — the
+    * streaming face of the exact-dedup operator: duplicate events arriving
+    * within the 3-hour watermark SLA (same batch or a later one) are
+    * suppressed by keyed state that the watermark then expires — state is
+    * bounded by the SLA, not the stream. Deduped rows append to a parquet
+    * sink; the oracle is plain batch DISTINCT on event_id, and `n = n_ids`
+    * in the output is the proof the stream-side dedup removed every
+    * injected duplicate.
+    */
+  private def qStreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = dupStreamChunksDir(spark, dir)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val sinkDir = s"/tmp/graft_stream_dedup_sink/$key"
+    deleteRec(new java.io.File(sinkDir))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4") // 2 data batches: dups cross batches
+      .parquet(srcDir)
+      .withWatermark("ts", "3 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("[graft] q_streaming_dedup drain timed out after 300 s")
+    }
+    spark.read.parquet(sinkDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"))
+      .orderBy("event_type")
+  }
+
   /** Sliding windows (1 h window, 30 min slide) over events — each event
     * lands in exactly two windows; the oracle materializes both window
     * starts per event explicitly.
@@ -858,6 +928,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_true_pairs"), r(avg("jaccard"), 3).as("avg_j"),
         (sum(coalesce(col("__hit"), lit(0))).cast("double") /
           count(lit(1)).cast("double") >= 0.9).as("simhash_recall_ok"))
+      .localCheckpoint(true)
+    posts.unpersist(blocking = false)
+    out
+  }
+
+  /** Duplicate GROUPS, not just pairs: exact shingle-Jaccard>=0.8 pairs →
+    * connected components ([[DupGroups.connectedComponents]], alternating
+    * large-star/small-star) → per-group size/canonical aggregate. The
+    * oracle recomputes the same components with a recursive min-label CTE
+    * — `sum_canonical` pins the exact per-node assignment (every node must
+    * land on its component's true minimum id), not just the group count.
+    */
+  private def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (truth, posts) = Dedup.shingleJaccardPairsWithPostings(docs, "doc_id", "text", 3, 0.8)
+    val comp = DupGroups.connectedComponents(truth, "idA", "idB")
+    val out = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("sz").as("n_dup_docs"),
+        max("sz").as("max_group_size"),
+        sum("component").as("sum_canonical"))
       .localCheckpoint(true)
     posts.unpersist(blocking = false)
     out
@@ -1143,12 +1234,14 @@ object SparkEntry {
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_join" -> (qStreamingJoin _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
+    "q_streaming_dedup" -> (qStreamingDedup _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
+    "q_dup_clusters" -> (qDupClusters _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
@@ -1179,9 +1272,11 @@ object SparkEntry {
     * [[graft.functions.TextFunctions.shingles]]: <=3-token docs collapse to
     * one whole-text shingle, shingle sets are distinct.
     */
-  private def exactShinglePairsSql(
-      countAlias: String, avgAlias: String, extraCols: String = ""): String =
-    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+  /** Shared CTE chain: tk/sh/counts/inter plus `j(ida, idb, jac)` — one row
+    * per ordered pair with its exact shingle Jaccard.
+    */
+  private val ShinglePairCtesSql =
+    s"""tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
@@ -1193,8 +1288,12 @@ object SparkEntry {
        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |j AS (
-       |  SELECT i * 1.0 / (ca.n + cb.n - i) AS jac
-       |  FROM inter JOIN counts ca ON ida = ca.doc_id JOIN counts cb ON idb = cb.doc_id)
+       |  SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jac
+       |  FROM inter JOIN counts ca ON ida = ca.doc_id JOIN counts cb ON idb = cb.doc_id)""".stripMargin
+
+  private def exactShinglePairsSql(
+      countAlias: String, avgAlias: String, extraCols: String = ""): String =
+    s"""WITH $ShinglePairCtesSql
        |SELECT count(*) AS $countAlias, floor(avg(jac) * 1000 + 0.5) / 1000 AS $avgAlias$extraCols
        |FROM j WHERE jac >= 0.8""".stripMargin
 
@@ -1466,6 +1565,12 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
         |       CAST(max(n_ev) AS BIGINT) AS max_session_events
         |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the stream injects duplicates; a correct streaming dedup emits
+    // exactly the distinct event set, so both columns are the distinct count
+    "q_streaming_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n,
+        |       count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n
         |FROM (
@@ -1591,6 +1696,25 @@ object SparkEntry {
     "q_minhash_lsh" -> exactShinglePairsSql("n_neardup_pairs", "avg_j"),
     "q_simhash" ->
       exactShinglePairsSql("n_true_pairs", "avg_j", ", true AS simhash_recall_ok"),
+    // connected components over the exact >=0.8 pair graph via recursive
+    // min-label propagation (only labels smaller than the target node flow,
+    // so the fixpoint is each node's component minimum)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $ShinglePairCtesSql,
+         |pairs AS (SELECT ida, idb FROM j WHERE jac >= 0.8),
+         |edges AS (SELECT ida AS u, idb AS v FROM pairs
+         |          UNION SELECT idb, ida FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+         |  WHERE r.lab < e.v),
+         |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1),
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_dup_docs,
+         |       max(sz) AS max_group_size,
+         |       CAST(sum(component) AS BIGINT) AS sum_canonical
+         |FROM sizes""".stripMargin,
     "q_embed_lsh" -> AnnExactSideSql,
     "q_embed_ivf" -> AnnExactSideSql,
     "q_rolling_fingerprint" ->
