@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64}
+import graft.functions.{CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64, UnicodeNormalize}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT parse_log_line(value, '(\\d+)') ...")` works next to
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two array<double> (0.0 on zero norm)"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", "unicode_normalize(text) - NFC + lowercase + whitespace collapse"),
+      (args: Seq[Expression]) => UnicodeNormalize(args.head)))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Dedup, DupGroups, Multimodal, Similarity}
+import graft.ops.{AsOfJoin, Dedup, DupGroups, Multimodal, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -954,6 +954,36 @@ object SparkEntry {
     out
   }
 
+  /** Deterministic stratified sampling + split assignment
+    * ([[graft.ops.Sampling]]): membership is a pure function of
+    * (doc_id, seed) — retry-stable and engine-portable, which is the whole
+    * point vs rand()-based sample(). The oracle reproduces membership
+    * BIT-FOR-BIT from the same portable hash formula; `id_sum` pins the
+    * exact selected row set, not just counts.
+    */
+  private def qSampleHash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+        Map("en" -> 0.5), defaultRate = 0.25, seed = 7)
+      .withColumn("split", Sampling.assignSplit(col("doc_id"), 13,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+  }
+
+  /** Unicode canonicalization ([[graft.functions.UnicodeNormalize]]: NFC +
+    * casefold + whitespace collapse) over the corpus, pinned by length sum
+    * and distinct count; the oracle reproduces it with DuckDB's own
+    * nfc_normalize + lower + regexp whitespace collapse.
+    */
+  private def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(graft.functions.UnicodeNormalize(col("text")).as("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("norm"))).as("total_len"),
+        countDistinct(col("norm")).as("n_distinct"))
+
   private def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -1242,6 +1272,8 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_sample_hash" -> (qSampleHash _),
+    "q_text_normalize" -> (qTextNormalize _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
@@ -1715,6 +1747,29 @@ object SparkEntry {
          |       max(sz) AS max_group_size,
          |       CAST(sum(component) AS BIGINT) AS sum_canonical
          |FROM sizes""".stripMargin,
+    // the same portable Lehmer-bucket formula as Sampling.bucket — membership
+    // must agree bit-for-bit across engines
+    "q_sample_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         ((doc_id + 7) % 2147483647 * 48271) % 2147483647 % 10000 AS bkt,
+        |         ((doc_id + 13) % 2147483647 * 48271) % 2147483647 % 10000 AS sbkt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN sbkt < 8000 THEN 'train'
+        |              WHEN sbkt < 9000 THEN 'val' ELSE 'test' END AS split
+        |  FROM b
+        |  WHERE bkt < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END)
+        |SELECT lang, split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT count(*) AS n_docs, CAST(sum(length(norm)) AS BIGINT) AS total_len,
+        |       count(DISTINCT norm) AS n_distinct
+        |FROM n""".stripMargin,
     "q_embed_lsh" -> AnnExactSideSql,
     "q_embed_ivf" -> AnnExactSideSql,
     "q_rolling_fingerprint" ->

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, seed-stable sampling for training-data pipelines.
+  *
+  * Why not `df.sample()`: rand()-based sampling is evaluated per-task, so a
+  * task RETRY (routine on a 1000-executor cluster) resamples its partition
+  * — the job "succeeds" with a different row set than a clean run, which
+  * breaks exactly-once sinks, reproducibility, and any downstream join
+  * against the sample. Hashing a KEY instead makes membership a pure
+  * function of (key, seed): retry-stable, reproducible across runs and
+  * engines, and evaluated scan-side with zero shuffle (the filter pushes
+  * into the scan like any other predicate).
+  *
+  * The hash is a two-step Lehmer/Park–Miller round (mod 2^31-1, multiplier
+  * 48271) reduced to a bucket in [0, 10000). It is deliberately expressible
+  * in portable ANSI SQL (`((key + seed) % p * 48271) % p % 10000`) so any
+  * other engine — including the DuckDB oracle — reproduces membership
+  * bit-for-bit; intermediate products stay under 2^48, safe in ANSI mode.
+  * Not cryptographic: fine for rate sampling and splits, not for
+  * adversarial inputs.
+  *
+  * Nesting property: buckets are TOTALLY ORDERED, so a 5% sample is a
+  * strict subset of a 20% sample at the same seed — growing a sample never
+  * resamples what a smaller rate already selected.
+  */
+object Sampling {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Deterministic bucket in [0, 10000) for a non-negative integral key. */
+  def bucket(key: Column, seed: Long): Column =
+    pmod(pmod(key.cast("long") + lit(seed), lit(P)) * lit(48271L), lit(P)) % lit(10000L)
+
+  /** Keep rows whose bucket falls below `rate` (0.0 to 1.0, resolution
+    * 1/10000).
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double, seed: Long): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(bucket(key, seed) < lit(math.round(rate * 10000)))
+  }
+
+  /** Per-stratum rates: `rates(stratumValue) -> rate`, rows of unlisted
+    * strata get `defaultRate`. The rate lookup folds to a CASE expression —
+    * still scan-side, still shuffle-free.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      seed: Long): DataFrame = {
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 10000))) {
+      case (acc, (value, rate)) =>
+        when(stratum === lit(value), lit(math.round(rate * 10000))).otherwise(acc)
+    }
+    df.filter(bucket(key, seed) < threshold)
+  }
+
+  /** Deterministic train/val/test-style split assignment: `fractions` are
+    * (label, fraction) in order; fractions must sum to 1. A row's label is
+    * a pure function of (key, seed) — the same row lands in the same split
+    * on every run, engine, and retry.
+    */
+  def assignSplit(key: Column, seed: Long, fractions: Seq[(String, Double)]): Column = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val b = bucket(key, seed)
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
+    fractions.zip(cuts.tail).init.foldRight(lit(fractions.last._1): Column) {
+      case (((label, _), cut), acc) => when(b < lit(cut), lit(label)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val keys = (0L until 50000L).toDF("id")
+
+  test("membership is a pure function of (key, seed)") {
+    val a = Sampling.hashSample(keys, $"id", 0.3, seed = 7).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(keys, $"id", 0.3, seed = 7).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val c = Sampling.hashSample(keys, $"id", 0.3, seed = 8).collect().map(_.getLong(0)).toSet
+    assert(a != c, "different seeds must select different rows")
+  }
+
+  test("samples nest: a smaller rate is a strict subset of a larger one") {
+    val small = Sampling.hashSample(keys, $"id", 0.1, seed = 7).collect().map(_.getLong(0)).toSet
+    val large = Sampling.hashSample(keys, $"id", 0.4, seed = 7).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large) && small.size < large.size)
+  }
+
+  test("realized rate tracks the requested rate") {
+    for (rate <- Seq(0.05, 0.25, 0.5, 0.9)) {
+      val n = Sampling.hashSample(keys, $"id", rate, seed = 42).count()
+      assert(math.abs(n.toDouble / 50000 - rate) < 0.02, s"rate $rate realized ${n / 50000.0}")
+    }
+  }
+
+  test("stratified rates apply per stratum, default for unlisted strata") {
+    val df = keys.withColumn("lang",
+      when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "de").otherwise("fr"))
+    val out = Sampling.stratifiedSample(df, $"id", $"lang",
+      Map("en" -> 0.6, "de" -> 0.1), defaultRate = 0.3, seed = 7)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") / (50000 / 3.0) - 0.6) < 0.03)
+    assert(math.abs(out("de") / (50000 / 3.0) - 0.1) < 0.03)
+    assert(math.abs(out("fr") / (50000 / 3.0) - 0.3) < 0.03)
+  }
+
+  test("assignSplit partitions every row deterministically at the requested ratios") {
+    val split = keys.withColumn("split",
+      Sampling.assignSplit($"id", 7, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 50000L)
+    assert(math.abs(counts("train") / 50000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 50000.0 - 0.1) < 0.02)
+    // deterministic: re-evaluation yields identical assignment
+    val twice = split.withColumn("split2",
+      Sampling.assignSplit($"id", 7, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(twice.filter($"split" =!= $"split2").count() == 0)
+  }
+
+  test("sampling filter reaches the parquet scan as a pushed/partial predicate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Sampling.hashSample(docs, col("doc_id"), 0.5, seed = 7)
+      .queryExecution.executedPlan.toString
+    // the bucket expression is deterministic, so Catalyst keeps it in the
+    // scan-adjacent Filter (no Exchange between scan and filter)
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}

@@ -183,4 +183,37 @@ class TextOpsSpec extends SparkSpec {
     val plan = feats.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("unicode_normalize: NFC composition, casefold, whitespace collapse") {
+    import graft.functions.UnicodeNormalize
+    val rows = Seq(
+      "Café  DELUXE",          // decomposed é + double space
+      "Café deluxe",            // precomposed, already canonical
+      "  tabs\tand\nnewlines  ",     // mixed ASCII whitespace + trim
+      "nbsp and　ideographic", // non-ASCII spaces
+      "").toDF("text")
+    val got = rows.select(UnicodeNormalize($"text").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "café deluxe",
+      "café deluxe",
+      "tabs and newlines",
+      "nbsp and ideographic",
+      ""))
+  }
+
+  test("unicode_normalize is idempotent and null-safe") {
+    import graft.functions.UnicodeNormalize
+    val df = Seq(Some("Á  b"), None).toDF("text")
+    val once = df.select(UnicodeNormalize($"text").as("n"))
+    val twice = once.select(UnicodeNormalize($"n").as("n2"), $"n")
+    val rows = twice.collect()
+    assert(rows.forall(r => r.isNullAt(0) == r.isNullAt(1)))
+    assert(rows.filter(!_.isNullAt(0)).forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("unicode_normalize is SQL-registered via GraftExtensions") {
+    assert(spark.sql("SELECT unicode_normalize('\u00c9cole  Nationale') AS n")
+      .collect().head.getString(0) == "\u00e9cole nationale")
+  }
 }
