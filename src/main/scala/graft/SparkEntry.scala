@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Dedup, DupGroups, Multimodal, Sampling, Similarity}
+import graft.ops.{AsOfJoin, Dedup, DupGroups, Multimodal, PartitionedSink, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -984,6 +984,26 @@ object SparkEntry {
         sum(length(col("norm"))).as("total_len"),
         countDistinct(col("norm")).as("n_distinct"))
 
+  /** The pipeline WRITE path ([[graft.ops.PartitionedSink]]): documents →
+    * lang-partitioned, doc_id-clustered parquet (salted shuffle bounds
+    * files-per-partition and spreads the skewed-language case) → read back
+    * and re-aggregate. The oracle aggregates the source directly, so any
+    * row lost, duplicated, or mis-partitioned by the write shows up as a
+    * checksum mismatch. Pruning/clustering of the layout is plan-asserted
+    * in PartitionedSinkSpec.
+    */
+  private def qPartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"/tmp/graft_psink_q/$key"
+    PartitionedSink.writePartitioned(
+      t(spark, dir, "documents"), out, Seq("lang"), Seq("doc_id"))
+    spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum(length(col("text"))).as("text_len"))
+      .orderBy("lang")
+  }
+
   private def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -1274,6 +1294,7 @@ object SparkEntry {
     "q_dup_clusters" -> (qDupClusters _),
     "q_sample_hash" -> (qSampleHash _),
     "q_text_normalize" -> (qTextNormalize _),
+    "q_partitioned_write" -> (qPartitionedWrite _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
@@ -1770,6 +1791,10 @@ object SparkEntry {
         |SELECT count(*) AS n_docs, CAST(sum(length(norm)) AS BIGINT) AS total_len,
         |       count(DISTINCT norm) AS n_distinct
         |FROM n""".stripMargin,
+    "q_partitioned_write" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(length(text)) AS BIGINT) AS text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_embed_lsh" -> AnnExactSideSql,
     "q_embed_ivf" -> AnnExactSideSql,
     "q_rolling_fingerprint" ->
