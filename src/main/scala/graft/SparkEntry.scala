@@ -972,6 +972,23 @@ object SparkEntry {
       .orderBy("lang", "split")
   }
 
+  /** Incremental dedup ([[Dedup.incrementalDedup]]): the odd-id half of the
+    * corpus arrives as a "new batch" against the even-id half as "history".
+    * Bloom-prefiltered — misses skip the anti-join entirely; hits (true
+    * dups + ~1% false positives) clear through it — with within-batch
+    * min-id dedup after. The oracle is the plain NOT IN + min-id
+    * computation: bloom false positives must never change the result.
+    */
+  private def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val kept = Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id",
+      xxhash64(TF.contentFingerprint(col("text"))))
+    kept.agg(count(lit(1)).as("n_new"), sum("doc_id").as("id_sum"))
+  }
+
   /** Unicode canonicalization ([[graft.functions.UnicodeNormalize]]: NFC +
     * casefold + whitespace collapse) over the corpus, pinned by length sum
     * and distinct count; the oracle reproduces it with DuckDB's own
@@ -1292,6 +1309,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_sample_hash" -> (qSampleHash _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1768,6 +1786,13 @@ object SparkEntry {
          |       max(sz) AS max_group_size,
          |       CAST(sum(component) AS BIGINT) AS sum_canonical
          |FROM sizes""".stripMargin,
+    "q_incremental_dedup" ->
+      s"""WITH fps AS (SELECT doc_id, $FpSql AS fp FROM documents),
+         |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+         |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+         |nohist AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM hist)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM nohist GROUP BY fp)
+         |SELECT count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM keep""".stripMargin,
     // the same portable Lehmer-bucket formula as Sampling.bucket — membership
     // must agree bit-for-bit across engines
     "q_sample_hash" ->

@@ -245,6 +245,51 @@ object Dedup {
       .select("idA", "idB", "jaccard")
   }
 
+  /** INCREMENTAL dedup: drop rows of `batch` whose dedup key already
+    * exists in `history`, then exact-dedup the survivors within the batch
+    * (min id per key). This is the shape a 100 TB pipeline actually runs —
+    * each day's batch against an ever-growing corpus — and the history side
+    * must never be re-shuffled per batch.
+    *
+    * The Bloom prefilter is the scale move: a filter over history's keys is
+    * built ONCE (here via `stat.bloomFilter`; a production pipeline builds
+    * it incrementally alongside the corpus and persists it) and evaluated
+    * scan-side on the batch ([[graft.functions.BloomMightContain]], codegen,
+    * no shuffle). Bloom misses are PROVABLY new — they skip the join
+    * entirely; only hits (true dups + an ~fpp false-positive sliver of the
+    * batch) go through the exact anti-join, so the join's probe side
+    * shrinks from |batch| to ~|dups| + fpp*|batch| regardless of corpus
+    * size. False positives are then cleared by the exact join, so the
+    * result is EXACTLY the plain anti-join's.
+    *
+    * @param key dedup key as a LONG column (e.g. xxhash64 of the content
+    *            fingerprint) — must be computable on both inputs.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      key: Column,
+      expectedHistoryKeys: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val hKeys = history.select(key.as("__key"))
+    // the one-time index build; expectedHistoryKeys avoids the sizing count
+    // when the caller tracks corpus cardinality (it should)
+    val expected = if (expectedHistoryKeys > 0) expectedHistoryKeys
+      else math.max(hKeys.count(), 1L)
+    val bloom = hKeys.stat.bloomFilter("__key", expected, fpp)
+    val keyed = batch.withColumn("__key", key)
+    val hit = graft.functions.BloomMightContain(col("__key"), bloom)
+    val definitelyNew = keyed.filter(!hit)
+    val survivors = keyed.filter(hit)
+      .join(hKeys, Seq("__key"), "left_anti")
+    // within-batch exact dedup on the survivors' keys: deterministic min-id
+    // keep, then recover full rows
+    val all = definitelyNew.unionByName(survivors)
+    val keepIds = all.groupBy("__key").agg(min(col(idCol)).as(idCol)).select(idCol)
+    batch.join(keepIds, Seq(idCol), "left_semi")
+  }
+
   /** Spread a small (few-partition) input across all cores before
     * CPU-heavy per-row work; a no-op once inputs have enough splits.
     */

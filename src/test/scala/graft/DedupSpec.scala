@@ -158,6 +158,43 @@ class DedupSpec extends SparkSpec {
     assert(out.contains(3L) && out.contains(5L)) // unrelated docs survive
   }
 
+  test("BloomMightContain: no false negatives over inserted keys, codegen path") {
+    val keys = (0L until 5000L).map(_ * 2654435761L % 1000003L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(5000, 0.01)
+    keys.foreach(bloom.putLong)
+    val hits = keys.toDF("k")
+      .select(graft.functions.BloomMightContain($"k", bloom).as("h"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity), "a bloom filter must never miss an inserted key")
+    // false-positive rate on disjoint probes stays near fpp
+    val probes = (1000000L until 1020000L).toDF("k")
+      .select(graft.functions.BloomMightContain($"k", bloom).as("h"))
+      .collect().count(_.getBoolean(0))
+    assert(probes < 20000 * 0.05, s"fp count $probes way above fpp")
+  }
+
+  test("incrementalDedup equals plain anti-join + within-batch dedup") {
+    import org.apache.spark.sql.functions.xxhash64
+    val history = Seq(
+      (100L, "history doc one about spark engines"),
+      (101L, "history doc two about columnar formats")).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "history doc one about spark engines"),    // dup of history 100
+      (201L, "a genuinely new document in this batch"),
+      (202L, "a genuinely new document in this batch"), // within-batch dup of 201
+      (203L, "another brand new document right here")).toDF("doc_id", "text")
+    val key = xxhash64(TextFunctions.contentFingerprint($"text"))
+    val got = Dedup.incrementalDedup(batch, history, "doc_id", key)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(201L, 203L))
+    // reference: plain anti-join then min-id per key
+    val ref = batch.withColumn("__k", key)
+      .join(history.select(key.as("__k")), Seq("__k"), "left_anti")
+      .groupBy("__k").agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+  }
+
   test("minhash LSH on documents table: recall vs exact jaccard >= 0.9 at t=0.7") {
     val real = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val exact = Dedup.tokenJaccardPairs(
