@@ -53,6 +53,29 @@ class DupGroupsSpec extends SparkSpec {
     assert(components(edges) == unionFind(clean))
   }
 
+  test("scale probe: 100k-node path + 200k-edge random graph converge correctly") {
+    // the path is the adversarial case (diameter = n; naive label
+    // propagation needs n rounds, star contraction needs O(log n))
+    val pathEdges = spark.range(1, 100000)
+      .selectExpr("id as a", "id - 1 as b")
+    val pathComp = DupGroups.connectedComponents(pathEdges, "a", "b")
+    val stats = pathComp.agg(
+      org.apache.spark.sql.functions.countDistinct("component"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head()
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == 100000L)
+
+    // random graph over 50k nodes: supercritical, one giant component plus
+    // isolated small ones; cross-check sampled nodes against union-find
+    val rnd = spark.range(200000).selectExpr(
+      "cast(abs(hash(id, 1)) % 50000 as bigint) as a",
+      "cast(abs(hash(id, 2)) % 50000 as bigint) as b")
+    val edges = rnd.collect().map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2)
+    val got = DupGroups.connectedComponents(rnd, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges.toSeq)
+    assert(got == want)
+  }
+
   test("dupGroups reports size and members per component") {
     val comp = DupGroups.connectedComponents(
       Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b"), "a", "b")

@@ -148,4 +148,38 @@ class PlanSpec extends SparkSpec {
       docs, docs.filter(col("doc_id") < 20), "doc_id", "text", 8))
     assert(p.contains("BroadcastHashJoin"), s"eval side should broadcast:\n${p.take(800)}")
   }
+
+  test("incremental dedup: bloom prefilter evaluates scan-side, before any exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id",
+      xxhash64(graft.functions.TextFunctions.contentFingerprint(col("text"))))
+    val p = plan(out)
+    // AQE wraps finished stages in leaf QueryStageExec nodes — flatten
+    // through them so the traversal sees the whole physical tree
+    def flatten(n: SparkPlan): Seq[SparkPlan] =
+      n +: (n.children.flatMap(flatten) ++ (n match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case _ => Nil
+      }))
+    val nodes = flatten(p)
+    // the bloom test must sit in a Filter whose subtree has NO shuffle —
+    // i.e. the definitely-new routing happens before any exchange
+    val bloomFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, s"no scan-side bloom filter in:\n${p.toString.take(1500)}")
+    for (f <- bloomFilters) {
+      val shuffleBelow = flatten(f).drop(1).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+      }
+      assert(shuffleBelow.isEmpty, "bloom prefilter must run before any shuffle")
+    }
+  }
 }
