@@ -99,12 +99,14 @@ object SparkEntry {
         ev.select(format_string("%s %s evt=%d",
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("event_id"))
           .as("value"))
-      case "plain_gz" => // same lines as "plain", gzip-compressed (codec path)
+      case "plain_gz" | "plain_bz2" => // same lines as "plain", compressed (codec paths)
         ev.select(format_string("%d %s user=%d %.2f",
           col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
     }
     if (flavor.endsWith("_gz"))
       lines.write.mode("overwrite").option("compression", "gzip").text(out)
+    else if (flavor.endsWith("_bz2"))
+      lines.write.mode("overwrite").option("compression", "bzip2").text(out)
     else lines.write.mode("overwrite").text(out)
     out
   }
@@ -213,6 +215,28 @@ object SparkEntry {
     */
   private def qLogGzip(spark: SparkSession, dir: String): DataFrame = {
     val path = logDir(spark, dir, "plain_gz")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r(max("value"), 2).as("max_value"),
+        sum(col("user_id").cast("long")).as("sum_users"))
+      .orderBy("event_type")
+  }
+
+  /** The SPLITTABLE compressed codec path: bzip2 files are chunked at
+    * maxSplitBytes boundaries like uncompressed ones (gzip, above, stays
+    * one-split-per-file) — the difference between one task per archive and
+    * cluster-wide fan-out when someone hands the pipeline 100 TB of .bz2
+    * logs. Split-boundary parity is spec-asserted (LogSourceSpec); here the
+    * whole scan must reproduce the gzip query's aggregate exactly.
+    */
+  private def qLogBzip2(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "plain_bz2")
     spark.read.format("log")
       .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
       .option("fieldNames", "event_id, event_type, user_id, value")
@@ -1272,6 +1296,7 @@ object SparkEntry {
     "q_log_timestamp" -> (qLogTimestamp _),
     "q_log_failfast" -> (qLogFailfast _),
     "q_log_gzip" -> (qLogGzip _),
+    "q_log_bzip2" -> (qLogBzip2 _),
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -1419,6 +1444,11 @@ object SparkEntry {
         |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
     "q_log_gzip" ->
+      """SELECT event_type, count(*) AS n,
+        |       floor(max(round(value, 2)) * 100 + 0.5) / 100 AS max_value,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_log_bzip2" ->
       """SELECT event_type, count(*) AS n,
         |       floor(max(round(value, 2)) * 100 + 0.5) / 100 AS max_value,
         |       CAST(sum(user_id) AS BIGINT) AS sum_users

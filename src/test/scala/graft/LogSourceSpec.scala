@@ -88,6 +88,36 @@ class LogSourceSpec extends SparkSpec {
     assert(gz == plain)
   }
 
+  test("bzip2: splittable codec — forced multi-split read matches unsplit rows") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bz2").toString
+    val lines = (1 to 2000).map(i => f"$i%d INFO msg-$i%d payload-${"x" * 40}")
+    spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1).write.mode("overwrite").option("compression", "bzip2").text(dir)
+    def readIt() = spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) (\\S+) (\\S+)")
+      .option("fieldNames", "id, level, msg, payload")
+      .option("dataTypes", "INT, VARCHAR, VARCHAR, VARCHAR")
+      .option("extensions", "txt") // writer emits part-*.txt.bz2
+      .load(dir)
+    val whole = readIt().agg(count(lit(1)), sum("id")).head()
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    val (split, parts) =
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        val df = readIt()
+        (df.agg(count(lit(1)), sum("id")).head(), df.rdd.getNumPartitions)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    assert(parts > 1, s"bz2 file should split into multiple chunks, got $parts")
+    assert(split.getLong(0) == 2000L && split.getLong(0) == whole.getLong(0))
+    assert(split.getLong(1) == whole.getLong(1))
+  }
+
   test("fixture 5: >4KB field survives intact (no 4096-byte truncation)") {
     val df = spark.read.format("log")
       .option("pattern", "(\\d+)\\s+(\\w+)\\s+(.+)")
