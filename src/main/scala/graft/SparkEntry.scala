@@ -1045,6 +1045,23 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Per-group embedding centroids via the custom
+    * [[graft.functions.VectorMean]] AGGREGATE (TypedImperativeAggregate
+    * with map-side combine — one (count, sums[dim]) buffer per group per
+    * task instead of dim scalar rows). Element-wise half-up rounding makes
+    * the distributed float sum comparable; the oracle rebuilds the same
+    * means with unnest + avg-per-position.
+    */
+  private def qEmbedCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(pmod(col("vec_id"), lit(4)).as("grp"),
+        col("embedding").cast("array<double>").as("v"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        transform(graft.functions.VectorMean(col("v")),
+          x => floor(x * 10000 + lit(0.5)) / 10000).as("centroid"))
+      .orderBy("grp")
+
   private def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -1339,6 +1356,7 @@ object SparkEntry {
     "q_text_normalize" -> (qTextNormalize _),
     "q_partitioned_write" -> (qPartitionedWrite _),
     "q_embed_topk" -> (qEmbedTopk _),
+    "q_embed_centroids" -> (qEmbedCentroids _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -1850,6 +1868,18 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |       CAST(sum(length(text)) AS BIGINT) AS text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // generate_subscripts + unnest expand in lockstep, giving (pos, x)
+    // pairs; list(... ORDER BY pos) reassembles the rounded mean vector
+    "q_embed_centroids" ->
+      """WITH e AS (
+        |  SELECT vec_id % 4 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT grp, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+        |m AS (SELECT grp, pos, avg(x) AS mx FROM u GROUP BY 1, 2),
+        |c AS (SELECT grp, list(floor(mx * 10000 + 0.5) / 10000 ORDER BY pos) AS centroid
+        |      FROM m GROUP BY 1),
+        |n AS (SELECT grp, count(*) AS n FROM e GROUP BY 1)
+        |SELECT c.grp, n.n, c.centroid FROM c JOIN n ON c.grp = n.grp ORDER BY c.grp""".stripMargin,
     "q_embed_lsh" -> AnnExactSideSql,
     "q_embed_ivf" -> AnnExactSideSql,
     "q_rolling_fingerprint" ->

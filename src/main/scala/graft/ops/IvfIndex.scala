@@ -46,13 +46,12 @@ object IvfIndex {
 
     for (_ <- 0 until iterations) {
       val assigned = assign(vecs, "__v", centroids)
+      // one vector_mean buffer per (task, cell) in the partial phase — the
+      // shuffle carries nLists buffers per task, not nLists x dim scalar
+      // rows like the earlier posexplode/groupBy(cell, pos) formulation
       val next = assigned
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__cell", "__pos")
-        .agg(avg("__x").as("__m"))
         .groupBy("__cell")
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pairs"))
-        .select(col("__cell"), transform(col("__pairs"), p => p.getField("__m")).as("__c"))
+        .agg(graft.functions.VectorMean(col("__v")).as("__c"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
       // empty cells keep their previous centroid
