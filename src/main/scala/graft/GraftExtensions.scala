@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64, UnicodeNormalize}
+import graft.functions.{CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64, UnicodeNormalize, VectorMean}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT parse_log_line(value, '(\\d+)') ...")` works next to
@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize", "unicode_normalize(text) - NFC + lowercase + whitespace collapse"),
       (args: Seq[Expression]) => UnicodeNormalize(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("vector_mean"),
+      info("vector_mean", "vector_mean(array<double>) - element-wise mean aggregate"),
+      (args: Seq[Expression]) => VectorMean(args.head).toAggregateExpression()))
   }
 }

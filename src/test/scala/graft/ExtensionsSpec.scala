@@ -42,6 +42,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig == sig2)
   }
 
+  test("vector_mean in SQL: grouped element-wise mean with partial aggregation") {
+    spark.range(100).selectExpr("id % 2 AS g", "array(cast(id as double), 1.0d) AS v")
+      .repartition(8).createOrReplaceTempView("t_vm")
+    val rows = spark.sql("SELECT g, vector_mean(v) AS c FROM t_vm GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(rows(0)._2 == Seq(49.0, 1.0)) // mean of 0,2,...,98
+    assert(rows(1)._2 == Seq(50.0, 1.0)) // mean of 1,3,...,99
+  }
+
   test("cosine_similarity in SQL: exact on aligned vectors, 0.0 on zero norm") {
     val r = spark.sql(
       """SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS same,
