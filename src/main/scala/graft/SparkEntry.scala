@@ -1857,9 +1857,17 @@ object SparkEntry {
         |  WHERE bkt < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END)
         |SELECT lang, split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // whitespace class spelled out because RE2's \s is ASCII-only: it
+    // mirrors UnicodeNormalize's Java isWhitespace ∪ SPACE_SEPARATOR set
+    // (VT, FS..US, NBSP, ogham/en-quad..hair/narrow/math spaces, line and
+    // paragraph separators, ideographic space). Residual divergence: DuckDB
+    // lower() is simple case mapping vs Java's (contextual final sigma,
+    // dotted İ) — irrelevant for this corpus, documented for the next one.
     "q_text_normalize" ->
       """WITH n AS (
-        |  SELECT trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+        |  SELECT trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\t\n\x{000B}\f\r\x{001C}-\x{001F} \x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+        |    ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT count(*) AS n_docs, CAST(sum(length(norm)) AS BIGINT) AS total_len,
         |       count(DISTINCT norm) AS n_distinct

@@ -146,8 +146,10 @@ object Dedup {
     * bands), so at corpus scale EVERY bucket holds ~N/2^bits docs and the
     * band self-join is quadratic-per-bucket — the same degenerate-bucket
     * problem MinHash banding has, and the same fix: a sort-free hash-agg +
-    * anti-join drops buckets over `maxBucketSize` (an explicit, logged
-    * coverage bound). The real headroom fix at 100 TB is a WIDER code
+    * anti-join drops buckets over `maxBucketSize` — an explicit coverage
+    * bound (dropped buckets are not counted at runtime; counting would cost
+    * an extra action, same trade as [[minhashCandidatePairs]]). The real
+    * headroom fix at 100 TB is a WIDER code
     * (128/256-bit simhash with 16-bit bands → 65k+ bucket values), which
     * raises both recall and bucket selectivity; the cap keeps even the
     * 64-bit code's worst buckets bounded.
@@ -279,6 +281,10 @@ object Dedup {
       else math.max(hKeys.count(), 1L)
     val bloom = hKeys.stat.bloomFilter("__key", expected, fpp)
     val keyed = batch.withColumn("__key", key)
+    // null keys carry no dedup information: like SQL's anti-join semantics
+    // (null never matches history) they pass through — and unlike a naive
+    // GROUP BY they are never merged with each other either
+    val nullKeys = keyed.filter(col("__key").isNull)
     val hit = graft.functions.BloomMightContain(col("__key"), bloom)
     val definitelyNew = keyed.filter(!hit)
     val survivors = keyed.filter(hit)
@@ -287,6 +293,7 @@ object Dedup {
     // keep, then recover full rows
     val all = definitelyNew.unionByName(survivors)
     val keepIds = all.groupBy("__key").agg(min(col(idCol)).as(idCol)).select(idCol)
+      .unionByName(nullKeys.select(idCol))
     batch.join(keepIds, Seq(idCol), "left_semi")
   }
 

@@ -25,14 +25,16 @@ object PartitionedSink {
 
   /** Write `df` to `path` as parquet partitioned by `partCols`, salted to
     * `filesPerPartition` files per partition value, rows clustered by
-    * `sortCols` within files. Returns the written row count.
+    * `sortCols` within files. Verification is the caller's read-back (see
+    * q_partitioned_write) — returning a count here would re-scan the whole
+    * output a second time for a number most callers drop.
     */
   def writePartitioned(
       df: DataFrame,
       path: String,
       partCols: Seq[String],
       sortCols: Seq[String],
-      filesPerPartition: Int = 4): Long = {
+      filesPerPartition: Int = 4): Unit = {
     require(partCols.nonEmpty, "partCols must not be empty")
     val salt: Column =
       if (filesPerPartition <= 1) lit(0)
@@ -46,6 +48,5 @@ object PartitionedSink {
       if (sortCols.isEmpty) shuffled
       else shuffled.sortWithinPartitions((partCols ++ sortCols).map(col): _*)
     clustered.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
-    df.sparkSession.read.parquet(path).count()
   }
 }

@@ -66,6 +66,13 @@ object Similarity {
       seed: Long = 7L): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+    // a wrong `dim` would mark EVERY vector malformed (bucket -1) and
+    // silently return an empty result — probe one row and fail loudly
+    // instead (one tiny job, negligible next to the scan it guards)
+    c.select(size(col("__cv"))).head(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"lshTopK: dim=$dim but corpus vectors have ${r.getInt(0)} elements")
+    }
     // same plane tensor the per-table formulation used: table t = seed + t
     val planes = (0 until tables).map(t => hyperplanes(seed + t, nPlanes, dim)).toArray
 

@@ -195,6 +195,21 @@ class DedupSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("incrementalDedup: null-key rows pass through, never merged or dropped") {
+    val history = Seq((1L, "h")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, Some("h")),   // dup of history
+      (11L, None),        // null key
+      (12L, None),        // another null key — must NOT merge with 11
+      (13L, Some("new"))).toDF("doc_id", "text")
+    // xxhash64 folds nulls into the seed, so build an explicitly null key
+    val key = org.apache.spark.sql.functions.when($"text".isNotNull,
+      org.apache.spark.sql.functions.xxhash64($"text"))
+    val got = Dedup.incrementalDedup(batch, history, "doc_id", key)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 12L, 13L))
+  }
+
   test("minhash LSH on documents table: recall vs exact jaccard >= 0.9 at t=0.7") {
     val real = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val exact = Dedup.tokenJaccardPairs(

@@ -13,9 +13,9 @@ class PartitionedSinkSpec extends SparkSpec {
 
   test("round-trip: partitioned write preserves every row") {
     val out = freshDir()
-    val n = PartitionedSink.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"))
-    assert(n == docs.count())
+    PartitionedSink.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"))
     val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
     assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
