@@ -228,6 +228,38 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** The NATIVE streaming source end-to-end ([[graft.log.LogMicroBatchStream]]):
+    * `readStream.format("log")` tails the synthesized log directory with
+    * `maxFilesPerTrigger` admission control (several bounded micro-batches,
+    * not one unbounded backlog batch), parses each line through the same
+    * regex/type pipeline as the batch scan, and aggregates with a complete-
+    * mode memory sink (the oracle-harness shape — see q_streaming_sink for
+    * the production append shape). The oracle recomputes the aggregate from
+    * the events table the lines were synthesized from.
+    */
+  private def qLogStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = logDir(spark, dir, "plain")
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .option("maxFilesPerTrigger", "8")
+      .load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("user_id").cast("long")).as("sum_users"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_log_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("[graft] q_log_stream drain timed out after 300 s")
+    }
+    spark.table("graft_log_stream_out").orderBy("event_type")
+  }
+
   /** The SPLITTABLE compressed codec path: bzip2 files are chunked at
     * maxSplitBytes boundaries like uncompressed ones (gzip, above, stays
     * one-split-per-file) — the difference between one task per archive and
@@ -1314,6 +1346,7 @@ object SparkEntry {
     "q_log_failfast" -> (qLogFailfast _),
     "q_log_gzip" -> (qLogGzip _),
     "q_log_bzip2" -> (qLogBzip2 _),
+    "q_log_stream" -> (qLogStream _),
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -1470,6 +1503,9 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       floor(max(round(value, 2)) * 100 + 0.5) / 100 AS max_value,
         |       CAST(sum(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_log_stream" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
