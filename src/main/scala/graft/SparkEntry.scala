@@ -493,6 +493,25 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** APPROXIMATE percentiles (Spark's approx_percentile sketch) graded
+    * like q_hll: the oracle reproduces the EXACT per-group median and n;
+    * the in-query invariant asserts the sketch lands within the rank-error
+    * bound (accuracy 10000 → eps = 1/10000, checked against the exact
+    * value-range envelope at p±2eps computed in-query). At 100 TB the
+    * sketch is the only affordable option — mergeable partial state per
+    * task vs a full sort per group for the exact form.
+    */
+  private def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(r(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        count(lit(1)).as("n"),
+        (expr("approx_percentile(l_extendedprice, 0.5, 10000)") >=
+          expr("percentile(l_extendedprice, 0.4998)") &&
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)") <=
+            expr("percentile(l_extendedprice, 0.5002)")).as("within_rank_bound"))
+      .orderBy("l_returnflag")
+
   /** Hourly-count anomaly detection per event type: hours at >= 2x the
     * type's mean hourly rate. The comparison is INTEGER arithmetic
     * (n * n_hours >= 2 * total), so the threshold is bit-exact across
@@ -1028,6 +1047,22 @@ object SparkEntry {
       .orderBy("lang", "split")
   }
 
+  /** URL parsing (`parse_url` — host/query components) over synthesized
+    * per-doc URLs, grouped by host: the C4-style provenance-grouping shape
+    * (dedup/rate decisions per registrable host). The oracle rebuilds the
+    * same URLs with printf and parses with regexp_extract.
+    */
+  private def qUrlExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(format_string("https://site-%d.example.org/%s/doc-%d?ref=%d",
+        pmod(col("doc_id"), lit(20)), col("lang"), col("doc_id"),
+        pmod(col("doc_id"), lit(7))).as("url"))
+      .select(expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'QUERY')").as("query"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n"), countDistinct(col("query")).as("n_refs"))
+      .orderBy("host")
+
   /** Incremental dedup ([[Dedup.incrementalDedup]]): the odd-id half of the
     * corpus arrives as a "new batch" against the even-id half as "history".
     * Bloom-prefiltered — misses skip the anti-join entirely; hits (true
@@ -1364,6 +1399,8 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_percentile" -> (qPercentile _),
+    "q_approx_percentile" -> (qApproxPercentile _),
+    "q_url_extract" -> (qUrlExtract _),
     "q_event_anomaly" -> (qEventAnomaly _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -1615,6 +1652,20 @@ object SparkEntry {
         |       floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000 AS p95,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS exact_p50,
+        |       count(*) AS n, true AS within_rank_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_url_extract" ->
+      """WITH u AS (
+        |  SELECT printf('https://site-%d.example.org/%s/doc-%d?ref=%d',
+        |                doc_id % 20, lang, doc_id, doc_id % 7) AS url
+        |  FROM documents),
+        |p AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |             regexp_extract(url, '\?(.*)$', 1) AS query FROM u)
+        |SELECT host, count(*) AS n, count(DISTINCT query) AS n_refs
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
     "q_event_anomaly" ->
       """WITH h AS (
         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
