@@ -852,6 +852,47 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** STREAM-STATIC join — the remaining everyday streaming shape: the
+    * event stream enriched against a static dimension (the per-user order
+    * aggregate). The static side plans as a plain batch relation inside
+    * every micro-batch — Catalyst broadcasts it like any dimension join; no
+    * state store is involved (nothing to watermark on the static side).
+    * Inner join + stateless aggregate-after-sink keeps emission
+    * deterministic; the oracle is the identical batch join.
+    */
+  private def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = streamChunksDir(spark, dir)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val sinkDir = s"/tmp/graft_stream_static_sink/$key"
+    deleteRec(new java.io.File(sinkDir))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ckpt").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val dim = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val enriched = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(srcDir)
+      .join(broadcast(dim), Seq("user_id")) // static side: batch relation, broadcast
+      .select(col("event_type"), col("n_orders"))
+    val q = enriched.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("[graft] q_stream_static_join drain timed out after 300 s")
+    }
+    spark.read.parquet(sinkDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_enriched"), sum("n_orders").as("sum_orders"))
+      .orderBy("event_type")
+  }
+
   /** One-time: the event chunks with INJECTED duplicates — every third
     * event repeated inside its own chunk (same-batch dup) and every fifth
     * event from the trailing hour of a chunk repeated in the NEXT chunk
@@ -1414,6 +1455,7 @@ object SparkEntry {
     "q_streaming_join" -> (qStreamingJoin _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
     "q_streaming_dedup" -> (qStreamingDedup _),
+    "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_groups" -> (qDedupGroups _),
@@ -1777,6 +1819,13 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT event_id) AS n,
         |       count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_static_join" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_enriched,
+        |       CAST(sum(d.n_orders) AS BIGINT) AS sum_orders
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n
         |FROM (
