@@ -1088,6 +1088,16 @@ object SparkEntry {
       .orderBy("lang", "split")
   }
 
+  /** Heavy hitters ([[graft.ops.HeavyHitters]]): exact top-10 hottest users
+    * by event count (oracle side, deterministic tiebreak) with each row's
+    * Count–Min estimate graded against its guaranteed envelope
+    * `exact <= est <= exact + eps*N` — the q_hll pattern applied to the
+    * frequency sketch.
+    */
+  private def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.HeavyHitters.topKWithCmsCheck(
+      events(spark, dir).select(col("user_id")), "user_id", 10)
+
   /** URL parsing (`parse_url` — host/query components) over synthesized
     * per-doc URLs, grouped by host: the C4-style provenance-grouping shape
     * (dedup/rate decisions per registrable host). The oracle rebuilds the
@@ -1441,6 +1451,7 @@ object SparkEntry {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_percentile" -> (qPercentile _),
     "q_approx_percentile" -> (qApproxPercentile _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_url_extract" -> (qUrlExtract _),
     "q_event_anomaly" -> (qEventAnomaly _),
     "q_setops" -> (qSetOps _),
@@ -1699,6 +1710,10 @@ object SparkEntry {
         |       floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS exact_p50,
         |       count(*) AS n, true AS within_rank_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n, true AS cms_ok
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "q_url_extract" ->
       """WITH u AS (
         |  SELECT printf('https://site-%d.example.org/%s/doc-%d?ref=%d',

@@ -1,0 +1,32 @@
+package graft
+
+import graft.ops.HeavyHitters
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = (
+    Seq.fill(1000)(1L) ++ Seq.fill(500)(2L) ++
+      (3L to 12L).flatMap(k => Seq.fill(10)(k))).toDF("k")
+
+  test("exact top-k with deterministic tiebreak; CMS estimates inside the envelope") {
+    val out = HeavyHitters.topKWithCmsCheck(skewed, "k", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 1000L, true), (2L, 500L, true), (3L, 10L, true)))
+  }
+
+  test("deterministic across runs (fixed sketch seed)") {
+    val a = HeavyHitters.topKWithCmsCheck(skewed.repartition(8), "k", 5).collect().toSeq
+    val b = HeavyHitters.topKWithCmsCheck(skewed.repartition(8), "k", 5).collect().toSeq
+    assert(a == b)
+  }
+
+  test("real events: the hot keys it finds carry most traffic (sanity at sf)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet").select("user_id")
+    val out = HeavyHitters.topKWithCmsCheck(ev, "user_id", 10).collect()
+    assert(out.length == 10 && out.forall(_.getBoolean(2)))
+    // descending counts
+    val ns = out.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+}
