@@ -99,7 +99,9 @@ object SparkEntry {
         ev.select(format_string("%s %s evt=%d",
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("event_id"))
           .as("value"))
-      case "plain_gz" | "plain_bz2" => // same lines as "plain", compressed (codec paths)
+      case "plain_gz" | "plain_bz2" | "plain_many" =>
+        // same lines as "plain": compressed (codec paths) or spread over
+        // 16 files (multi-batch streaming admission)
         ev.select(format_string("%d %s user=%d %.2f",
           col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
     }
@@ -107,6 +109,8 @@ object SparkEntry {
       lines.write.mode("overwrite").option("compression", "gzip").text(out)
     else if (flavor.endsWith("_bz2"))
       lines.write.mode("overwrite").option("compression", "bzip2").text(out)
+    else if (flavor.endsWith("_many"))
+      lines.repartition(16).write.mode("overwrite").text(out)
     else lines.write.mode("overwrite").text(out)
     out
   }
@@ -239,7 +243,8 @@ object SparkEntry {
     */
   private def qLogStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val path = logDir(spark, dir, "plain")
+    // 16 files + maxFilesPerTrigger=8 -> the drain really runs >1 batch
+    val path = logDir(spark, dir, "plain_many")
     val stream = spark.readStream.format("log")
       .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
       .option("fieldNames", "event_id, event_type, user_id, value")
@@ -504,12 +509,16 @@ object SparkEntry {
   private def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(r(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-        count(lit(1)).as("n"),
-        (expr("approx_percentile(l_extendedprice, 0.5, 10000)") >=
-          expr("percentile(l_extendedprice, 0.4998)") &&
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)") <=
-            expr("percentile(l_extendedprice, 0.5002)")).as("within_rank_bound"))
+      // ONE exact-percentile aggregate with an array of fractions — three
+      // separate percentile() calls would each buffer every group value
+      .agg(expr("percentile(l_extendedprice, array(0.4998, 0.5, 0.5002))").as("__p"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        r(element_at(col("__p"), 2), 4).as("exact_p50"),
+        col("n"),
+        (col("__a") >= element_at(col("__p"), 1) &&
+          col("__a") <= element_at(col("__p"), 3)).as("within_rank_bound"))
       .orderBy("l_returnflag")
 
   /** Hourly-count anomaly detection per event type: hours at >= 2x the
@@ -700,13 +709,58 @@ object SparkEntry {
     * partition the sink by batchId (or use a transactional sink); plain
     * append is exact for a single AvailableNow drain.
     */
-  private def qStreamingSink(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared append-mode AvailableNow drain to a parquet sink, used by
+    * every production-shape streaming query. `statePartitionCap` bounds the
+    * stateful operator's shuffle partitions (state stores per partition are
+    * the cost; at real scale this is sized to executor count) via an
+    * exception-safe conf override. Timeout stops the query so a
+    * half-written sink is never read, then fails the harness.
+    */
+  private def drainAppendToParquet(
+      stream: DataFrame,
+      sinkDir: String,
+      qname: String,
+      statePartitionCap: Option[Int] = None): Unit = {
     import org.apache.spark.sql.streaming.Trigger
+    val spark = stream.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${qname}_ckpt").toString
+    def run(): Boolean = {
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) { q.stop(); false } else true
+    }
+    val finished = statePartitionCap match {
+      case None => run()
+      case Some(cap) =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        val capped = math.min(prev.toInt, cap).toString
+        try { spark.conf.set("spark.sql.shuffle.partitions", capped); run() }
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    if (!finished)
+      throw new IllegalStateException(s"[graft] $qname drain timed out after 300 s")
+  }
+
+  /** A drain that emitted zero rows never creates the sink directory —
+    * that is the correct EMPTY result (e.g. every window withheld by the
+    * watermark), not an error; `ddl` supplies the schema for that case.
+    */
+  private def readSinkOrEmpty(spark: SparkSession, sinkDir: String, ddl: String): DataFrame =
+    if (!new java.io.File(sinkDir).exists())
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else spark.read.parquet(sinkDir)
+
+  private def qStreamingSink(spark: SparkSession, dir: String): DataFrame = {
     val srcDir = streamChunksDir(spark, dir)
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val sinkDir = s"/tmp/graft_stream_sink/$key"
     deleteRec(new java.io.File(sinkDir)) // fresh sink per run (deterministic re-runs)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2") // several micro-batches, not one big one
@@ -716,23 +770,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"))
-    val q = stream.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop() // never read a half-written sink under a live writer
-      throw new IllegalStateException("[graft] q_streaming_sink drain timed out after 300 s")
-    }
-    // zero emitted windows (event span shorter than the watermark delay)
-    // leaves no sink directory — that is the correct empty result
-    if (!new java.io.File(sinkDir).exists())
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL("hour STRING, event_type STRING, n LONG"))
-    else spark.read.parquet(sinkDir).orderBy("hour", "event_type")
+    drainAppendToParquet(stream, sinkDir, "q_streaming_sink")
+    readSinkOrEmpty(spark, sinkDir, "hour STRING, event_type STRING, n LONG")
+      .orderBy("hour", "event_type")
   }
 
   /** Stream-stream INTERVAL join (the remaining big streaming shape):
@@ -743,22 +783,15 @@ object SparkEntry {
     * the batch interval join — which is exactly what the oracle runs.
     */
   private def qStreamingJoin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val srcDir = streamChunksDir(spark, dir)
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val sinkDir = s"/tmp/graft_stream_join_sink/$key"
     deleteRec(new java.io.File(sinkDir))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_join_ckpt").toString
     val schema = spark.read.parquet(srcDir).schema
     // 4 files/trigger -> 2 data batches: cross-batch matching is exercised
     // (click in batch 1, purchase in batch 2) without paying per-batch
-    // state-store commit overhead 4 more times. The stateful operator's
-    // partition count is fixed at query start from shuffle.partitions; a
-    // stream-stream join keeps 4 state stores per partition, so CAP it at 8
-    // (never raise — Bench runs with fewer) — at real scale this is sized
-    // to executor count, not left at default.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val capped = math.min(prevShuffle.toInt, 8).toString
+    // state-store commit overhead 4 more times. A stream-stream join keeps
+    // 4 state stores per partition, so cap state partitions at 8.
     def src() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "4").parquet(srcDir)
     val clicks = src().filter(col("event_type") === "click")
@@ -770,23 +803,7 @@ object SparkEntry {
     val matches = clicks.join(purchases,
       col("cu") === col("pu") &&
         col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
-    // the override lives inside one try/finally so ANY failure — plan
-    // analysis, start(), or the drain — restores the session conf
-    val finished =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", capped)
-        val q = matches.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("append").parquet(sinkDir)
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) { q.stop(); false } else true
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    if (!finished) {
-      throw new IllegalStateException("[graft] q_streaming_join drain timed out after 300 s")
-    }
+    drainAppendToParquet(matches, sinkDir, "q_streaming_join", statePartitionCap = Some(8))
     if (!new java.io.File(sinkDir).exists())
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL("hour STRING, n_matches LONG, n_users LONG"))
@@ -807,12 +824,10 @@ object SparkEntry {
     * `end + gap < final_watermark` (strict — the exec's timeout check).
     */
   private def qSessionizeCustom(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val srcDir = streamChunksDir(spark, dir)
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val sinkDir = s"/tmp/graft_sessionize_sink/$key"
     deleteRec(new java.io.File(sinkDir))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
     val schema = spark.read.parquet(srcDir).schema
     import spark.implicits._
     val ev = spark.readStream.schema(schema)
@@ -823,23 +838,8 @@ object SparkEntry {
       .as[graft.streaming.Sessionize.Event]
     val sessions = graft.streaming.Sessionize.sessionize(spark, ev, gapMillis = 30 * 60 * 1000L)
     // same state-partition cap rationale as q_streaming_join
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val capped = math.min(prevShuffle.toInt, 8).toString
-    val finished =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", capped)
-        val q = sessions.toDF().writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode("append").parquet(sinkDir)
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) { q.stop(); false } else true
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    if (!finished) {
-      throw new IllegalStateException("[graft] q_sessionize_custom drain timed out after 300 s")
-    }
+    drainAppendToParquet(sessions.toDF(), sinkDir, "q_sessionize_custom",
+      statePartitionCap = Some(8))
     if (!new java.io.File(sinkDir).exists())
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -866,7 +866,6 @@ object SparkEntry {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val sinkDir = s"/tmp/graft_stream_static_sink/$key"
     deleteRec(new java.io.File(sinkDir))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ckpt").toString
     val schema = spark.read.parquet(srcDir).schema
     val dim = t(spark, dir, "orders")
       .groupBy(col("o_custkey").as("user_id"))
@@ -876,18 +875,8 @@ object SparkEntry {
       .parquet(srcDir)
       .join(broadcast(dim), Seq("user_id")) // static side: batch relation, broadcast
       .select(col("event_type"), col("n_orders"))
-    val q = enriched.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("[graft] q_stream_static_join drain timed out after 300 s")
-    }
-    spark.read.parquet(sinkDir)
+    drainAppendToParquet(enriched, sinkDir, "q_stream_static_join")
+    readSinkOrEmpty(spark, sinkDir, "event_type STRING, n_orders BIGINT")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_enriched"), sum("n_orders").as("sum_orders"))
       .orderBy("event_type")
@@ -934,30 +923,19 @@ object SparkEntry {
     * injected duplicate.
     */
   private def qStreamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val srcDir = dupStreamChunksDir(spark, dir)
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val sinkDir = s"/tmp/graft_stream_dedup_sink/$key"
     deleteRec(new java.io.File(sinkDir))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
     val schema = spark.read.parquet(srcDir).schema
     val deduped = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "4") // 2 data batches: dups cross batches
       .parquet(srcDir)
       .withWatermark("ts", "3 hours")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("[graft] q_streaming_dedup drain timed out after 300 s")
-    }
-    spark.read.parquet(sinkDir)
+    drainAppendToParquet(deduped, sinkDir, "q_streaming_dedup", statePartitionCap = Some(8))
+    readSinkOrEmpty(spark, sinkDir,
+      "event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"))
       .orderBy("event_type")

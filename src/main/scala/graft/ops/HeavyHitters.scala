@@ -32,11 +32,15 @@ object HeavyHitters {
       confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
-    val exact = df.groupBy(keyCol)
+    // the sketch build skips nulls, so a null group that ranked in the
+    // exact top-k would probe estimateCount(null) and NPE — exclude nulls
+    // consistently on both sides (a null is not a key)
+    val keyed = df.filter(col(keyCol).isNotNull)
+    val exact = keyed.groupBy(keyCol)
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col(keyCol))
       .limit(k)
-    val sketch = df.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val sketch = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
     val bound = math.ceil(eps * sketch.totalCount()).toLong
     val rows = exact.collect().map { r =>
       val key = r.get(0)

@@ -15,6 +15,14 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1000L, true), (2L, 500L, true), (3L, 10L, true)))
   }
 
+  test("null keys are excluded, not crashed on, even when null is the hottest value") {
+    val withNulls = (Seq.fill(2000)(Option.empty[Long]) ++
+      Seq.fill(100)(Option(1L)) ++ Seq.fill(50)(Option(2L))).toDF("k")
+    val out = HeavyHitters.topKWithCmsCheck(withNulls, "k", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 100L, true), (2L, 50L, true)))
+  }
+
   test("deterministic across runs (fixed sketch seed)") {
     val a = HeavyHitters.topKWithCmsCheck(skewed.repartition(8), "k", 5).collect().toSeq
     val b = HeavyHitters.topKWithCmsCheck(skewed.repartition(8), "k", 5).collect().toSeq
