@@ -1158,6 +1158,26 @@ object SparkEntry {
           x => floor(x * 10000 + lit(0.5)) / 10000).as("centroid"))
       .orderBy("grp")
 
+  /** Per-group embedding DISPERSION — the outlier diagnostic a curation
+    * pipeline runs before trusting an embedding column: centroid per group
+    * (the [[graft.functions.VectorMean]] aggregate), then every vector's
+    * codegen cosine to its group centroid, aggregated to avg/min (min =
+    * the worst outlier). Composes the custom aggregate with the custom
+    * scalar expression in one plan: agg → broadcast join → codegen scoring.
+    */
+  private def qEmbedDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(pmod(col("vec_id"), lit(4)).as("grp"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = emb.groupBy("grp").agg(graft.functions.VectorMean(col("v")).as("c"))
+    emb.join(broadcast(cents), "grp")
+      .select(col("grp"), graft.functions.CosineSimilarity(col("v"), col("c")).as("cos"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), r(avg("cos"), 3).as("avg_cos"),
+        r(min("cos"), 3).as("min_cos"))
+      .orderBy("grp")
+  }
+
   private def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -1458,6 +1478,7 @@ object SparkEntry {
     "q_partitioned_write" -> (qPartitionedWrite _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_centroids" -> (qEmbedCentroids _),
+    "q_embed_dispersion" -> (qEmbedDispersion _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -2017,6 +2038,18 @@ object SparkEntry {
         |      FROM m GROUP BY 1),
         |n AS (SELECT grp, count(*) AS n FROM e GROUP BY 1)
         |SELECT c.grp, n.n, c.centroid FROM c JOIN n ON c.grp = n.grp ORDER BY c.grp""".stripMargin,
+    "q_embed_dispersion" ->
+      """WITH e AS (
+        |  SELECT vec_id % 4 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT grp, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+        |m AS (SELECT grp, pos, avg(x) AS mx FROM u GROUP BY 1, 2),
+        |c AS (SELECT grp, list(mx ORDER BY pos) AS cent FROM m GROUP BY 1),
+        |s AS (SELECT e.grp, list_cosine_similarity(e.v, c.cent) AS cos
+        |      FROM e JOIN c ON e.grp = c.grp)
+        |SELECT grp, count(*) AS n,
+        |       floor(avg(cos) * 1000 + 0.5) / 1000 AS avg_cos,
+        |       floor(min(cos) * 1000 + 0.5) / 1000 AS min_cos
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
     "q_embed_lsh" -> AnnExactSideSql,
     "q_embed_ivf" -> AnnExactSideSql,
     "q_rolling_fingerprint" ->
