@@ -698,17 +698,6 @@ object SparkEntry {
     }
   }
 
-  /** The PRODUCTION streaming shape (complete+memory above is the oracle
-    * harness): append mode + foreachBatch parquet sink. Events arrive as
-    * several time-chunked files (micro-batches), the watermark advances
-    * between batches, and each window row is emitted exactly once when the
-    * watermark passes its end — no driver-side state, no ever-growing
-    * complete-mode store. The trailing windows the watermark never passes
-    * (the final hour) are correctly withheld; the oracle reproduces that
-    * cutoff. Production-hardening note: exactly-once across restarts would
-    * partition the sink by batchId (or use a transactional sink); plain
-    * append is exact for a single AvailableNow drain.
-    */
   /** Shared append-mode AvailableNow drain to a parquet sink, used by
     * every production-shape streaming query. `statePartitionCap` bounds the
     * stateful operator's shuffle partitions (state stores per partition are
@@ -756,6 +745,17 @@ object SparkEntry {
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
     else spark.read.parquet(sinkDir)
 
+  /** The PRODUCTION streaming shape (complete+memory above is the oracle
+    * harness): append mode + foreachBatch parquet sink. Events arrive as
+    * several time-chunked files (micro-batches), the watermark advances
+    * between batches, and each window row is emitted exactly once when the
+    * watermark passes its end — no driver-side state, no ever-growing
+    * complete-mode store. The trailing windows the watermark never passes
+    * (the final hour) are correctly withheld; the oracle reproduces that
+    * cutoff. Production-hardening note: exactly-once across restarts would
+    * partition the sink by batchId (or use a transactional sink); plain
+    * append is exact for a single AvailableNow drain.
+    */
   private def qStreamingSink(spark: SparkSession, dir: String): DataFrame = {
     val srcDir = streamChunksDir(spark, dir)
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -770,7 +770,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"))
-    drainAppendToParquet(stream, sinkDir, "q_streaming_sink")
+    // windowed aggregation is stateful: same state-partition cap as the
+    // other stateful drains (one state store per partition)
+    drainAppendToParquet(stream, sinkDir, "q_streaming_sink", statePartitionCap = Some(8))
     readSinkOrEmpty(spark, sinkDir, "hour STRING, event_type STRING, n LONG")
       .orderBy("hour", "event_type")
   }
@@ -804,10 +806,8 @@ object SparkEntry {
       col("cu") === col("pu") &&
         col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
     drainAppendToParquet(matches, sinkDir, "q_streaming_join", statePartitionCap = Some(8))
-    if (!new java.io.File(sinkDir).exists())
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL("hour STRING, n_matches LONG, n_users LONG"))
-    else spark.read.parquet(sinkDir)
+    readSinkOrEmpty(spark, sinkDir,
+      "cu BIGINT, cts TIMESTAMP, pu BIGINT, pts TIMESTAMP")
       .groupBy(date_format(col("cts"), "yyyy-MM-dd HH").as("hour"))
       .agg(count(lit(1)).as("n_matches"), countDistinct(col("cu")).as("n_users"))
       .orderBy("hour")
@@ -840,11 +840,8 @@ object SparkEntry {
     // same state-partition cap rationale as q_streaming_join
     drainAppendToParquet(sessions.toDF(), sinkDir, "q_sessionize_custom",
       statePartitionCap = Some(8))
-    if (!new java.io.File(sinkDir).exists())
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "user_id LONG, n_sessions LONG, n_events LONG, max_session_events LONG"))
-    else spark.read.parquet(sinkDir)
+    readSinkOrEmpty(spark, sinkDir,
+      "userId BIGINT, start TIMESTAMP, end TIMESTAMP, nEvents INT, closed BOOLEAN")
       .groupBy(col("userId").as("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("nEvents").cast("long")).as("n_events"),
@@ -861,7 +858,6 @@ object SparkEntry {
     * deterministic; the oracle is the identical batch join.
     */
   private def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val srcDir = streamChunksDir(spark, dir)
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val sinkDir = s"/tmp/graft_stream_static_sink/$key"
