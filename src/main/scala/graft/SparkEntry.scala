@@ -1088,6 +1088,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), countDistinct(col("query")).as("n_refs"))
       .orderBy("host")
 
+  /** Quality-aware canonical selection ([[Dedup.keepBest]]): per duplicate
+    * group (content fingerprint), keep the HIGHEST-quality copy, min-id on
+    * ties — ordered on the RAW quality sum (exact 0.5 steps) so the
+    * tiebreak is bit-identical to the oracle's window recomputation.
+    */
+  private def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.keepBest(docs, "doc_id",
+        TF.contentFingerprint(col("text")), TF.qualityScoreRaw(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   /** Incremental dedup ([[Dedup.incrementalDedup]]): the odd-id half of the
     * corpus arrives as a "new batch" against the even-id half as "history".
     * Bloom-prefiltered — misses skip the anti-join entirely; hits (true
@@ -1469,6 +1483,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_sample_hash" -> (qSampleHash _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1980,6 +1995,33 @@ object SparkEntry {
          |       max(sz) AS max_group_size,
          |       CAST(sum(component) AS BIGINT) AS sum_canonical
          |FROM sizes""".stripMargin,
+    // raw (unrounded) quality sum: exact 0.5 steps, so ORDER BY q DESC,
+    // doc_id reproduces keepBest's (score, -id) max_by bit-for-bit
+    "q_dedup_keep_best" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, $FpSql AS fp,
+         |    len($ToksSql) AS n_tok,
+         |    (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |      / greatest(len($ToksSql), 1) AS mean_wl,
+         |    len(list_filter($ToksSql, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |      / greatest(len($ToksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, fp,
+         |    (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.5 END) AS q
+         |  FROM f),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+         |  FROM s)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "q_incremental_dedup" ->
       s"""WITH fps AS (SELECT doc_id, $FpSql AS fp FROM documents),
          |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),

@@ -85,18 +85,27 @@ object TextFunctions {
       greatest(size(ts), lit(1)).cast("double")
   }
 
-  /** Composite quality score in [0,1]: rewards mid-length docs, mild
-    * punctuation, typical word length, some stopwords (fixed weights —
-    * a document scoring near 0 is boilerplate/garbage, near 1 is prose).
+  /** Raw component sum of the composite quality score, in [0, 4] in exact
+    * 0.5 steps — binary-exact doubles, so ORDERING on it (e.g.
+    * [[graft.ops.Dedup.keepBest]]) is bit-identical across engines, which
+    * the rounded [[qualityScore]] is not (round-half-up vs half-even flips
+    * ties differently per engine at the .125 boundaries).
     */
-  def qualityScore(c: Column): Column = {
+  def qualityScoreRaw(c: Column): Column = {
     val nTok = tokenCount(c).cast("double")
     val lengthOk = when(nTok.between(5, 5000), lit(1.0)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(c) < 0.2, lit(1.0)).otherwise(lit(0.0))
     val wordLenOk = when(meanWordLength(c).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
     val stopOk = when(stopwordRatio(c) > 0.0, lit(1.0)).otherwise(lit(0.5))
-    round((lengthOk + punctOk + wordLenOk + stopOk) / 4.0, 2)
+    lengthOk + punctOk + wordLenOk + stopOk
   }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, mild
+    * punctuation, typical word length, some stopwords (fixed weights —
+    * a document scoring near 0 is boilerplate/garbage, near 1 is prose).
+    */
+  def qualityScore(c: Column): Column =
+    round(qualityScoreRaw(c) / 4.0, 2)
 
   /** Content-defined fingerprint: md5 of normalized text, first 16 hex chars
     * as the dedup key (SQL-reproducible; for the rolling-hash/winnowing

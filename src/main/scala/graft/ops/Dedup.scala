@@ -247,6 +247,28 @@ object Dedup {
       .select("idA", "idB", "jaccard")
   }
 
+  /** Keep the BEST row of each duplicate group — curation-grade canonical
+    * selection: among rows sharing `key`, the one with the highest `score`
+    * survives (lowest id on ties). [[exact]]'s min-id rule is the cheap
+    * default; this is what a quality-aware pipeline actually wants (the
+    * cleanest copy of a near-duplicate cluster, not the earliest).
+    *
+    * One hash aggregation (`max_by` on a (score, -id) struct — map-side
+    * combined, no window/sort) plus a semi-join to recover full rows.
+    * `score` must be engine-exact if the result is oracle-compared:
+    * ordering on values that ROUND differently across engines flips
+    * tiebreaks (use e.g. [[graft.functions.TextFunctions.qualityScoreRaw]],
+    * exact 0.5 steps, not the rounded composite).
+    */
+  def keepBest(df: DataFrame, idCol: String, key: Column, score: Column): DataFrame = {
+    val kept = df.withColumn("__key", key)
+      .groupBy("__key")
+      .agg(max_by(col(idCol),
+        struct(score.as("__s"), (-col(idCol).cast("long")).as("__negid"))).as(idCol))
+      .select(idCol)
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** INCREMENTAL dedup: drop rows of `batch` whose dedup key already
     * exists in `history`, then exact-dedup the survivors within the batch
     * (min id per key). This is the shape a 100 TB pipeline actually runs —

@@ -195,6 +195,23 @@ class DedupSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("keepBest keeps the highest-score copy per key, min id on ties") {
+    import org.apache.spark.sql.functions.{col, length}
+    val df = Seq(
+      (1L, "k1", 10),  // lower score: dropped
+      (2L, "k1", 30),  // best of k1
+      (3L, "k2", 20),  // tie with 4 on score: min id 3 wins
+      (4L, "k2", 20),
+      (5L, "k3", 0)    // singleton survives
+    ).toDF("id", "key", "score")
+    val got = Dedup.keepBest(df, "id", col("key"), col("score").cast("double"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 5L))
+    // full rows come back, not just ids
+    val cols = Dedup.keepBest(df, "id", col("key"), col("score").cast("double")).columns.toSeq
+    assert(cols == Seq("id", "key", "score"))
+  }
+
   test("incrementalDedup: null-key rows pass through, never merged or dropped") {
     val history = Seq((1L, "h")).toDF("doc_id", "text")
     val batch = Seq(
