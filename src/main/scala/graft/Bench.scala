@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   * Failure accounting: a run that crashes contributes NO time sample — a
   * fast crash must never lower a query's reported min. A query with at
   * least one failed run is flagged in `flaky`; one with NO successful run
-  * is flagged in `failed`, reported as -1 in `queries`, and charged its
-  * slowest failure time in the totals (a query that starts crashing must
-  * never make the headline total decrease).
+  * is flagged in `failed`, reported as -1 in `queries`, and charged
+  * `max(slowest failure, 30 s penalty)` in the totals. The penalty floor is
+  * what makes a fast crash (e.g. a 0.1 s analysis error) unable to LOWER
+  * the headline total vs the query's previous passing time; consumers
+  * should still gate on `failed` being empty, not on the total alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,12 +48,15 @@ object Bench {
     def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     val failed = names.map(_._1).filter(k => okTimes(k).isEmpty)
     val flaky = names.map(_._1).filter(k => failTimes(k).nonEmpty && okTimes(k).nonEmpty)
-    // charged time: min of successes; all-failed queries charge their
-    // SLOWEST failure (conservative — see scaladoc)
+    // charged time: min of successes; all-failed queries charge
+    // max(slowest failure, penalty floor) — see scaladoc
+    val failPenalty = 30.0
     def charge(k: String): Double =
-      if (okTimes(k).nonEmpty) okTimes(k).min else failTimes(k).max
+      if (okTimes(k).nonEmpty) okTimes(k).min
+      else math.max(failTimes(k).max, failPenalty)
     def chargeMedian(k: String): Double =
-      if (okTimes(k).nonEmpty) median(okTimes(k)) else failTimes(k).max
+      if (okTimes(k).nonEmpty) median(okTimes(k))
+      else math.max(failTimes(k).max, failPenalty)
     val qs = names.map { case (k, _) =>
       s"\"" + k + "\":" + (if (okTimes(k).isEmpty) -1.0 else okTimes(k).min)
     }.mkString("{", ",", "}")

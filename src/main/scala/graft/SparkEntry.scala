@@ -37,12 +37,15 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Small single-file inputs arrive as one partition; CPU-heavy per-row
-    * pipelines (tokenize, hash, decode) need them spread across cores. At
-    * cluster scale inputs have enough splits and this is a no-op.
+    * pipelines (tokenize, hash, decode) need them spread across cores. The
+    * decision reads the optimizer's size estimate (driver-side metadata —
+    * no `df.rdd` plan conversion, no job): a scan with >=4 MB per core
+    * already fans out via file splits, so at cluster scale this is a no-op.
     */
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(par.toLong) * (4L << 20)) df.repartition(par) else df
   }
 
   /** events.parquet carries nanosecond timestamps, which Spark's parquet
@@ -254,15 +257,19 @@ object SparkEntry {
       .load(path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("user_id").cast("long")).as("sum_users"))
+    // Memory-sink table name derived from the input dir: concurrent drains
+    // over different dirs (parallel bench/test runs in one session) must not
+    // collide on a duplicate active query name / shared complete-mode table.
+    val sinkName = "graft_log_stream_out_" + path.replaceAll("[^a-zA-Z0-9]", "_")
     val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName("graft_log_stream_out")
+      .format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow())
       .start()
     if (!q.awaitTermination(300000)) {
       q.stop()
       throw new IllegalStateException("[graft] q_log_stream drain timed out after 300 s")
     }
-    spark.table("graft_log_stream_out").orderBy("event_type")
+    spark.table(sinkName).orderBy("event_type")
   }
 
   /** The SPLITTABLE compressed codec path: bzip2 files are chunked at
@@ -1156,7 +1163,10 @@ object SparkEntry {
     * with map-side combine — one (count, sums[dim]) buffer per group per
     * task instead of dim scalar rows). Element-wise half-up rounding makes
     * the distributed float sum comparable; the oracle rebuilds the same
-    * means with unnest + avg-per-position.
+    * means with unnest + avg-per-position. The vector is emitted as a
+    * comma-joined string of the rounded 1e4-scaled INTEGER values (not an
+    * array column): integer-stringification is bit-exact cross-engine and
+    * the driver's pandas row-sort cannot hash array cells.
     */
   private def qEmbedCentroids(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -1164,8 +1174,8 @@ object SparkEntry {
         col("embedding").cast("array<double>").as("v"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
-        transform(graft.functions.VectorMean(col("v")),
-          x => floor(x * 10000 + lit(0.5)) / 10000).as("centroid"))
+        concat_ws(",", transform(graft.functions.VectorMean(col("v")),
+          x => floor(x * 10000 + lit(0.5)).cast("long").cast("string"))).as("centroid"))
       .orderBy("grp")
 
   /** Per-group embedding DISPERSION — the outlier diagnostic a curation
@@ -2072,7 +2082,9 @@ object SparkEntry {
         |u AS (
         |  SELECT grp, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
         |m AS (SELECT grp, pos, avg(x) AS mx FROM u GROUP BY 1, 2),
-        |c AS (SELECT grp, list(floor(mx * 10000 + 0.5) / 10000 ORDER BY pos) AS centroid
+        |c AS (SELECT grp,
+        |        string_agg(CAST(CAST(floor(mx * 10000 + 0.5) AS BIGINT) AS VARCHAR),
+        |                   ',' ORDER BY pos) AS centroid
         |      FROM m GROUP BY 1),
         |n AS (SELECT grp, count(*) AS n FROM e GROUP BY 1)
         |SELECT c.grp, n.n, c.centroid FROM c JOIN n ON c.grp = n.grp ORDER BY c.grp""".stripMargin,

@@ -320,11 +320,14 @@ object Dedup {
   }
 
   /** Spread a small (few-partition) input across all cores before
-    * CPU-heavy per-row work; a no-op once inputs have enough splits.
+    * CPU-heavy per-row work; a no-op once inputs have enough splits. Sizing
+    * reads the optimizer's estimate (driver metadata — no `df.rdd` plan
+    * conversion): >=4 MB per core means the scan fans out on its own.
     */
   private def spreadDf(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(par.toLong) * (4L << 20)) df.repartition(par) else df
   }
 
   /** Shared inverted-index Jaccard assembly over a postings list

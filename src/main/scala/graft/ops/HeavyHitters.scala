@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
 object HeavyHitters {
 
   /** Exact top-k keys by count (deterministic tiebreak on the key), each
-    * row carrying `cms_ok`: whether the Count–Min estimate of that key sits
-    * inside its guaranteed envelope. The exact side is the oracle-checkable
-    * output; the boolean grades the sketch. Only the k result rows touch
-    * the driver.
+    * row carrying `cms_ok`: whether the Count–Min estimate respects the
+    * sketch's DETERMINISTIC one-sided guarantee `estimate >= exact` (a CMS
+    * can only overestimate — hash collisions add counts, never remove
+    * them). The upper envelope `estimate <= exact + eps*N` holds only with
+    * probability `confidence` per key, so it is graded in the spec on
+    * fixed data/seed, NOT in this column: an oracle-compared boolean must
+    * never depend on a 0.1% tail. Only the k result rows touch the driver.
     */
   def topKWithCmsCheck(
       df: DataFrame,
@@ -41,12 +44,11 @@ object HeavyHitters {
       .orderBy(desc("n"), col(keyCol))
       .limit(k)
     val sketch = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
-    val bound = math.ceil(eps * sketch.totalCount()).toLong
     val rows = exact.collect().map { r =>
       val key = r.get(0)
       val n = r.getLong(1)
       val est = sketch.estimateCount(key)
-      Row(key, n, est >= n && est <= n + bound)
+      Row(key, n, est >= n)
     }
     val schema = StructType(Seq(
       exact.schema.head,

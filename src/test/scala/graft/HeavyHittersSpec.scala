@@ -23,6 +23,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 100L, true), (2L, 50L, true)))
   }
 
+  test("CMS upper envelope est <= n + ceil(eps*N) on fixed data/seed") {
+    // The probabilistic (confidence-bounded) half of the CMS guarantee is
+    // graded here, where data and seed are pinned so the outcome is
+    // deterministic — not in the oracle-compared cms_ok column.
+    val eps = 0.0001
+    val sketch = skewed.stat.countMinSketch("k", eps, 0.999, 42)
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    val exact = skewed.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (key, n) =>
+      val est = sketch.estimateCount(key)
+      assert(est >= n && est <= n + bound, s"key $key: est=$est n=$n bound=$bound")
+    }
+  }
+
   test("deterministic across runs (fixed sketch seed)") {
     val a = HeavyHitters.topKWithCmsCheck(skewed.repartition(8), "k", 5).collect().toSeq
     val b = HeavyHitters.topKWithCmsCheck(skewed.repartition(8), "k", 5).collect().toSeq
