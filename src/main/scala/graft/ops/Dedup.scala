@@ -1,9 +1,55 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.TextFunctions
+
+/** A corpus-key Bloom filter together with the build parameters needed to
+  * EXTEND it with later batches: `mergeInPlace` requires identically-sized
+  * filters, and a filter's size is a pure function of
+  * `(expectedKeys, fpp)`, so carrying the parameters makes every
+  * per-batch filter compatible by construction.
+  *
+  * `expectedKeys` must be sized for the corpus's TARGET cardinality (the
+  * scale it will grow to), not the current batch: extending past it never
+  * produces false negatives, but saturation degrades fpp monotonically.
+  * The filter itself is driver/executor memory — ~1.2 GB at 1e9 keys,
+  * fpp=0.01 — which is exactly why [[Dedup.incrementalDedup]] ships it as
+  * a [[Broadcast]] handle instead of embedding it in the plan.
+  */
+final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) {
+
+  /** OR `df`'s keys into the filter (distributed partial filters, one
+    * merge). This is the production maintenance path: persist the filter,
+    * extend it with each ACCEPTED batch, never rebuild from all of
+    * history. Mutates and returns this KeyBloom.
+    */
+  def extend(df: DataFrame, key: Column): KeyBloom = {
+    filter.mergeInPlace(KeyBloom.partial(df, key, expectedKeys, fpp))
+    this
+  }
+
+  /** One broadcast per session/checkpoint of the filter; reference the
+    * result from every batch's plan.
+    */
+  def broadcastVia(spark: SparkSession): Broadcast[BloomFilter] =
+    spark.sparkContext.broadcast(filter)
+}
+
+object KeyBloom {
+  /** Distributed filter build over `df`'s non-null keys: per-partition
+    * filters merged treewise (`stat.bloomFilter`), sized by the given
+    * parameters so any two partials with equal parameters merge.
+    */
+  private[ops] def partial(
+      df: DataFrame, key: Column, expectedKeys: Long, fpp: Double): BloomFilter =
+    df.select(key.cast("long").as("__key"))
+      .filter(col("__key").isNotNull)
+      .stat.bloomFilter("__key", math.max(expectedKeys, 1L), fpp)
+}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * and exact n-gram Jaccard — all expressed as declarative DataFrame plans
@@ -269,6 +315,21 @@ object Dedup {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Build the corpus-key Bloom filter ONCE for a batch pipeline: the
+    * returned [[KeyBloom]] is extended per accepted batch
+    * ([[KeyBloom.extend]]) and broadcast ([[KeyBloom.broadcastVia]]) for
+    * the [[incrementalDedup]] overload — no per-batch sizing count, no
+    * per-batch rebuild of a corpus-sized filter.
+    *
+    * @param expectedKeys target CORPUS cardinality (sizing; see KeyBloom)
+    */
+  def buildKeyBloom(
+      history: DataFrame,
+      key: Column,
+      expectedKeys: Long,
+      fpp: Double = 0.01): KeyBloom =
+    KeyBloom(expectedKeys, fpp, KeyBloom.partial(history, key, expectedKeys, fpp))
+
   /** INCREMENTAL dedup: drop rows of `batch` whose dedup key already
     * exists in `history`, then exact-dedup the survivors within the batch
     * (min id per key). This is the shape a 100 TB pipeline actually runs —
@@ -276,8 +337,10 @@ object Dedup {
     * must never be re-shuffled per batch.
     *
     * The Bloom prefilter is the scale move: a filter over history's keys is
-    * built ONCE (here via `stat.bloomFilter`; a production pipeline builds
-    * it incrementally alongside the corpus and persists it) and evaluated
+    * built ONCE (this convenience overload builds it ad hoc; a pipeline
+    * running many batches uses [[buildKeyBloom]]/[[KeyBloom.extend]] and
+    * the Broadcast overload so the filter is maintained incrementally and
+    * persisted, never rebuilt) and evaluated
     * scan-side on the batch ([[graft.functions.BloomMightContain]], codegen,
     * no shuffle). Bloom misses are PROVABLY new — they skip the join
     * entirely; only hits (true dups + an ~fpp false-positive sliver of the
@@ -296,18 +359,36 @@ object Dedup {
       key: Column,
       expectedHistoryKeys: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
-    val hKeys = history.select(key.as("__key"))
-    // the one-time index build; expectedHistoryKeys avoids the sizing count
-    // when the caller tracks corpus cardinality (it should)
+    // ad-hoc build per call; a pipeline that runs many batches should
+    // buildKeyBloom/extend ONCE and use the Broadcast overload below
     val expected = if (expectedHistoryKeys > 0) expectedHistoryKeys
-      else math.max(hKeys.count(), 1L)
-    val bloom = hKeys.stat.bloomFilter("__key", expected, fpp)
+      else math.max(history.select(key.as("__key")).count(), 1L)
+    val kb = buildKeyBloom(history, key, expected, fpp)
+    incrementalDedup(batch, history, idCol, key,
+      batch.sparkSession.sparkContext.broadcast(kb.filter))
+  }
+
+  /** Prebuilt-filter variant of [[incrementalDedup]] — the production
+    * shape: the corpus filter is built once ([[buildKeyBloom]]), persisted,
+    * [[KeyBloom.extend]]ed with each accepted batch, and broadcast once per
+    * session; per-batch cost is then just the scan-side membership test
+    * plus the shrunken anti-join. No sizing `count()`, no per-batch filter
+    * rebuild, no GBs re-aggregated on the driver.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      key: Column,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    val hKeys = history.select(key.as("__key"))
     val keyed = batch.withColumn("__key", key)
     // null keys carry no dedup information: like SQL's anti-join semantics
     // (null never matches history) they pass through — and unlike a naive
     // GROUP BY they are never merged with each other either
     val nullKeys = keyed.filter(col("__key").isNull)
-    val hit = graft.functions.BloomMightContain(col("__key"), bloom)
+    val hit = graft.functions.BloomMightContain(col("__key"), bloomBc)
     val definitelyNew = keyed.filter(!hit)
     val survivors = keyed.filter(hit)
       .join(hKeys, Seq("__key"), "left_anti")

@@ -195,6 +195,48 @@ class DedupSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("buildKeyBloom: two batches reuse ONE filter, results equal plain anti-join") {
+    import org.apache.spark.sql.functions.xxhash64
+    val history = Seq(
+      (100L, "history doc one about spark engines"),
+      (101L, "history doc two about columnar formats")).toDF("doc_id", "text")
+    val key = xxhash64(TextFunctions.contentFingerprint($"text"))
+    // built once, broadcast once — both batches reference the same handle
+    val kb = Dedup.buildKeyBloom(history, key, expectedKeys = 1000L)
+    val bc = kb.broadcastVia(spark)
+    val batches = Seq(
+      Seq((200L, "history doc one about spark engines"), // dup of 100
+        (201L, "first batch fresh document")).toDF("doc_id", "text"),
+      Seq((300L, "history doc two about columnar formats"), // dup of 101
+        (301L, "second batch fresh document"),
+        (302L, "second batch fresh document")).toDF("doc_id", "text")) // in-batch dup
+    val got = batches.map { b =>
+      Dedup.incrementalDedup(b, history, "doc_id", key, bc)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == Seq(Set(201L), Set(301L)))
+    // identical to the ad-hoc-build overload (which is the plain anti-join shape)
+    val ref = batches.map { b =>
+      Dedup.incrementalDedup(b, history, "doc_id", key)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got == ref)
+  }
+
+  test("KeyBloom.extend: extended filter has no false negatives on the new batch") {
+    import org.apache.spark.sql.functions.xxhash64
+    val history = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val accepted = Seq((3L, "gamma"), (4L, "delta")).toDF("doc_id", "text")
+    val key = xxhash64($"text")
+    val kb = Dedup.buildKeyBloom(history, key, expectedKeys = 100L).extend(accepted, key)
+    // every key from history AND the accepted batch must now hit
+    val allKeys = history.unionByName(accepted).select(key.as("k"))
+    val hits = allKeys
+      .select(graft.functions.BloomMightContain($"k", kb.filter).as("h"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity), "extend lost a key (false negative)")
+  }
+
   test("keepBest keeps the highest-score copy per key, min id on ties") {
     import org.apache.spark.sql.functions.{col, length}
     val df = Seq(
