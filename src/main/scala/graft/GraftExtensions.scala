@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash64, UnicodeNormalize, VectorMean}
+import graft.functions.{CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash128, SimHash64, UnicodeNormalize, VectorMean}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT parse_log_line(value, '(\\d+)') ...")` works next to
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash128"),
+      info("simhash128", "simhash128(tokens) - 128-bit SimHash of an array<string> as [w0, w1]"),
+      (args: Seq[Expression]) => SimHash128(args.head)))
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(hashes, n) - n-component MinHash of array<long>"),

@@ -10,7 +10,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * `array<bigint>` of exactly two words `[w0, w1]` (bits 0-63 and 64-127).
   * Each token contributes two independent xxhash64 draws (seeds 42 and the
   * golden-ratio constant), voting +1/-1 on 128 bit positions; fingerprint
-  * bits are tally signs.
+  * bits are tally signs. Word 0 reuses [[SimHash64]]'s seed, so it equals
+  * the 64-bit code exactly — the 128-bit fingerprint is a strict extension
+  * (see `Seed0`/`Seed1` below).
   *
   * Why 128 and not the classic 64 ([[SimHash64]], which stays for SQL
   * compatibility): banding a 64-bit code into selective 16-bit bands leaves
@@ -52,9 +54,11 @@ case class SimHash128(child: Expression) extends UnaryExpression {
 }
 
 object SimHash128 {
-  /** Second hash seed — the 64-bit golden-ratio constant, independent of
-    * [[SimHash64]]'s seed 42 so word 0 of the 128-bit code does NOT equal
-    * the 64-bit code (they are separate fingerprint families).
+  /** Seed 0 is [[SimHash64]]'s seed, so word 0 of the 128-bit code IS the
+    * 64-bit code — the 128-bit fingerprint EXTENDS the 64-bit one (a
+    * stored 64-bit corpus upgrades by computing only the second word).
+    * Seed 1 is the 64-bit golden-ratio constant, giving word 1 an
+    * independent hash draw per token.
     */
   private final val Seed0 = 42L
   private final val Seed1 = 0x9E3779B97F4A7C15L

@@ -124,6 +124,52 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == direct)
   }
 
+  test("simhash128: identical docs equal, near-dups close, word0 extends simhash64") {
+    val fp = docs.select($"doc_id",
+      graft.functions.SimHash128(TextFunctions.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
+    assert(fp.values.forall(_.length == 2))
+    assert(fp(1L) == fp(4L)) // identical text, identical 128-bit code
+    assert(ham(fp(1L), fp(2L)) <= 24) // near-dup: ~2x the 64-bit distance band
+    assert(ham(fp(1L), fp(3L)) > 24) // unrelated: far
+    // extension property: word 0 reuses SimHash64's seed, so it IS the
+    // 64-bit code — a stored 64-bit corpus upgrades by adding word 1 only
+    val fp64 = docs.select($"doc_id", SimHash64(TextFunctions.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.forall { case (id, w) => w(0) == fp64(id) })
+  }
+
+  test("simhash128 codegen and interpreted agree") {
+    val viaExpr = docs.select(
+      graft.functions.SimHash128(TextFunctions.tokens($"text")).as("fp"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val direct = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .trim.split("\\s+").filter(_.nonEmpty)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString): Array[Any])
+      graft.functions.SimHash128.compute(arr).toSeq[Long](
+        org.apache.spark.sql.types.LongType)
+    }.toSeq
+    assert(viaExpr == direct)
+  }
+
+  test("simhash recall gate: default params recover >=0.95 of exact near-dup pairs") {
+    // The q_simhash invariant, pinned at spec level so a parameter change
+    // that kills recall (the round-4 regression: 64-bit maxHamming=8 kept
+    // on the 128-bit code) can never ship silently again.
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val truth = Dedup.shingleJaccardPairs(real, "doc_id", "text", 3, 0.8)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.simhashCandidatePairs(real, "doc_id", "text")
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain true near-dup pairs")
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"simhash recall $recall < 0.95 (${truth.size} true pairs)")
+  }
+
   test("simhashCandidatePairs finds the dup cluster with correct hamming") {
     val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -30,6 +30,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(1) == viaColumn.getLong(1))
   }
 
+  test("simhash128 in SQL agrees with the Column API; word 0 extends simhash64") {
+    val row = spark.sql(
+      """SELECT simhash128(array('alpha','beta','alpha')) AS sh128,
+        |       simhash64(array('alpha','beta','alpha')) AS sh64""".stripMargin)
+      .collect().head
+    val viaColumn = spark.range(1)
+      .select(graft.functions.SimHash128(TokenizeWords(lit("alpha beta alpha"))).as("sh"))
+      .collect().head.getSeq[Long](0)
+    assert(row.getSeq[Long](0) == viaColumn)
+    assert(row.getSeq[Long](0).length == 2)
+    assert(row.getSeq[Long](0).head == row.getLong(1)) // extension property
+  }
+
   test("hashed_shingles + minhash_signature compose in SQL") {
     val sig = spark.sql(
       "SELECT minhash_signature(hashed_shingles('a b c d e', 3), 8) AS s")
