@@ -107,6 +107,13 @@ object SparkEntry {
         // 16 files (multi-batch streaming admission)
         ev.select(format_string("%d %s user=%d %.2f",
           col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
+      case "multiline" =>
+        // one 3-line record per event (value only on the tail line, so
+        // extracting it REQUIRES record assembly); continuation lines are
+        // space-indented so they can never match recordStartPattern ^\d+
+        ev.select(format_string("%d %s user=%d\n  seq=%d\n  tail value=%.2f",
+          col("event_id"), col("event_type"), col("user_id"),
+          col("event_id"), col("value")).as("value"))
     }
     if (flavor.endsWith("_gz"))
       lines.write.mode("overwrite").option("compression", "gzip").text(out)
@@ -312,6 +319,31 @@ object SparkEntry {
       .groupBy((col("user_id") % 10).cast("long").as("user_bucket"))
       .agg(count(lit(1)).as("n"), r(sum("value"), 2).as("sum_value"))
       .orderBy("user_bucket")
+  }
+
+  /** Multi-line records (beyond-reference — the reference is strictly
+    * line-framed, `LogRecordReader.java:212`): `recordStartPattern` frames
+    * each 3-line synthesized record (stack-trace / MySQL-slow-query shape),
+    * and the parse pattern extracts `value` from the TAIL line — a match is
+    * impossible without correct record assembly, including records that
+    * straddle file-split boundaries (LogSourceSpec forces tiny splits; here
+    * the normal split sizing applies). The oracle recomputes the aggregate
+    * from the events table the records were synthesized from.
+    */
+  private def qLogMultiline(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "multiline")
+    spark.read.format("log")
+      .option("pattern", "(?s)(\\d+) (\\w+) user=(\\d+)\\n  seq=\\d+\\n  tail value=([0-9.]+)")
+      .option("recordStartPattern", "^\\d+ ")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r(sum("value"), 2).as("sum_value"),
+        max("event_id").cast("long").as("max_event_id"))
+      .orderBy("event_type")
   }
 
   /** DROPMALFORMED mode (CSV-parity third mode, beyond-reference): corrupt
@@ -1471,6 +1503,7 @@ object SparkEntry {
     "q_log_parse_agg" -> (qLogParseAgg _),
     "q_log_pushdown" -> (qLogPushdown _),
     "q_log_dropmalformed" -> (qLogDropMalformed _),
+    "q_log_multiline" -> (qLogMultiline _),
     "q_log_unmatched" -> (qLogUnmatched _),
     "q_log_typed_dates" -> (qLogTypedDates _),
     "q_log_timestamp" -> (qLogTimestamp _),
@@ -1598,6 +1631,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_log_parse_agg" ->
+      """SELECT event_type, count(*) AS n, floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value,
+        |       max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_log_multiline" ->
       """SELECT event_type, count(*) AS n, floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value,
         |       max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

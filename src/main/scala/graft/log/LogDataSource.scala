@@ -151,14 +151,20 @@ final class LogScan(
     val chunks = ArrayBuffer.empty[LogChunk]
     files.foreach { f =>
       val codec = codecs.getCodec(f.getPath)
-      val splittable = codec == null || codec.isInstanceOf[SplittableCompressionCodec]
+      // Multi-line framing tracks record ownership by uncompressed byte
+      // offset (LineRecordReader's position), which a splittable codec's
+      // compressed-stream positions don't satisfy — bzip2 falls back to
+      // one chunk per file when recordStartPattern is set; uncompressed
+      // files still split (the boundary protocol in LogPartitionReader).
+      val splittable = codec == null ||
+        (opts.recordStartPattern.isEmpty && codec.isInstanceOf[SplittableCompressionCodec])
       if (!splittable || f.getLen == 0) {
-        chunks += LogChunk(f.getPath.toString, 0, f.getLen)
+        chunks += LogChunk(f.getPath.toString, 0, f.getLen, f.getLen)
       } else {
         var offset = 0L
         while (offset < f.getLen) {
           val len = math.min(maxSplit, f.getLen - offset)
-          chunks += LogChunk(f.getPath.toString, offset, len)
+          chunks += LogChunk(f.getPath.toString, offset, len, f.getLen)
           offset += len
         }
       }
@@ -216,7 +222,7 @@ object LogScan {
   }
 }
 
-final case class LogChunk(path: String, start: Long, length: Long)
+final case class LogChunk(path: String, start: Long, length: Long, fileLen: Long)
 
 /** One task's work: one or more file chunks read sequentially. */
 final case class LogInputPartition(chunks: Array[LogChunk]) extends InputPartition
@@ -237,6 +243,19 @@ final class LogPartitionReaderFactory(
   * `BufferedReader.readLine()` loop has (`LogRecordReader.java:202-212`)
   * plus correct split-boundary handling (skip partial first line, read past
   * `end` to finish the last line) and decompress-on-read for codec'd files.
+  *
+  * With `recordStartPattern` set, lines are assembled into MULTI-LINE
+  * records before parsing: a record begins at a line matching the pattern
+  * and absorbs following non-matching lines. Split-boundary protocol
+  * (mirrors LineRecordReader's line ownership, lifted to records): a
+  * record belongs to the chunk whose byte range contains its start line's
+  * first byte (boundary line at exactly `end` belongs to THIS chunk,
+  * matching LRR's `position <= end` read condition — the next chunk's LRR
+  * skips that same line). Each reader opens its chunk with the FileSplit
+  * extended to EOF so it can finish a record that straddles the boundary,
+  * stops accepting NEW records once a start line begins past `end`, and
+  * skips leading non-matching lines when `start != 0` (they are the tail
+  * of the previous chunk's record, which that reader completes).
   */
 final class LogPartitionReader(
     part: LogInputPartition,
@@ -247,28 +266,86 @@ final class LogPartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val parser = new LineParser(opts, required, pushed)
+  private val startPat: java.util.regex.Pattern =
+    opts.recordStartPattern.map(java.util.regex.Pattern.compile).orNull
   private var chunkIdx = -1
   private var reader: LineRecordReader = _
   private var current: InternalRow = _
+  // multi-line assembly state, reset per chunk
+  private var chunkEnd = 0L
+  private var atFileHead = false
+  private var chunkDone = false
+  private var buf: java.lang.StringBuilder = _
 
   private def openNextChunk(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     chunkIdx += 1
     if (chunkIdx >= part.chunks.length) return false
     val c = part.chunks(chunkIdx)
-    val split = new FileSplit(new Path(c.path), c.start, c.length, Array.empty[String])
+    // multi-line: extend the split to EOF so a boundary-straddling record
+    // can be finished; record ownership (chunkEnd) still follows c.length
+    val readLen = if (startPat != null) c.fileLen - c.start else c.length
+    val split = new FileSplit(new Path(c.path), c.start, readLen, Array.empty[String])
     reader = new LineRecordReader()
     reader.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    // a chunk that reaches EOF has no successor — never stop early (also
+    // covers compressed files, whose LRR positions are decompressed bytes
+    // while chunk lengths are compressed bytes; those are whole-file chunks)
+    chunkEnd = if (c.start + c.length >= c.fileLen) Long.MaxValue else c.start + c.length
+    atFileHead = c.start == 0
+    chunkDone = false
+    buf = null
     true
+  }
+
+  /** Next framed record of the current chunk (single line, or assembled
+    * multi-line block), null when the chunk is exhausted.
+    */
+  private def nextRecord(): String = {
+    if (startPat == null) {
+      if (reader.nextKeyValue()) reader.getCurrentValue.toString else null
+    } else nextMultilineRecord()
+  }
+
+  private def flushBuf(): String = {
+    val s = if (buf == null) null else buf.toString
+    buf = null
+    s
+  }
+
+  private def nextMultilineRecord(): String = {
+    if (chunkDone) return null
+    while (reader.nextKeyValue()) {
+      val pos = reader.getCurrentKey.get()
+      val line = reader.getCurrentValue.toString
+      if (startPat.matcher(line).find()) {
+        if (pos > chunkEnd) { // next chunk's record: finish ours and stop
+          chunkDone = true
+          return flushBuf()
+        }
+        val prev = flushBuf()
+        buf = new java.lang.StringBuilder(line)
+        if (prev != null) return prev
+      } else if (buf != null) {
+        buf.append('\n').append(line) // continuation (blank lines kept)
+      } else if (atFileHead && line.trim.nonEmpty) {
+        // file preamble before the first start line (e.g. a MySQL log
+        // header): one record, routed by the normal unmatched-line rules
+        buf = new java.lang.StringBuilder(line)
+      }
+      // else: tail of the previous chunk's record — that reader emits it
+    }
+    chunkDone = true
+    flushBuf()
   }
 
   override def next(): Boolean = {
     while (reader != null || openNextChunk()) {
-      while (reader.nextKeyValue()) {
-        val line = reader.getCurrentValue.toString
-        if (line.trim.nonEmpty) { // empty-line skip, LRR:216-219
+      var rec = nextRecord()
+      while (rec != null) {
+        if (rec.trim.nonEmpty) { // empty-line skip, LRR:216-219
           val row =
-            try parser.parse(line)
+            try parser.parse(rec)
             catch {
               case e: SparkException =>
                 throw new SparkException(
@@ -280,6 +357,7 @@ final class LogPartitionReader(
             return true
           }
         }
+        rec = nextRecord()
       }
       reader.close()
       reader = null

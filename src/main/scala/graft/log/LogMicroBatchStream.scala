@@ -154,7 +154,7 @@ final class LogMicroBatchStream(
             s"[log] committed stream offset references missing file $p " +
               "(deleted before its batch completed?)", e)
       }
-      LogChunk(p, 0, st.getLen)
+      LogChunk(p, 0, st.getLen, st.getLen)
     }
     val sqlConf = org.apache.spark.sql.GraftSql.sqlConf(spark)
     LogScan.pack(chunks, sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes)

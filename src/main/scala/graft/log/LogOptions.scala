@@ -41,7 +41,14 @@ final case class LogOptions(
     // streaming admission control (same option semantics as Spark's file
     // stream source): cap on files / bytes admitted per micro-batch
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) {
+    maxBytesPerTrigger: Option[Long] = None,
+    // multi-line records (beyond-reference; the reference is strictly
+    // line-framed, LogRecordReader.java:212): a record BEGINS at any line
+    // matching this regex (unanchored find(), like `pattern`); following
+    // non-matching lines are appended with '\n' until the next start line.
+    // The MySQL logs the reference README targets need this for slow-query
+    // blocks and stack traces.
+    recordStartPattern: Option[String] = None) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day, Drill's wire semantics —
@@ -187,7 +194,19 @@ object LogOptions {
     }
     val maxBytesPerTrigger = positiveLong("maxbytespertrigger")
 
+    // multi-line framing: validate the record-start regex at plan time,
+    // same contract as `pattern`
+    val recordStartPattern = get("recordstartpattern")
+    recordStartPattern.foreach { p =>
+      try Pattern.compile(p)
+      catch {
+        case e: PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"[log] invalid recordStartPattern '$p': ${e.getMessage}")
+      }
+    }
+
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
-      failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger)
+      failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger, recordStartPattern)
   }
 }

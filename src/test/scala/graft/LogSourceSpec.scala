@@ -118,6 +118,88 @@ class LogSourceSpec extends SparkSpec {
     assert(split.getLong(1) == whole.getLong(1))
   }
 
+  test("multiline: recordStartPattern assembles blocks; preamble routed unmatched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml").toString
+    val content =
+      """# header line one
+        |# header two
+        |101 ERROR boom-first
+        |  at frame0.method(File.java:0)
+        |
+        |  at frame1.method(File.java:1)
+        |102 WARN plain single-line record
+        |103 ERROR boom-last
+        |  at frame0.method(File.java:9)
+        |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/app.log"), content)
+    val df = spark.read.format("log")
+      .option("pattern", "(?s)(\\d+) (\\w+) (.+)")
+      .option("recordStartPattern", "^\\d+ ")
+      .option("fieldNames", "id, level, body")
+      .option("dataTypes", "INT, VARCHAR, VARCHAR")
+      .load(s"$dir/app.log")
+    val rows = df.collect()
+    assert(rows.length == 4) // 3 records + 1 preamble (unmatched)
+    val byId = rows.filter(!_.isNullAt(0)).map(r => r.getInt(0) -> r.getString(2)).toMap
+    // continuation lines (including the BLANK one inside record 101) kept
+    assert(byId(101) ==
+      "boom-first\n  at frame0.method(File.java:0)\n\n  at frame1.method(File.java:1)")
+    assert(byId(102) == "plain single-line record")
+    assert(byId(103) == "boom-last\n  at frame0.method(File.java:9)")
+    val pre = rows.find(_.isNullAt(0)).get
+    assert(pre.getAs[String]("unmatched_lines") == "# header line one\n# header two")
+  }
+
+  test("multiline: record straddling a forced split boundary is read exactly once") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml_split").toString
+    // 500 records x 2-5 lines, ~90 bytes/line -> many 2 KB splits land
+    // mid-record; ownership protocol must yield identical results
+    val rnd = new scala.util.Random(11)
+    val sb = new StringBuilder
+    (1 to 500).foreach { i =>
+      sb.append(s"$i INFO head-$i\n")
+      (0 until 1 + rnd.nextInt(4)).foreach { j =>
+        sb.append(s"  continuation line $j of record $i with some padding text\n")
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/big.log"), sb.toString)
+    def readIt() = spark.read.format("log")
+      .option("pattern", "(?s)(\\d+) (\\w+) (.+)")
+      .option("recordStartPattern", "^\\d+ ")
+      .option("fieldNames", "id, level, body")
+      .option("dataTypes", "INT, VARCHAR, VARCHAR")
+      .load(s"$dir/big.log")
+    def fingerprint(df: DataFrame) =
+      df.agg(count(lit(1)), sum("id"), sum(length(col("body"))),
+        expr("bit_xor(xxhash64(id, body))")).head()
+    val whole = fingerprint(readIt())
+    assert(whole.getLong(0) == 500L && whole.getLong(1) == 500L * 501 / 2)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    val (split, parts) =
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        val df = readIt()
+        (fingerprint(df), df.rdd.getNumPartitions)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    assert(parts > 10, s"expected many splits, got $parts")
+    assert(split == whole)
+  }
+
+  test("multiline: invalid recordStartPattern fails at plan time") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("log")
+        .option("recordStartPattern", "([unclosed")
+        .load(fixture("mysql.log"))
+    }
+    assert(e.getMessage.contains("recordStartPattern"))
+  }
+
   test("fixture 5: >4KB field survives intact (no 4096-byte truncation)") {
     val df = spark.read.format("log")
       .option("pattern", "(\\d+)\\s+(\\w+)\\s+(.+)")
