@@ -1179,21 +1179,35 @@ object SparkEntry {
       .orderBy("lang")
   }
 
-  /** Incremental dedup ([[Dedup.incrementalDedup]]): the odd-id half of the
-    * corpus arrives as a "new batch" against the even-id half as "history".
-    * Bloom-prefiltered — misses skip the anti-join entirely; hits (true
-    * dups + ~1% false positives) clear through it — with within-batch
-    * min-id dedup after. The oracle is the plain NOT IN + min-id
-    * computation: bloom false positives must never change the result.
+  /** Incremental dedup, PRODUCTION shape ([[Dedup.buildKeyBloom]] →
+    * [[graft.ops.KeyBloom.extend]] → [[graft.ops.KeyBloom.broadcastVia]] →
+    * the `Broadcast` overload of [[Dedup.incrementalDedup]]): the corpus
+    * splits into history (ids %3=0) and TWO arriving batches (%3=1, %3=2).
+    * The corpus key filter is built ONCE over history, the first batch's
+    * ACCEPTED rows extend it in place (no rebuild, no sizing count), and
+    * each batch's plan tests membership via the broadcast handle
+    * ([[graft.functions.BloomMightContain]] — scan-side, codegen). Bloom
+    * misses provably skip the anti-join; hits (true dups + ~fpp false
+    * positives) clear through it, so the oracle — the plain two-stage
+    * NOT IN + min-id sequence — must match exactly.
     */
   private def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val kept = Dedup.incrementalDedup(
-      docs.filter(col("doc_id") % 2 === 1),
-      docs.filter(col("doc_id") % 2 === 0),
-      "doc_id",
-      xxhash64(TF.contentFingerprint(col("text"))))
-    kept.agg(count(lit(1)).as("n_new"), sum("doc_id").as("id_sum"))
+    val key = xxhash64(TF.contentFingerprint(col("text")))
+    val history = docs.filter(col("doc_id") % 3 === 0)
+    val batch1 = docs.filter(col("doc_id") % 3 === 1)
+    val batch2 = docs.filter(col("doc_id") % 3 === 2)
+    // build once, sized for the corpus's target cardinality
+    val kb = Dedup.buildKeyBloom(history, key, expectedKeys = 1000000L)
+    val kept1 = Dedup
+      .incrementalDedup(batch1, history, "doc_id", key, kb.broadcastVia(spark))
+      .localCheckpoint(true) // accepted batch materialized once: extend + history union reuse it
+    kb.extend(kept1, key) // maintenance path: no rebuild from history+batch1
+    val kept2 = Dedup.incrementalDedup(
+      batch2, history.unionByName(kept1), "doc_id", key, kb.broadcastVia(spark))
+    kept1.select("doc_id").unionByName(kept2.select("doc_id"))
+      .agg(count(lit(1)).as("n_new"), sum("doc_id").as("id_sum"),
+        sum(when(col("doc_id") % 3 === 1, 1L).otherwise(0L)).as("n_b1"))
   }
 
   /** Unicode canonicalization ([[graft.functions.UnicodeNormalize]]: NFC +
@@ -2107,13 +2121,22 @@ object SparkEntry {
          |  FROM s)
          |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    // two-stage incremental sequence: batch1 vs history, then batch2 vs
+    // history + batch1's accepted rows (the extend step's exact semantics)
     "q_incremental_dedup" ->
       s"""WITH fps AS (SELECT doc_id, $FpSql AS fp FROM documents),
-         |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
-         |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
-         |nohist AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM hist)),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM nohist GROUP BY fp)
-         |SELECT count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM keep""".stripMargin,
+         |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0),
+         |b1 AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 1),
+         |k1 AS (SELECT min(doc_id) AS doc_id, fp FROM b1
+         |       WHERE fp NOT IN (SELECT fp FROM hist) GROUP BY fp),
+         |hist2 AS (SELECT fp FROM hist UNION SELECT fp FROM k1),
+         |b2 AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 2),
+         |k2 AS (SELECT min(doc_id) AS doc_id, fp FROM b2
+         |       WHERE fp NOT IN (SELECT fp FROM hist2) GROUP BY fp),
+         |keep AS (SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM k2)
+         |SELECT count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1
+         |FROM keep""".stripMargin,
     // the same portable Lehmer-bucket formula as Sampling.bucket — membership
     // must agree bit-for-bit across engines
     "q_sample_hash" ->

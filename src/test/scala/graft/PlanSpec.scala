@@ -182,4 +182,13 @@ class PlanSpec extends SparkSpec {
       assert(shuffleBelow.isEmpty, "bloom prefilter must run before any shuffle")
     }
   }
+
+  test("q_incremental_dedup runs the production broadcast-handle bloom path") {
+    // the driver query must exercise build-once/extend/broadcast, i.e. the
+    // plan carries BloomMightContain (which holds a Broadcast handle, not
+    // filter bytes) — not some ad-hoc shape
+    val out = SparkEntry.queries("q_incremental_dedup")(spark, sf)
+    assert(planStr(out).contains("bloom_might_contain"),
+      "q_incremental_dedup plan must contain the broadcast-handle bloom expression")
+  }
 }
