@@ -67,11 +67,16 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
     // a wrong `dim` would mark EVERY vector malformed (bucket -1) and
-    // silently return an empty result — probe one row and fail loudly
-    // instead (one tiny job, negligible next to the scan it guards)
-    c.select(size(col("__cv"))).head(1).foreach { r =>
-      require(r.getInt(0) == dim,
-        s"lshTopK: dim=$dim but corpus vectors have ${r.getInt(0)} elements")
+    // silently return an empty result — probe a small sample and fail
+    // loudly only when NO sampled row matches (one tiny job, negligible
+    // next to the scan it guards). A single malformed row must NOT fail
+    // the query: the bucket=-1 path exists precisely to tolerate and drop
+    // those, so the guard can't be first-row-sensitive.
+    val probe = c.select(size(col("__cv")).as("__d")).head(16)
+    if (probe.nonEmpty && !probe.exists(_.getInt(0) == dim)) {
+      val seen = probe.map(_.getInt(0)).distinct.sorted.mkString(",")
+      throw new IllegalArgumentException(
+        s"lshTopK: dim=$dim but none of ${probe.length} sampled corpus vectors match (saw sizes: $seen)")
     }
     // same plane tensor the per-table formulation used: table t = seed + t
     val planes = (0 until tables).map(t => hyperplanes(seed + t, nPlanes, dim)).toArray

@@ -85,6 +85,23 @@ class SimilaritySpec extends SparkSpec {
     } finally { corpus.unpersist(blocking = false); () }
   }
 
+  test("lshTopK tolerates a malformed corpus row (dropped, not fatal); wrong dim still fails") {
+    import spark.implicits._
+    // a truncated vector FIRST in the corpus must not fail the dim guard —
+    // it rides the bucket=-1 drop path like any other malformed row
+    val malformed = Seq((99998L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val corpus = malformed.unionByName(emb.select("vec_id", "embedding"))
+    val out = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3,
+      dim = emb.head().getSeq[Float](1).length, nPlanes = 6, tables = 2)
+    assert(out.count() > 0)
+    assert(!out.collect().exists(_.getLong(2) == 99998L)) // malformed row never a candidate
+    // a dim that matches NO sampled vector still fails loudly
+    val e = intercept[Exception](
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+        dim = 7, nPlanes = 6, tables = 2))
+    assert(e.getMessage.contains("dim=7"))
+  }
+
   test("lshTopK scans the corpus ONCE regardless of table count") {
     // the round-2 formulation unioned one corpus scan per hash table (16
     // scans at tables=16); single-pass bucketing must leave exactly two
