@@ -44,6 +44,34 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-line records stream: recordStartPattern frames blocks per micro-batch") {
+    val dir = Files.createTempDirectory("logstream_ml").toFile
+    def writeLog(name: String, content: String): Unit =
+      Files.writeString(new File(dir, name).toPath, content)
+
+    writeLog("a.log", "1 ERROR boom\n  at f.m(F.java:1)\n2 INFO ok\n")
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(?s)(\\d+) (\\w+) (.+)")
+      .option("recordStartPattern", "^\\d+ ")
+      .option("schema", "id INT, level VARCHAR, body VARCHAR")
+      .load(dir.getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ml_log_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("ml_log_stream").collect()
+      assert(first.length == 2)
+      assert(first.find(_.getInt(0) == 1).get.getString(2) == "boom\n  at f.m(F.java:1)")
+      // a later file is its own batch; its records frame independently
+      writeLog("b.log", "3 WARN tail\n  ctx line\n")
+      q.processAllAvailable()
+      val rows = spark.table("ml_log_stream").collect()
+      assert(rows.length == 3)
+      assert(rows.find(_.getInt(0) == 3).get.getString(2) == "tail\n  ctx line")
+    } finally q.stop()
+  }
+
   test("restart after many files: O(1) index offsets, compacted log, no re-reads") {
     val dir = Files.createTempDirectory("logstream_restart").toFile
     val ckpt = Files.createTempDirectory("logstream_ckpt").toFile.getAbsolutePath
