@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Dedup, DupGroups, Multimodal, PartitionedSink, Sampling, Similarity}
+import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, DupGroups, Multimodal, Packing, PartitionedSink, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -1522,6 +1522,103 @@ object SparkEntry {
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
   }
 
+  /** Sequence packing ([[graft.ops.Packing]]): documents laid end-to-end
+    * in doc_id order and cut into 512-token context windows via the
+    * two-pass distributed prefix sum — no single-partition global window
+    * anywhere in the plan (PlanSpec asserts it). Output per window: doc
+    * count, token count, boundary crossings (the packing-quality metric),
+    * and the window's first global token offset; the oracle reproduces the
+    * offsets with a plain SQL window cumsum, which DuckDB can afford
+    * single-threaded at oracle scale.
+    */
+  private def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("tokens"))
+    Packing.packBins(docs, "doc_id", "tokens", 512L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tokens").as("bin_tokens"),
+        sum("crosses").as("n_crossing"),
+        min("cum_excl").as("first_offset"))
+      .orderBy("bin")
+  }
+
+  /** Overlapping token-window chunking ([[graft.ops.Chunking]]): 32-token
+    * windows, stride 24 (8-token overlap), RAG/long-doc prep. Per-language
+    * chunk counts plus a content check (distinct chunk texts) so the
+    * oracle verifies the actual window contents, not just their number.
+    */
+  private def qChunkSplit(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunkTokens(spread(t(spark, dir, "documents")), "text", 32, 24)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(size(col("chunk_tokens")).cast("long")).as("sum_chunk_tokens"),
+        sum(when(size(col("chunk_tokens")) === 32, 1L).otherwise(0L)).as("n_full"),
+        countDistinct(col("chunk_text")).as("n_distinct_chunks"))
+      .orderBy("lang")
+
+  /** Corpus-level boilerplate scrubbing ([[graft.ops.Boilerplate]]): word
+    * 3-grams in >=1% of documents are "common"; each doc's boilerplate
+    * share = common fraction of its distinct 3-grams. Shares cross engines
+    * as scaled longs via the floor-round formula (`r`'s rationale). Docs
+    * with zero 3-grams (< 3 tokens) are excluded on both sides.
+    */
+  private def qCommonNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val common = Boilerplate.commonNgrams(docs, "text", 3, 0.01)
+    Boilerplate.withBoilerplateShare(docs, "doc_id", "text", 3, common)
+      .filter(col("n_grams") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_common") * lit(1.0) / col("n_grams") >= 0.1, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(floor(col("n_common") * lit(1e6) / col("n_grams") + 0.5).cast("long"))
+          .as("sum_scaled_share"))
+      .orderBy("lang")
+  }
+
+  /** Int8 embedding quantization ([[graft.functions.VectorFunctions]]
+    * int8Scale/quantizeInt8/int8SqError): per-vector symmetric scale,
+    * cross-engine floor-round codes, reconstruction error aggregated per
+    * label as scaled-long sums (double SUMS across rows are
+    * partition-order dependent; scaled longs are exact and associative).
+    * Saturation count doubles as a codes-range invariant: the max element
+    * of every nonzero vector quantizes to exactly +-127.
+    */
+  private def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val maxAbsCode = aggregate(col("q"), lit(0L), (acc, x) => greatest(acc, abs(x)))
+    spread(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("scale", int8Scale(col("v")))
+      .withColumn("q", quantizeInt8(col("v"), col("scale")))
+      .withColumn("sqerr", int8SqError(col("v"), col("q"), col("scale")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("sqerr") * lit(1e12) + 0.5).cast("long")).as("sum_scaled_sqerr"),
+        max(maxAbsCode).as("max_abs_code"),
+        sum(when(maxAbsCode === 127L, 1L).otherwise(0L)).as("n_saturated"))
+      .orderBy("label")
+  }
+
+  /** Per-source frequency cap (RefinedWeb-style domain capping): keep at
+    * most 5 docs per source, preferring longer docs (n_chars DESC, doc_id
+    * tiebreak). The rank<=5 filter compiles to WindowGroupLimit — Spark
+    * pushes a per-partition top-k below the shuffle, so the exchange
+    * carries at most 5 rows per (source, map partition), not the corpus.
+    */
+  private def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("kept_chars"),
+        min("doc_id").as("min_kept_id"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1600,7 +1697,12 @@ object SparkEntry {
     "q_pii_redact" -> (qPiiRedact _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
-    "q_tfidf_top" -> (qTfidfTop _))
+    "q_tfidf_top" -> (qTfidfTop _),
+    "q_seq_pack" -> (qSeqPack _),
+    "q_chunk_split" -> (qChunkSplit _),
+    "q_common_ngrams" -> (qCommonNgrams _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_domain_cap" -> (qDomainCap _))
 
   // DuckDB SQL fragments shared below.
   private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
@@ -2278,5 +2380,80 @@ object SparkEntry {
         |                                           CAST(c.embedding AS DOUBLE[])) DESC,
         |                    c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the oracle affords a single-threaded window cumsum at oracle scale;
+    // the Spark side MUST NOT (see Packing's two-pass prefix sum)
+    "q_seq_pack" ->
+      s"""WITH tok AS (SELECT doc_id, len($ToksSql) AS tokens FROM documents),
+         |c AS (SELECT doc_id, tokens,
+         |        COALESCE(sum(tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+         |      FROM tok),
+         |b AS (SELECT doc_id, tokens, cum_excl, cum_excl // 512 AS bin,
+         |        CASE WHEN tokens > 0
+         |               AND (cum_excl + tokens - 1) // 512 <> cum_excl // 512
+         |             THEN 1 ELSE 0 END AS crosses
+         |      FROM c)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+         |       CAST(sum(crosses) AS BIGINT) AS n_crossing,
+         |       CAST(min(cum_excl) AS BIGINT) AS first_offset
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_chunk_split" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, lang, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT lang, toks[(gs.i*24+1):least(gs.i*24+32, n)] AS ctoks
+         |  FROM n, LATERAL (SELECT unnest(generate_series(0,
+         |       CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 24 - 1)//24 END)) AS i) gs)
+         |SELECT lang, count(*) AS n_chunks,
+         |       CAST(sum(len(ctoks)) AS BIGINT) AS sum_chunk_tokens,
+         |       CAST(sum(CASE WHEN len(ctoks) = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |       count(DISTINCT array_to_string(ctoks, ' ')) AS n_distinct_chunks
+         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_common_ngrams" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, array_to_string(toks[(gs.i+1):(gs.i+3)], ' ') AS ngram
+         |  FROM (SELECT doc_id, lang, toks, len(toks) - 2 AS c FROM tok) t,
+         |       LATERAL (SELECT unnest(generate_series(0, c - 1)) AS i) gs
+         |  WHERE c > 0),
+         |dg AS (SELECT DISTINCT doc_id, lang, ngram FROM g),
+         |dfreq AS (SELECT ngram, count(*) AS df FROM dg GROUP BY ngram),
+         |common AS (SELECT ngram FROM dfreq
+         |           WHERE df >= greatest(2, ceil(0.01 * (SELECT count(*) FROM documents)))),
+         |per_doc AS (
+         |  SELECT d.doc_id, d.lang, count(*) AS n_grams,
+         |         sum(CASE WHEN c.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+         |  FROM dg d LEFT JOIN common c USING (ngram) GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN n_common * 1.0 / n_grams >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |       CAST(sum(CAST(floor(n_common * 1e6 / n_grams + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled_share
+         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, label, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |qz AS (SELECT vec_id, label, e, scale,
+        |         list_transform(e, x -> CASE WHEN scale > 0
+        |           THEN floor(x / scale + 0.5) ELSE 0 END) AS q
+        |       FROM s),
+        |err AS (SELECT label,
+        |          list_sum(list_transform(list_zip(e, q),
+        |            p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))) AS sqerr,
+        |          list_max(list_transform(q, x -> abs(x))) AS maxq
+        |        FROM qz)
+        |SELECT label, count(*) AS n,
+        |       CAST(sum(CAST(floor(sqerr * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled_sqerr,
+        |       CAST(max(maxq) AS BIGINT) AS max_abs_code,
+        |       CAST(sum(CASE WHEN maxq = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+        |FROM err GROUP BY label ORDER BY label""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |       CAST(min(doc_id) AS BIGINT) AS min_kept_id
+        |FROM (SELECT source, n_chars, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |      FROM documents)
+        |WHERE rk <= 5 GROUP BY source ORDER BY source""".stripMargin)
 }

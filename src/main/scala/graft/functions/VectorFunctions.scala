@@ -47,4 +47,35 @@ object VectorFunctions {
       when(dot(vec, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
   }
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 scale for a (double-array) vector: max|x| / 127, the
+    * standard per-vector scalar quantization used to cut embedding storage
+    * 4x before ANN indexing. max is order-independent, so the scale is
+    * deterministic under any partitioning.
+    */
+  def int8Scale(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+
+  /** Quantized codes: floor(x/scale + 0.5) — round-half-up via the same
+    * floor formula the oracle uses, NOT round(), whose half-boundary
+    * behavior differs between Spark (BigDecimal HALF_UP) and DuckDB
+    * (binary multiply). Codes stay in [-127, 127]; a zero vector (scale 0)
+    * quantizes to all zeros.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale > 0, floor(x / scale + 0.5)).otherwise(lit(0.0)).cast("long"))
+
+  /** Sum of squared reconstruction errors for codes `q` at `scale` against
+    * the original vector — a sequential left fold in doubles, matching the
+    * oracle's list-ordered accumulation (see object doc). Callers scale to
+    * an integer before cross-row aggregation: double SUMS across rows are
+    * partition-order dependent, scaled-long sums are exact and associative.
+    */
+  def int8SqError(vec: Column, q: Column, scale: Column): Column =
+    aggregate(
+      zip_with(vec, q, (x, c) => (x - c * scale) * (x - c * scale)),
+      lit(0.0), (acc, v) => acc + v)
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.ops.{Boilerplate, Chunking, Packing}
+
+/** Specs for the round-5 pipeline operators: distributed prefix-sum
+  * packing, overlapping chunking, corpus boilerplate n-grams, and int8
+  * embedding quantization.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- packing
+
+  test("prefix sum matches a driver-side scan regardless of partitioning") {
+    val rows = (0L until 1000L).map(i => (i, (i * 7 + 3) % 50))
+    val df = rows.toDF("id", "v").repartition(7) // scrambled input layout
+    val got = Packing.withExclusivePrefixSum(df, "id", "v")
+      .select("id", "cum_excl").as[(Long, Long)].collect().sortBy(_._1)
+    val want = rows.map(_._2).scanLeft(0L)(_ + _).init
+    assert(got.map(_._1).toSeq == (0L until 1000L))
+    assert(got.map(_._2).toSeq == want)
+  }
+
+  test("prefix sum handles nulls (as 0), empty partitions, and empty input") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "v").repartition(16) // more partitions than rows
+    val got = Packing.withExclusivePrefixSum(df, "id", "v")
+      .select("id", "cum_excl").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 5L), (3L, 5L)))
+    val empty = Packing.withExclusivePrefixSum(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "id", "v")
+    assert(empty.count() == 0)
+  }
+
+  test("packBins: bins partition the token axis; crosses flags boundary docs") {
+    val df = Seq((1L, 60L), (2L, 50L), (3L, 100L), (4L, 10L))
+      .toDF("id", "tokens")
+    // offsets: 0, 60, 110, 210; budget 100 ->
+    //   doc1 bin0 (0..59, inside), doc2 bin0 (60..109, crosses),
+    //   doc3 bin1 (110..209, crosses), doc4 bin2 (210..219, inside)
+    val got = Packing.packBins(df, "id", "tokens", 100L)
+      .select("id", "bin", "crosses").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 1L), (4L, 2L, 0L)))
+  }
+
+  test("no single-partition global window in the packing plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("tokens"))
+    val plan = Packing.packBins(docs, "doc_id", "tokens", 512L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"plan funnels through a global window:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"expected a range repartition:\n$plan")
+  }
+
+  // ------------------------------------------------------------ chunking
+
+  test("chunkTokens: covering windows with the declared size and stride") {
+    val df = Seq((1L, (1 to 80).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, ""))
+      .toDF("id", "text")
+    val chunks = Chunking.chunkTokens(df, "text", 32, 24)
+      .select("id", "chunk_idx", "chunk_tokens").collect()
+    val byId = chunks.groupBy(_.getLong(0))
+    // 80 tokens -> ceil((80-32)/24)+1 = 3 chunks at offsets 0/24/48
+    val c1 = byId(1L).sortBy(_.getInt(1))
+    assert(c1.length == 3)
+    assert(c1.map(_.getSeq[String](2).length).toSeq == Seq(32, 32, 32))
+    assert(c1(1).getSeq[String](2).head == "t25") // offset 24, 1-based token 25
+    assert(c1(2).getSeq[String](2).last == "t80") // final window reaches the end
+    assert(byId(2L).length == 1 && byId(2L).head.getSeq[String](2) == Seq("a", "b"))
+    assert(!byId.contains(3L)) // zero tokens -> zero chunks
+  }
+
+  test("chunkTokens covers every token: union of windows == token stream") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val chunked = Chunking.chunkTokens(docs, "text", 32, 24)
+    // consecutive windows overlap by exactly chunkSize - stride = 8 tokens,
+    // so dropping the first 8 of every non-first chunk is an exact cover
+    // (the covering rule guarantees the last chunk is >= 9 tokens long)
+    val reassembled = chunked
+      .select(col("doc_id"), col("chunk_idx"),
+        when(col("chunk_idx") === 0, col("chunk_tokens"))
+          .otherwise(slice(col("chunk_tokens"), 9, 32)).as("novel"))
+      .groupBy("doc_id")
+      .agg(sum(size(col("novel"))).as("n"))
+    val expected = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n0"))
+    val joined = reassembled.join(expected, "doc_id")
+      .filter(col("n") =!= col("n0")).count()
+    assert(joined == 0, "chunk windows must cover each token exactly once after overlap removal")
+  }
+
+  // ------------------------------------------------------- boilerplate
+
+  test("commonNgrams finds the planted boilerplate and nothing else") {
+    val footer = "all rights reserved worldwide"
+    val docs = (1 to 40).map { i =>
+      val unique = s"alpha$i beta$i gamma$i delta$i epsilon$i"
+      (i.toLong, if (i <= 30) s"$unique $footer" else unique)
+    }.toDF("doc_id", "text")
+    val common = Boilerplate.commonNgrams(docs, "text", 3, 0.5)
+      .as[(String, Long)].collect().toMap
+    // 3-grams fully inside the footer appear in 30/40 = 75% of docs; the
+    // bridge grams (unique suffix + footer prefix) are each unique.
+    assert(common.keySet == Set(
+      "all rights reserved", "rights reserved worldwide"))
+    assert(common.values.toSet == Set(30L))
+    val shares = Boilerplate
+      .withBoilerplateShare(docs, "doc_id", "text", 3,
+        Boilerplate.commonNgrams(docs, "text", 3, 0.5))
+      .select("doc_id", "boilerplate_share").as[(Long, Double)].collect().toMap
+    assert(shares(40L) == 0.0)
+    assert(shares(1L) > 0.2 && shares(1L) < 0.5) // 2 common of 7 grams
+  }
+
+  test("boilerplate share join broadcasts the common-gram side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val common = Boilerplate.commonNgrams(docs, "text", 3, 0.01)
+    val plan = Boilerplate.withBoilerplateShare(docs, "doc_id", "text", 3, common)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"common-gram join should broadcast:\n$plan")
+  }
+
+  // ------------------------------------------------------- quantization
+
+  test("int8 quantization: codes in range, zero vector safe, error bounded by scale/2") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select(col("id"),
+        VectorFunctions.toDoubleArray(col("v")).as("d"))
+      .withColumn("scale", VectorFunctions.int8Scale(col("d")))
+      .withColumn("q", VectorFunctions.quantizeInt8(col("d"), col("scale")))
+      .withColumn("err", VectorFunctions.int8SqError(col("d"), col("q"), col("scale")))
+      .select("id", "scale", "q", "err").collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    val scale = r1.getDouble(1)
+    assert(math.abs(scale - 1.0 / 127) < 1e-12)
+    assert(r1.getSeq[Long](2) == Seq(64L, -127L, 32L, 0L))
+    // each element reconstructs within scale/2 => sqerr <= dim*(scale/2)^2
+    assert(r1.getDouble(3) <= 4 * math.pow(scale / 2, 2) + 1e-15)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getDouble(1) == 0.0 && r2.getSeq[Long](2) == Seq(0L, 0L, 0L, 0L)
+      && r2.getDouble(3) == 0.0)
+  }
+
+  test("quantization on real embeddings: every nonzero vector saturates at |q|=127") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bad = emb.select(VectorFunctions.toDoubleArray(col("embedding")).as("d"))
+      .withColumn("scale", VectorFunctions.int8Scale(col("d")))
+      .withColumn("q", VectorFunctions.quantizeInt8(col("d"), col("scale")))
+      .withColumn("maxq", aggregate(col("q"), lit(0L), (a, x) => greatest(a, abs(x))))
+      .filter(col("scale") > 0 && col("maxq") =!= 127L)
+      .count()
+    assert(bad == 0)
+  }
+}
