@@ -191,4 +191,23 @@ class PlanSpec extends SparkSpec {
     assert(planStr(out).contains("bloom_might_contain"),
       "q_incremental_dedup plan must contain the broadcast-handle bloom expression")
   }
+
+  test("q_domain_cap: per-source rank filter gets WindowGroupLimit pushdown") {
+    val p = planStr(SparkEntry.queries("q_domain_cap")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
+  }
+
+  test("q_seq_pack: no single-partition exchange anywhere in the plan") {
+    // the whole point of the two-pass prefix sum — a global Window would
+    // plan Exchange SinglePartition and funnel the dataset into one task
+    val p = planStr(SparkEntry.queries("q_seq_pack")(spark, sf))
+    assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n${p.take(2000)}")
+  }
+
+  test("q_chunk_split: chunk explosion stays inside whole-stage codegen") {
+    val p = planStr(SparkEntry.queries("q_chunk_split")(spark, sf))
+    assert(p.contains("Generate"), "expected a Generate (posexplode) node")
+    assert(!p.contains("BatchEvalPython") && !p.contains("mapPartitions"),
+      "chunking must be pure codegen builtins")
+  }
 }
