@@ -1554,7 +1554,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_chunks"),
         sum(size(col("chunk_tokens")).cast("long")).as("sum_chunk_tokens"),
         sum(when(size(col("chunk_tokens")) === 32, 1L).otherwise(0L)).as("n_full"),
-        countDistinct(col("chunk_text")).as("n_distinct_chunks"))
+        // distinct over the 8-byte hash, not the ~200-byte text: same count
+        // (collisions negligible), 25x less shuffle
+        countDistinct(xxhash64(col("chunk_text"))).as("n_distinct_chunks"))
       .orderBy("lang")
 
   /** Corpus-level boilerplate scrubbing ([[graft.ops.Boilerplate]]): word
@@ -1565,9 +1567,11 @@ object SparkEntry {
     */
   private def qCommonNgrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(t(spark, dir, "documents"))
-    val common = Boilerplate.commonNgrams(docs, "text", 3, 0.01)
-    Boilerplate.withBoilerplateShare(docs, "doc_id", "text", 3, common)
-      .filter(col("n_grams") > 0)
+    // the hashed scale path: one persisted explode of 64-bit gram keys
+    // (PipelineOpsSpec pins its equivalence to the string-gram path)
+    val (shares, release) = Boilerplate.hashedBoilerplateShares(
+      docs, "doc_id", "text", 3, 0.01, carryCols = Seq("lang"))
+    val agg = shares
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_common") * lit(1.0) / col("n_grams") >= 0.1, 1L)
@@ -1575,6 +1579,10 @@ object SparkEntry {
         sum(floor(col("n_common") * lit(1e6) / col("n_grams") + 0.5).cast("long"))
           .as("sum_scaled_share"))
       .orderBy("lang")
+    // 5-row result: materialize eagerly so the persisted pairs release now
+    val out = agg.localCheckpoint(true)
+    release()
+    out
   }
 
   /** Int8 embedding quantization ([[graft.functions.VectorFunctions]]

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{HashedShingles, TextFunctions}
 
 /** Corpus-level boilerplate detection: word n-grams whose DOCUMENT
   * frequency exceeds a fraction of the corpus are "common" (headers,
@@ -13,10 +13,10 @@ import graft.functions.TextFunctions
   * (CCNet/Gopher-style corpus scrubbing).
   *
   * Plan shape, scale-first:
-  *   - n-grams are built per row from codegen'd builtins (`sequence` →
-  *     `slice` → `array_join`) and deduped per doc BEFORE the explode
-  *     (`array_distinct`), so the shuffle carries distinct (doc, gram)
-  *     pairs, not every occurrence;
+  *   - n-grams are built per row in ONE tokenize pass ([[ngramHashes]] /
+  *     the [[HashedShingles]] expression) and deduped per doc BEFORE the
+  *     explode (`array_distinct`), so the shuffle carries distinct
+  *     (doc, gram) 8-byte pairs, not every occurrence and never a string;
   *   - document frequency is one hash aggregate on the gram (partial
   *     aggregation absorbs the hot grams map-side — the common grams are by
   *     definition the skewed keys);
@@ -26,8 +26,11 @@ import graft.functions.TextFunctions
   */
 object Boilerplate {
 
-  /** Distinct word `n`-grams of `textCol` as an array column (codegen'd,
-    * no shuffle). A doc with fewer than `n` tokens has zero n-grams.
+  /** Distinct word `n`-grams of `textCol` as readable strings — for
+    * inspection/reporting of WHICH grams are boilerplate. NOT the scale
+    * path: the builtin lambda re-tokenizes per gram (see [[ngramHashes]],
+    * which counts identically and is what the pipeline queries use).
+    * A doc with fewer than `n` tokens has zero n-grams.
     */
   def ngrams(textCol: Column, n: Int): Column = {
     require(n > 0, s"n must be positive, got $n")
@@ -37,6 +40,56 @@ object Boilerplate {
       when(count > 0,
         transform(sequence(lit(0), count - 1), i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array()))
+  }
+
+  /** Distinct 64-bit gram keys via the one-pass [[HashedShingles]] codegen
+    * expression — tokenize ONCE per document and never materialize a gram
+    * string (a `transform`/`slice` builtin composition re-runs the
+    * tokenize pipeline per gram: measured 13-20x slower on the documents
+    * corpus). 8-byte keys on the shuffle; collision odds for a 1e9-gram
+    * vocabulary: ~1e-2 spurious merges TOTAL, invisible to df thresholds.
+    * The `tokenCount >= n` guard preserves the zero-grams rule for short
+    * docs (HashedShingles alone would emit the whole text as one window).
+    */
+  def ngramHashes(textCol: Column, n: Int): Column = {
+    require(n > 0, s"n must be positive, got $n")
+    when(TextFunctions.tokenCount(textCol) >= n,
+      array_distinct(HashedShingles(textCol, n)))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Scale path for per-doc boilerplate shares: ONE explode pass over
+    * hashed grams (persisted and reused by both the document-frequency
+    * aggregate and the share join) instead of building the n-gram set
+    * twice. Returns per-doc (idCol, carryCols…, n_grams, n_common) for
+    * docs with >= 1 n-gram, plus a release handle for the persisted
+    * pairs — call it after the terminal action.
+    */
+  def hashedBoilerplateShares(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocFraction: Double,
+      carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    require(minDocFraction > 0 && minDocFraction <= 1,
+      s"minDocFraction must be in (0,1], got $minDocFraction")
+    val total = df.count()
+    val minDocs = math.max(1L, math.ceil(minDocFraction * total).toLong)
+    val pairs = df
+      .select(col(idCol) +: carryCols.map(col) :+
+        explode(ngramHashes(col(textCol), n)).as("gh"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = pairs.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    val out = pairs
+      .join(broadcast(common.select(col("gh"), lit(1L).as("__is_common"))),
+        Seq("gh"), "left")
+      .groupBy(idCol, carryCols: _*)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__is_common"), lit(0L))).as("n_common"))
+    (out, () => { pairs.unpersist(blocking = false); () })
   }
 
   /** (ngram, df) rows for n-grams appearing in at least `minDocFraction`

@@ -48,6 +48,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 1L), (4L, 2L, 0L)))
   }
 
+  test("scale probe: 1M-row prefix sum verified against the closed form, no collect") {
+    // v = id  =>  cum_excl = id*(id-1)/2; verified by a distributed filter,
+    // never materializing the result on the driver
+    val df = spark.range(0, 1000000).toDF("id")
+      .withColumn("v", col("id")).repartition(13)
+    val wrong = Packing.withExclusivePrefixSum(df, "id", "v")
+      .filter(col("cum_excl") =!= col("id") * (col("id") - 1) / 2)
+      .count()
+    assert(wrong == 0L)
+  }
+
   test("no single-partition global window in the packing plan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), length(col("text")).cast("long").as("tokens"))
@@ -115,6 +126,21 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "boilerplate_share").as[(Long, Double)].collect().toMap
     assert(shares(40L) == 0.0)
     assert(shares(1L) > 0.2 && shares(1L) < 0.5) // 2 common of 7 grams
+  }
+
+  test("hashed boilerplate path agrees with the string-gram path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val common = Boilerplate.commonNgrams(docs, "text", 3, 0.02)
+    val slow = Boilerplate.withBoilerplateShare(docs, "doc_id", "text", 3, common)
+      .filter(col("n_grams") > 0)
+      .select("doc_id", "n_grams", "n_common")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val (fastDf, release) = Boilerplate.hashedBoilerplateShares(
+      docs, "doc_id", "text", 3, 0.02)
+    val fast = fastDf.select("doc_id", "n_grams", "n_common")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    release()
+    assert(fast == slow)
   }
 
   test("boilerplate share join broadcasts the common-gram side") {
