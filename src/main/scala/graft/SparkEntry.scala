@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, DupGroups, Multimodal, Packing, PartitionedSink, Sampling, Similarity}
+import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, DupGroups, Multimodal, NgramLm, Packing, PartitionedSink, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -1609,6 +1609,28 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** In-corpus unigram-LM scoring ([[graft.ops.NgramLm]]): the CCNet-style
+    * perplexity filter. Integer scaled-long log-likelihoods end to end —
+    * see the op scaladoc for why no raw double is ever summed across rows.
+    * The keep threshold (mean scaled logprob per token > -3.401) sits
+    * between the corpus p10 and p90, so the flag actually discriminates.
+    */
+  private def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val (scores, release) = NgramLm.unigramScores(
+      docs, "doc_id", "text", carryCols = Seq("lang"))
+    val agg = scores
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("scaled_logprob").as("sum_scaled_lp"),
+        sum(when(col("scaled_logprob") > lit(-3401000L) * col("n_tokens"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    release()
+    out
+  }
+
   /** Per-source frequency cap (RefinedWeb-style domain capping): keep at
     * most 5 docs per source, preferring longer docs (n_chars DESC, doc_id
     * tiebreak). The rank<=5 filter compiles to WindowGroupLimit — Spark
@@ -1710,6 +1732,7 @@ object SparkEntry {
     "q_chunk_split" -> (qChunkSplit _),
     "q_common_ngrams" -> (qCommonNgrams _),
     "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_unigram_lm" -> (qUnigramLm _),
     "q_domain_cap" -> (qDomainCap _))
 
   // DuckDB SQL fragments shared below.
@@ -2456,6 +2479,19 @@ object SparkEntry {
         |       CAST(max(maxq) AS BIGINT) AS max_abs_code,
         |       CAST(sum(CASE WHEN maxq = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
+    "q_unigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS t FROM documents),
+         |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         |scored AS (SELECT doc_id, lang, count(*) AS n,
+         |             sum(CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT)) AS s
+         |           FROM tok JOIN vocab USING (t) GROUP BY 1, 2),
+         |d AS (SELECT lang, n,
+         |        s - n * CAST(floor(ln((SELECT total FROM tot)) * 1e6 + 0.5) AS BIGINT) AS lp
+         |      FROM scored)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
+         |       CAST(sum(CASE WHEN lp > -3401000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_domain_cap" ->
       """SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars,
         |       CAST(min(doc_id) AS BIGINT) AS min_kept_id

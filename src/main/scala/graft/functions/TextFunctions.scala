@@ -22,6 +22,13 @@ object TextFunctions {
 
   /** Word n-gram shingles: ["a","b","c"] with n=2 -> ["a b","b c"].
     * A document shorter than n words yields its whole text as one shingle.
+    *
+    * NOT a hot-path builder: `ts` sits inside the `transform` lambda, and a
+    * higher-order function re-evaluates its lambda body per element — the
+    * tokenize pipeline runs once per shingle, not once per document. Every
+    * per-document pipeline uses the one-pass [[HashedShingles]] /
+    * [[ChunkText]] expressions instead; this stays for readable inspection
+    * of small samples.
     */
   def shingles(c: Column, n: Int): Column = {
     val ts = tokens(c)

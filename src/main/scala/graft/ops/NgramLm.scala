@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashedShingles, TextFunctions}
+
+/** In-corpus unigram language-model scoring — the CCNet-style perplexity
+  * filter shape without an external model: each document is scored by its
+  * tokens' log-likelihood under the corpus's OWN unigram distribution,
+  * `logprob = Σ ln cnt(tᵢ) − n·ln(total)`, and the low-likelihood tail
+  * (gibberish, encoding junk, off-distribution boilerplate) is flagged.
+  * Plug in an external LM by substituting the vocab frame.
+  *
+  * Cross-engine determinism: floating sums across distributed rows are
+  * partition-order dependent, so nothing here ever sums raw doubles. Each
+  * DISTINCT token count is scaled once (`floor(ln(cnt)·1e6 + 0.5)` — the
+  * repo's engine-agnostic rounding formula) to a long, per-doc scores are
+  * exact long sums of those, and `ln(total)` enters as one scaled constant.
+  * A 1-ulp libm divergence between engines only matters if some `ln(cnt)`
+  * lands within 2⁻⁵² of a rounding boundary at 1e6 scale — odds per
+  * distinct count value ≈ 3e-9.
+  *
+  * Scale shape: ONE explode pass of per-token 64-bit hashes (one-pass
+  * [[HashedShingles]] with n=1 — tokenize once per doc, no token strings
+  * on the wire), persisted and reused for the vocabulary aggregate and the
+  * score join. The vocab join is NOT pinned broadcast: a bounded corpus
+  * vocabulary auto-broadcasts (AQE size estimate), a web-scale one falls
+  * back to a hash join on the 8-byte key. Hot tokens are by definition the
+  * skewed keys — partial aggregation absorbs them map-side in the vocab
+  * count, and AQE skew-split covers the join.
+  */
+object NgramLm {
+
+  /** Per-doc (idCol, carryCols…, n_tokens, scaled_logprob) for docs with
+    * >= 1 token; `scaled_logprob` is the 1e6-scaled integer log-likelihood
+    * described above. Returns a release handle for the persisted token
+    * pairs — call it after the terminal action.
+    */
+  def unigramScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    val tokenHashes =
+      when(TextFunctions.tokenCount(col(textCol)) >= 1,
+        HashedShingles(col(textCol), 1))
+        .otherwise(array().cast("array<long>"))
+    val pairs = df
+      .select(col(idCol) +: carryCols.map(col) :+
+        explode(tokenHashes).as("th"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = pairs.groupBy("th").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    val lnTotalScaled =
+      if (total > 0) math.floor(math.log(total.toDouble) * 1e6 + 0.5).toLong else 0L
+    val out = pairs
+      .join(
+        vocab.select(col("th"),
+          floor(log(col("cnt")) * 1e6 + 0.5).cast("long").as("__tok_score")),
+        Seq("th"))
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_tokens"), sum("__tok_score").as("__sum_tok"))
+      .withColumn("scaled_logprob",
+        col("__sum_tok") - col("n_tokens") * lit(lnTotalScaled))
+      .drop("__sum_tok")
+    (out, () => { pairs.unpersist(blocking = false); () })
+  }
+}

@@ -152,6 +152,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"common-gram join should broadcast:\n$plan")
   }
 
+  // ------------------------------------------------------- unigram LM
+
+  test("unigram scores match the closed form on a known corpus") {
+    import graft.ops.NgramLm
+    // corpus tokens: a:3, b:2, c:1 -> total 6
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "...")).toDF("doc_id", "text")
+    val (scores, release) = NgramLm.unigramScores(docs, "doc_id", "text")
+    val got = scores.select("doc_id", "n_tokens", "scaled_logprob")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    release()
+    def s(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val lnT = s(6)
+    assert(got == Seq(
+      (1L, 3L, 2 * s(3) + s(2) - 3 * lnT),
+      (2L, 3L, s(3) + s(2) + s(1) - 3 * lnT)))
+    // doc 3 has zero tokens -> excluded entirely, not scored as empty-string
+  }
+
+  test("unigram scores are partition-order invariant") {
+    import graft.ops.NgramLm
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val (scores, release) = NgramLm.unigramScores(d, "doc_id", "text")
+      val m = scores.select("doc_id", "scaled_logprob")
+        .as[(Long, Long)].collect().toMap
+      release(); m
+    }
+    assert(run(docs) == run(docs.repartition(17).sortWithinPartitions("lang")))
+  }
+
   // ------------------------------------------------------- quantization
 
   test("int8 quantization: codes in range, zero vector safe, error bounded by scale/2") {
