@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hashed_shingles", "hashed_shingles(text, n) - xxhash64 of each word n-gram"),
       (args: Seq[Expression]) => HashedShingles(args.head, ParseLogLineSql.intArg(args, 1))))
     e.injectFunction((
+      FunctionIdentifier("chunk_text"),
+      info("chunk_text", "chunk_text(text, chunkSize, stride) - overlapping token-window chunk strings"),
+      (args: Seq[Expression]) => graft.functions.ChunkText(args.head,
+        ParseLogLineSql.intArg(args, 1), ParseLogLineSql.intArg(args, 2))))
+    e.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint", "rolling_fingerprint(text, window) - winnowing min rolling hash"),
       (args: Seq[Expression]) => RollingHashFingerprint(args.head, ParseLogLineSql.intArg(args, 1))))

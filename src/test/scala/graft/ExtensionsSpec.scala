@@ -43,6 +43,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](0).head == row.getLong(1)) // extension property
   }
 
+  test("chunk_text in SQL agrees with the Column API") {
+    val viaSql = spark.sql(
+      "SELECT chunk_text('a b c d e f g', 3, 2) AS c")
+      .collect().head.getSeq[String](0)
+    val viaColumn = spark.range(1)
+      .select(graft.functions.ChunkText(lit("a b c d e f g"), 3, 2).as("c"))
+      .collect().head.getSeq[String](0)
+    assert(viaSql == viaColumn)
+    assert(viaSql == Seq("a b c", "c d e", "e f g"))
+  }
+
   test("hashed_shingles + minhash_signature compose in SQL") {
     val sig = spark.sql(
       "SELECT minhash_signature(hashed_shingles('a b c d e', 3), 8) AS s")
