@@ -1631,6 +1631,26 @@ object SparkEntry {
     out
   }
 
+  /** Conditional bigram-LM scoring ([[graft.ops.NgramLm.bigramScores]]) —
+    * the chain-probability step up from [[qUnigramLm]]; threshold between
+    * corpus p10/p90 like the unigram one.
+    */
+  private def qBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val (scores, release) = NgramLm.bigramScores(
+      docs, "doc_id", "text", carryCols = Seq("lang"))
+    val agg = scores
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("scaled_logprob").as("sum_scaled_lp"),
+        sum(when(col("scaled_logprob") > lit(-3410000L) * col("n_bigrams"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    release()
+    out
+  }
+
   /** Per-source frequency cap (RefinedWeb-style domain capping): keep at
     * most 5 docs per source, preferring longer docs (n_chars DESC, doc_id
     * tiebreak). The rank<=5 filter compiles to WindowGroupLimit — Spark
@@ -1733,6 +1753,7 @@ object SparkEntry {
     "q_common_ngrams" -> (qCommonNgrams _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_bigram_lm" -> (qBigramLm _),
     "q_domain_cap" -> (qDomainCap _))
 
   // DuckDB SQL fragments shared below.
@@ -2492,6 +2513,21 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
          |       CAST(sum(CASE WHEN lp > -3401000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |nn AS (SELECT doc_id, lang, toks, len(toks) AS n FROM tok WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, lang, toks[gs.i+1] AS u,
+         |              toks[gs.i+1] || ' ' || toks[gs.i+2] AS b
+         |       FROM nn, LATERAL (SELECT unnest(generate_series(0, n - 2)) AS i) gs),
+         |cu AS (SELECT u, count(*) AS c FROM bg GROUP BY u),
+         |cb AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+         |scored AS (SELECT doc_id, lang, count(*) AS m,
+         |             sum(CAST(floor(ln(cb.c) * 1e6 + 0.5) AS BIGINT)
+         |                 - CAST(floor(ln(cu.c) * 1e6 + 0.5) AS BIGINT)) AS lp
+         |           FROM bg JOIN cu USING (u) JOIN cb USING (b) GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
+         |       CAST(sum(CASE WHEN lp > -3410000 * m THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
     "q_domain_cap" ->
       """SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars,
         |       CAST(min(doc_id) AS BIGINT) AS min_kept_id

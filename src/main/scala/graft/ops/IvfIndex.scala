@@ -109,4 +109,25 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Persist the trained quantizer as plain (cell, centroid) parquet so an
+    * index trained once is reused across jobs. Retraining per run would
+    * both waste `iterations` corpus scans and re-derive cell ids (they are
+    * init-order dependent) — invalidating any cell assignments already
+    * written by a previous job.
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer written by [[save]]; centroids come back bit-exact
+    * (doubles round-trip parquet losslessly), so assignments and searches
+    * are reproducible across jobs.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path).select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1))
 }

@@ -66,4 +66,45 @@ object NgramLm {
       .drop("__sum_tok")
     (out, () => { pairs.unpersist(blocking = false); () })
   }
+
+  /** Conditional bigram log-likelihood — one order up the KenLM ladder from
+    * [[unigramScores]]: `Σᵢ ln P(tᵢ|tᵢ₋₁) = Σ ln cnt₂(tᵢ₋₁tᵢ) − Σ
+    * ln cnt₁(tᵢ₋₁)` with MLE counts from the corpus itself (prefix counts
+    * are counted over bigram HISTORIES, so per-history probabilities sum
+    * to 1 — self-consistent without smoothing, because every numerator
+    * bigram exists in the corpus by construction). Docs need >= 2 tokens.
+    *
+    * Same integer discipline and plan shape as unigram: one persisted
+    * explode of (prefix-hash, bigram-hash) structs — both hash arrays come
+    * from one-pass [[HashedShingles]] evaluated as zip_with ARGUMENTS (not
+    * inside the lambda, where they would re-run per element) — then two
+    * unpinned count joins on 8-byte keys.
+    */
+  def bigramScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    val uni = HashedShingles(col(textCol), 1)
+    val bi = HashedShingles(col(textCol), 2)
+    val pairs = df
+      .filter(TextFunctions.tokenCount(col(textCol)) >= 2)
+      .select(col(idCol) +: carryCols.map(col) :+
+        explode(zip_with(slice(uni, lit(1), size(uni) - 1), bi,
+          (u, b) => struct(u.as("u"), b.as("b")))).as("__p"): _*)
+      .select(col("*"), col("__p.u").as("__u"), col("__p.b").as("__b"))
+      .drop("__p")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixCounts = pairs.groupBy("__u").agg(count(lit(1)).as("cu"))
+    val bigramCounts = pairs.groupBy("__b").agg(count(lit(1)).as("cb"))
+    val out = pairs
+      .join(prefixCounts.select(col("__u"),
+        floor(log(col("cu")) * 1e6 + 0.5).cast("long").as("__su")), Seq("__u"))
+      .join(bigramCounts.select(col("__b"),
+        floor(log(col("cb")) * 1e6 + 0.5).cast("long").as("__sb")), Seq("__b"))
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__sb") - col("__su")).as("scaled_logprob"))
+    (out, () => { pairs.unpersist(blocking = false); () })
+  }
 }

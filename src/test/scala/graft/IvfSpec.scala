@@ -26,6 +26,20 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF model save/load round-trips bit-exact and searches identically") {
+    val model = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8, iterations = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_model").toString + "/m"
+    IvfIndex.save(model, spark, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.centroids.map(_._1).toSeq == model.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.map(_._2).toSeq == model.centroids.map(_._2).toSeq)
+    val a = IvfIndex.search(model, emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = IvfIndex.search(loaded, emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("NearestCentroids matches a reference argmin-k with (dist, index) ties") {
     import org.apache.spark.sql.Row
     val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))

@@ -182,6 +182,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(17).sortWithinPartitions("lang")))
   }
 
+  test("bigram scores match the closed form; per-history probabilities sum to 1") {
+    import graft.ops.NgramLm
+    // bigrams: "a b":2 (docs 1,2), "b a":1; prefixes: a:3, b:1... counted
+    // over HISTORIES: a->b twice, b->a once => cu(a)=2+? doc1 "a b a b":
+    // bigrams (a b),(b a),(a b); doc2 "a b": (a b). cu(a)=3, cu(b)=1,
+    // cb("a b")=3, cb("b a")=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val (scores, release) = NgramLm.bigramScores(docs, "doc_id", "text")
+    val got = scores.select("doc_id", "n_bigrams", "scaled_logprob")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    release()
+    def s(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(got == Seq(
+      (1L, 3L, (s(3) - s(3)) + (s(1) - s(1)) + (s(3) - s(3))),
+      (2L, 1L, s(3) - s(3))))
+    // single-token doc 3 excluded; P(b|a)=3/3=1, P(a|b)=1/1=1 -> logprob 0
+    assert(got.forall(_._3 == 0L))
+  }
+
   // ------------------------------------------------------- quantization
 
   test("int8 quantization: codes in range, zero vector safe, error bounded by scale/2") {
