@@ -1651,6 +1651,16 @@ object SparkEntry {
     out
   }
 
+  /** Column profiling ([[graft.ops.Profile]]): the ANALYZE-style first
+    * look at an unknown table — one scan, one reduce, melted to a row per
+    * column. Exact distincts here (bounded table + oracle comparison); the
+    * operator defaults to HLL at scale.
+    */
+  private def qProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(t(spark, dir, "documents"),
+      Seq("doc_id", "lang", "n_chars", "source"), exact = true)
+      .orderBy("column_name")
+
   /** Per-source frequency cap (RefinedWeb-style domain capping): keep at
     * most 5 docs per source, preferring longer docs (n_chars DESC, doc_id
     * tiebreak). The rank<=5 filter compiles to WindowGroupLimit — Spark
@@ -1754,6 +1764,7 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_profile" -> (qProfile _),
     "q_domain_cap" -> (qDomainCap _))
 
   // DuckDB SQL fragments shared below.
@@ -2528,6 +2539,21 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
          |       CAST(sum(CASE WHEN lp > -3410000 * m THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_profile" ->
+      """SELECT 'doc_id' AS column_name, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+        |       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(source), count(DISTINCT source),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |ORDER BY column_name""".stripMargin,
     "q_domain_cap" ->
       """SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars,
         |       CAST(min(doc_id) AS BIGINT) AS min_kept_id

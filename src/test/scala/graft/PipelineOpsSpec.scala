@@ -201,6 +201,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.forall(_._3 == 0L))
   }
 
+  // ---------------------------------------------------------- profiling
+
+  test("profile: nulls, distincts, min/max per column in one pass") {
+    import graft.ops.Profile
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None), (None, Some("a")), (Some(2L), Some("a")))
+      .toDF("id", "s")
+    val rows = Profile.profile(df, Seq("id", "s"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(rows("id") == ((4L, 3L, 2L, "1", "2")))
+    assert(rows("s") == ((4L, 3L, 2L, "a", "b")))
+    // approx mode runs and is within HLL tolerance on the same data
+    val approx = Profile.profile(df, Seq("id"))
+      .collect().head.getLong(3)
+    assert(approx >= 1L && approx <= 3L)
+  }
+
   // ------------------------------------------------------- quantization
 
   test("int8 quantization: codes in range, zero vector safe, error bounded by scale/2") {
