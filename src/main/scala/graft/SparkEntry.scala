@@ -650,6 +650,28 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** Interval-overlap join ([[graft.ops.RangeJoin.overlapJoin]], the
+    * range x range companion of [[qRangeJoin]]'s point-in-range shape):
+    * 30-minute click and purchase activity windows of the same user that
+    * intersect, counted per click-hour. Canonical-bucket emission — each
+    * overlapping pair meets exactly once, no dedup (RangeJoinSpec pins
+    * equivalence with the naive theta join).
+    */
+  private def qOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def windowed(kind: String, key: String, s: String, e: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as(key), col("ts").as(s),
+          timestamp_micros(unix_micros(col("ts")) + 1800000000L).as(e))
+    graft.ops.RangeJoin.overlapJoin(
+        windowed("click", "cu", "cs", "ce"),
+        windowed("purchase", "pu", "ps", "pe"),
+        "cu", "pu", "cs", "ce", "ps", "pe", bucketUs = 1800000000L)
+      .groupBy(date_format(col("cs"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n_overlaps"), countDistinct(col("cu")).as("n_users"))
+      .orderBy("hour")
+  }
+
   /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
     * salt changes the physical key distribution, never the result, which
     * is exactly what the oracle checks with a plain join.
@@ -1720,6 +1742,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_range_join" -> (qRangeJoin _),
+    "q_overlap_join" -> (qOverlapJoin _),
     "q_skew_join" -> (qSkewJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
@@ -2052,6 +2075,15 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_overlap_join" ->
+      """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
+        |       count(*) AS n_overlaps, count(DISTINCT c.user_id) AS n_users
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
         |GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority, count(*) AS n,

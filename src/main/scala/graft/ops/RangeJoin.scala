@@ -52,4 +52,52 @@ object RangeJoin {
           col("__rus") <= col("__lus") + upperUs)
       .drop("__bkt", "__lus", "__rus")
   }
+
+  /** Interval-OVERLAP join (range x range, the genomics / session-overlap
+    * shape): rows sharing an equi-key whose CLOSED timestamp intervals
+    * intersect (`lStart <= rEnd && rStart <= lEnd`).
+    *
+    * Same plan idea as [[intervalJoin]] — a raw overlap predicate plans as
+    * a per-key nested loop — but both sides span multiple buckets, so each
+    * side explodes to every `bucketUs`-wide bucket its interval touches
+    * and a pair would meet once per SHARED bucket. The pair is therefore
+    * emitted only in its CANONICAL bucket — the one containing the
+    * overlap's start, `greatest(lStart, rStart)` — which every true pair
+    * has exactly one of: no dedup pass, no distinct shuffle.
+    *
+    * Choose `bucketUs` near the typical interval length: the explode
+    * factor is `len/bucketUs + 1` per row (a handful of narrow rows), and
+    * too-wide buckets re-create per-bucket nested-loop pressure. Rows with
+    * inverted intervals (end < start) are dropped.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    def bucket(c: Column): Column = c - pmod(c, lit(bucketUs))
+    val l = left
+      .withColumn("__lss", unix_micros(col(leftStart)))
+      .withColumn("__les", unix_micros(col(leftEnd)))
+      .filter(col("__lss") <= col("__les"))
+      .withColumn("__bkt",
+        explode(sequence(bucket(col("__lss")), bucket(col("__les")), lit(bucketUs))))
+    val r = right
+      .withColumn("__rss", unix_micros(col(rightStart)))
+      .withColumn("__res", unix_micros(col(rightEnd)))
+      .filter(col("__rss") <= col("__res"))
+      .withColumn("__bkt",
+        explode(sequence(bucket(col("__rss")), bucket(col("__res")), lit(bucketUs))))
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("__bkt") === r("__bkt") &&
+          col("__lss") <= col("__res") && col("__rss") <= col("__les") &&
+          l("__bkt") === bucket(greatest(col("__lss"), col("__rss"))))
+      .drop("__bkt", "__lss", "__les", "__rss", "__res")
+  }
 }

@@ -44,4 +44,44 @@ class RangeJoinSpec extends SparkSpec {
       0L, 100L * 1000000).columns.toSet
     assert(cols == Set("lk", "lt", "rk", "rt"))
   }
+
+  test("overlapJoin: closed-interval semantics, exactly once across shared buckets") {
+    // bucket width 100s; left interval [0, 250] spans 3 buckets
+    val left = Seq((1L, ts(0), ts(250))).toDF("lk", "ls", "le")
+    val right = Seq(
+      (1L, ts(200), ts(400)),  // overlaps [200,250] across 2 shared buckets
+      (1L, ts(250), ts(300)),  // touches at the closed endpoint: overlap
+      (1L, ts(251), ts(300)),  // just past: no overlap
+      (1L, ts(-100), ts(0)),   // touches at the other endpoint: overlap
+      (2L, ts(0), ts(250))     // other key: no match
+    ).toDF("rk", "rs", "re")
+    val out = RangeJoin.overlapJoin(left, right, "lk", "rk",
+        "ls", "le", "rs", "re", 100L * 1000000)
+      .select(col("rs")).collect().map(_.getTimestamp(0).getTime / 1000).sorted.toSeq
+    assert(out == Seq(-100L, 200L, 250L))
+  }
+
+  test("overlapJoin agrees with the naive theta join on random intervals") {
+    val rnd = new scala.util.Random(7)
+    def mk = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, { val s = rnd.nextInt(5000); (ts(s), ts(s + rnd.nextInt(400))) }))
+      .map { case (k, (s, e)) => (k, s, e) }
+    val l = mk.toDF("lk", "ls", "le")
+    val r = mk.toDF("rk", "rs", "re")
+    val fast = RangeJoin.overlapJoin(l, r, "lk", "rk", "ls", "le", "rs", "re",
+      137L * 1000000).count()
+    val naive = l.join(r, col("lk") === col("rk") &&
+      col("ls") <= col("re") && col("rs") <= col("le")).count()
+    assert(fast == naive && naive > 0)
+  }
+
+  test("overlapJoin is a shuffled equi-join, not a nested loop") {
+    val l = Seq((1L, ts(0), ts(100))).toDF("lk", "ls", "le")
+    val r = Seq((1L, ts(50), ts(150))).toDF("rk", "rs", "re")
+    val df = RangeJoin.overlapJoin(l, r, "lk", "rk", "ls", "le", "rs", "re",
+      100L * 1000000)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(1500))
+  }
 }
