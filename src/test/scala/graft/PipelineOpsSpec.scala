@@ -201,6 +201,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.forall(_._3 == 0L))
   }
 
+  // ---------------------------------------------- property round-trips
+
+  test("property: chunk texts rebuild the token stream for random inputs (10 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // includes punctuation/unicode noise the tokenizer must strip, plus
+    // random sizes around the chunk boundary cases
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+    val noise = Gen.oneOf("", "!", "—", "3", "µ", "  ")
+    val textGen = Gen.listOfN(60, Gen.zip(word, noise)).map(
+      _.map { case (w, n) => s"$w$n" }.mkString(" "))
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    for (seed <- 1L to 10L) {
+      val texts = sample(Gen.listOfN(20, textGen), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      // collect_list order is arbitrary: sort the (idx, piece) structs
+      val rebuilt = graft.ops.Chunking.chunkTokens(df, "text", 16, 11)
+        .groupBy("id")
+        .agg(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("chunk_idx"),
+            when(col("chunk_idx") === 0, col("chunk_tokens"))
+              .otherwise(slice(col("chunk_tokens"), 6, 16)).as("piece")))),
+          s => s.getField("piece")))).as("joined"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = df.select(col("id"),
+          concat_ws(" ", graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      expected.foreach { case (id, t) =>
+        assert(rebuilt.getOrElse(id, "") == t, s"seed=$seed id=$id")
+      }
+    }
+  }
+
+  test("property: prefix sum equals the sequential scan for random values (10 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    for (seed <- 1L to 10L) {
+      val vals = sample(Gen.listOfN(500, Gen.chooseNum(-1000L, 1000L)), seed)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(11)
+      val got = Packing.withExclusivePrefixSum(df, "id", "v")
+        .select("id", "cum_excl").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+      assert(got.toSeq == vals.scanLeft(0L)(_ + _).init, s"seed=$seed")
+    }
+  }
+
   // ---------------------------------------------------------- profiling
 
   test("profile: nulls, distincts, min/max per column in one pass") {
