@@ -1080,6 +1080,15 @@ object SparkEntry {
 
   private def shingleTruthPairs(spark: SparkSession, dir: String): DataFrame = {
     val perSession = truthCache.synchronized {
+      // weak keying alone cannot reclaim entries (the cached DataFrames
+      // strongly reference their session through QueryExecution — the
+      // self-reference the WeakHashMap javadoc warns about), so purge
+      // stopped sessions explicitly
+      val it = truthCache.keySet().iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s != null && s.sparkContext.isStopped) it.remove()
+      }
       var m = truthCache.get(spark)
       if (m == null) {
         m = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -1556,13 +1565,18 @@ object SparkEntry {
   private def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(t(spark, dir, "documents"))
       .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("tokens"))
-    Packing.packBins(docs, "doc_id", "tokens", 512L)
+    val (packed, release) = Packing.packBins(docs, "doc_id", "tokens", 512L)
+    val agg = packed
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         sum("tokens").as("bin_tokens"),
         sum("crosses").as("n_crossing"),
         min("cum_excl").as("first_offset"))
       .orderBy("bin")
+    // per-bin result is small: materialize eagerly, release the sort cache
+    val out = agg.localCheckpoint(true)
+    release()
+    out
   }
 
   /** Overlapping token-window chunking ([[graft.ops.Chunking]]): 32-token

@@ -328,10 +328,27 @@ final class LogPartitionReader(
         if (prev != null) return prev
       } else if (buf != null) {
         buf.append('\n').append(line) // continuation (blank lines kept)
+        if (buf.length > opts.recordMaxBytes) {
+          // fail loudly instead of OOMing the executor: the usual cause is
+          // a recordStartPattern that matches (almost) nothing, silently
+          // turning the whole file into one record
+          throw new IllegalStateException(
+            s"[log] multi-line record exceeds recordMaxBytes=" +
+              s"${opts.recordMaxBytes} chars (starts near byte $pos of " +
+              s"${part.chunks(chunkIdx).path}); check recordStartPattern " +
+              "or raise the recordMaxBytes option")
+        }
       } else if (atFileHead && line.trim.nonEmpty) {
         // file preamble before the first start line (e.g. a MySQL log
         // header): one record, routed by the normal unmatched-line rules
         buf = new java.lang.StringBuilder(line)
+      } else if (pos > chunkEnd) {
+        // past our byte range with nothing buffered: every remaining line
+        // is a continuation of a record some earlier chunk owns (or a
+        // record a later chunk starts) — stop instead of scanning to EOF,
+        // which would make N readers re-read the file tail
+        chunkDone = true
+        return null
       }
       // else: tail of the previous chunk's record — that reader emits it
     }

@@ -48,7 +48,12 @@ final case class LogOptions(
     // non-matching lines are appended with '\n' until the next start line.
     // The MySQL logs the reference README targets need this for slow-query
     // blocks and stack traces.
-    recordStartPattern: Option[String] = None) {
+    recordStartPattern: Option[String] = None,
+    // guard for multi-line assembly: a record buffering more than this many
+    // chars fails the task with an actionable message instead of OOMing the
+    // executor (the symptom of a recordStartPattern that never matches).
+    // 64 MB default — far beyond any plausible log record.
+    recordMaxBytes: Long = 64L << 20) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day, Drill's wire semantics —
@@ -206,7 +211,10 @@ object LogOptions {
       }
     }
 
+    val recordMaxBytes = positiveLong("recordmaxbytes").getOrElse(64L << 20)
+
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
-      failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger, recordStartPattern)
+      failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger, recordStartPattern,
+      recordMaxBytes)
   }
 }

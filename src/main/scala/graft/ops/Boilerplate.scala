@@ -75,7 +75,9 @@ object Boilerplate {
     require(minDocFraction > 0 && minDocFraction <= 1,
       s"minDocFraction must be in (0,1], got $minDocFraction")
     val total = df.count()
-    val minDocs = math.max(1L, math.ceil(minDocFraction * total).toLong)
+    // floor 2: a gram in one document is never "common" (and df >= 1 would
+    // trivially match every gram); matches the oracle's greatest(2, ...)
+    val minDocs = math.max(2L, math.ceil(minDocFraction * total).toLong)
     val pairs = df
       .select(col(idCol) +: carryCols.map(col) :+
         explode(ngramHashes(col(textCol), n)).as("gh"): _*)
@@ -103,7 +105,9 @@ object Boilerplate {
     require(minDocFraction > 0 && minDocFraction <= 1,
       s"minDocFraction must be in (0,1], got $minDocFraction")
     val total = df.count() // one count job; the threshold is corpus-relative
-    val minDocs = math.max(1L, math.ceil(minDocFraction * total).toLong)
+    // floor 2: a gram in one document is never "common" (and df >= 1 would
+    // trivially match every gram); matches the oracle's greatest(2, ...)
+    val minDocs = math.max(2L, math.ceil(minDocFraction * total).toLong)
     df.select(explode(ngrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("df"))

@@ -28,20 +28,22 @@ import org.apache.spark.storage.StorageLevel
   *      documented last-resort case, and the only non-codegen step).
   *
   * The input is persisted (MEMORY_AND_DISK) between the two passes so the
-  * range shuffle + sort run once; call `unpersist()` on the RETURNED frame
-  * after the consuming action to release it.
+  * range shuffle + sort run once; both entry points return a RELEASE
+  * HANDLE for that cache — call it after the terminal action (unpersisting
+  * the returned frame itself would be a no-op: its mapPartitions plan is
+  * not `sameResult` with the persisted sorted plan).
   */
 object Packing {
 
   /** Appends `outCol` = exclusive prefix sum of `valueCol` (cast to long,
     * nulls as 0) in ascending `orderCol` order. See object doc for the plan
-    * shape.
+    * shape and the release handle.
     */
   def withExclusivePrefixSum(
       df: DataFrame,
       orderCol: String,
       valueCol: String,
-      outCol: String = "cum_excl"): DataFrame = {
+      outCol: String = "cum_excl"): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val sorted = df
@@ -69,14 +71,15 @@ object Packing {
     val schema = sorted.schema
     val valIdx = schema.fieldIndex(valueCol)
     val outSchema = schema.add(outCol, LongType, nullable = false)
-    sorted.mapPartitions { it =>
+    val out = sorted.mapPartitions { it =>
       var running = bcOffsets.value(TaskContext.getPartitionId())
       it.map { row =>
-        val out = Row.fromSeq(row.toSeq :+ running)
+        val res = Row.fromSeq(row.toSeq :+ running)
         running += row.getLong(valIdx)
-        out
+        res
       }
     }(Encoders.row(outSchema))
+    (out, () => { sorted.unpersist(blocking = false); () })
   }
 
   /** Concat-and-chunk bin assignment: with documents laid end-to-end in
@@ -90,9 +93,10 @@ object Packing {
       df: DataFrame,
       orderCol: String,
       tokensCol: String,
-      budget: Long): DataFrame = {
+      budget: Long): (DataFrame, () => Unit) = {
     require(budget > 0, s"budget must be positive, got $budget")
-    withExclusivePrefixSum(df, orderCol, tokensCol)
+    val (summed, release) = withExclusivePrefixSum(df, orderCol, tokensCol)
+    val out = summed
       .withColumn("bin", expr(s"cum_excl div ${budget}L"))
       .withColumn(
         "crosses",
@@ -100,5 +104,6 @@ object Packing {
           col(tokensCol) > 0 &&
             expr(s"(cum_excl + $tokensCol - 1) div ${budget}L") =!= col("bin"),
           1L).otherwise(0L))
+    (out, release)
   }
 }

@@ -191,6 +191,26 @@ class LogSourceSpec extends SparkSpec {
     assert(split == whole)
   }
 
+  test("multiline: a record exceeding recordMaxBytes fails with an actionable error") {
+    // the OOM guard: a start pattern that matches (almost) nothing must
+    // fail loudly, not buffer the file into one giant record
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml_cap").toString
+    val content = ("1 START once\n" + ("continuation padding line\n" * 50))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/cap.log"), content)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("log")
+        .option("pattern", "(?s)(\\d+) (\\w+) (.+)")
+        .option("recordStartPattern", "^\\d+ START")
+        .option("recordMaxBytes", "100")
+        .option("fieldNames", "id, level, body")
+        .option("dataTypes", "INT, VARCHAR, VARCHAR")
+        .load(s"$dir/cap.log")
+        .collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("recordMaxBytes"), msg)
+  }
+
   test("multiline: invalid recordStartPattern fails at plan time") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("log")

@@ -18,8 +18,10 @@ class PipelineOpsSpec extends SparkSpec {
   test("prefix sum matches a driver-side scan regardless of partitioning") {
     val rows = (0L until 1000L).map(i => (i, (i * 7 + 3) % 50))
     val df = rows.toDF("id", "v").repartition(7) // scrambled input layout
-    val got = Packing.withExclusivePrefixSum(df, "id", "v")
+    val (summed, release) = Packing.withExclusivePrefixSum(df, "id", "v")
+    val got = summed
       .select("id", "cum_excl").as[(Long, Long)].collect().sortBy(_._1)
+    release()
     val want = rows.map(_._2).scanLeft(0L)(_ + _).init
     assert(got.map(_._1).toSeq == (0L until 1000L))
     assert(got.map(_._2).toSeq == want)
@@ -28,12 +30,15 @@ class PipelineOpsSpec extends SparkSpec {
   test("prefix sum handles nulls (as 0), empty partitions, and empty input") {
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
       .toDF("id", "v").repartition(16) // more partitions than rows
-    val got = Packing.withExclusivePrefixSum(df, "id", "v")
+    val (summed, release) = Packing.withExclusivePrefixSum(df, "id", "v")
+    val got = summed
       .select("id", "cum_excl").as[(Long, Long)].collect().sortBy(_._1)
+    release()
     assert(got.toSeq == Seq((1L, 0L), (2L, 5L), (3L, 5L)))
-    val empty = Packing.withExclusivePrefixSum(
+    val (empty, releaseEmpty) = Packing.withExclusivePrefixSum(
       Seq.empty[(Long, Long)].toDF("id", "v"), "id", "v")
     assert(empty.count() == 0)
+    releaseEmpty()
   }
 
   test("packBins: bins partition the token axis; crosses flags boundary docs") {
@@ -42,9 +47,11 @@ class PipelineOpsSpec extends SparkSpec {
     // offsets: 0, 60, 110, 210; budget 100 ->
     //   doc1 bin0 (0..59, inside), doc2 bin0 (60..109, crosses),
     //   doc3 bin1 (110..209, crosses), doc4 bin2 (210..219, inside)
-    val got = Packing.packBins(df, "id", "tokens", 100L)
+    val (packed, release) = Packing.packBins(df, "id", "tokens", 100L)
+    val got = packed
       .select("id", "bin", "crosses").as[(Long, Long, Long)]
       .collect().sortBy(_._1).toSeq
+    release()
     assert(got == Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 1L), (4L, 2L, 0L)))
   }
 
@@ -53,17 +60,20 @@ class PipelineOpsSpec extends SparkSpec {
     // never materializing the result on the driver
     val df = spark.range(0, 1000000).toDF("id")
       .withColumn("v", col("id")).repartition(13)
-    val wrong = Packing.withExclusivePrefixSum(df, "id", "v")
+    val (summed, release) = Packing.withExclusivePrefixSum(df, "id", "v")
+    val wrong = summed
       .filter(col("cum_excl") =!= col("id") * (col("id") - 1) / 2)
       .count()
+    release()
     assert(wrong == 0L)
   }
 
   test("no single-partition global window in the packing plan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), length(col("text")).cast("long").as("tokens"))
-    val plan = Packing.packBins(docs, "doc_id", "tokens", 512L)
-      .queryExecution.executedPlan.toString
+    val (packed, releasePlan) = Packing.packBins(docs, "doc_id", "tokens", 512L)
+    val plan = packed.queryExecution.executedPlan.toString
+    releasePlan()
     assert(!plan.contains("Window"), s"plan funnels through a global window:\n$plan")
     assert(plan.contains("rangepartitioning"), s"expected a range repartition:\n$plan")
   }
@@ -244,8 +254,10 @@ class PipelineOpsSpec extends SparkSpec {
       val vals = sample(Gen.listOfN(500, Gen.chooseNum(-1000L, 1000L)), seed)
       val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("id", "v").repartition(11)
-      val got = Packing.withExclusivePrefixSum(df, "id", "v")
+      val (summed, release) = Packing.withExclusivePrefixSum(df, "id", "v")
+      val got = summed
         .select("id", "cum_excl").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+      release()
       assert(got.toSeq == vals.scanLeft(0L)(_ + _).init, s"seed=$seed")
     }
   }
@@ -266,6 +278,15 @@ class PipelineOpsSpec extends SparkSpec {
     val approx = Profile.profile(df, Seq("id"))
       .collect().head.getLong(3)
     assert(approx >= 1L && approx <= 3L)
+  }
+
+  test("profile survives arbitrary column names (spaces, quotes, dots)") {
+    import graft.ops.Profile
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("my col", "it's.weird")
+    val rows = Profile.profile(df, Seq("my col", "it's.weird"), exact = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows == Map("my col" -> 2L, "it's.weird" -> 2L))
   }
 
   // ------------------------------------------------------- quantization
