@@ -37,9 +37,39 @@ final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) 
     */
   def broadcastVia(spark: SparkSession): Broadcast[BloomFilter] =
     spark.sparkContext.broadcast(filter)
+
+  /** Persist filter + build parameters through the Hadoop FS API (works on
+    * HDFS/object stores, not just local disk) — the cross-JOB half of the
+    * maintenance path this class documents: a nightly dedup job loads
+    * yesterday's filter, extends it with the accepted batch, saves it
+    * back. Parameters ride along so a loaded filter keeps merging with
+    * new partials.
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(p, true))
+    try {
+      out.writeLong(expectedKeys)
+      out.writeDouble(fpp)
+      filter.writeTo(out)
+    } finally out.close()
+  }
 }
 
 object KeyBloom {
+
+  /** Load a filter written by [[KeyBloom.save]]. */
+  def load(spark: SparkSession, path: String): KeyBloom = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      val expectedKeys = in.readLong()
+      val fpp = in.readDouble()
+      KeyBloom(expectedKeys, fpp, BloomFilter.readFrom(in))
+    } finally in.close()
+  }
   /** Distributed filter build over `df`'s non-null keys: per-partition
     * filters merged treewise (`stat.bloomFilter`), sized by the given
     * parameters so any two partials with equal parameters merge.

@@ -283,6 +283,25 @@ class DedupSpec extends SparkSpec {
     assert(hits.forall(identity), "extend lost a key (false negative)")
   }
 
+  test("KeyBloom save/load round-trips: same hits, parameters, and extendability") {
+    import org.apache.spark.sql.functions.xxhash64
+    val history = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val key = xxhash64($"text")
+    val kb = Dedup.buildKeyBloom(history, key, expectedKeys = 100L, fpp = 0.02)
+    val path = java.nio.file.Files.createTempDirectory("kb").toString + "/bloom.bin"
+    kb.save(spark, path)
+    val loaded = graft.ops.KeyBloom.load(spark, path)
+    assert(loaded.expectedKeys == 100L && loaded.fpp == 0.02)
+    val probes = (-500L to 500L).map(i => i * 2654435761L)
+    probes.foreach(k =>
+      assert(loaded.filter.mightContainLong(k) == kb.filter.mightContainLong(k)))
+    // the cross-job maintenance step: a LOADED filter keeps extending
+    val batch = Seq((3L, "gamma")).toDF("doc_id", "text")
+    loaded.extend(batch, key)
+    val gammaKey = batch.select(key.as("k")).head().getLong(0)
+    assert(loaded.filter.mightContainLong(gammaKey))
+  }
+
   test("keepBest keeps the highest-score copy per key, min id on ties") {
     import org.apache.spark.sql.functions.{col, length}
     val df = Seq(
