@@ -68,6 +68,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(wrong == 0L)
   }
 
+  test("packing quality: length-sorted order never crosses more boundaries than arbitrary order") {
+    // the reason the op parameterizes orderCol: sorting by length packs
+    // similar-size docs together, reducing windows split across documents
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tokens"))
+      // length-desc order encoded as a sortable key (tokens bounded << 1e6)
+      .withColumn("by_len", -col("tokens") * 1000000L + col("doc_id"))
+    def crossings(orderCol: String): Long = {
+      val (packed, release) = Packing.packBins(docs, orderCol, "tokens", 256L)
+      val n = packed.agg(sum("crosses")).head().getLong(0)
+      release(); n
+    }
+    val (byId, byLen) = (crossings("doc_id"), crossings("by_len"))
+    assert(byLen <= byId, s"length-sorted packing crossed more: $byLen > $byId")
+  }
+
   test("no single-partition global window in the packing plan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), length(col("text")).cast("long").as("tokens"))
