@@ -138,38 +138,11 @@ final class LogScan(
       }
     }
 
-    // Split sizing follows Spark's own FilePartition.maxSplitBytes formula so
-    // local[32] and a 1000-executor cluster both get sensible fan-out.
-    val sqlConf = org.apache.spark.sql.GraftSql.sqlConf(spark)
-    val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
-    val openCost = sqlConf.filesOpenCostInBytes
-    val minPartitionNum = spark.sparkContext.defaultParallelism
-    val totalBytes = files.map(_.getLen + openCost).sum
-    val bytesPerCore = totalBytes / math.max(minPartitionNum, 1)
-    val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
-
-    val chunks = ArrayBuffer.empty[LogChunk]
-    files.foreach { f =>
-      val codec = codecs.getCodec(f.getPath)
-      // Multi-line framing tracks record ownership by uncompressed byte
-      // offset (LineRecordReader's position), which a splittable codec's
-      // compressed-stream positions don't satisfy — bzip2 falls back to
-      // one chunk per file when recordStartPattern is set; uncompressed
-      // files still split (the boundary protocol in LogPartitionReader).
-      val splittable = codec == null ||
-        (opts.recordStartPattern.isEmpty && codec.isInstanceOf[SplittableCompressionCodec])
-      if (!splittable || f.getLen == 0) {
-        chunks += LogChunk(f.getPath.toString, 0, f.getLen, f.getLen)
-      } else {
-        var offset = 0L
-        while (offset < f.getLen) {
-          val len = math.min(maxSplit, f.getLen - offset)
-          chunks += LogChunk(f.getPath.toString, offset, len, f.getLen)
-          offset += len
-        }
-      }
-    }
-    LogScan.pack(chunks.toSeq, maxSplit, openCost)
+    val maxSplit = LogScan.splitSize(spark, files.toSeq)
+    LogScan.pack(
+      LogScan.chunkFiles(files.toSeq, opts, conf, maxSplit),
+      maxSplit,
+      org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
   }
 
   private def listRecursive(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] =
@@ -188,6 +161,52 @@ final class LogScan(
 
 object LogScan {
   val CodecSuffixes = Seq(".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst")
+
+  /** Split sizing: Spark's own `FilePartition.maxSplitBytes` formula —
+    * bounded by `maxPartitionBytes`, floored at `openCostInBytes`,
+    * targeting `defaultParallelism` partitions over the batch's bytes — so
+    * local[32] and a 1000-executor cluster both get sensible fan-out.
+    */
+  def splitSize(spark: SparkSession, files: Seq[FileStatus]): Long = {
+    val sqlConf = org.apache.spark.sql.GraftSql.sqlConf(spark)
+    val openCost = sqlConf.filesOpenCostInBytes
+    val totalBytes = files.map(_.getLen + openCost).sum
+    val bytesPerCore = totalBytes / math.max(spark.sparkContext.defaultParallelism, 1)
+    math.min(sqlConf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+  }
+
+  /** The ONE chunker for batch and streaming scans: splittable files split
+    * at `maxSplit` boundaries, whole-file chunks otherwise. Multi-line
+    * framing tracks record ownership by uncompressed byte offset
+    * (LineRecordReader's position), which a splittable codec's
+    * compressed-stream positions don't satisfy — bzip2 falls back to one
+    * chunk per file when `recordStartPattern` is set; uncompressed files
+    * still split (the boundary protocol in LogPartitionReader).
+    */
+  def chunkFiles(
+      files: Seq[FileStatus],
+      opts: LogOptions,
+      conf: org.apache.hadoop.conf.Configuration,
+      maxSplit: Long): Seq[LogChunk] = {
+    val codecs = new CompressionCodecFactory(conf)
+    val chunks = ArrayBuffer.empty[LogChunk]
+    files.foreach { f =>
+      val codec = codecs.getCodec(f.getPath)
+      val splittable = codec == null ||
+        (opts.recordStartPattern.isEmpty && codec.isInstanceOf[SplittableCompressionCodec])
+      if (!splittable || f.getLen == 0) {
+        chunks += LogChunk(f.getPath.toString, 0, f.getLen, f.getLen)
+      } else {
+        var offset = 0L
+        while (offset < f.getLen) {
+          val len = math.min(maxSplit, f.getLen - offset)
+          chunks += LogChunk(f.getPath.toString, offset, len, f.getLen)
+          offset += len
+        }
+      }
+    }
+    chunks.toSeq
+  }
 
   /** Bin-pack chunks into partitions of ~maxSplit bytes (Spark's
     * FilePartition packing: largest-first greedy, `openCost` padding per

@@ -91,6 +91,16 @@ object LogFrame {
     * schema (declared fields + `unmatched_lines`), blank lines dropped.
     */
   def parse(lines: DataFrame, opts: LogOptions): DataFrame = {
+    // reject what this path cannot honor instead of silently diverging
+    // from format("log"): record framing needs the reader (lines here are
+    // pre-split), and error modes other than PERMISSIVE are its contract
+    require(opts.recordStartPattern.isEmpty,
+      "[log] recordStartPattern requires record framing in the reader — " +
+        "use spark.read/readStream.format(\"log\") for multi-line records")
+    require(!opts.failFast && !opts.dropMalformed,
+      "[log] the expression path is PERMISSIVE by contract (unmatched " +
+        "lines route to unmatched_lines) — use format(\"log\") for " +
+        "FAILFAST/DROPMALFORMED")
     val nonBlank = lines.filter(length(trim(col("value"))) > 0) // LRR:216-219
     val parsed = nonBlank.withColumn("__groups", parseLogLine(col("value"), opts.pattern))
     val fields = opts.fieldNames.zipWithIndex.map { case (name, i) =>

@@ -89,6 +89,14 @@ final class LogMicroBatchStream(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // Legacy (round-1) checkpoint: no file log exists, but the offset
+    // ITSELF is the full seen list — seed from it, or every already-
+    // ingested file would be re-admitted through the limits (empty
+    // replay batches stalling new data for ceil(N/limit) triggers).
+    start match {
+      case LogStreamOffset(sf) => seen ++= sf
+      case _                   => ()
+    }
     val unseen = listFiles().filter(st => !seen(st.getPath.toString))
       .sortBy(_.getPath.toString)
     val eligible = availableNowCutoff match {
@@ -145,19 +153,23 @@ final class LogMicroBatchStream(
     // is a hard error, not silent data loss.
     val fresh = filesOf(start, end)
     val conf = spark.sparkContext.hadoopConfiguration
-    val chunks = fresh.map { p =>
+    val statuses = fresh.map { p =>
       val hp = new Path(p)
-      val st = try hp.getFileSystem(conf).getFileStatus(hp)
+      try hp.getFileSystem(conf).getFileStatus(hp)
       catch {
         case e: java.io.FileNotFoundException =>
           throw new org.apache.spark.SparkException(
             s"[log] committed stream offset references missing file $p " +
               "(deleted before its batch completed?)", e)
       }
-      LogChunk(p, 0, st.getLen, st.getLen)
     }
-    val sqlConf = org.apache.spark.sql.GraftSql.sqlConf(spark)
-    LogScan.pack(chunks, sqlConf.filesMaxPartitionBytes, sqlConf.filesOpenCostInBytes)
+    // same chunker as the batch scan: one huge discovered file must fan
+    // out across the cluster, not stall the micro-batch on a single task
+    val maxSplit = LogScan.splitSize(spark, statuses)
+    LogScan.pack(
+      LogScan.chunkFiles(statuses, opts, conf, maxSplit),
+      maxSplit,
+      org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -245,7 +257,12 @@ final class LogMicroBatchStream(
         if (st.isFile) {
           if (LogScan.matchesExtension(st.getPath.getName, opts.extensions)) out += st
         } else fs.listStatus(st.getPath).foreach(walk) // recursive, matching the batch scan
-      Option(fs.globStatus(hp)).getOrElse(Array.empty).foreach { st =>
+      val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+      // mirror the batch scan: a missing/misspelled path is a hard error,
+      // not a stream that silently stays empty forever
+      if (matched.isEmpty)
+        throw new org.apache.spark.SparkException(s"[log] path not found: $p")
+      matched.foreach { st =>
         if (st.isFile) out += st // explicit file: read regardless of extension
         else walk(st)
       }
@@ -258,15 +275,16 @@ object LogMicroBatchStream {
   val CompactInterval = 10
   val CompactSuffix = ".compact"
 
-  private[log] def toJson(files: Seq[String]): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.writeValueAsString(files.toArray)
-  }
+  // one shared mapper: ObjectMapper construction is expensive and the
+  // instance is thread-safe for plain read/write use; restore paths call
+  // fromJson once per log entry
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private[log] def fromJson(json: String): Seq[String] = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.readValue(json, classOf[Array[String]]).toSeq
-  }
+  private[log] def toJson(files: Seq[String]): String =
+    mapper.writeValueAsString(files.toArray)
+
+  private[log] def fromJson(json: String): Seq[String] =
+    mapper.readValue(json, classOf[Array[String]]).toSeq
 }
 
 /** O(1) offset: an index into the persistent file log. */
@@ -282,8 +300,7 @@ object LogStreamIndexOffset {
     val t = json.trim
     if (t.startsWith("[")) LogStreamOffset(LogMicroBatchStream.fromJson(t))
     else {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = m.readTree(t).get("index")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t).get("index")
       if (node == null || !node.canConvertToLong) {
         throw new IllegalArgumentException(
           s"[log] malformed stream offset JSON (expected {\"index\":<long>} or a path array): $json")

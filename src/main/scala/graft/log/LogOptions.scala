@@ -49,10 +49,13 @@ final case class LogOptions(
     // The MySQL logs the reference README targets need this for slow-query
     // blocks and stack traces.
     recordStartPattern: Option[String] = None,
-    // guard for multi-line assembly: a record buffering more than this many
-    // chars fails the task with an actionable message instead of OOMing the
+    // guard for multi-line assembly: a record buffering more than this
+    // fails the task with an actionable message instead of OOMing the
     // executor (the symptom of a recordStartPattern that never matches).
-    // 64 MB default — far beyond any plausible log record.
+    // Measured in UTF-16 CHARS of the assembled record (== bytes for ASCII
+    // logs; up to 2x the heap in bytes) — the guard is an order-of-
+    // magnitude backstop, not an exact byte budget. 64M default — far
+    // beyond any plausible log record.
     recordMaxBytes: Long = 64L << 20) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is

@@ -25,9 +25,22 @@ object IdempotentParquetSink {
   /** The `foreachBatch` body: write this micro-batch to its own
     * batch-keyed subdirectory, replacing any torn output from a previous
     * attempt of the SAME batch id.
+    *
+    * Batch 0 additionally clears the whole sink directory: a stream can
+    * only be AT batch 0 when it starts from a fresh checkpoint (a resumed
+    * stream replays from its last uncommitted id), so anything on disk is
+    * a previous incarnation's output — without this, old `batch_id=N`
+    * partitions beyond the new run's ids would silently survive and
+    * `read` would mix the two generations.
     */
-  def writeBatch(batch: Dataset[Row], batchId: Long, sinkDir: String): Unit =
+  def writeBatch(batch: Dataset[Row], batchId: Long, sinkDir: String): Unit = {
+    if (batchId == 0L) {
+      val p = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     batch.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+  }
 
   /** Read the sink back without the bookkeeping column. Partition
     * discovery turns the `batch_id=N` layout into a `batch_id` column;

@@ -37,35 +37,37 @@ object Sessionize {
             state.remove()
             Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents, closed = true))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMillis =>
-                  cur = Some(s.copy(end = math.max(s.end, t), nEvents = s.nEvents + 1))
-                case Some(s) => // gap exceeded: close previous, open new
-                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents, closed = true)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
+            // Fold the stored session and this batch's events into
+            // gap-separated islands: sort INTERVALS by start, merge
+            // neighbors closer than the gap. Unlike an end-only append,
+            // this is correct for cross-batch late events that land
+            // BEFORE the stored session — within the gap they extend its
+            // START backwards, beyond the gap they form their own earlier
+            // (immediately closed) session instead of being absorbed.
+            val intervals = (state.getOption.toList ++
+                rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+              .sortBy(s => (s.start, s.end))
+            val mergedRev = intervals.foldLeft(List.empty[SessionState]) {
+              case (head :: tail, iv) if iv.start - head.end <= gapMillis =>
+                SessionState(head.start, math.max(head.end, iv.end),
+                  head.nEvents + iv.nEvents) :: tail
+              case (acc, iv) => iv :: acc
             }
-            cur.foreach { s =>
-              state.update(s)
-              if (!state.hasTimedOut) {
+            mergedRev match {
+              case Nil => Iterator.empty
+              case open :: closedRev =>
+                state.update(open)
                 try {
                   // A late event can extend a session whose end+gap is already
                   // at/behind the watermark; Spark rejects timeouts <= watermark
                   // (IllegalArgumentException), so clamp to watermark+1 — the
                   // session then closes on the very next timeout sweep.
                   val wm = try state.getCurrentWatermarkMs() catch { case _: Exception => Long.MinValue }
-                  state.setTimeoutTimestamp(math.max(s.end + gapMillis, wm + 1))
+                  state.setTimeoutTimestamp(math.max(open.end + gapMillis, wm + 1))
                 } catch { case _: UnsupportedOperationException => () } // batch mode: no timeouts
-              }
+                closedRev.reverseIterator.map(s =>
+                  Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents, closed = true))
             }
-            closed.reverseIterator
           }
       }
   }

@@ -58,6 +58,17 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(got == (0L until 40L)) // every id exactly once
   }
 
+  test("fresh checkpoint against a dirty sink dir clears the previous incarnation") {
+    val (src, sink) = (makeSource(), tmp("graft_gen_sink"))
+    // previous incarnation left batches on disk, including a HIGH batch id
+    // this run will never reach
+    spark.range(9000L, 9010L).toDF("id").write.parquet(s"$sink/batch_id=99")
+    val q = startDrain(src, sink, tmp("graft_gen_ckpt"), idempotent = true, crashAtBatch = None)
+    q.awaitTermination()
+    val got = IdempotentParquetSink.read(spark, sink).as[Long].collect().sorted.toSeq
+    assert(got == (0L until 40L), s"stale generation leaked: ${got.filter(_ >= 9000L)}")
+  }
+
   test("plain append sink duplicates the replayed batch under the same kill (the gap being closed)") {
     val (src, sink, ckpt) = (makeSource(), tmp("graft_app_sink"), tmp("graft_app_ckpt"))
     val killed = startDrain(src, sink, ckpt, idempotent = false, crashAtBatch = Some(1L))

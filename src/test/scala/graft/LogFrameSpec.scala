@@ -47,6 +47,18 @@ class LogFrameSpec extends SparkSpec {
     assert(out.agg(sum("id"), sum("dur")).collect().head.toSeq == Seq(4950, 9900))
   }
 
+  test("expression path rejects options it cannot honor (framing, error modes)") {
+    import spark.implicits._
+    val lines = Seq("a 1").toDF("value")
+    val framing = intercept[IllegalArgumentException](LogFrame.parse(lines,
+      LogOptions.fromMap(Map("pattern" -> "(\\w+) (\\d+)",
+        "recordStartPattern" -> "^\\w"))))
+    assert(framing.getMessage.contains("recordStartPattern"))
+    val mode = intercept[IllegalArgumentException](LogFrame.parse(lines,
+      LogOptions.fromMap(Map("pattern" -> "(\\w+) (\\d+)", "mode" -> "FAILFAST"))))
+    assert(mode.getMessage.contains("PERMISSIVE"))
+  }
+
   test("streaming: readStream.text + LogFrame.parse with windowed aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("logstream").toFile
     val f = new java.io.File(dir, "app.log")
