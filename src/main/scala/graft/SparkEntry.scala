@@ -1054,7 +1054,8 @@ object SparkEntry {
     */
   private def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val (cand, sigs) = Dedup.minhashCandidatePairsWithSignatures(docs, "doc_id", "text")
+    val (cand, sigs) = Dedup.minhashCandidatePairsWithSignatures(
+      docs, "doc_id", "text", estimateJaccard = false)
     // materialize the 1-row aggregate eagerly so the signature cache is
     // released per run instead of accumulating across bench iterations
     val out = Dedup.verifyJaccard(cand.select("idA", "idB"), docs, "doc_id", "text")

@@ -45,7 +45,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
 object CosineSimilarity {
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // dimension mismatch = malformed input: return 0.0 (never ranks first)
+    // instead of a partial cosine over the shared prefix, which can be
+    // ~1.0 and surface corrupt vectors as everyone's nearest neighbor —
+    // the same rank-malformed-last convention as NearestCentroids/LshBuckets
+    if (a.numElements() != b.numElements()) return 0.0
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

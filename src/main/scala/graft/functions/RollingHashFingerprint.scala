@@ -22,6 +22,15 @@ case class RollingHashFingerprint(child: Expression, window: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_fingerprint requires string, got $other")
+    }
+
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(RollingHashFingerprint.compute(input.toString, window))
 

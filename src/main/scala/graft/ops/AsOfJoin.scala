@@ -35,6 +35,10 @@ object AsOfJoin {
     val r = right.select(
       (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__isLeft") +:
         valueCols.map(col)): _*)
+      // a null-time right row has no position in the order — without this
+      // filter it sorts NULLS FIRST and becomes the "latest" match for
+      // every left row that has no real predecessor
+      .filter(col("__t").isNotNull)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows (tag 0) sort before left rows (tag 1) at the same __t → "<="
     val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__isLeft").asc)
@@ -46,7 +50,9 @@ object AsOfJoin {
       when(col("__isLeft") === 0, struct(valueCols.map(col): _*)))
     val filled = packed.withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
     val expanded = valueCols.foldLeft(filled) { (df, v) =>
-      df.withColumn(v, col("__vals").getField(v))
+      // a null-time LEFT row has no as-of position either: values stay null
+      // (under DESC ordering it would otherwise sort last and see everything)
+      df.withColumn(v, when(col("__t").isNotNull, col("__vals").getField(v)))
     }
     expanded.filter(col("__isLeft") === 1).drop("__k", "__t", "__isLeft", "__vals")
   }
@@ -73,6 +79,7 @@ object AsOfJoin {
     val r = right.select(
       (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__isLeft") +:
         valueCols.map(col)): _*)
+      .filter(col("__t").isNotNull) // see backward(): null-time rows match nothing
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // DESC time; right rows (tag 0) first at the same __t → ">=" holds
     val w = Window.partitionBy("__k").orderBy(col("__t").desc, col("__isLeft").asc)
@@ -81,7 +88,7 @@ object AsOfJoin {
       when(col("__isLeft") === 0, struct(valueCols.map(col): _*)))
     val filled = packed.withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
     val expanded = valueCols.foldLeft(filled) { (df, v) =>
-      df.withColumn(v, col("__vals").getField(v))
+      df.withColumn(v, when(col("__t").isNotNull, col("__vals").getField(v)))
     }
     expanded.filter(col("__isLeft") === 1).drop("__k", "__t", "__isLeft", "__vals")
   }

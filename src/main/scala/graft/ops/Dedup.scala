@@ -48,12 +48,23 @@ final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) 
   def save(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = new java.io.DataOutputStream(fs.create(p, true))
+    // write-temp + rename: save-over-the-previous-filter is the documented
+    // workflow, and truncating in place would destroy the only copy if the
+    // driver dies mid-stream (rebuild-from-all-of-history is the exact
+    // cost this class exists to avoid)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try {
       out.writeLong(expectedKeys)
       out.writeDouble(fpp)
       filter.writeTo(out)
     } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"[KeyBloom] cannot rename $tmp to $p")
+    }
   }
 }
 
@@ -147,6 +158,11 @@ object Dedup {
   /** Like [[minhashCandidatePairs]] but also returns the persisted signature
     * DataFrame so end-to-end callers can `unpersist()` it once their
     * terminal action completes (otherwise only LRU eviction reclaims it).
+    *
+    * `estimateJaccard = false` skips the two signature re-attach joins that
+    * compute `est_jaccard` — callers heading straight to exact
+    * verification ([[nearDedup]], the driver query) discard that column,
+    * and Catalyst can prune the column but not the joins.
     */
   def minhashCandidatePairsWithSignatures(
       df: DataFrame,
@@ -155,7 +171,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
+      maxBucketSize: Int = 1000,
+      estimateJaccard: Boolean = true): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // Shingling+hashing is CPU-bound: spread a small (few-file) input over
@@ -200,6 +217,7 @@ object Dedup {
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
 
+    if (!estimateJaccard) return (pairs, sigs)
     val withEst = pairs
       .join(sigs.select(col("__id").as("idA"), col("__sig").as("__sigA")), "idA")
       .join(sigs.select(col("__id").as("idB"), col("__sig").as("__sigB")), "idB")
@@ -285,8 +303,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
-    val (cand, sigs) =
-      minhashCandidatePairsWithSignatures(df, idCol, textCol, shingleN, numHashes, bands)
+    val (cand, sigs) = minhashCandidatePairsWithSignatures(
+      df, idCol, textCol, shingleN, numHashes, bands, estimateJaccard = false)
     // Materialize the (small: one id per duplicate) dup-id set eagerly so the
     // signature cache can be released NOW instead of leaking until session
     // end; localCheckpoint also cuts the lineage, so the returned plan no
@@ -312,11 +330,13 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3): DataFrame = {
     // Only documents that appear in a candidate pair need shingling —
-    // broadcast the (small) id set and map-side filter the corpus before
-    // the expensive shingle computation.
+    // semi-join on the candidate id set so the corpus filters before the
+    // expensive shingle computation. NOT a pinned broadcast: on a
+    // heavy-duplicate corpus (the case nearDedup exists for) the id set is
+    // O(corpus); AQE broadcasts it when it is actually small.
     val ids = candidates
       .select(explode(array(col("idA"), col("idB"))).as("__vid")).distinct()
-    val sh = df.join(broadcast(ids), col(idCol) === col("__vid"), "left_semi")
+    val sh = df.join(ids, col(idCol) === col("__vid"), "left_semi")
       .select(col(idCol).as("__vid"),
         array_distinct(graft.functions.HashedShingles(col(textCol), shingleN)).as("__sh"))
     candidates
@@ -440,7 +460,7 @@ object Dedup {
     * reads the optimizer's estimate (driver metadata — no `df.rdd` plan
     * conversion): >=4 MB per core means the scan fans out on its own.
     */
-  private def spreadDf(df: DataFrame): DataFrame = {
+  private[ops] def spreadDf(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < BigInt(par.toLong) * (4L << 20)) df.repartition(par) else df

@@ -38,6 +38,13 @@ object Packing {
   /** Appends `outCol` = exclusive prefix sum of `valueCol` (cast to long,
     * nulls as 0) in ascending `orderCol` order. See object doc for the plan
     * shape and the release handle.
+    *
+    * `orderCol` must be a TOTAL order (unique values): with ties, the
+    * offset split among tied rows is shuffle-arrival-dependent and can
+    * differ between a run and a task retry — the retry-instability
+    * [[Sampling]]'s scaladoc explains breaks exactly-once sinks. For a
+    * non-unique sort key, encode a composite (key, uniqueId) into one
+    * sortable column the way the length-sorted packing spec does.
     */
   def withExclusivePrefixSum(
       df: DataFrame,

@@ -39,7 +39,11 @@ object PartitionedSink {
     val salt: Column =
       if (filesPerPartition <= 1) lit(0)
       else if (sortCols.nonEmpty) pmod(hash(sortCols.map(col): _*), lit(filesPerPartition))
-      else pmod(hash(partCols.map(col): _*) + spark_partition_id(), lit(filesPerPartition))
+      // long arithmetic: hash() spans the full Int range, so an Int add of
+      // spark_partition_id() overflows with probability pid/2^32 per row —
+      // a guaranteed ArithmeticException at billions of rows under ANSI mode
+      else pmod(hash(partCols.map(col): _*).cast("long") + spark_partition_id(),
+        lit(filesPerPartition.toLong))
     val shuffled = df
       .withColumn("__salt", salt)
       .repartition((partCols.map(col) :+ col("__salt")): _*)

@@ -72,9 +72,11 @@ object Similarity {
     // next to the scan it guards). A single malformed row must NOT fail
     // the query: the bucket=-1 path exists precisely to tolerate and drop
     // those, so the guard can't be first-row-sensitive.
+    // null vectors size to null — skip them like any other malformed row
     val probe = c.select(size(col("__cv")).as("__d")).head(16)
-    if (probe.nonEmpty && !probe.exists(_.getInt(0) == dim)) {
-      val seen = probe.map(_.getInt(0)).distinct.sorted.mkString(",")
+    if (probe.nonEmpty && !probe.exists(r => !r.isNullAt(0) && r.getInt(0) == dim)) {
+      val seen = probe.map(r => if (r.isNullAt(0)) "null" else r.getInt(0).toString)
+        .distinct.sorted.mkString(",")
       throw new IllegalArgumentException(
         s"lshTopK: dim=$dim but none of ${probe.length} sampled corpus vectors match (saw sizes: $seen)")
     }

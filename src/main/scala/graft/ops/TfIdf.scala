@@ -25,10 +25,8 @@ object TfIdf {
 
   /** Returns (idCol, term, tf, df, tfidf) rows. */
   def weights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-
+    // shared stats-based spread: no df.rdd plan conversion (see spreadDf)
+    val spread = Dedup.spreadDf(df)
     val nDocs = spread.count()
     val terms = spread.select(col(idCol).as("__id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
@@ -52,9 +50,7 @@ object TfIdf {
       textCol: String,
       groupCol: String,
       k: Int): DataFrame = {
-    val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val spread = Dedup.spreadDf(df)
     val nDocs = spread.count()
 
     val terms = spread.select(col(idCol).as("__id"), col(groupCol),

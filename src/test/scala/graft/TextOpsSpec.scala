@@ -110,6 +110,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", 101.0), ("t3", null), ("t2", null)))
   }
 
+  test("as-of join: null timestamps match nothing on either side, both directions") {
+    val trades = Seq((1, Some(10), "t1"), (1, None: Option[Int], "tnull"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1, Some(5), 100.0), (1, None: Option[Int], 666.0))
+      .toDF("k", "qt", "px")
+    val back = AsOfJoin.backward(trades, quotes, "k", "k", "t", "qt", Seq("px"))
+      .collect().map(r => r.getAs[String]("trade") -> r.getAs[Any]("px")).toMap
+    // t1 matches the real quote@5, never the null-time quote; the null-time
+    // trade matches nothing
+    assert(back == Map("t1" -> 100.0, "tnull" -> null))
+    val fwd = AsOfJoin.forward(trades, quotes, "k", "k", "t", "qt", Seq("px"))
+      .collect().map(r => r.getAs[String]("trade") -> r.getAs[Any]("px")).toMap
+    // no real quote at/after t=10; null-time rows on either side never match
+    assert(fwd == Map("t1" -> null, "tnull" -> null))
+  }
+
   test("as-of join does not stitch value columns from different right rows") {
     val left = Seq((1, 30)).toDF("k", "t")
     val right = Seq((1, 10, Some(5.0), None: Option[Double]), (1, 20, None, Some(7.0)))
