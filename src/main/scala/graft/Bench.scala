@@ -31,21 +31,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup outside the timed region (JIT, codegen cache,
-    // filesystem metadata) so per-query numbers measure the queries
-    SparkEntry.entry(spark).count()
+    // filesystem metadata) so per-query numbers measure the queries; a
+    // missing warmup dataset must not abort the benchmark of sfDir
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val okTimes = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val failTimes = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 0 until n; (name, fn) <- names) {
       val t0 = System.nanoTime()
       val ok =
+        // NonFatal: an OutOfMemoryError must crash the run, not be logged
+        // as a failed sample while later queries "succeed" in a broken JVM
         try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       val dt = (System.nanoTime() - t0) / 1e9
       if (ok) okTimes(name) = okTimes(name) :+ dt
       else failTimes(name) = failTimes(name) :+ dt
     }
-    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // even (flaky/even-n): average middles
+    }
     val failed = names.map(_._1).filter(k => okTimes(k).isEmpty)
     val flaky = names.map(_._1).filter(k => failTimes(k).nonEmpty && okTimes(k).nonEmpty)
     // charged time: min of successes; all-failed queries charge
@@ -63,8 +73,16 @@ object Bench {
     val total = names.map { case (k, _) => charge(k) }.sum
     val medianTotal = names.map { case (k, _) => chargeMedian(k) }.sum
     def strList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // sfDir is environment-controlled: escape it like Verify does, or a
+    // quoted/exotic path corrupts the one JSON line the harness parses
+    val sfEsc = sfDir.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$n,"median_total":$medianTotal,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$n,"median_total":$medianTotal,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfEsc"}"""
     // the metric both ways: sole stdout line AND a file, so a harness that
     // captures interleaved stdout (sbt banners, GC logs) still parses it
     try {

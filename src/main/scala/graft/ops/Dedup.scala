@@ -460,7 +460,7 @@ object Dedup {
     * reads the optimizer's estimate (driver metadata — no `df.rdd` plan
     * conversion): >=4 MB per core means the scan fans out on its own.
     */
-  private[ops] def spreadDf(df: DataFrame): DataFrame = {
+  private[graft] def spreadDf(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < BigInt(par.toLong) * (4L << 20)) df.repartition(par) else df
