@@ -258,10 +258,23 @@ final class LogMicroBatchStream(
           if (LogScan.matchesExtension(st.getPath.getName, opts.extensions)) out += st
         } else fs.listStatus(st.getPath).foreach(walk) // recursive, matching the batch scan
       val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
-      // mirror the batch scan: a missing/misspelled path is a hard error,
-      // not a stream that silently stays empty forever
-      if (matched.isEmpty)
-        throw new org.apache.spark.SparkException(s"[log] path not found: $p")
+      // A missing/misspelled CONCRETE path is a hard error (mirror the
+      // batch scan), but a glob that currently expands to nothing is a
+      // normal streaming startup state — `dir/*.log` before the first
+      // file arrives — and must poll on like Spark's own FileStreamSource.
+      // The glob's non-glob ancestor is still checked, so a misspelled
+      // parent directory fails loudly instead of staying silently empty.
+      if (matched.isEmpty) {
+        def hasGlob(s: String): Boolean = s.exists("*?[]{}".contains(_))
+        if (!hasGlob(hp.toString))
+          throw new org.apache.spark.SparkException(s"[log] path not found: $p")
+        var anc = hp
+        while (anc.getParent != null && hasGlob(anc.toString)) anc = anc.getParent
+        if (!fs.exists(anc))
+          throw new org.apache.spark.SparkException(
+            s"[log] path not found: $p (non-glob parent $anc does not exist)")
+        // else: empty glob expansion — an empty listing for this trigger
+      }
       matched.foreach { st =>
         if (st.isFile) out += st // explicit file: read regardless of extension
         else walk(st)

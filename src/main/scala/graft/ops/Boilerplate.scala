@@ -71,7 +71,8 @@ object Boilerplate {
       textCol: String,
       n: Int,
       minDocFraction: Double,
-      carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+      carryCols: Seq[String] = Nil,
+      maxBroadcastGrams: Long = 4L << 20): (DataFrame, () => Unit) = {
     require(minDocFraction > 0 && minDocFraction <= 1,
       s"minDocFraction must be in (0,1], got $minDocFraction")
     val total = df.count()
@@ -84,9 +85,25 @@ object Boilerplate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = pairs.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
+    // "Small by construction" holds for sane minDocFraction (>= ~1%), but
+    // the broadcast contract is self-enforcing now: the common set is
+    // counted first (one aggregate over the already-persisted pairs) and
+    // pinned broadcast only when it actually fits; a pathological
+    // threshold (1e-6 on a web corpus) falls back to an unpinned join
+    // that AQE plans by real size — same decision as the NgramLm vocab
+    // join. ~8 bytes/gram: the default 4M-gram cap is a ~32 MB broadcast.
+    val commonKeys = common.select(col("gh"), lit(1L).as("__is_common"))
+    val nCommon = common.count()
+    val joinSide =
+      if (nCommon <= maxBroadcastGrams) broadcast(commonKeys)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"hashedBoilerplateShares: $nCommon common grams exceed " +
+            s"maxBroadcastGrams=$maxBroadcastGrams — using an unpinned join")
+        commonKeys
+      }
     val out = pairs
-      .join(broadcast(common.select(col("gh"), lit(1L).as("__is_common"))),
-        Seq("gh"), "left")
+      .join(joinSide, Seq("gh"), "left")
       .groupBy(idCol, carryCols: _*)
       .agg(
         count(lit(1)).as("n_grams"),

@@ -46,8 +46,9 @@ final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) 
     * new partials.
     */
   def save(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     // write-temp + rename: save-over-the-previous-filter is the documented
     // workflow, and truncating in place would destroy the only copy if the
     // driver dies mid-stream (rebuild-from-all-of-history is the exact
@@ -60,10 +61,19 @@ final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) 
       out.writeDouble(fpp)
       filter.writeTo(out)
     } finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"[KeyBloom] cannot rename $tmp to $p")
+    // FileContext.rename(OVERWRITE) replaces the previous filter in ONE
+    // atomic metadata operation (HDFS; POSIX rename locally) — a plain
+    // delete-then-rename has a window where a driver crash leaves no
+    // readable filter at `path`, only the hidden tmp file.
+    val qp = fs.makeQualified(p)
+    val qtmp = fs.makeQualified(tmp)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
+      fc.rename(qtmp, qp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"[KeyBloom] cannot rename $qtmp to $qp", e)
     }
   }
 }

@@ -45,12 +45,16 @@ object Packing {
     * [[Sampling]]'s scaladoc explains breaks exactly-once sinks. For a
     * non-unique sort key, encode a composite (key, uniqueId) into one
     * sortable column the way the length-sorted packing spec does.
+    * `assertUniqueOrder = true` enforces that contract with one extra
+    * aggregate over the already-persisted input (debug mode — catches the
+    * misuse at the operator instead of as downstream offset flakiness).
     */
   def withExclusivePrefixSum(
       df: DataFrame,
       orderCol: String,
       valueCol: String,
-      outCol: String = "cum_excl"): (DataFrame, () => Unit) = {
+      outCol: String = "cum_excl",
+      assertUniqueOrder: Boolean = false): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val sorted = df
@@ -58,6 +62,18 @@ object Packing {
       .repartitionByRange(par, col(orderCol))
       .sortWithinPartitions(orderCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (assertUniqueOrder) {
+      val dup = sorted.groupBy(col(orderCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      if (dup.nonEmpty) {
+        sorted.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"[Packing] orderCol '$orderCol' is not a total order: value " +
+            s"'${dup.head.get(0)}' appears ${dup.head.getLong(1)} times — " +
+            "encode a composite (key, uniqueId) sort column instead")
+      }
+    }
 
     // Pass 1: per-partition subtotals (a #partitions-row collect).
     val subtotals = sorted
@@ -100,9 +116,11 @@ object Packing {
       df: DataFrame,
       orderCol: String,
       tokensCol: String,
-      budget: Long): (DataFrame, () => Unit) = {
+      budget: Long,
+      assertUniqueOrder: Boolean = false): (DataFrame, () => Unit) = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val (summed, release) = withExclusivePrefixSum(df, orderCol, tokensCol)
+    val (summed, release) =
+      withExclusivePrefixSum(df, orderCol, tokensCol, assertUniqueOrder = assertUniqueOrder)
     val out = summed
       .withColumn("bin", expr(s"cum_excl div ${budget}L"))
       .withColumn(

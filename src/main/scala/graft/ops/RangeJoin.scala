@@ -67,8 +67,16 @@ object RangeJoin {
     *
     * Choose `bucketUs` near the typical interval length: the explode
     * factor is `len/bucketUs + 1` per row (a handful of narrow rows), and
-    * too-wide buckets re-create per-bucket nested-loop pressure. Rows with
-    * inverted intervals (end < start) are dropped.
+    * too-wide buckets re-create per-bucket nested-loop pressure (or let
+    * [[overlapJoinAutoBucket]] derive it from the data). Rows with
+    * inverted intervals (end < start) are dropped, and so are rows
+    * spanning more than `maxBucketsPerRow` buckets — an explicit, logged
+    * coverage bound (mirroring the inverted-interval drop): ONE
+    * pathological row (a sentinel far-future end timestamp) would
+    * otherwise explode into millions of bucket rows and can push
+    * `sequence()` past its element cap, failing the whole job with an
+    * unhelpful error. Clamp open-ended sentinels before joining if those
+    * rows must participate.
     */
   def overlapJoin(
       left: DataFrame,
@@ -79,19 +87,28 @@ object RangeJoin {
       leftEnd: String,
       rightStart: String,
       rightEnd: String,
-      bucketUs: Long): DataFrame = {
+      bucketUs: Long,
+      maxBucketsPerRow: Int = 10000): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
+    require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"overlapJoin: coverage bound maxBucketsPerRow=$maxBucketsPerRow — " +
+        "rows whose interval spans more buckets are dropped")
     def bucket(c: Column): Column = c - pmod(c, lit(bucketUs))
+    // span in buckets = (bucket(end) - bucket(start)) / bucketUs + 1;
+    // compared in pure long arithmetic (no division) to avoid overflow
+    def spanOk(s: Column, e: Column): Column =
+      bucket(e) - bucket(s) <= lit(bucketUs) * lit(maxBucketsPerRow - 1L)
     val l = left
       .withColumn("__lss", unix_micros(col(leftStart)))
       .withColumn("__les", unix_micros(col(leftEnd)))
-      .filter(col("__lss") <= col("__les"))
+      .filter(col("__lss") <= col("__les") && spanOk(col("__lss"), col("__les")))
       .withColumn("__bkt",
         explode(sequence(bucket(col("__lss")), bucket(col("__les")), lit(bucketUs))))
     val r = right
       .withColumn("__rss", unix_micros(col(rightStart)))
       .withColumn("__res", unix_micros(col(rightEnd)))
-      .filter(col("__rss") <= col("__res"))
+      .filter(col("__rss") <= col("__res") && spanOk(col("__rss"), col("__res")))
       .withColumn("__bkt",
         explode(sequence(bucket(col("__rss")), bucket(col("__res")), lit(bucketUs))))
     l.join(r,
@@ -99,5 +116,38 @@ object RangeJoin {
           col("__lss") <= col("__res") && col("__rss") <= col("__les") &&
           l("__bkt") === bucket(greatest(col("__lss"), col("__rss"))))
       .drop("__bkt", "__lss", "__les", "__rss", "__res")
+  }
+
+  /** [[overlapJoin]] with `bucketUs` derived FROM THE DATA: the 90th
+    * percentile of interval lengths across both sides, via one cheap
+    * scan-and-sketch job (`approx_percentile` — mergeable partial state,
+    * no sort). A caller-guessed width goes stale the moment the data
+    * shifts 100x; p90 keeps the explode factor bounded by construction —
+    * at least ~90% of rows touch at most 2-3 buckets, the wider tail
+    * explodes by `len/p90 + 1`, and `maxBucketsPerRow` still caps the
+    * pathological sentinel rows. Join semantics are bucket-invariant, so
+    * auto-tuning never changes the result set (beyond the documented
+    * span cap) — only the plan's explode/selectivity trade-off.
+    */
+  def overlapJoinAutoBucket(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      maxBucketsPerRow: Int = 10000): DataFrame = {
+    def lens(df: DataFrame, s: String, e: String) =
+      df.select((unix_micros(col(e)) - unix_micros(col(s))).as("__len"))
+        .filter(col("__len") >= 0)
+    val p90Row = lens(left, leftStart, leftEnd)
+      .unionByName(lens(right, rightStart, rightEnd))
+      .agg(expr("approx_percentile(__len, 0.9)")).head()
+    // empty inputs / all-empty intervals still need a positive width
+    val bucketUs = if (p90Row.isNullAt(0)) 1L else math.max(p90Row.getLong(0), 1L)
+    overlapJoin(left, right, leftKey, rightKey,
+      leftStart, leftEnd, rightStart, rightEnd, bucketUs, maxBucketsPerRow)
   }
 }

@@ -300,6 +300,15 @@ class DedupSpec extends SparkSpec {
     loaded.extend(batch, key)
     val gammaKey = batch.select(key.as("k")).head().getLong(0)
     assert(loaded.filter.mightContainLong(gammaKey))
+    // save-over-previous (the nightly-job shape): the atomic
+    // rename-with-overwrite must replace the old file, and no hidden tmp
+    // file may be left behind in the parent directory
+    loaded.save(spark, path)
+    val reread = graft.ops.KeyBloom.load(spark, path)
+    assert(reread.filter.mightContainLong(gammaKey))
+    val leftovers = new java.io.File(path).getParentFile
+      .listFiles().map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"tmp files left behind: ${leftovers.mkString(",")}")
   }
 
   test("keepBest keeps the highest-score copy per key, min id on ties") {

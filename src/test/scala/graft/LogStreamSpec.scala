@@ -72,6 +72,53 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("glob source with no matches yet: empty batches until a file arrives") {
+    // dir/*.log before any matching file exists is a NORMAL streaming
+    // startup state (Spark's FileStreamSource tolerates it) — the stream
+    // must poll, not hard-fail on the first trigger
+    val dir = Files.createTempDirectory("logstream_glob").toFile
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+) (.+)")
+      .option("schema", "id INT, level VARCHAR, msg VARCHAR")
+      .load(new File(dir, "*.log").getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("glob_log_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable() // no matches: must not throw
+      assert(spark.table("glob_log_stream").count() == 0)
+      Files.writeString(new File(dir, "a.log").toPath, "1 INFO boot\n2 WARN hot")
+      q.processAllAvailable()
+      assert(spark.table("glob_log_stream").count() == 2)
+      // non-matching extension stays invisible to the glob
+      Files.writeString(new File(dir, "b.txt").toPath, "9 INFO other")
+      q.processAllAvailable()
+      assert(spark.table("glob_log_stream").count() == 2)
+    } finally q.stop()
+  }
+
+  test("missing concrete path and glob with missing parent still hard-fail") {
+    def startOn(path: String) = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (.+)")
+      .option("schema", "id INT, msg VARCHAR")
+      .load(path)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("missing_log_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val base = Files.createTempDirectory("logstream_missing").toFile
+    for (p <- Seq(s"$base/no_such_dir", s"$base/no_such_dir/*.log")) {
+      val q = startOn(p)
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains("path not found")), s"for $p got: $e")
+      } finally q.stop()
+    }
+  }
+
   test("restart after many files: O(1) index offsets, compacted log, no re-reads") {
     val dir = Files.createTempDirectory("logstream_restart").toFile
     val ckpt = Files.createTempDirectory("logstream_ckpt").toFile.getAbsolutePath

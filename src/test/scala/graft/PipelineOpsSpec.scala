@@ -170,6 +170,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("hashed boilerplate guard: oversized common set falls back to an unpinned join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // pathological threshold: minDocFraction tiny -> every gram in >= 2
+    // docs is "common" (a huge set at web scale); with the guard forced
+    // (maxBroadcastGrams = 0) the join must NOT pin a broadcast hint...
+    val (guarded, releaseG) = Boilerplate.hashedBoilerplateShares(
+      docs, "doc_id", "text", 3, 1e-9, maxBroadcastGrams = 0L)
+    assert(!guarded.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "guard must drop the broadcast pin above the threshold")
+    // ...and the result must be identical to the default pinned path
+    val got = guarded.select("doc_id", "n_grams", "n_common")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    releaseG()
+    val (pinned, releaseP) = Boilerplate.hashedBoilerplateShares(
+      docs, "doc_id", "text", 3, 1e-9)
+    assert(pinned.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val want = pinned.select("doc_id", "n_grams", "n_common")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    releaseP()
+    assert(got == want)
+  }
+
+  test("prefix-sum debug mode rejects a non-unique order column") {
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Packing.withExclusivePrefixSum(df, "id", "v", assertUniqueOrder = true)
+    }
+    assert(e.getMessage.contains("not a total order"))
+    // without the flag the misuse is the caller's documented responsibility
+    val (summed, release) = Packing.withExclusivePrefixSum(df, "id", "v")
+    assert(summed.count() == 3)
+    release()
+    // and a unique key passes the assertion
+    val ok = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val (okSummed, okRelease) =
+      Packing.withExclusivePrefixSum(ok, "id", "v", assertUniqueOrder = true)
+    assert(okSummed.select("cum_excl").as[Long].collect().sorted.toSeq == Seq(0L, 10L))
+    okRelease()
+  }
+
   test("boilerplate share join broadcasts the common-gram side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val common = Boilerplate.commonNgrams(docs, "text", 3, 0.01)

@@ -75,6 +75,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast == naive && naive > 0)
   }
 
+  test("overlapJoin drops a sentinel-wide interval instead of blowing up sequence()") {
+    // end = start + ~100 years with 1-second buckets: ~3e9 buckets — far
+    // past both maxBucketsPerRow and sequence()'s element cap. The row is
+    // dropped (logged coverage bound), the rest of the join is unaffected.
+    val wide = 100L * 365 * 24 * 3600
+    val left = Seq((1L, ts(0), ts(250)), (1L, ts(0), ts(wide))).toDF("lk", "ls", "le")
+    val right = Seq((1L, ts(200), ts(400))).toDF("rk", "rs", "re")
+    val out = RangeJoin.overlapJoin(left, right, "lk", "rk",
+      "ls", "le", "rs", "re", 1000000L)
+    assert(out.count() == 1) // only the narrow left row matches
+    // with a cap big enough for the sentinel's span the row participates
+    // again — the bound is a parameter, not a silent constant
+    val uncapped = RangeJoin.overlapJoin(left, right, "lk", "rk",
+      "ls", "le", "rs", "re", wide * 1000000L / 2, maxBucketsPerRow = 10)
+    assert(uncapped.count() == 2)
+  }
+
+  test("overlapJoinAutoBucket matches the explicit-bucket result on mixed widths") {
+    val rnd = new scala.util.Random(11)
+    // 90% narrow (<= 60 s), 10% wide (~1 h) intervals: the p90-derived
+    // bucket keeps the narrow mass at <= 2 buckets apiece
+    def mk = (1 to 200).map { i =>
+      val s = rnd.nextInt(50000)
+      val len = if (i % 10 == 0) 3600 + rnd.nextInt(600) else rnd.nextInt(60)
+      (rnd.nextInt(5).toLong, ts(s), ts(s + len))
+    }
+    val l = mk.toDF("lk", "ls", "le")
+    val r = mk.toDF("rk", "rs", "re")
+    val auto = RangeJoin.overlapJoinAutoBucket(l, r, "lk", "rk", "ls", "le", "rs", "re")
+    val explicit = RangeJoin.overlapJoin(l, r, "lk", "rk", "ls", "le", "rs", "re",
+      137L * 1000000)
+    assert(auto.count() == explicit.count() && auto.count() > 0)
+  }
+
   test("overlapJoin is a shuffled equi-join, not a nested loop") {
     val l = Seq((1L, ts(0), ts(100))).toDF("lk", "ls", "le")
     val r = Seq((1L, ts(50), ts(150))).toDF("rk", "rs", "re")
