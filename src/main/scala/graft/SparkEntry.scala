@@ -1695,6 +1695,56 @@ object SparkEntry {
     out
   }
 
+  /** External-LM scoring ([[graft.ops.NgramLm.unigramScoresWithVocab]]):
+    * the real CCNet shape — vocabulary estimated on one slice (even ids:
+    * "train on A"), documents of the OTHER slice scored against it
+    * ("score B"), instead of the corpus scoring itself ([[qUnigramLm]]).
+    * OOV tokens price as count-1 (scaled score 0) and are counted, so
+    * the oracle checks the OOV path too. Same integer scaled-long
+    * arithmetic end to end.
+    */
+  private def qExternalLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val vocab = NgramLm.tokenVocabulary(docs.filter(col("doc_id") % 2 === 0), "text")
+    NgramLm.unigramScoresWithVocab(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", vocab,
+        carryCols = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("scaled_logprob").as("sum_scaled_lp"),
+        sum("n_oov").as("sum_oov"),
+        sum(when(col("n_oov") > 0, 1L).otherwise(0L)).as("n_with_oov"))
+      .orderBy("lang")
+  }
+
+  /** Fuzzy decontamination ([[graft.ops.Decontaminate
+    * .contaminationCoverage]]): flag (corpus doc, eval item) pairs where
+    * >= 50% of the eval item's distinct 8-gram shingles appear in the
+    * doc. Planted evidence: each eval item (doc_id < 20) re-enters the
+    * corpus as a TRUNCATED copy (first ceil(0.9 n) tokens, id + 1e6) —
+    * the partial-leak case the exact any-shingle check over-flags and a
+    * coverage test measures; short docs (<= 9 tokens) copy whole and
+    * cover 1.0. Truncation is integer arithmetic ((9n+9) div 10) on the
+    * NORMALIZED token list, so the oracle rebuilds byte-identical copies.
+    */
+  private def qDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+    val copies = evalSet
+      .withColumn("__toks", TF.tokens(col("text")))
+      .withColumn("__n", size(col("__toks")))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(col("__toks"), lit(1),
+          expr("cast((__n * 9 + 9) div 10 as int)")), " ").as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(copies)
+    graft.ops.Decontaminate.contaminationCoverage(
+        spread(corpus), evalSet, "doc_id", "text", 8, 0.5)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs_flagged"),
+        coalesce(sum(floor(col("coverage") * 1e6 + 0.5).cast("long")), lit(0L))
+          .as("sum_scaled_cov"))
+  }
+
   /** Column profiling ([[graft.ops.Profile]]): the ANALYZE-style first
     * look at an unknown table — one scan, one reduce, melted to a row per
     * column. Exact distincts here (bounded table + oracle comparison); the
@@ -1704,6 +1754,26 @@ object SparkEntry {
     graft.ops.Profile.profile(t(spark, dir, "documents"),
       Seq("doc_id", "lang", "n_chars", "source"), exact = true)
       .orderBy("column_name")
+
+  /** The HLL-mode profile — the scale DEFAULT (per-column exact distinct
+    * forces an Expand + full-value shuffle) — graded against its accuracy
+    * envelope, q_hll style: every sketch estimate must land within ±5% of
+    * the exact count the oracle reproduces (rsd 0.02, deterministic for a
+    * given dataset).
+    */
+  private def qProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cols = Seq("doc_id", "lang", "n_chars", "source")
+    val exact = graft.ops.Profile.profile(docs, cols, exact = true)
+    val approx = graft.ops.Profile.profile(docs, cols, exact = false, rsd = 0.02)
+      .select(col("column_name"), col("n_distinct").as("__approx"))
+    exact.join(approx, Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct").as("n_distinct_exact"),
+        (abs(col("__approx") - col("n_distinct")).cast("double") /
+          col("n_distinct").cast("double") <= 0.05).as("within_5pct"))
+      .orderBy("column_name")
+  }
 
   /** Per-source frequency cap (RefinedWeb-style domain capping): keep at
     * most 5 docs per source, preferring longer docs (n_chars DESC, doc_id
@@ -1808,6 +1878,9 @@ object SparkEntry {
     "q_common_ngrams" -> (qCommonNgrams _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_external_lm" -> (qExternalLm _),
+    "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
+    "q_profile_approx" -> (qProfileApprox _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_profile" -> (qProfile _),
     "q_domain_cap" -> (qDomainCap _))
@@ -2578,6 +2651,61 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
          |       CAST(sum(CASE WHEN lp > -3401000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_external_lm" ->
+      s"""WITH tokA AS (SELECT unnest($ToksSql) AS t FROM documents WHERE doc_id % 2 = 0),
+         |vocab AS (SELECT t, count(*) AS cnt FROM tokA GROUP BY t),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         |tokB AS (SELECT doc_id, lang, unnest($ToksSql) AS t FROM documents WHERE doc_id % 2 = 1),
+         |scored AS (SELECT b.doc_id, b.lang, count(*) AS n,
+         |             sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS oov,
+         |             sum(coalesce(CAST(floor(ln(v.cnt) * 1e6 + 0.5) AS BIGINT), 0)) AS s
+         |           FROM tokB b LEFT JOIN vocab v USING (t) GROUP BY 1, 2),
+         |d AS (SELECT lang, n, oov,
+         |        s - n * CAST(floor(ln((SELECT total FROM tot)) * 1e6 + 0.5) AS BIGINT) AS lp
+         |      FROM scored)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
+         |       CAST(sum(oov) AS BIGINT) AS sum_oov,
+         |       CAST(sum(CASE WHEN oov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_oov
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_decontaminate_fuzzy" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |ev AS (SELECT doc_id, t FROM tk WHERE doc_id < 20),
+         |cp AS (SELECT doc_id + 1000000 AS doc_id, t[1:((len(t)*9+9)//10)] AS t FROM ev),
+         |corpus AS (SELECT doc_id, t FROM tk UNION ALL SELECT doc_id, t FROM cp),
+         |csh AS (
+         |  SELECT doc_id AS cid, unnest(list_distinct(
+         |    CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(range(len(t)-7),
+         |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         |                     || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]) END)) AS s
+         |  FROM corpus),
+         |esh AS (
+         |  SELECT doc_id AS eid, unnest(list_distinct(
+         |    CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(range(len(t)-7),
+         |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         |                     || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]) END)) AS s
+         |  FROM ev),
+         |sizes AS (SELECT eid, count(*) AS esize FROM esh GROUP BY eid),
+         |ov AS (SELECT cid, eid, count(*) AS shared FROM csh JOIN esh
+         |         ON csh.s = esh.s AND csh.cid <> esh.eid GROUP BY 1, 2),
+         |cov AS (SELECT cid, shared * 1.0 / esize AS c
+         |        FROM ov JOIN sizes USING (eid)
+         |        WHERE shared * 1.0 / esize >= 0.5)
+         |SELECT count(*) AS n_pairs, count(DISTINCT cid) AS n_docs_flagged,
+         |       CAST(coalesce(sum(CAST(floor(c * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_scaled_cov
+         |FROM cov""".stripMargin,
+    "q_profile_approx" ->
+      """SELECT 'doc_id' AS column_name, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+        |       count(DISTINCT doc_id) AS n_distinct_exact, true AS within_5pct
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(lang), count(DISTINCT lang), true FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars), true FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(source), count(DISTINCT source), true FROM documents
+        |ORDER BY column_name""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
          |nn AS (SELECT doc_id, lang, toks, len(toks) AS n FROM tok WHERE len(toks) >= 2),

@@ -40,4 +40,51 @@ object Decontaminate {
       .select(col("__cid").as(idCol))
       .distinct()
   }
+
+  /** Coverage-fraction decontamination — the FUZZY leakage check: for each
+    * (corpus doc, eval item) pair, the fraction of the eval item's
+    * DISTINCT n-token shingles that appear in the corpus doc; pairs at
+    * `minCoverage` or above are flagged. [[contaminated]] flags on ANY
+    * shared shingle; production eval-set screens flag when MOST of an
+    * eval item leaks (e.g. >= 80% n-gram coverage), which tolerates a
+    * benign single-shingle collision while still catching truncated or
+    * lightly-edited copies.
+    *
+    * Same inverted-index scale shape as [[contaminated]]: the corpus
+    * explodes once to hashed (doc, shingle) pairs, the (small by
+    * contract) eval side broadcasts, and coverage is one (cid, eid)
+    * count aggregate joined to the broadcast per-eval-item sizes —
+    * the corpus side is still a single scan + one shuffle keyed by the
+    * matched pairs, never all-pairs.
+    *
+    * Returns (idCol, eval_id, n_shared, n_eval_shingles, coverage),
+    * self-pairs excluded.
+    */
+  def contaminationCoverage(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minCoverage: Double = 0.8): DataFrame = {
+    require(minCoverage > 0 && minCoverage <= 1,
+      s"minCoverage must be in (0,1], got $minCoverage")
+    val cs = corpus.select(col(idCol).as("__cid"),
+      explode(array_distinct(graft.functions.HashedShingles(col(textCol), n))).as("__s"))
+    val es = evalSet.select(col(idCol).as("__eid"),
+      explode(array_distinct(graft.functions.HashedShingles(col(textCol), n))).as("__s"))
+    val sizes = es.groupBy("__eid").agg(count(lit(1)).as("__esize"))
+    // cs and es are per-doc DISTINCT shingles, so each (cid, eid, s)
+    // triple joins at most once and the count IS |intersection|
+    cs.join(broadcast(es), Seq("__s"))
+      .filter(col("__cid") =!= col("__eid"))
+      .groupBy("__cid", "__eid")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes), Seq("__eid"))
+      .withColumn("coverage",
+        col("n_shared").cast("double") / col("__esize").cast("double"))
+      .filter(col("coverage") >= minCoverage)
+      .select(col("__cid").as(idCol), col("__eid").as("eval_id"),
+        col("n_shared"), col("__esize").as("n_eval_shingles"), col("coverage"))
+  }
 }

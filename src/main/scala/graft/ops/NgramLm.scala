@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashedShingles, TextFunctions}
@@ -32,6 +32,62 @@ import graft.functions.{HashedShingles, TextFunctions}
   */
 object NgramLm {
 
+  /** Per-token 64-bit hashes (empty array for zero-token docs) — the
+    * explode input of every unigram path and the vocabulary builder.
+    */
+  private def tokenHashArray(textCol: Column): Column =
+    when(TextFunctions.tokenCount(textCol) >= 1, HashedShingles(textCol, 1))
+      .otherwise(array().cast("array<long>"))
+
+  /** (th, cnt) unigram vocabulary of `df` — the frame
+    * [[unigramScoresWithVocab]] consumes. Build it ONCE on the reference
+    * corpus (or persist it as parquet) and reuse it across scoring jobs.
+    */
+  def tokenVocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokenHashArray(col(textCol))).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("cnt"))
+
+  /** Score against a CALLER-SUPPLIED vocabulary — the real CCNet shape:
+    * the LM is estimated on a fixed reference corpus (train on A) and the
+    * target corpus is scored against it (score B), instead of against its
+    * own distribution like [[unigramScores]]. `vocab` needs (th, cnt)
+    * columns as produced by [[tokenVocabulary]]; counts must be >= 1.
+    *
+    * Out-of-vocabulary tokens contribute a scaled token score of
+    * 0 = ln(1), i.e. they are priced as count-1 tokens (probability
+    * 1/total) — a deterministic, engine-portable floor; `n_oov` reports
+    * how many, so callers can additionally threshold on OOV rate.
+    * Per-doc output: (idCol, carryCols…, n_tokens, n_oov,
+    * scaled_logprob), for docs with >= 1 token.
+    *
+    * Same integer discipline as [[unigramScores]]. The token explode is
+    * consumed exactly once here, so nothing persists and there is no
+    * release handle. The vocab join is unpinned — AQE broadcasts a
+    * bounded reference vocabulary, a web-scale one hash-joins on the
+    * 8-byte key.
+    */
+  def unigramScoresWithVocab(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val total = vocab.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    val lnTotalScaled =
+      if (total > 0) math.floor(math.log(total.toDouble) * 1e6 + 0.5).toLong else 0L
+    df.select(col(idCol) +: carryCols.map(col) :+
+        explode(tokenHashArray(col(textCol))).as("th"): _*)
+      .join(vocab.select(col("th"),
+        floor(log(col("cnt")) * 1e6 + 0.5).cast("long").as("__tok_score")), Seq("th"), "left")
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__tok_score").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("__tok_score"), lit(0L))).as("__sum_tok"))
+      .withColumn("scaled_logprob",
+        col("__sum_tok") - col("n_tokens") * lit(lnTotalScaled))
+      .drop("__sum_tok")
+  }
+
   /** Per-doc (idCol, carryCols…, n_tokens, scaled_logprob) for docs with
     * >= 1 token; `scaled_logprob` is the 1e6-scaled integer log-likelihood
     * described above. Returns a release handle for the persisted token
@@ -42,13 +98,9 @@ object NgramLm {
       idCol: String,
       textCol: String,
       carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
-    val tokenHashes =
-      when(TextFunctions.tokenCount(col(textCol)) >= 1,
-        HashedShingles(col(textCol), 1))
-        .otherwise(array().cast("array<long>"))
     val pairs = df
       .select(col(idCol) +: carryCols.map(col) :+
-        explode(tokenHashes).as("th"): _*)
+        explode(tokenHashArray(col(textCol))).as("th"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = pairs.groupBy("th").agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)

@@ -32,14 +32,18 @@ object Profile {
     .add("min_value", StringType, nullable = true)
     .add("max_value", StringType, nullable = true))
 
-  def profile(df: DataFrame, columns: Seq[String], exact: Boolean = false): DataFrame = {
+  def profile(
+      df: DataFrame,
+      columns: Seq[String],
+      exact: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
     columns.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     // backtick-quote the reference: a bare col("a.b") parses the dot as a
     // struct-field access; quoting treats the name atomically
     def ref(c: String): Column = col("`" + c.replace("`", "``") + "`")
     def distinctAgg(c: Column) =
-      if (exact) countDistinct(c) else approx_count_distinct(c)
+      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
     val aggs = columns.flatMap { c =>
       Seq(count(ref(c)), distinctAgg(ref(c)),
         min(ref(c)).cast("string"), max(ref(c)).cast("string"))

@@ -58,6 +58,57 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Set(1L)) // doc 2 clean; doc 10 does not contaminate itself
   }
 
+  test("contaminationCoverage: fraction of eval shingles found, threshold, no self-pairs") {
+    // eval doc: 10 tokens -> 3 distinct 8-gram shingles (windows 1..3)
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, evalDoc),                                               // full copy: coverage 1.0
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),  // 9 tokens: windows 1..2 -> 2/3
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),       // 8 tokens: window 1 -> 1/3
+      (4L, "totally unrelated text with nothing shared here at all ok"),
+      (10L, evalDoc)                                               // the eval doc itself
+    ).toDF("doc_id", "text")
+    val eval = corpus.filter($"doc_id" === 10L)
+    val out = graft.ops.Decontaminate.contaminationCoverage(
+        corpus, eval, "doc_id", "text", 8, minCoverage = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1L, 2L)) // 1/3 below threshold; no self-pair for 10
+    assert(out(1L) == 1.0 && math.abs(out(2L) - 2.0 / 3) < 1e-12)
+    // full output shape: n_shared / n_eval_shingles back the fraction
+    val row = graft.ops.Decontaminate.contaminationCoverage(
+        corpus, eval, "doc_id", "text", 8, minCoverage = 0.5)
+      .filter($"doc_id" === 2L).head()
+    assert(row.getLong(1) == 10L && row.getLong(2) == 2L && row.getLong(3) == 3L)
+  }
+
+  test("unigramScoresWithVocab: external vocab, OOV floor, matches the closed form") {
+    import graft.ops.NgramLm
+    // reference slice: "a a b" -> vocab {a:2, b:1}, total 3
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val vocab = NgramLm.tokenVocabulary(ref, "text")
+    assert(vocab.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    // target: "a b c" -> c is OOV (priced ln(1) = 0)
+    val target = Seq((7L, "a b c"), (8L, "")).toDF("doc_id", "text")
+    val out = NgramLm.unigramScoresWithVocab(target, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(7L)) // zero-token docs are absent
+    val (nTok, nOov, lp) = out(7L)
+    val s = (x: Double) => math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(nTok == 3L && nOov == 1L)
+    assert(lp == s(2) + s(1) + 0L - 3L * s(3))
+    // self-scoring through the external API == the in-corpus path's scores
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (own, release) = NgramLm.unigramScores(docs, "doc_id", "text")
+    val ownRows = own.select("doc_id", "scaled_logprob")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    release()
+    val ext = NgramLm.unigramScoresWithVocab(
+        docs, "doc_id", "text", NgramLm.tokenVocabulary(docs, "text"))
+      .select("doc_id", "scaled_logprob")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ext == ownRows)
+  }
+
   test("langId picks the language with most marker stopwords; und when none") {
     val df = Seq(
       "the cat and the dog of the house is big",
