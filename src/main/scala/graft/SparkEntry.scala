@@ -1379,6 +1379,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pairs"), r(avg("c"), 3).as("avg_cos"))
   }
 
+  /** SemDeDup-style semantic dedup ([[graft.ops.SemDedup]]): IVF-cell
+    * blocking + within-cell cosine near-dup + min-id keep. The coarse
+    * quantizer trains with iterations = 0 so centroids are bit-exact
+    * copies of the 8 lowest-id vectors and the DuckDB oracle re-derives
+    * the cell assignment exactly (argmin of the SEQUENTIAL squared-L2
+    * sum — identical IEEE op order on both engines; NearestCentroids'
+    * (distance, cell) tie-break == the oracle's ORDER BY dist, cell).
+    * Lloyd refinement (the production default) only moves centroids, not
+    * the operator shape. The oracle enumerates the exact within-cell
+    * pair set, so blocking, scoring, threshold, and keep rule are all
+    * checked — not just a row count.
+    */
+  private def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding", nLists = 8, iterations = 0)
+    graft.ops.SemDedup.semanticDedup(model, emb, "vec_id", "embedding", 0.4)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
+      .orderBy("label")
+  }
+
   /** Multi-format scan/sink round-trip (SURVEY.md §2B "scans: other
     * formats / sinks"): the same event subset written as CSV and JSON,
     * read back, joined, and aggregated — oracle reproduces from the
@@ -1860,6 +1881,7 @@ object SparkEntry {
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ivf" -> (qEmbedIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_multi_format" -> (qMultiFormat _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -2492,6 +2514,33 @@ object SparkEntry {
         |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
     "q_embed_lsh" -> AnnExactSideSql,
     "q_embed_ivf" -> AnnExactSideSql,
+    // cells re-derived exactly: centroids = the 8 lowest-id vectors
+    // (iterations = 0), argmin over the sequential squared-L2 sum with
+    // (dist, cell) tie-break — see qSemanticDedup's scaladoc
+    "q_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+        |          FROM e ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(e.v, c.v),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |      FROM e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, cell FROM (
+        |          SELECT vec_id, cell,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+        |          FROM d)
+        |        WHERE rk = 1),
+        |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+        |          FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
+        |               JOIN asg bb ON aa.cell = bb.cell
+        |               JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |dropped AS (SELECT DISTINCT idb FROM pairs),
+        |kept AS (SELECT e.vec_id, e.label FROM e
+        |         LEFT JOIN dropped ON e.vec_id = dropped.idb
+        |         WHERE dropped.idb IS NULL)
+        |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY label ORDER BY label""".stripMargin,
     "q_rolling_fingerprint" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -83,6 +83,16 @@ object IvfIndex {
     else df.withColumn("__cell", explode(transform(probes, p => element_at(ids, p + 1))))
   }
 
+  /** Append `cell` — each row's nearest-centroid cell id (broadcast
+    * model, no shuffle; accepts float or double vectors). The public
+    * coarse-assignment surface that cell-local operators ([[SemDedup]])
+    * and precomputed-assignment workflows build on.
+    */
+  def withCell(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    assign(df.withColumn("__wc", toDoubleArray(col(vecCol))), "__wc", model.centroids)
+      .withColumnRenamed("__cell", "cell")
+      .drop("__wc")
+
   /** Search: probe `nProbe` cells per query, score candidates exactly,
     * return (query_id, rank, neighbor_id, cosine) like the other top-k ops.
     */
