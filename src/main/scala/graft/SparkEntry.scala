@@ -853,6 +853,41 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming chunking: [[graft.ops.Chunking.chunkTokens]] is stateless
+    * (pure per-row codegen explode), so it runs under `readStream`
+    * UNCHANGED — the RAG-prep-at-ingest shape: the native log stream
+    * (multi-file admission, 2 micro-batches) parses each line, rebuilds a
+    * document text from the typed fields (integers + words only — a
+    * float field would re-open the Java-vs-C `%.2f` rounding divergence
+    * in chunk CONTENT), explodes it into overlapping token windows with
+    * no state and no watermark, and lands in the exactly-once sink. The
+    * oracle rebuilds every chunk from the events table with the same
+    * covering rule as q_chunk_split.
+    */
+  private def qStreamingChunk(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "plain_many")
+    val key = tmpKey(dir)
+    val sinkDir = s"/tmp/graft_stream_chunk_sink/$key"
+    deleteRec(new java.io.File(sinkDir))
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("extensions", "txt")
+      .option("maxFilesPerTrigger", "8")
+      .load(path)
+      .select(format_string("evt %d type %s by user %d",
+        col("event_id"), col("event_type"), col("user_id")).as("doc"))
+    val chunks = Chunking.chunkTokens(stream, "doc", 4, 3)
+      .select(col("chunk_idx"), col("chunk_text"))
+    drainAppendToParquet(chunks, sinkDir, "q_streaming_chunk", exactlyOnce = true)
+    readSinkOrEmpty(spark, sinkDir, "chunk_idx INT, chunk_text STRING")
+      .groupBy(col("chunk_idx").cast("long").as("chunk_idx"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_text")).as("n_distinct"))
+      .orderBy("chunk_idx")
+  }
+
   /** Stream-stream INTERVAL join (the remaining big streaming shape):
     * clicks joined to same-user purchases within the following hour, both
     * sides watermarked, state bounded by the join's time range. Inner-join
@@ -1859,6 +1894,7 @@ object SparkEntry {
     "q_skew_join" -> (qSkewJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
+    "q_streaming_chunk" -> (qStreamingChunk _),
     "q_streaming_join" -> (qStreamingJoin _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
     "q_streaming_dedup" -> (qStreamingDedup _),
@@ -2218,6 +2254,19 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |        <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_streaming_chunk" ->
+      s"""WITH lines AS (
+         |  SELECT printf('evt %d type %s by user %d', event_id, event_type, user_id) AS text
+         |  FROM events),
+         |tok AS (SELECT $ToksSql AS toks FROM lines),
+         |nn AS (SELECT toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT gs.i AS chunk_idx, toks[(gs.i*3+1):least(gs.i*3+4, n)] AS ctoks
+         |  FROM nn, LATERAL (SELECT unnest(generate_series(0,
+         |       CASE WHEN n <= 4 THEN 0 ELSE (n - 4 + 3 - 1)//3 END)) AS i) gs)
+         |SELECT CAST(chunk_idx AS BIGINT) AS chunk_idx, count(*) AS n_chunks,
+         |       count(DISTINCT array_to_string(ctoks, ' ')) AS n_distinct
+         |FROM ch GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin,
     "q_streaming_join" ->
       """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
         |       count(*) AS n_matches, count(DISTINCT c.user_id) AS n_users
