@@ -1762,15 +1762,19 @@ object SparkEntry {
   private def qExternalLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(t(spark, dir, "documents"))
     val vocab = NgramLm.tokenVocabulary(docs.filter(col("doc_id") % 2 === 0), "text")
-    NgramLm.unigramScoresWithVocab(
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", vocab,
-        carryCols = Seq("lang"))
+    val (scores, release) = NgramLm.unigramScoresWithVocab(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", vocab,
+      carryCols = Seq("lang"))
+    val agg = scores
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("scaled_logprob").as("sum_scaled_lp"),
         sum("n_oov").as("sum_oov"),
         sum(when(col("n_oov") > 0, 1L).otherwise(0L)).as("n_with_oov"))
       .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    release()
+    out
   }
 
   /** Fuzzy decontamination ([[graft.ops.Decontaminate

@@ -64,12 +64,25 @@ final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) 
     // FileContext.rename(OVERWRITE) replaces the previous filter in ONE
     // atomic metadata operation (HDFS; POSIX rename locally) — a plain
     // delete-then-rename has a window where a driver crash leaves no
-    // readable filter at `path`, only the hidden tmp file.
+    // readable filter at `path`, only the hidden tmp file. Stores with no
+    // AbstractFileSystem binding (e.g. s3a without
+    // fs.AbstractFileSystem.s3a.impl) fall back to delete-then-rename:
+    // object-store renames are not atomic anyway, so the window is not a
+    // regression there.
     val qp = fs.makeQualified(p)
     val qtmp = fs.makeQualified(tmp)
+    val fc =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
-      fc.rename(qtmp, qp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fc match {
+        case Some(c) =>
+          c.rename(qtmp, qp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        case None =>
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException("rename returned false")
+      }
     } catch {
       case e: Exception =>
         fs.delete(tmp, false)

@@ -86,10 +86,13 @@ object IvfIndex {
   /** Append `cell` — each row's nearest-centroid cell id (broadcast
     * model, no shuffle; accepts float or double vectors). The public
     * coarse-assignment surface that cell-local operators ([[SemDedup]])
-    * and precomputed-assignment workflows build on.
+    * and precomputed-assignment workflows build on. An existing `cell`
+    * column is REPLACED (withColumn semantics — re-assigning after
+    * retraining is the expected workflow), never duplicated.
     */
   def withCell(df: DataFrame, vecCol: String, model: Model): DataFrame =
-    assign(df.withColumn("__wc", toDoubleArray(col(vecCol))), "__wc", model.centroids)
+    assign(df.drop("cell").withColumn("__wc", toDoubleArray(col(vecCol))),
+        "__wc", model.centroids)
       .withColumnRenamed("__cell", "cell")
       .drop("__wc")
 

@@ -60,24 +60,28 @@ object NgramLm {
     * Per-doc output: (idCol, carryCols…, n_tokens, n_oov,
     * scaled_logprob), for docs with >= 1 token.
     *
-    * Same integer discipline as [[unigramScores]]. The token explode is
-    * consumed exactly once here, so nothing persists and there is no
-    * release handle. The vocab join is unpinned — AQE broadcasts a
-    * bounded reference vocabulary, a web-scale one hash-joins on the
-    * 8-byte key.
+    * Same integer discipline as [[unigramScores]]. The target-side token
+    * explode is consumed exactly once, but `vocab` is consumed TWICE
+    * (the total-count job and the scoring join) — it is persisted here
+    * for the duration so a lazy [[tokenVocabulary]] lineage does not
+    * re-scan the reference corpus; the returned release handle follows
+    * the family contract (call after the terminal action). The vocab
+    * join is unpinned — AQE broadcasts a bounded reference vocabulary, a
+    * web-scale one hash-joins on the 8-byte key.
     */
   def unigramScoresWithVocab(
       df: DataFrame,
       idCol: String,
       textCol: String,
       vocab: DataFrame,
-      carryCols: Seq[String] = Nil): DataFrame = {
-    val total = vocab.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+      carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    val v = vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = v.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
     val lnTotalScaled =
       if (total > 0) math.floor(math.log(total.toDouble) * 1e6 + 0.5).toLong else 0L
-    df.select(col(idCol) +: carryCols.map(col) :+
+    val out = df.select(col(idCol) +: carryCols.map(col) :+
         explode(tokenHashArray(col(textCol))).as("th"): _*)
-      .join(vocab.select(col("th"),
+      .join(v.select(col("th"),
         floor(log(col("cnt")) * 1e6 + 0.5).cast("long").as("__tok_score")), Seq("th"), "left")
       .groupBy(idCol, carryCols: _*)
       .agg(count(lit(1)).as("n_tokens"),
@@ -86,6 +90,7 @@ object NgramLm {
       .withColumn("scaled_logprob",
         col("__sum_tok") - col("n_tokens") * lit(lnTotalScaled))
       .drop("__sum_tok")
+    (out, () => { v.unpersist(blocking = false); () })
   }
 
   /** Per-doc (idCol, carryCols…, n_tokens, scaled_logprob) for docs with

@@ -69,13 +69,16 @@ object RangeJoin {
     * factor is `len/bucketUs + 1` per row (a handful of narrow rows), and
     * too-wide buckets re-create per-bucket nested-loop pressure (or let
     * [[overlapJoinAutoBucket]] derive it from the data). Rows with
-    * inverted intervals (end < start) are dropped, and so are rows
-    * spanning more than `maxBucketsPerRow` buckets — an explicit, logged
-    * coverage bound (mirroring the inverted-interval drop): ONE
-    * pathological row (a sentinel far-future end timestamp) would
-    * otherwise explode into millions of bucket rows and can push
+    * inverted intervals (end < start) are dropped.
+    *
+    * Beware open-ended sentinels: ONE row with a far-future end timestamp
+    * explodes into `len/bucketUs` bucket rows and can push Spark's
     * `sequence()` past its element cap, failing the whole job with an
-    * unhelpful error. Clamp open-ended sentinels before joining if those
+    * unhelpful error. `maxBucketsPerRow` is the opt-in guard: when set
+    * below the default `Int.MaxValue`, rows spanning more buckets are
+    * DROPPED — an explicit coverage bound (mirroring the
+    * inverted-interval drop), logged when enabled, silent data loss if
+    * you set it carelessly. Clamp sentinels before joining when those
     * rows must participate.
     */
   def overlapJoin(
@@ -88,17 +91,24 @@ object RangeJoin {
       rightStart: String,
       rightEnd: String,
       bucketUs: Long,
-      maxBucketsPerRow: Int = 10000): DataFrame = {
+      maxBucketsPerRow: Int = Int.MaxValue): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
+    val capped = maxBucketsPerRow != Int.MaxValue
+    if (capped) org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"overlapJoin: coverage bound maxBucketsPerRow=$maxBucketsPerRow — " +
         "rows whose interval spans more buckets are dropped")
     def bucket(c: Column): Column = c - pmod(c, lit(bucketUs))
-    // span in buckets = (bucket(end) - bucket(start)) / bucketUs + 1;
-    // compared in pure long arithmetic (no division) to avoid overflow
+    // the bound multiplies DRIVER-side with overflow detection: a wrapped
+    // `bucketUs * maxBucketsPerRow` literal would go negative and
+    // silently drop every row; an overflowing bound simply means
+    // "uncapped" (no row can span 2^63 us)
+    val boundUs: Long =
+      try Math.multiplyExact(bucketUs, (maxBucketsPerRow - 1).toLong)
+      catch { case _: ArithmeticException => Long.MaxValue }
     def spanOk(s: Column, e: Column): Column =
-      bucket(e) - bucket(s) <= lit(bucketUs) * lit(maxBucketsPerRow - 1L)
+      if (!capped) lit(true)
+      else bucket(e) - bucket(s) <= lit(boundUs)
     val l = left
       .withColumn("__lss", unix_micros(col(leftStart)))
       .withColumn("__les", unix_micros(col(leftEnd)))

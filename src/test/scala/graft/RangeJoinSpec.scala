@@ -75,21 +75,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast == naive && naive > 0)
   }
 
-  test("overlapJoin drops a sentinel-wide interval instead of blowing up sequence()") {
+  test("overlapJoin opt-in cap drops a sentinel-wide interval instead of blowing up sequence()") {
     // end = start + ~100 years with 1-second buckets: ~3e9 buckets — far
-    // past both maxBucketsPerRow and sequence()'s element cap. The row is
+    // past sequence()'s element cap. With the OPT-IN cap the row is
     // dropped (logged coverage bound), the rest of the join is unaffected.
     val wide = 100L * 365 * 24 * 3600
     val left = Seq((1L, ts(0), ts(250)), (1L, ts(0), ts(wide))).toDF("lk", "ls", "le")
     val right = Seq((1L, ts(200), ts(400))).toDF("rk", "rs", "re")
     val out = RangeJoin.overlapJoin(left, right, "lk", "rk",
-      "ls", "le", "rs", "re", 1000000L)
+      "ls", "le", "rs", "re", 1000000L, maxBucketsPerRow = 10000)
     assert(out.count() == 1) // only the narrow left row matches
     // with a cap big enough for the sentinel's span the row participates
     // again — the bound is a parameter, not a silent constant
-    val uncapped = RangeJoin.overlapJoin(left, right, "lk", "rk",
+    val roomier = RangeJoin.overlapJoin(left, right, "lk", "rk",
       "ls", "le", "rs", "re", wide * 1000000L / 2, maxBucketsPerRow = 10)
-    assert(uncapped.count() == 2)
+    assert(roomier.count() == 2)
+    // a cap whose bucketUs product would overflow Long degrades to
+    // "uncapped", never to drop-everything
+    val hugeBuckets = RangeJoin.overlapJoin(left, right, "lk", "rk",
+      "ls", "le", "rs", "re", Long.MaxValue / 4, maxBucketsPerRow = 100)
+    assert(hugeBuckets.count() == 2)
   }
 
   test("overlapJoinAutoBucket matches the explicit-bucket result on mixed widths") {

@@ -89,8 +89,10 @@ class TextOpsSpec extends SparkSpec {
     assert(vocab.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
     // target: "a b c" -> c is OOV (priced ln(1) = 0)
     val target = Seq((7L, "a b c"), (8L, "")).toDF("doc_id", "text")
-    val out = NgramLm.unigramScoresWithVocab(target, "doc_id", "text", vocab)
+    val (scored, releaseV) = NgramLm.unigramScoresWithVocab(target, "doc_id", "text", vocab)
+    val out = scored
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    releaseV()
     assert(out.keySet == Set(7L)) // zero-token docs are absent
     val (nTok, nOov, lp) = out(7L)
     val s = (x: Double) => math.floor(math.log(x) * 1e6 + 0.5).toLong
@@ -102,10 +104,12 @@ class TextOpsSpec extends SparkSpec {
     val ownRows = own.select("doc_id", "scaled_logprob")
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     release()
-    val ext = NgramLm.unigramScoresWithVocab(
-        docs, "doc_id", "text", NgramLm.tokenVocabulary(docs, "text"))
+    val (extScored, releaseExt) = NgramLm.unigramScoresWithVocab(
+      docs, "doc_id", "text", NgramLm.tokenVocabulary(docs, "text"))
+    val ext = extScored
       .select("doc_id", "scaled_logprob")
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    releaseExt()
     assert(ext == ownRows)
   }
 
