@@ -1805,6 +1805,51 @@ object SparkEntry {
           .as("sum_scaled_cov"))
   }
 
+  /** Cross-corpus near-dedup ([[Dedup.crossCorpusNearDedup]]): a batch
+    * (ids % 3 != 0, plus planted 90%-truncated copies of history docs
+    * under shifted ids) deduped against history (ids % 3 == 0) by exact
+    * >= 0.8 shingle Jaccard after batch x history LSH blocking — the
+    * near-duplicate counterpart of q_incremental_dedup (a re-crawl with
+    * a changed footer slips past exact keys; this catches it). The
+    * oracle recomputes the exact cross-slice pair set; planted copies
+    * use the integer truncation arithmetic so both engines build
+    * byte-identical texts.
+    */
+  private def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val history = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+    val copies = docs.filter(col("doc_id") % 15 === 0)
+      .withColumn("__toks", TF.tokens(col("text")))
+      .withColumn("__n", size(col("__toks")))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        array_join(slice(col("__toks"), lit(1),
+          expr("cast((__n * 9 + 9) div 10 as int)")), " ").as("text"))
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "lang", "text")
+      .unionByName(copies)
+    Dedup.crossCorpusNearDedup(spread(batch), history, "doc_id", "text", 0.8)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Token-entropy quality signal ([[NgramLm.tokenEntropy]]): exact
+    * integer Shannon entropy of each doc's token distribution — the
+    * template-spam / gibberish discriminator one step up from the
+    * repetition ratio. The low-entropy flag threshold sits between the
+    * corpus p10 and p90 so it discriminates.
+    */
+  private def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    NgramLm.tokenEntropy(spread(t(spark, dir, "documents")),
+        "doc_id", "text", carryCols = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("scaled_entropy_num").as("sum_scaled_h_num"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(when(col("scaled_entropy_num") < lit(3000000L) * col("n_tokens"), 1L)
+          .otherwise(0L)).as("n_low_entropy"))
+      .orderBy("lang")
+
   /** Column profiling ([[graft.ops.Profile]]): the ANALYZE-style first
     * look at an unknown table — one scan, one reduce, melted to a row per
     * column. Exact distincts here (bounded table + oracle comparison); the
@@ -1943,6 +1988,8 @@ object SparkEntry {
     "q_external_lm" -> (qExternalLm _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
+    "q_cross_dedup" -> (qCrossDedup _),
+    "q_token_entropy" -> (qTokenEntropy _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_profile" -> (qProfile _),
     "q_domain_cap" -> (qDomainCap _))
@@ -2797,6 +2844,47 @@ object SparkEntry {
          |SELECT count(*) AS n_pairs, count(DISTINCT cid) AS n_docs_flagged,
          |       CAST(coalesce(sum(CAST(floor(c * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_scaled_cov
          |FROM cov""".stripMargin,
+    "q_cross_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |hist AS (SELECT doc_id, t FROM tk WHERE doc_id % 3 = 0),
+         |copies AS (SELECT doc_id + 1000000 AS doc_id, lang, t[1:((len(t)*9+9)//10)] AS t
+         |           FROM tk WHERE doc_id % 15 = 0),
+         |batch AS (SELECT doc_id, lang, t FROM tk WHERE doc_id % 3 <> 0
+         |          UNION ALL SELECT doc_id, lang, t FROM copies),
+         |shB AS (SELECT doc_id, unnest(list_distinct(
+         |          CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+         |               ELSE list_transform(range(len(t)-2),
+         |                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END)) AS s
+         |        FROM batch),
+         |shH AS (SELECT doc_id, unnest(list_distinct(
+         |          CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+         |               ELSE list_transform(range(len(t)-2),
+         |                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END)) AS s
+         |        FROM hist),
+         |cb AS (SELECT doc_id, count(*) AS n FROM shB GROUP BY 1),
+         |ch AS (SELECT doc_id, count(*) AS n FROM shH GROUP BY 1),
+         |inter AS (SELECT b.doc_id AS bid, h.doc_id AS hid, count(*) AS i
+         |          FROM shB b JOIN shH h ON b.s = h.s GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT bid FROM inter
+         |            JOIN cb ON bid = cb.doc_id JOIN ch ON hid = ch.doc_id
+         |            WHERE i * 1.0 / (cb.n + ch.n - i) >= 0.8),
+         |kept AS (SELECT b.doc_id, b.lang FROM batch b
+         |         LEFT JOIN dropped d ON b.doc_id = d.bid WHERE d.bid IS NULL)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS t FROM documents),
+         |c AS (SELECT doc_id, lang, t, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         |d AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
+         |        CAST(sum(c * CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+         |      FROM c GROUP BY 1, 2),
+         |h AS (SELECT lang, n,
+         |        n * CAST(floor(ln(n) * 1e6 + 0.5) AS BIGINT) - sc AS num
+         |      FROM d)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(num) AS BIGINT) AS sum_scaled_h_num,
+         |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(CASE WHEN num < 3000000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "q_profile_approx" ->
       """SELECT 'doc_id' AS column_name, count(*) AS n_rows, count(doc_id) AS n_nonnull,
         |       count(DISTINCT doc_id) AS n_distinct_exact, true AS within_5pct

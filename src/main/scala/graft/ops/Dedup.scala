@@ -340,6 +340,71 @@ object Dedup {
     df.join(dupIds, col(idCol) === col("__dup"), "left_anti")
   }
 
+  /** Cross-corpus NEAR dedup — the near-duplicate counterpart of
+    * [[incrementalDedup]]: drop rows of `batch` whose shingle set is
+    * Jaccard-similar (>= threshold) to ANY `history` document. Exact-key
+    * incremental dedup misses a re-crawl with a changed footer; this is
+    * the shape that catches it, and the standard nightly pairing is
+    * exact-Bloom first, this second.
+    *
+    * The band join is batch x history ONLY — batch-internal and
+    * history-internal pairs are never generated (within-batch near-dedup
+    * is [[nearDedup]]; history is already deduplicated). History-side
+    * buckets above `maxBucketSize` are dropped (the usual logged
+    * coverage bound — the corpus-side flood case); batch buckets are
+    * bounded by batch size. Candidates are verified by EXACT hashed
+    * shingle Jaccard from each side's own frame, so LSH misses are the
+    * only approximation (recall tuned by bands/numHashes exactly as in
+    * [[minhashCandidatePairs]]). At production scale the history
+    * signatures/bands would be precomputed once and persisted, not
+    * re-derived per batch — band them with [[minhashSignature]] +
+    * [[lshBandKeys]] and store the (band, bkey, id) postings.
+    */
+  def crossCorpusNearDedup(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, out: String) = spreadDf(df)
+      .select(col(idCol).as(out),
+        minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
+      .select(col(out),
+        posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bkey")))
+      .drop("__sig")
+    val b = banded(batch, "__idB")
+    val h = banded(history, "__idH")
+    val oversized = h.groupBy("__band", "__bkey")
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucketSize)
+      .select("__band", "__bkey")
+    val cand = b.join(h.join(oversized, Seq("__band", "__bkey"), "left_anti"),
+        Seq("__band", "__bkey"))
+      .select("__idB", "__idH")
+      .dropDuplicates("__idB", "__idH")
+    // exact verification: shingles from each side's OWN frame (id spaces
+    // may overlap between batch and history), only for candidate members
+    def sh(df: DataFrame, ids: DataFrame, idOut: String) =
+      df.join(ids.select(col(idOut).as("__vid")).distinct(),
+          col(idCol) === col("__vid"), "left_semi")
+        .select(col(idCol).as(idOut),
+          array_distinct(graft.functions.HashedShingles(col(textCol), shingleN)).as(s"__sh$idOut"))
+    val dupIds = cand
+      .join(sh(batch, cand, "__idB"), "__idB")
+      .join(sh(history, cand, "__idH"), "__idH")
+      .filter(
+        size(array_intersect(col("__sh__idB"), col("__sh__idH"))).cast("double") /
+          size(array_union(col("__sh__idB"), col("__sh__idH"))).cast("double") >= threshold)
+      .select(col("__idB").as("__dup")).distinct()
+    batch.join(dupIds, col(idCol) === col("__dup"), "left_anti")
+  }
+
   /** Exact shingle-set Jaccard for a set of candidate pairs (verification
     * stage after LSH blocking): array_intersect/array_union on distinct
     * HASHED shingle arrays (8-byte longs instead of ~50-char strings; the

@@ -93,6 +93,38 @@ object NgramLm {
     (out, () => { v.unpersist(blocking = false); () })
   }
 
+  /** Per-doc token Shannon entropy in EXACT integer arithmetic — the
+    * Gopher-family "gibberish / template spam" quality signal one step up
+    * from the repetition ratio: `H = ln(n) − (1/n) Σ_t c_t ln(c_t)` over
+    * the doc's token counts (0 for a single repeated token, ln(n) for
+    * all-distinct tokens). Emitted as `scaled_entropy_num` =
+    * `n·s(n) − Σ c·s(c)` with `s(x) = floor(ln(x)·1e6 + 0.5)` — i.e.
+    * `n · 1e6 · H` up to per-term rounding — so values cross engines
+    * exactly; recover `H = scaled_entropy_num / (n · 1e6)`.
+    *
+    * Plan: one explode of per-token 64-bit hashes, one (doc, token-hash)
+    * count aggregate (map-side partials absorb repeated tokens), one
+    * per-doc aggregate. Output: (idCol, carryCols…, n_tokens,
+    * scaled_entropy_num), docs with >= 1 token.
+    */
+  def tokenEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    def s(c: Column): Column = floor(log(c) * 1e6 + 0.5).cast("long")
+    df.select(col(idCol) +: carryCols.map(col) :+
+        explode(tokenHashArray(col(textCol))).as("th"): _*)
+      .groupBy(col(idCol) +: carryCols.map(col) :+ col("th"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol, carryCols: _*)
+      .agg(sum("__c").as("n_tokens"),
+        sum(col("__c") * s(col("__c"))).as("__sum_clnc"))
+      .withColumn("scaled_entropy_num",
+        col("n_tokens") * s(col("n_tokens")) - col("__sum_clnc"))
+      .drop("__sum_clnc")
+  }
+
   /** Per-doc (idCol, carryCols…, n_tokens, scaled_logprob) for docs with
     * >= 1 token; `scaled_logprob` is the 1e6-scaled integer log-likelihood
     * described above. Returns a release handle for the persisted token

@@ -311,6 +311,28 @@ class DedupSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"tmp files left behind: ${leftovers.mkString(",")}")
   }
 
+  test("crossCorpusNearDedup: batch-vs-history only, exact-verified, batch pairs untouched") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val history = Seq(
+      (100L, base),
+      (101L, "completely different reference material nothing shared here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                           // exact copy of history: dropped
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // J = 7/8 vs 100: dropped
+      (3L, "unrelated fresh content with plenty of new words inside"),
+      (4L, "unrelated fresh content with plenty of new words inside")  // dup of 3 WITHIN batch: kept (not this op's job)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusNearDedup(batch, history, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // threshold is honored by the EXACT verification: at 0.9 the 7/8
+    // truncated copy survives, the exact copy still dies
+    val strict = Dedup.crossCorpusNearDedup(batch, history, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(2L, 3L, 4L))
+  }
+
   test("keepBest keeps the highest-score copy per key, min id on ties") {
     import org.apache.spark.sql.functions.{col, length}
     val df = Seq(

@@ -221,6 +221,27 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- unigram LM
 
+  test("tokenEntropy: exact integer arithmetic matches the closed form") {
+    import graft.ops.NgramLm
+    val df = Seq(
+      (1L, "a a a a"),      // H = 0: one repeated token
+      (2L, "a b c d"),      // H = ln(4): all distinct
+      (3L, "a a b b"),      // H = ln(2)
+      (4L, "")              // zero tokens: absent
+    ).toDF("doc_id", "text")
+    val out = NgramLm.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    def s(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4L, 4 * s(4) - 4 * s(4))))           // = 0
+    assert(out(2L) == ((4L, 4 * s(4) - 0L)))                 // c=1 terms: s(1)=0
+    assert(out(3L) == ((4L, 4 * s(4) - 2 * (2 * s(2)))))     // two tokens, c=2 each
+    // recovered H values land where theory says
+    assert(math.abs(out(1L)._2 / (4 * 1e6) - 0.0) < 1e-5)
+    assert(math.abs(out(2L)._2 / (4 * 1e6) - math.log(4)) < 1e-5)
+    assert(math.abs(out(3L)._2 / (4 * 1e6) - math.log(2)) < 1e-5)
+  }
+
   test("unigram scores match the closed form on a known corpus") {
     import graft.ops.NgramLm
     // corpus tokens: a:3, b:2, c:1 -> total 6
