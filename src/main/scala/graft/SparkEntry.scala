@@ -1435,6 +1435,28 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** Product quantization ([[graft.ops.Pq]]): 4 blocks x 16-centroid
+    * codebooks over the 64-dim embeddings — the storage half of IVF-PQ
+    * (64 floats -> 4 codes). iterations = 0 keeps every codebook a
+    * bit-exact slice of the 16 lowest-id vectors, so the oracle
+    * re-derives codebooks, codes, AND scaled reconstruction errors
+    * exactly (argmin parity per qSemanticDedup; the per-block scaled
+    * error uses the q_embed_quantize list_sum fold, proven bit-stable).
+    */
+  private def qEmbedPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.ops.Pq.train(emb, "vec_id", "embedding", blocks = 4, codebookSize = 16)
+    spread(emb)
+      .withColumn("code", graft.ops.Pq.encode(col("embedding"), model))
+      .withColumn("errs", graft.ops.Pq.scaledSqError(col("embedding"), col("code"), model))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(aggregate(col("errs"), lit(0L), (a, e) => a + e)).as("sum_scaled_sqerr"),
+        max(aggregate(col("code"), lit(0), (a, c) => greatest(a, c))).cast("long").as("max_code"),
+        min(size(col("code"))).cast("long").as("code_len"))
+      .orderBy("label")
+  }
+
   /** Multi-format scan/sink round-trip (SURVEY.md §2B "scans: other
     * formats / sinks"): the same event subset written as CSV and JSON,
     * read back, joined, and aggregated — oracle reproduces from the
@@ -1967,6 +1989,7 @@ object SparkEntry {
     "q_embed_ivf" -> (qEmbedIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_embed_pq" -> (qEmbedPq _),
     "q_multi_format" -> (qMultiFormat _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -2641,6 +2664,28 @@ object SparkEntry {
         |         WHERE dropped.idb IS NULL)
         |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
         |FROM kept GROUP BY label ORDER BY label""".stripMargin,
+    "q_embed_pq" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+        |         FROM e ORDER BY vec_id LIMIT 16),
+        |blk AS (SELECT unnest(generate_series(0, 3)) AS b),
+        |cb AS (SELECT b, cell, v[(b*16+1):(b*16+16)] AS c FROM base CROSS JOIN blk),
+        |sub AS (SELECT vec_id, label, b, v[(b*16+1):(b*16+16)] AS s FROM e CROSS JOIN blk),
+        |d AS (SELECT sub.vec_id, sub.label, sub.b, cb.cell,
+        |        list_sum(list_transform(list_zip(sub.s, cb.c),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |      FROM sub JOIN cb ON sub.b = cb.b),
+        |asg AS (SELECT vec_id, label, cell, dist FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cell) AS rk
+        |          FROM d)
+        |        WHERE rk = 1),
+        |per AS (SELECT vec_id, label,
+        |          CAST(sum(CAST(floor(dist * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS se,
+        |          max(cell) AS mc, count(*) AS nb
+        |        FROM asg GROUP BY 1, 2)
+        |SELECT label, count(*) AS n, CAST(sum(se) AS BIGINT) AS sum_scaled_sqerr,
+        |       CAST(max(mc) AS BIGINT) AS max_code, CAST(min(nb) AS BIGINT) AS code_len
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
     "q_rolling_fingerprint" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) — the storage half of a billion-scale ANN
+  * index (IVF-PQ): each vector splits into `blocks` contiguous
+  * subvectors, each subvector is replaced by the id of its nearest
+  * codebook centroid, and the whole vector compresses to `blocks` small
+  * integers (e.g. 64 floats -> 4 bytes at blocks=4, codebookSize<=256:
+  * 64x smaller). Search-side, distances are then computed against the
+  * reconstructed centroids (ADC) — here we provide train / encode /
+  * reconstruction-error; the coarse routing half is [[IvfIndex]].
+  *
+  * Each block's codebook is trained with [[IvfIndex.train]] on the
+  * sliced subvectors — same broadcast-model scale shape: per block, the
+  * corpus is scanned (not shuffled) per Lloyd iteration and the only
+  * driver-side state is `blocks x codebookSize x subDim` doubles.
+  * Encoding is pure per-row codegen ([[graft.functions
+  * .NearestCentroids]] per block, the matrix as ONE reference object) —
+  * no shuffle, no UDF, embarrassingly parallel at scan parallelism.
+  */
+object Pq {
+
+  /** Per-block codebooks; `dim = blocks * subDim`. Cell ids from
+    * [[IvfIndex.train]] are 0..codebookSize-1 in init order, so a cell
+    * id IS the code.
+    */
+  final case class Model(blocks: Int, subDim: Int, codebooks: Array[IvfIndex.Model]) {
+    require(blocks == codebooks.length)
+  }
+
+  /** Train one codebook per block. `dim` must divide evenly by `blocks`;
+    * `iterations = 0` keeps centroids bit-exact copies of the
+    * `codebookSize` lowest-id subvectors (the oracle-reproducible
+    * setting — see [[IvfIndex.train]]); production uses a few Lloyd
+    * iterations.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blocks: Int,
+      codebookSize: Int,
+      iterations: Int = 0): Model = {
+    require(blocks > 0, s"blocks must be positive, got $blocks")
+    val v = toDoubleArray(col(vecCol))
+    val dim = corpus.select(size(v)).head().getInt(0)
+    require(dim % blocks == 0, s"dim $dim must divide by blocks $blocks")
+    val subDim = dim / blocks
+    val books = (0 until blocks).map { b =>
+      IvfIndex.train(
+        corpus.select(col(idCol), slice(v, b * subDim + 1, subDim).as("__sv")),
+        idCol, "__sv", codebookSize, iterations)
+    }.toArray
+    Model(blocks, subDim, books)
+  }
+
+  /** `array<int>` of `blocks` codes for `vecCol` — one codegen
+    * nearest-centroid argmin per block, matrices as reference objects.
+    */
+  def encode(vecCol: Column, model: Model): Column = {
+    val v = toDoubleArray(vecCol)
+    array(model.codebooks.zipWithIndex.map { case (book, b) =>
+      val sorted = book.centroids.sortBy(_._1)
+      val matrix = sorted.map(_._2.toArray)
+      // cells are 0..k-1 by construction, so position-1 == cell id == code
+      element_at(graft.functions.NearestCentroids(
+        slice(v, b * model.subDim + 1, model.subDim), matrix, 1), 1)
+    }: _*)
+  }
+
+  /** Per-block 1e12-scaled squared reconstruction error as
+    * `array<long>` — LONGS, not doubles, so downstream sums are exact
+    * and partition-order independent (the [[graft.functions
+    * .VectorFunctions.int8SqError]] discipline). Centroid tables ride as
+    * `typedlit` literals: fine at codebook scale (k x subDim doubles),
+    * NOT the corpus path that needs reference objects.
+    */
+  def scaledSqError(vecCol: Column, codes: Column, model: Model): Column = {
+    val v = toDoubleArray(vecCol)
+    array(model.codebooks.zipWithIndex.map { case (book, b) =>
+      val table = typedlit(book.centroids.sortBy(_._1).map(_._2).toSeq)
+      val cent = element_at(table, element_at(codes, b + 1) + 1)
+      val sub = slice(v, b * model.subDim + 1, model.subDim)
+      val err = aggregate(zip_with(sub, cent, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, e) => acc + e)
+      floor(err * 1e12 + 0.5).cast("long")
+    }: _*)
+  }
+}

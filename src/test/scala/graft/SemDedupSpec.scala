@@ -80,6 +80,41 @@ class SemDedupSpec extends SparkSpec {
     assert(p.contains("cell"), "join must key on the cell id")
   }
 
+  test("PQ: centroid vectors encode to their own cell with zero error") {
+    import graft.ops.Pq
+    // 4 vectors of dim 4, blocks = 2, codebookSize = 4: every corpus
+    // vector IS a codebook entry (iterations = 0, lowest-id init), so
+    // each encodes to code (i, i) with reconstruction error exactly 0
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 5.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 5.0)),
+      (2L, Seq(2.0, 2.0, 7.0, 7.0)),
+      (3L, Seq(9.0, 9.0, 3.0, 3.0))
+    ).toDF("id", "vec")
+    val model = Pq.train(vecs, "id", "vec", blocks = 2, codebookSize = 4)
+    assert(model.subDim == 2 && model.codebooks.length == 2)
+    val out = vecs
+      .withColumn("code", Pq.encode(col("vec"), model))
+      .withColumn("errs", Pq.scaledSqError(col("vec"), col("code"), model))
+      .select("id", "code", "errs")
+      .as[(Long, Seq[Int], Seq[Long])].collect().sortBy(_._1)
+    for ((id, code, errs) <- out) {
+      assert(code == Seq(id.toInt, id.toInt), s"id $id got code $code")
+      assert(errs == Seq(0L, 0L), s"id $id got errors $errs")
+    }
+    // a non-codebook vector picks its nearest block centroids and pays
+    // a positive, exactly-computable error
+    val probe = Seq((9L, Seq(1.1, 0.0, 5.0, 0.1))).toDF("id", "vec")
+    val (pc, pe) = probe
+      .withColumn("code", Pq.encode(col("vec"), model))
+      .withColumn("errs", Pq.scaledSqError(col("vec"), col("code"), model))
+      .select("code", "errs").as[(Seq[Int], Seq[Long])].head()
+    assert(pc == Seq(0, 0)) // nearest to vec 0's blocks
+    // block errors: (0.1^2 + 0) and (0 + 0.1^2), 1e12-scaled with the floor formula
+    val want = math.floor((1.1 - 1.0) * (1.1 - 1.0) * 1e12 + 0.5).toLong
+    assert(pe == Seq(want, math.floor(0.1 * 0.1 * 1e12 + 0.5).toLong))
+  }
+
   test("q_semantic_dedup plan is cell-blocked too (driver-query shape)") {
     val out = SparkEntry.queries("q_semantic_dedup")(spark, sf)
     out.collect()
