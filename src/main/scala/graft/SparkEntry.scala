@@ -1457,6 +1457,21 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** PQ ADC search ([[graft.ops.Pq.adcSearch]]) — the search half of
+    * IVF-PQ: per-query distance TABLES against every codebook centroid,
+    * corpus scored by `blocks` integer table lookups per vector. The
+    * 1e12-scaled long distances make the ranking deterministic, so the
+    * oracle re-derives the EXACT result set (codes + tables + ranks) —
+    * no recall envelope needed, unlike the LSH/IVF rows.
+    */
+  private def qEmbedAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.ops.Pq.train(emb, "vec_id", "embedding", blocks = 4, codebookSize = 16)
+    graft.ops.Pq.adcSearch(model, emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-format scan/sink round-trip (SURVEY.md §2B "scans: other
     * formats / sinks"): the same event subset written as CSV and JSON,
     * read back, joined, and aggregated — oracle reproduces from the
@@ -1990,6 +2005,7 @@ object SparkEntry {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_embed_pq" -> (qEmbedPq _),
+    "q_embed_adc" -> (qEmbedAdc _),
     "q_multi_format" -> (qMultiFormat _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -2686,6 +2702,38 @@ object SparkEntry {
         |SELECT label, count(*) AS n, CAST(sum(se) AS BIGINT) AS sum_scaled_sqerr,
         |       CAST(max(mc) AS BIGINT) AS max_code, CAST(min(nb) AS BIGINT) AS code_len
         |FROM per GROUP BY label ORDER BY label""".stripMargin,
+    // d (all-vector distances to every centroid) doubles as the query
+    // tables: queries are corpus members, so qt is just its vec_id < 10
+    // slice, scaled; a neighbor's ADC = its 4 (block, cell) lookups
+    "q_embed_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+        |         FROM e ORDER BY vec_id LIMIT 16),
+        |blk AS (SELECT unnest(generate_series(0, 3)) AS b),
+        |cb AS (SELECT b, cell, v[(b*16+1):(b*16+16)] AS c FROM base CROSS JOIN blk),
+        |sub AS (SELECT vec_id, b, v[(b*16+1):(b*16+16)] AS s FROM e CROSS JOIN blk),
+        |d AS (SELECT sub.vec_id, sub.b, cb.cell,
+        |        list_sum(list_transform(list_zip(sub.s, cb.c),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |      FROM sub JOIN cb ON sub.b = cb.b),
+        |asg AS (SELECT vec_id, b, cell FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cell) AS rk
+        |          FROM d)
+        |        WHERE rk = 1),
+        |qt AS (SELECT vec_id AS query_id, b, cell,
+        |         CAST(floor(dist * 1e12 + 0.5) AS BIGINT) AS sd
+        |       FROM d WHERE vec_id < 10),
+        |adc AS (SELECT qt.query_id, asg.vec_id AS neighbor_id,
+        |          CAST(sum(qt.sd) AS BIGINT) AS scaled_adc
+        |        FROM asg JOIN qt ON asg.b = qt.b AND asg.cell = qt.cell
+        |        WHERE qt.query_id <> asg.vec_id
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, scaled_adc,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY scaled_adc, neighbor_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, neighbor_id, scaled_adc FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_rolling_fingerprint" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

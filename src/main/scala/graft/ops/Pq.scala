@@ -72,6 +72,71 @@ object Pq {
     }: _*)
   }
 
+  /** ADC (asymmetric distance computation) top-k — the search half of
+    * IVF-PQ: each query precomputes a `blocks x codebookSize` table of
+    * squared distances from ITS subvectors to every codebook centroid
+    * (driver-side — |queries| x blocks x codebookSize doubles, bounded
+    * by the query set like [[Similarity.bruteForceTopK]]'s broadcast),
+    * and a compressed corpus vector's distance is then just `blocks`
+    * table lookups summed — the corpus is scanned once with NO float
+    * math per dimension, which is the whole point of PQ at billions of
+    * vectors.
+    *
+    * Distances are summed as 1e12-scaled LONGS (per-block floor-round,
+    * then exact integer adds), so ranking is deterministic and
+    * cross-engine reproducible — an oracle can re-derive the exact
+    * result set instead of grading recall. Returns (query_id, rank,
+    * neighbor_id, scaled_adc), rank by (scaled_adc asc, neighbor_id
+    * asc), self-matches excluded.
+    */
+  def adcSearch(
+      model: Model,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+      .collect()
+    val books = model.codebooks.map(_.centroids.sortBy(_._1).map(_._2.toArray))
+    val tables: Seq[(Long, Seq[Seq[Long]])] = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      val t = (0 until model.blocks).map { b =>
+        books(b).toSeq.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < model.subDim) {
+            val x = qv(b * model.subDim + i) - c(i)
+            d += x * x
+            i += 1
+          }
+          math.floor(d * 1e12 + 0.5).toLong
+        }
+      }
+      (qid, t)
+    }
+    val qTables = tables.toDF("query_id", "__tbl")
+    val encoded = Dedup.spreadDf(corpus)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        encode(col(vecCol), model).as("__code"))
+    val blocksIdx = (0 until model.blocks)
+    val adc = blocksIdx.map { b =>
+      element_at(element_at(col("__tbl"), b + 1), element_at(col("__code"), b + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("scaled_adc").asc, col("neighbor_id").asc)
+    encoded.join(broadcast(qTables), col("query_id") =!= col("neighbor_id"))
+      .withColumn("scaled_adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "scaled_adc")
+  }
+
   /** Per-block 1e12-scaled squared reconstruction error as
     * `array<long>` — LONGS, not doubles, so downstream sums are exact
     * and partition-order independent (the [[graft.functions

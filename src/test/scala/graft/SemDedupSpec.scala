@@ -115,6 +115,26 @@ class SemDedupSpec extends SparkSpec {
     assert(pe == Seq(want, math.floor(0.1 * 0.1 * 1e12 + 0.5).toLong))
   }
 
+  test("PQ ADC search: exact table-lookup distances on a self-codebook corpus") {
+    import graft.ops.Pq
+    // every corpus vector is a codebook entry, so a neighbor's ADC from
+    // query q is the scaled TRUE squared distance q -> neighbor
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),   // d2 = 1
+      (2L, Seq(0.0, 2.0, 2.0, 0.0)),   // d2 = 8
+      (3L, Seq(3.0, 0.0, 0.0, 3.0))    // d2 = 18
+    ).toDF("id", "vec")
+    val model = Pq.train(vecs, "id", "vec", blocks = 2, codebookSize = 4)
+    val out = Pq.adcSearch(model, vecs, vecs.filter($"id" === 0L), "id", "vec", 3)
+      .select("rank", "neighbor_id", "scaled_adc")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 1L, 1000000000000L),
+      (2, 2L, 8000000000000L),
+      (3, 3L, 18000000000000L)))
+  }
+
   test("q_semantic_dedup plan is cell-blocked too (driver-query shape)") {
     val out = SparkEntry.queries("q_semantic_dedup")(spark, sf)
     out.collect()
