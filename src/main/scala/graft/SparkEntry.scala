@@ -1213,6 +1213,20 @@ object SparkEntry {
       .orderBy("lang", "split")
   }
 
+  /** Domain mixing ([[Sampling.proportionalSample]]): DoReMi-style
+    * deterministic subsampling toward target source shares (60/30/10
+    * across three sources, target size 60; everything else dropped —
+    * the mixture is exhaustive). Keep rates derive from one group-count
+    * aggregate; membership is the portable Lehmer bucket, so the oracle
+    * reproduces the selected row set bit-for-bit, not just counts.
+    */
+  private def qDomainMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.proportionalSample(t(spark, dir, "documents"), col("doc_id"), "source",
+        Map("src1" -> 0.6, "src2" -> 0.3, "src3" -> 0.1), totalTarget = 60L, seed = 21)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("source")
+
   /** Heavy hitters ([[graft.ops.HeavyHitters]]): exact top-10 hottest users
     * by event count (oracle side, deterministic tiebreak) with each row's
     * Count–Min estimate graded against its guaranteed envelope
@@ -1995,6 +2009,7 @@ object SparkEntry {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_domain_mix" -> (qDomainMix _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_partitioned_write" -> (qPartitionedWrite _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -2606,6 +2621,22 @@ object SparkEntry {
         |  WHERE bkt < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END)
         |SELECT lang, split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // keep-rate thresholds recomputed with the IDENTICAL IEEE op order
+    // (share * total / count, then min, then floor(x*10000 + 0.5) ==
+    // Scala's math.round for positives); membership = the Lehmer bucket
+    "q_domain_mix" ->
+      """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |th AS (SELECT source,
+        |         CAST(floor(least(1.0, share * 60 / c) * 10000 + 0.5) AS BIGINT) AS t
+        |       FROM (SELECT source, c,
+        |               CASE source WHEN 'src1' THEN 0.6 WHEN 'src2' THEN 0.3
+        |                           WHEN 'src3' THEN 0.1 ELSE NULL END AS share
+        |             FROM counts)
+        |       WHERE share IS NOT NULL),
+        |kept AS (SELECT d.source, d.doc_id FROM documents d JOIN th ON d.source = th.source
+        |         WHERE ((d.doc_id + 21) % 2147483647 * 48271) % 2147483647 % 10000 < th.t)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // whitespace class spelled out because RE2's \s is ASCII-only: it
     // mirrors UnicodeNormalize's Java isWhitespace ∪ SPACE_SEPARATOR set
     // (VT, FS..US, NBSP, ogham/en-quad..hair/narrow/math spaces, line and

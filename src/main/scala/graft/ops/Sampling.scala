@@ -60,6 +60,38 @@ object Sampling {
     df.filter(bucket(key, seed) < threshold)
   }
 
+  /** Domain-mixing subsample (the DoReMi/data-mixture shape): subsample
+    * each group of `groupCol` so the OUTPUT approximates `targetShares`
+    * (group -> share of the output) at output size `totalTarget`.
+    * Per-group keep rate = `min(1, share * totalTarget / count(g))` — a
+    * group short of its quota keeps everything (real mixers then
+    * renormalize or upsample; upsampling is a join against a replication
+    * count, out of scope here). Groups NOT in `targetShares` are
+    * dropped — the mixture definition is exhaustive by design.
+    *
+    * Group counts come from ONE aggregate (a driver-side map bounded by
+    * group cardinality, the same boundedness as the rate CASE fold);
+    * membership is the deterministic [[bucket]] hash — retry-stable,
+    * engine-portable, scan-side.
+    */
+  def proportionalSample(
+      df: DataFrame,
+      key: Column,
+      groupCol: String,
+      targetShares: Map[String, Double],
+      totalTarget: Long,
+      seed: Long): DataFrame = {
+    require(targetShares.values.forall(s => s >= 0 && s <= 1),
+      "shares must be in [0,1]")
+    require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__c")).collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val rates: Map[String, Double] = targetShares.flatMap { case (g, share) =>
+      counts.get(g).map(c => g -> math.min(1.0, share * totalTarget / c))
+    }
+    stratifiedSample(df, key, col(groupCol), rates, defaultRate = 0.0, seed)
+  }
+
   /** Deterministic train/val/test-style split assignment: `fractions` are
     * (label, fraction) in order; fractions must sum to 1. A row's label is
     * a pure function of (key, seed) — the same row lands in the same split

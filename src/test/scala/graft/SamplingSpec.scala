@@ -56,6 +56,30 @@ class SamplingSpec extends SparkSpec {
     assert(twice.filter($"split" =!= $"split2").count() == 0)
   }
 
+  test("proportionalSample: rates from target shares, unlisted groups dropped, deterministic") {
+    val df = spark.range(0, 1000)
+      .selectExpr("id AS doc_id", "concat('g', cast(id % 4 AS string)) AS grp")
+    // g0 wants 0.8*100/250 = 32%, g1 wants 0.2*100/250 = 8%, g2/g3 dropped
+    val out = Sampling.proportionalSample(df, col("doc_id"), "grp",
+      Map("g0" -> 0.8, "g1" -> 0.2), totalTarget = 100L, seed = 5)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.keySet == Set("g0", "g1"))
+    // bucket resolution 1/10000 over 250 rows: expect ~80 and ~20, loosely
+    assert(byGrp("g0") > 50 && byGrp("g0") < 110)
+    assert(byGrp("g1") > 5 && byGrp("g1") < 40)
+    // a group short of quota keeps everything (rate clamps at 1)
+    val all = Sampling.proportionalSample(df, col("doc_id"), "grp",
+      Map("g0" -> 1.0), totalTarget = 100000L, seed = 5)
+    assert(all.count() == 250)
+    // determinism: identical row set on re-evaluation
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.proportionalSample(df, col("doc_id"), "grp",
+        Map("g0" -> 0.8, "g1" -> 0.2), totalTarget = 100L, seed = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("sampling filter reaches the parquet scan as a pushed/partial predicate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = Sampling.hashSample(docs, col("doc_id"), 0.5, seed = 7)
