@@ -216,20 +216,9 @@ object Dedup {
       .select(col("__id"),
         posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bkey")))
 
-    // Degenerate-bucket guard: a bucket of B near-identical docs yields
-    // B^2/2 pairs; cap it — an explicit, documented coverage bound (dropped
-    // buckets are not counted at runtime; counting would cost an extra
-    // action). Hash-aggregate + anti-join on the oversized-bucket keys:
-    // unlike the earlier window-count formulation this never SORTS the
-    // banded rows (at corpus scale that sort dominates). The oversized key
-    // list is usually tiny (degenerate buckets only) and AQE converts the
-    // anti-join to broadcast at runtime; no forced hint, because a
-    // pathological all-duplicates corpus can make it large.
-    val oversized = banded.groupBy("__band", "__bkey")
-      .agg(count(lit(1)).as("__bsize"))
-      .filter(col("__bsize") > maxBucketSize)
-      .select("__band", "__bkey")
-    val capped = banded.join(oversized, Seq("__band", "__bkey"), "left_anti")
+    // Degenerate-bucket guard (see [[dropOversizedBuckets]]); dropped
+    // buckets are not counted at runtime — counting would cost an action.
+    val capped = dropOversizedBuckets(banded, maxBucketSize)
 
     // Self-join on NARROW (band, bkey, id) rows only; signatures re-attach
     // after pair dedup so est_jaccard is computed once per distinct pair.
@@ -291,11 +280,7 @@ object Dedup {
         val word = element_at(col("__fp"), b / bandsPerWord + 1)
         shiftrightunsigned(word, (b % bandsPerWord) * bits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("__band", "__bkey")))
-    val oversized = banded.groupBy("__band", "__bkey")
-      .agg(count(lit(1)).as("__bsize"))
-      .filter(col("__bsize") > maxBucketSize)
-      .select("__band", "__bkey")
-    val capped = banded.join(oversized, Seq("__band", "__bkey"), "left_anti")
+    val capped = dropOversizedBuckets(banded, maxBucketSize)
     // fp is two longs — still cheap enough to carry through the self-join,
     // so no re-attach pass is needed (unlike the 64-long MinHash signatures)
     val a = capped.select(col("__band"), col("__bkey"),
@@ -377,17 +362,18 @@ object Dedup {
         minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
       .select(col(out),
         posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bkey")))
-      .drop("__sig")
     val b = banded(batch, "__idB")
+    // history banding feeds the bucket-cap aggregate AND the join — persist
+    // the narrow (id, band, bkey) rows so the history minhash pipeline runs
+    // once (the sigs-persist discipline of minhashCandidatePairsWithSignatures)
     val h = banded(history, "__idH")
-    val oversized = h.groupBy("__band", "__bkey")
-      .agg(count(lit(1)).as("__bsize"))
-      .filter(col("__bsize") > maxBucketSize)
-      .select("__band", "__bkey")
-    val cand = b.join(h.join(oversized, Seq("__band", "__bkey"), "left_anti"),
-        Seq("__band", "__bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates feed the verify join plus both semi-join id sets — persist,
+    // then cut lineage at the (small: one id per dropped row) dup-id set
+    val cand = b.join(dropOversizedBuckets(h, maxBucketSize), Seq("__band", "__bkey"))
       .select("__idB", "__idH")
       .dropDuplicates("__idB", "__idH")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification: shingles from each side's OWN frame (id spaces
     // may overlap between batch and history), only for candidate members
     def sh(df: DataFrame, ids: DataFrame, idOut: String) =
@@ -402,7 +388,27 @@ object Dedup {
         size(array_intersect(col("__sh__idB"), col("__sh__idH"))).cast("double") /
           size(array_union(col("__sh__idB"), col("__sh__idH"))).cast("double") >= threshold)
       .select(col("__idB").as("__dup")).distinct()
+      .localCheckpoint(true)
+    h.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
     batch.join(dupIds, col(idCol) === col("__dup"), "left_anti")
+  }
+
+  /** Sort-free degenerate-bucket guard shared by every banding pipeline
+    * (MinHash, SimHash, cross-corpus): drop (band, bucket) keys holding
+    * more than `maxBucketSize` rows — an explicit coverage bound; a
+    * bucket of B near-identical docs yields B^2/2 pairs. Hash-aggregate +
+    * anti-join: never SORTS the banded rows (at corpus scale that sort
+    * dominates); the oversized key list is usually tiny and AQE converts
+    * the anti-join to broadcast at runtime — no forced hint, because a
+    * pathological all-duplicates corpus can make it large.
+    */
+  private def dropOversizedBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val oversized = banded.groupBy("__band", "__bkey")
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucketSize)
+      .select("__band", "__bkey")
+    banded.join(oversized, Seq("__band", "__bkey"), "left_anti")
   }
 
   /** Exact shingle-set Jaccard for a set of candidate pairs (verification

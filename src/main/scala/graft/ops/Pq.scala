@@ -47,14 +47,31 @@ object Pq {
       iterations: Int = 0): Model = {
     require(blocks > 0, s"blocks must be positive, got $blocks")
     val v = toDoubleArray(col(vecCol))
-    val dim = corpus.select(size(v)).head().getInt(0)
+    val probe = corpus.select(size(v)).head(1)
+    require(probe.nonEmpty, "Pq.train: corpus is empty")
+    val dim = probe(0).getInt(0)
     require(dim % blocks == 0, s"dim $dim must divide by blocks $blocks")
     val subDim = dim / blocks
-    val books = (0 until blocks).map { b =>
-      IvfIndex.train(
-        corpus.select(col(idCol), slice(v, b * subDim + 1, subDim).as("__sv")),
-        idCol, "__sv", codebookSize, iterations)
-    }.toArray
+    val books: Array[IvfIndex.Model] =
+      if (iterations == 0) {
+        // no Lloyd refinement: all block codebooks are slices of the SAME
+        // codebookSize lowest-id vectors — ONE ordered collect instead of
+        // `blocks` separate train jobs (each with its own persist+collect)
+        val base = corpus.select(col(idCol).as("__id"), v.as("__v"))
+          .orderBy("__id").limit(codebookSize).collect()
+          .map(_.getSeq[Double](1))
+        (0 until blocks).map { b =>
+          IvfIndex.Model(base.zipWithIndex.map { case (vec, i) =>
+            (i, vec.slice(b * subDim, (b + 1) * subDim))
+          }.toArray)
+        }.toArray
+      } else {
+        (0 until blocks).map { b =>
+          IvfIndex.train(
+            corpus.select(col(idCol), slice(v, b * subDim + 1, subDim).as("__sv")),
+            idCol, "__sv", codebookSize, iterations)
+        }.toArray
+      }
     Model(blocks, subDim, books)
   }
 

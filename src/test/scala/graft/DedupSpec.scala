@@ -333,6 +333,36 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set(2L, 3L, 4L))
   }
 
+  test("crossCorpusNearDedup: overlapping id spaces and the history bucket cap") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // id 1 exists in BOTH frames with DIFFERENT texts: the batch row must
+    // be verified against history texts only, never against itself
+    val history = Seq(
+      (1L, "history version completely different words nothing like the batch text"),
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, shared),  // near-dups history doc 2 (not its own id-1 history row)
+      (3L, "fresh material with entirely new vocabulary throughout the line")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusNearDedup(batch, history, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    // bucket cap: a history flooded with near-identical copies drops its
+    // oversized buckets, so the batch copy is never CANDIDATED against it
+    // (explicit coverage bound, mirroring minhash maxBucketSize)
+    val flood = (100L to 120L).map(i => (i, shared)).toDF("doc_id", "text")
+    val keptFlood = Dedup.crossCorpusNearDedup(
+        batch, flood, "doc_id", "text", 0.8, maxBucketSize = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlood == Set(1L, 3L))
+    // with a roomy cap the same flood kills the copy again
+    val keptRoomy = Dedup.crossCorpusNearDedup(
+        batch, flood, "doc_id", "text", 0.8, maxBucketSize = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptRoomy == Set(3L))
+  }
+
   test("keepBest keeps the highest-score copy per key, min id on ties") {
     import org.apache.spark.sql.functions.{col, length}
     val df = Seq(
