@@ -1471,6 +1471,26 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** SemDeDup with QUALITY keep-best (the full published shape): same
+    * cell blocking as [[qSemanticDedup]], but the keeper of each
+    * near-identical pair is the higher-quality document (exact-0.5-step
+    * raw score joined 1:1 from the documents table; min id on ties) —
+    * the curation rule real corpus teams run. The oracle recomputes
+    * cells, pairs, per-doc quality, and the loser rule.
+    */
+  private def qSemanticKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val quality = t(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), TF.qualityScoreRaw(col("text")).as("q"))
+    val corpus = emb.join(quality, Seq("vec_id"))
+    val model = graft.ops.IvfIndex.train(corpus, "vec_id", "embedding", nLists = 8, iterations = 0)
+    graft.ops.SemDedup.semanticDedup(model, corpus, "vec_id", "embedding", 0.4,
+        score = col("q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
+      .orderBy("label")
+  }
+
   /** PQ ADC search ([[graft.ops.Pq.adcSearch]]) — the search half of
     * IVF-PQ: per-query distance TABLES against every codebook centroid,
     * corpus scored by `blocks` integer table lookups per vector. The
@@ -2019,6 +2039,7 @@ object SparkEntry {
     "q_embed_ivf" -> (qEmbedIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_semantic_keepbest" -> (qSemanticKeepBest _),
     "q_embed_pq" -> (qEmbedPq _),
     "q_embed_adc" -> (qEmbedAdc _),
     "q_multi_format" -> (qMultiFormat _),
@@ -2733,6 +2754,50 @@ object SparkEntry {
         |SELECT label, count(*) AS n, CAST(sum(se) AS BIGINT) AS sum_scaled_sqerr,
         |       CAST(max(mc) AS BIGINT) AS max_code, CAST(min(nb) AS BIGINT) AS code_len
         |FROM per GROUP BY label ORDER BY label""".stripMargin,
+    // q_semantic_dedup's cell/pair derivation + the keep-best oracle's
+    // exact-0.5-step quality score; loser of a pair = lesser (q, -id)
+    "q_semantic_keepbest" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qf AS (
+         |  SELECT doc_id, len($ToksSql) AS n_tok,
+         |    (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |      / greatest(len($ToksSql), 1) AS mean_wl,
+         |    len(list_filter($ToksSql, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |      / greatest(len($ToksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |qs AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.5 END) AS q
+         |  FROM qf),
+         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+         |          FROM e ORDER BY vec_id LIMIT 8),
+         |d AS (SELECT e.vec_id, c.cell,
+         |        list_sum(list_transform(list_zip(e.v, c.v),
+         |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+         |      FROM e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+         |          FROM d)
+         |        WHERE rk = 1),
+         |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         |          FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
+         |               JOIN asg bb ON aa.cell = bb.cell
+         |               JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+         |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+         |losers AS (SELECT DISTINCT CASE WHEN qa.q < qb.q THEN ida ELSE idb END AS lid
+         |           FROM pairs JOIN qs qa ON ida = qa.doc_id JOIN qs qb ON idb = qb.doc_id),
+         |kept AS (SELECT e.vec_id, e.label FROM e
+         |         LEFT JOIN losers ON e.vec_id = losers.lid
+         |         WHERE losers.lid IS NULL)
+         |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM kept GROUP BY label ORDER BY label""".stripMargin,
     // d (all-vector distances to every centroid) doubles as the query
     // tables: queries are corpus members, so qt is just its vec_id < 10
     // slice, scaled; a neighbor's ADC = its 4 (block, cell) lookups
