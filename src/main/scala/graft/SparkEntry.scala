@@ -1730,6 +1730,37 @@ object SparkEntry {
         countDistinct(xxhash64(col("chunk_text"))).as("n_distinct_chunks"))
       .orderBy("lang")
 
+  /** CCNet-style PARAGRAPH dedup readout: documents split into
+    * non-overlapping 32-token windows ("paragraphs" — the corpus has no
+    * newline structure), and only the corpus-wide FIRST occurrence
+    * (min (doc_id, chunk_idx), encoded as one sortable long) of each
+    * identical window is kept. Planted evidence: every 7th doc re-enters
+    * as an exact copy under id + 2e6, so all its windows are drops.
+    * Scale shape: one chunk pass, one hash aggregate on 8-byte window
+    * hashes, one join on the same key (exchange reused) — the window
+    * HASH stands in for the text on every shuffle (collisions
+    * negligible, the q_chunk_split trade); the oracle groups by the
+    * window text itself.
+    */
+  private def qParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents").select("doc_id", "lang", "text")
+    val docs = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+    val chunks = Chunking.chunkTokens(spread(docs), "text", 32, 32)
+      .select(col("lang"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("__ik"),
+        xxhash64(col("chunk_text")).as("__h"),
+        size(col("chunk_tokens")).cast("long").as("__nt"))
+    val first = chunks.groupBy("__h").agg(min("__ik").as("__fk"))
+    chunks.join(first, Seq("__h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__ik") === col("__fk"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__ik") === col("__fk"), col("__nt")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   /** Corpus-level boilerplate scrubbing ([[graft.ops.Boilerplate]]): word
     * 3-grams in >=1% of documents are "common"; each doc's boilerplate
     * share = common fraction of its distinct 3-grams. Shares cross engines
@@ -2065,6 +2096,7 @@ object SparkEntry {
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
     "q_token_entropy" -> (qTokenEntropy _),
+    "q_paragraph_dedup" -> (qParagraphDedup _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_profile" -> (qProfile _),
     "q_domain_cap" -> (qDomainCap _))
@@ -3074,6 +3106,28 @@ object SparkEntry {
          |       CAST(sum(n) AS BIGINT) AS sum_tokens,
          |       CAST(sum(CASE WHEN num < 3000000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_paragraph_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, lang, text FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id, lang, $ToksSql AS toks FROM u),
+         |nn AS (SELECT doc_id, lang, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT doc_id, lang, gs.i AS chunk_idx,
+         |         toks[(gs.i*32+1):least(gs.i*32+32, n)] AS ctoks
+         |  FROM nn, LATERAL (SELECT unnest(generate_series(0,
+         |       CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 32 - 1)//32 END)) AS i) gs),
+         |t2 AS (SELECT lang, doc_id * 1000000 + chunk_idx AS ik,
+         |              array_to_string(ctoks, ' ') AS ct, len(ctoks) AS nt
+         |       FROM ch),
+         |first AS (SELECT ct, min(ik) AS fk FROM t2 GROUP BY ct),
+         |k AS (SELECT t2.lang, t2.nt,
+         |        CASE WHEN t2.ik = f.fk THEN 1 ELSE 0 END AS kept
+         |      FROM t2 JOIN first f ON t2.ct = f.ct)
+         |SELECT lang, count(*) AS n_chunks, CAST(sum(kept) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "q_profile_approx" ->
       """SELECT 'doc_id' AS column_name, count(*) AS n_rows, count(doc_id) AS n_nonnull,
         |       count(DISTINCT doc_id) AS n_distinct_exact, true AS within_5pct
