@@ -1747,18 +1747,25 @@ object SparkEntry {
     val docs = base.unionByName(
       base.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+    // the chunk pass feeds the first-occurrence aggregate AND the join
+    // probe: persist the narrow (lang, ik, h, nt) rows so tokenize+chunk
+    // runs once (the shared-explode discipline of qCommonNgrams)
     val chunks = Chunking.chunkTokens(spread(docs), "text", 32, 32)
       .select(col("lang"),
         (col("doc_id") * 1000000L + col("chunk_idx")).as("__ik"),
         xxhash64(col("chunk_text")).as("__h"),
         size(col("chunk_tokens")).cast("long").as("__nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = chunks.groupBy("__h").agg(min("__ik").as("__fk"))
-    chunks.join(first, Seq("__h"))
+    val agg = chunks.join(first, Seq("__h"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__ik") === col("__fk"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__ik") === col("__fk"), col("__nt")).otherwise(0L)).as("kept_tokens"))
       .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    chunks.unpersist(blocking = false)
+    out
   }
 
   /** Corpus-level boilerplate scrubbing ([[graft.ops.Boilerplate]]): word

@@ -204,6 +204,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n${p.take(2000)}")
   }
 
+  test("q_paragraph_dedup and q_semantic_keepbest: never a nested loop or cartesian") {
+    for (q <- Seq("q_paragraph_dedup", "q_semantic_keepbest")) {
+      val p = planStr(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$q must stay a hash/equi-join plan:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_cross_dedup: band join is an equi-join; bloomless batch-x-history blocking") {
+    val p = planStr(SparkEntry.queries("q_cross_dedup")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"cross-corpus banding must never plan a nested loop:\n${p.take(1500)}")
+  }
+
   test("q_chunk_split: chunk explosion stays inside whole-stage codegen") {
     val p = planStr(SparkEntry.queries("q_chunk_split")(spark, sf))
     assert(p.contains("Generate"), "expected a Generate (posexplode) node")
