@@ -2145,6 +2145,59 @@ object SparkEntry {
        |SELECT count(*) AS $countAlias, floor(avg(jac) * 1000 + 0.5) / 1000 AS $avgAlias$extraCols
        |FROM j WHERE jac >= 0.8""".stripMargin
 
+  /** Shared CTE chain for the SemDeDup oracles: embeddings + the
+    * iterations=0 coarse quantizer (cells = the 8 lowest-id vectors,
+    * sequential squared-L2 argmin, (dist, cell) tie-break) + the
+    * within-cell cosine >= 0.4 pair set — q_semantic_dedup and
+    * q_semantic_keepbest differ only in the keep rule applied to
+    * `pairs(ida, idb)`.
+    */
+  private val SemanticPairCtesSql =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      |          FROM e ORDER BY vec_id LIMIT 8),
+      |d AS (SELECT e.vec_id, c.cell,
+      |        list_sum(list_transform(list_zip(e.v, c.v),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |      FROM e CROSS JOIN cents c),
+      |asg AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell,
+      |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+      |          FROM d)
+      |        WHERE rk = 1),
+      |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+      |          FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
+      |               JOIN asg bb ON aa.cell = bb.cell
+      |               JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+      |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4)""".stripMargin
+
+  /** Shared quality-score CTEs (`qf` features, `qs(doc_id…, q)`): DuckDB
+    * reproduction of [[graft.functions.TextFunctions.qualityScoreRaw]]'s
+    * exact 0.5-step composite — used wherever an oracle orders or
+    * tie-breaks on quality (q_dedup_keep_best, q_semantic_keepbest).
+    * `carrySelect`/`carryNames` thread extra columns (e.g. lang, fp)
+    * through both CTEs.
+    */
+  private def qualityCtesSql(carrySelect: String = "", carryNames: String = ""): String =
+    s"""qf AS (
+       |  SELECT doc_id$carrySelect,
+       |    len($ToksSql) AS n_tok,
+       |    (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+       |      / greatest(length(text), 1) AS punct_ratio,
+       |    list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+       |      / greatest(len($ToksSql), 1) AS mean_wl,
+       |    len(list_filter($ToksSql, t -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+       |      / greatest(len($ToksSql), 1) AS stop_ratio
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id$carryNames,
+       |    (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.5 END) AS q
+       |  FROM qf)""".stripMargin
+
   /** Exact brute-force top-k aggregate (the ANN queries' oracle side):
     * n_exact / n_queries reproduced exactly; recall_ok is the in-query
     * invariant the approximate side must satisfy.
@@ -2625,28 +2678,11 @@ object SparkEntry {
     // raw (unrounded) quality sum: exact 0.5 steps, so ORDER BY q DESC,
     // doc_id reproduces keepBest's (score, -id) max_by bit-for-bit
     "q_dedup_keep_best" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, lang, $FpSql AS fp,
-         |    len($ToksSql) AS n_tok,
-         |    (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
-         |      / greatest(length(text), 1) AS punct_ratio,
-         |    list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
-         |      / greatest(len($ToksSql), 1) AS mean_wl,
-         |    len(list_filter($ToksSql, t -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
-         |      / greatest(len($ToksSql), 1) AS stop_ratio
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, lang, fp,
-         |    (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.5 END) AS q
-         |  FROM f),
+      s"""WITH ${qualityCtesSql(s", lang, $FpSql AS fp", ", lang, fp")},
          |r AS (
          |  SELECT doc_id, lang,
          |    row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
-         |  FROM s)
+         |  FROM qs)
          |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     // two-stage incremental sequence: batch1 vs history, then batch2 vs
@@ -2748,29 +2784,13 @@ object SparkEntry {
     // (iterations = 0), argmin over the sequential squared-L2 sum with
     // (dist, cell) tie-break — see qSemanticDedup's scaladoc
     "q_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-        |          FROM e ORDER BY vec_id LIMIT 8),
-        |d AS (SELECT e.vec_id, c.cell,
-        |        list_sum(list_transform(list_zip(e.v, c.v),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-        |      FROM e CROSS JOIN cents c),
-        |asg AS (SELECT vec_id, cell FROM (
-        |          SELECT vec_id, cell,
-        |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-        |          FROM d)
-        |        WHERE rk = 1),
-        |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
-        |          FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
-        |               JOIN asg bb ON aa.cell = bb.cell
-        |               JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
-        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
-        |dropped AS (SELECT DISTINCT idb FROM pairs),
-        |kept AS (SELECT e.vec_id, e.label FROM e
-        |         LEFT JOIN dropped ON e.vec_id = dropped.idb
-        |         WHERE dropped.idb IS NULL)
-        |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
-        |FROM kept GROUP BY label ORDER BY label""".stripMargin,
+      s"""WITH $SemanticPairCtesSql,
+         |dropped AS (SELECT DISTINCT idb FROM pairs),
+         |kept AS (SELECT e.vec_id, e.label FROM e
+         |         LEFT JOIN dropped ON e.vec_id = dropped.idb
+         |         WHERE dropped.idb IS NULL)
+         |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM kept GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_pq" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
@@ -2793,43 +2813,11 @@ object SparkEntry {
         |SELECT label, count(*) AS n, CAST(sum(se) AS BIGINT) AS sum_scaled_sqerr,
         |       CAST(max(mc) AS BIGINT) AS max_code, CAST(min(nb) AS BIGINT) AS code_len
         |FROM per GROUP BY label ORDER BY label""".stripMargin,
-    // q_semantic_dedup's cell/pair derivation + the keep-best oracle's
-    // exact-0.5-step quality score; loser of a pair = lesser (q, -id)
+    // the shared cell/pair chain + the shared quality CTEs; loser of a
+    // pair = lesser (q, -id)
     "q_semantic_keepbest" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |qf AS (
-         |  SELECT doc_id, len($ToksSql) AS n_tok,
-         |    (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
-         |      / greatest(length(text), 1) AS punct_ratio,
-         |    list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
-         |      / greatest(len($ToksSql), 1) AS mean_wl,
-         |    len(list_filter($ToksSql, t -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
-         |      / greatest(len($ToksSql), 1) AS stop_ratio
-         |  FROM documents),
-         |qs AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.5 END) AS q
-         |  FROM qf),
-         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-         |          FROM e ORDER BY vec_id LIMIT 8),
-         |d AS (SELECT e.vec_id, c.cell,
-         |        list_sum(list_transform(list_zip(e.v, c.v),
-         |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-         |      FROM e CROSS JOIN cents c),
-         |asg AS (SELECT vec_id, cell FROM (
-         |          SELECT vec_id, cell,
-         |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-         |          FROM d)
-         |        WHERE rk = 1),
-         |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
-         |          FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
-         |               JOIN asg bb ON aa.cell = bb.cell
-         |               JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
-         |          WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+      s"""WITH $SemanticPairCtesSql,
+         |${qualityCtesSql()},
          |losers AS (SELECT DISTINCT CASE WHEN qa.q < qb.q THEN ida ELSE idb END AS lid
          |           FROM pairs JOIN qs qa ON ida = qa.doc_id JOIN qs qb ON idb = qb.doc_id),
          |kept AS (SELECT e.vec_id, e.label FROM e

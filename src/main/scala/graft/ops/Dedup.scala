@@ -355,25 +355,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame, out: String) = spreadDf(df)
-      .select(col(idCol).as(out),
-        minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
-      .select(col(out),
-        posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bkey")))
-    val b = banded(batch, "__idB")
-    // history banding feeds the bucket-cap aggregate AND the join — persist
-    // the narrow (id, band, bkey) rows so the history minhash pipeline runs
-    // once (the sigs-persist discipline of minhashCandidatePairsWithSignatures)
-    val h = banded(history, "__idH")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates feed the verify join plus both semi-join id sets — persist,
     // then cut lineage at the (small: one id per dropped row) dup-id set
-    val cand = b.join(dropOversizedBuckets(h, maxBucketSize), Seq("__band", "__bkey"))
-      .select("__idB", "__idH")
-      .dropDuplicates("__idB", "__idH")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (rawCand, releaseBands) = crossCorpusCandidatePairs(
+      batch, history, idCol, textCol, shingleN, numHashes, bands, maxBucketSize)
+    val cand = rawCand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification: shingles from each side's OWN frame (id spaces
     // may overlap between batch and history), only for candidate members
     def sh(df: DataFrame, ids: DataFrame, idOut: String) =
@@ -389,9 +375,44 @@ object Dedup {
           size(array_union(col("__sh__idB"), col("__sh__idH"))).cast("double") >= threshold)
       .select(col("__idB").as("__dup")).distinct()
       .localCheckpoint(true)
-    h.unpersist(blocking = false)
+    releaseBands()
     cand.unpersist(blocking = false)
     batch.join(dupIds, col(idCol) === col("__dup"), "left_anti")
+  }
+
+  /** Candidate (batch, history) id pairs from batch x history LSH banding —
+    * the blocking stage of [[crossCorpusNearDedup]], public like
+    * [[minhashCandidatePairs]] so callers (and the plan-shape specs) can
+    * inspect or post-process candidates before exact verification.
+    * Returns (`(__idB, __idH)` pairs, release handle for the persisted
+    * history banding) — call the handle after the terminal action.
+    */
+  def crossCorpusCandidatePairs(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, out: String) = spreadDf(df)
+      .select(col(idCol).as(out),
+        minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
+      .select(col(out),
+        posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bkey")))
+    val b = banded(batch, "__idB")
+    // history banding feeds the bucket-cap aggregate AND the join — persist
+    // the narrow (id, band, bkey) rows so the history minhash pipeline runs
+    // once (the sigs-persist discipline of minhashCandidatePairsWithSignatures)
+    val h = banded(history, "__idH")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = b.join(dropOversizedBuckets(h, maxBucketSize), Seq("__band", "__bkey"))
+      .select("__idB", "__idH")
+      .dropDuplicates("__idB", "__idH")
+    (cand, () => { h.unpersist(blocking = false); () })
   }
 
   /** Sort-free degenerate-bucket guard shared by every banding pipeline

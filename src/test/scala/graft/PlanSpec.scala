@@ -204,18 +204,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n${p.take(2000)}")
   }
 
-  test("q_paragraph_dedup and q_semantic_keepbest: never a nested loop or cartesian") {
-    for (q <- Seq("q_paragraph_dedup", "q_semantic_keepbest")) {
-      val p = planStr(SparkEntry.queries(q)(spark, sf))
-      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
-        s"$q must stay a hash/equi-join plan:\n${p.take(1500)}")
-    }
+  test("q_semantic_keepbest: never a nested loop or cartesian") {
+    val p = planStr(SparkEntry.queries("q_semantic_keepbest")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"q_semantic_keepbest must stay a hash/equi-join plan:\n${p.take(1500)}")
   }
 
-  test("q_cross_dedup: band join is an equi-join; bloomless batch-x-history blocking") {
-    val p = planStr(SparkEntry.queries("q_cross_dedup")(spark, sf))
+  test("paragraph-dedup composition: first-occurrence join is a hash equi-join on the window hash") {
+    // the driver query eagerly localCheckpoints (to release its persisted
+    // chunk pass), which cuts the inspectable lineage — assert on the same
+    // chunk -> first-occurrence -> join composition qParagraphDedup builds
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunks = graft.ops.Chunking.chunkTokens(docs, "text", 32, 32)
+      .select(col("lang"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("__ik"),
+        xxhash64(col("chunk_text")).as("__h"),
+        size(col("chunk_tokens")).cast("long").as("__nt"))
+    val first = chunks.groupBy("__h").agg(org.apache.spark.sql.functions.min("__ik").as("__fk"))
+    val joined = chunks.join(first, Seq("__h")).groupBy("lang").count()
+    val p = planStr(joined)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"first-occurrence join must be an equi-join:\n${p.take(1500)}")
+    assert(p.contains("__h"), "join must key on the window hash")
+  }
+
+  test("cross-corpus candidate stage: band join is an equi-join, never a nested loop") {
+    // the blocking stage is public (crossCorpusCandidatePairs) precisely so
+    // its plan is inspectable before the lineage-cutting checkpoint in
+    // crossCorpusNearDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (cand, release) = graft.ops.Dedup.crossCorpusCandidatePairs(
+      docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text")
+    val p = planStr(cand)
+    release()
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"cross-corpus banding must never plan a nested loop:\n${p.take(1500)}")
+    assert(p.contains("__bkey"), "candidates must join on (band, bucket)")
   }
 
   test("q_chunk_split: chunk explosion stays inside whole-stage codegen") {
