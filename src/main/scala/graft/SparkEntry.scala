@@ -1330,6 +1330,32 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Keyed partition upsert ([[PartitionedSink.upsertByKey]]) — the
+    * patch-the-corpus maintenance op: base corpus written partitioned by
+    * lang, then one batch REPLACES every doc_id % 4 == 0 row (n_chars +
+    * 1000) and INSERTS re-keyed copies of the % 10 == 0 docs; only
+    * touched partitions rewrite (dynamic overwrite). The read-back
+    * aggregate must equal the merged expectation the oracle computes
+    * from the documents table directly.
+    */
+  private def qPartitionUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "lang", "n_chars", "source")
+    val out = s"/tmp/graft_upsert_q/${tmpKey(dir)}"
+    deleteRec(new java.io.File(out))
+    PartitionedSink.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"))
+    val replace = docs.filter(col("doc_id") % 4 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val insert = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 3000000L)
+    PartitionedSink.upsertByKey(replace.unionByName(insert), out, "lang", "doc_id",
+      sortCols = Seq("doc_id"))
+    spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Per-group embedding centroids via the custom
     * [[graft.functions.VectorMean]] AGGREGATE (TypedImperativeAggregate
     * with map-side combine — one (count, sums[dim]) buffer per group per
@@ -2070,6 +2096,7 @@ object SparkEntry {
     "q_domain_mix" -> (qDomainMix _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_partitioned_write" -> (qPartitionedWrite _),
+    "q_partition_upsert" -> (qPartitionUpsert _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_embed_dispersion" -> (qEmbedDispersion _),
@@ -2752,6 +2779,16 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |       CAST(sum(length(text)) AS BIGINT) AS text_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_partition_upsert" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, lang, n_chars FROM documents WHERE doc_id % 10 = 0)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
     // generate_subscripts + unnest expand in lockstep, giving (pos, x)
     // pairs; list(... ORDER BY pos) reassembles the rounded mean vector
     "q_embed_centroids" ->

@@ -53,4 +53,68 @@ object PartitionedSink {
       else shuffled.sortWithinPartitions((partCols ++ sortCols).map(col): _*)
     clustered.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
   }
+
+  /** Keyed UPSERT into an existing [[writePartitioned]] layout — the
+    * "patch yesterday's corpus" maintenance op (re-crawled docs, late
+    * fixes, takedowns-by-replacement): rows of `batch` REPLACE existing
+    * rows with the same `keyCol`; everything else in the touched
+    * partitions is carried over; untouched partitions are never read or
+    * rewritten.
+    *
+    * Scale shape: the merge reads ONLY the partitions the batch touches
+    * (an IN filter on collected partition values — driver state bounded
+    * by partition cardinality, and partition pruning keeps the scan off
+    * everything else), anti-joins the batch keys out of the existing
+    * rows, unions the batch in, and rewrites just those partitions via
+    * dynamic partition overwrite. Replaced bytes ~ touched partitions,
+    * not corpus size. NOT transactional across concurrent writers (that
+    * is a table-format concern — Delta/Iceberg); single-writer pipelines
+    * get read-committed-per-partition semantics from the parquet commit
+    * protocol.
+    */
+  def upsertByKey(
+      batch: DataFrame,
+      path: String,
+      partCol: String,
+      keyCol: String,
+      sortCols: Seq[String] = Nil,
+      filesPerPartition: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val touched = batch.select(partCol).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isin(touched: _*))
+    // localCheckpoint breaks the read-path lineage BEFORE the overwrite —
+    // Spark (correctly) refuses to overwrite a path a plan still reads
+    // from; the materialized set is bounded by the touched partitions
+    // (disk-backed executor storage), never the corpus
+    val merged = existing
+      .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(batch)
+      .localCheckpoint(true)
+    // same salted layout as writePartitioned, but only the touched
+    // partitions replace — dynamic overwrite leaves the rest untouched
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val salt: Column =
+        if (filesPerPartition <= 1) lit(0)
+        else if (sortCols.nonEmpty) pmod(hash(sortCols.map(col): _*), lit(filesPerPartition))
+        else pmod(hash(col(partCol)).cast("long") + spark_partition_id(),
+          lit(filesPerPartition.toLong))
+      val shuffled = merged
+        .withColumn("__salt", salt)
+        .repartition(col(partCol), col("__salt"))
+        .drop("__salt")
+      val clustered =
+        if (sortCols.isEmpty) shuffled
+        else shuffled.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      clustered.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }

@@ -32,6 +32,31 @@ class PartitionedSinkSpec extends SparkSpec {
     }
   }
 
+  test("upsertByKey: replace by key, carry the rest, never rewrite untouched partitions") {
+    import spark.implicits._
+    val out = freshDir()
+    val base = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
+      .toDF("id", "part", "v")
+    PartitionedSink.writePartitioned(base, out, Seq("part"), Seq("id"))
+    def cFiles() = new java.io.File(s"$out/part=c").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = cFiles()
+    // replace id 2 in partition a, insert id 5 into partition b; c untouched
+    val batch = Seq((2L, "a", 99), (5L, "b", 50)).toDF("id", "part", "v")
+    PartitionedSink.upsertByKey(batch, out, "part", "id")
+    val got = spark.read.parquet(out).select("id", "v", "part")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10, "a"), (2L, 99, "a"), (3L, 30, "b"),
+      (4L, 40, "c"), (5L, 50, "b")))
+    // dynamic overwrite: the untouched partition's files are byte-for-byte
+    // the originals (same names, same mtimes — never rewritten)
+    assert(cFiles() == before, "partition c must not be rewritten")
+    // an empty batch is a no-op, not a corpus wipe
+    PartitionedSink.upsertByKey(batch.filter(lit(false)), out, "part", "id")
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
   test("read-back scan prunes partitions on the partition predicate") {
     val out = freshDir()
     PartitionedSink.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"))
