@@ -1532,6 +1532,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Full IVF-PQ search ([[graft.ops.Pq.ivfPqSearch]]): coarse 16-cell
+    * routing (nProbe = 4 — the candidate set shrinks to ~1/4 of the
+    * corpus BEFORE any scoring) + PQ-ADC integer table lookups. Both
+    * quantizers train at iterations = 0 from the same 16 lowest-id
+    * vectors, so the oracle re-derives routing, codes, tables, and
+    * ranks exactly — like q_embed_adc, no recall envelope needed.
+    */
+  private def qEmbedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val coarse = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
+      nLists = 16, iterations = 0)
+    val pq = graft.ops.Pq.train(emb, "vec_id", "embedding", blocks = 4, codebookSize = 16)
+    graft.ops.Pq.ivfPqSearch(coarse, pq, emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-format scan/sink round-trip (SURVEY.md §2B "scans: other
     * formats / sinks"): the same event subset written as CSV and JSON,
     * read back, joined, and aggregated — oracle reproduces from the
@@ -2107,6 +2124,7 @@ object SparkEntry {
     "q_semantic_keepbest" -> (qSemanticKeepBest _),
     "q_embed_pq" -> (qEmbedPq _),
     "q_embed_adc" -> (qEmbedAdc _),
+    "q_embed_ivfpq" -> (qEmbedIvfPq _),
     "q_multi_format" -> (qMultiFormat _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -2887,6 +2905,53 @@ object SparkEntry {
         |          CAST(sum(qt.sd) AS BIGINT) AS scaled_adc
         |        FROM asg JOIN qt ON asg.b = qt.b AND asg.cell = qt.cell
         |        WHERE qt.query_id <> asg.vec_id
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, scaled_adc,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY scaled_adc, neighbor_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, rank, neighbor_id, scaled_adc FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // coarse routing (16 full-vector cells, probe top-4 by (dist, cell))
+    // + the PQ code/table machinery of q_embed_adc; both quantizers
+    // derive from the SAME 16 lowest-id vectors (iterations = 0)
+    "q_embed_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+        |         FROM e ORDER BY vec_id LIMIT 16),
+        |dc AS (SELECT e.vec_id, b.cell,
+        |         list_sum(list_transform(list_zip(e.v, b.v),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |       FROM e CROSS JOIN base b),
+        |casg AS (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell,
+        |                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+        |           FROM dc)
+        |         WHERE rk = 1),
+        |probe AS (SELECT vec_id AS query_id, cell FROM (
+        |            SELECT vec_id, cell,
+        |                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+        |            FROM dc)
+        |          WHERE rk <= 4 AND vec_id < 10),
+        |blk AS (SELECT unnest(generate_series(0, 3)) AS b),
+        |cb AS (SELECT b, cell, v[(b*16+1):(b*16+16)] AS c FROM base CROSS JOIN blk),
+        |sub AS (SELECT vec_id, b, v[(b*16+1):(b*16+16)] AS s FROM e CROSS JOIN blk),
+        |dpq AS (SELECT sub.vec_id, sub.b, cb.cell,
+        |          list_sum(list_transform(list_zip(sub.s, cb.c),
+        |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |        FROM sub JOIN cb ON sub.b = cb.b),
+        |pasg AS (SELECT vec_id, b, cell FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cell) AS rk
+        |           FROM dpq)
+        |         WHERE rk = 1),
+        |qt AS (SELECT vec_id AS query_id, b, cell,
+        |         CAST(floor(dist * 1e12 + 0.5) AS BIGINT) AS sd
+        |       FROM dpq WHERE vec_id < 10),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |         FROM casg a JOIN probe p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+        |adc AS (SELECT c.query_id, c.neighbor_id, CAST(sum(qt.sd) AS BIGINT) AS scaled_adc
+        |        FROM cand c JOIN pasg n ON n.vec_id = c.neighbor_id
+        |             JOIN qt ON qt.query_id = c.query_id AND qt.b = n.b AND qt.cell = n.cell
         |        GROUP BY 1, 2),
         |r AS (SELECT query_id, neighbor_id, scaled_adc,
         |        row_number() OVER (PARTITION BY query_id

@@ -154,6 +154,81 @@ object Pq {
       .select("query_id", "rank", "neighbor_id", "scaled_adc")
   }
 
+  /** FULL IVF-PQ search — the composition billion-scale ANN actually
+    * deploys: the coarse quantizer routes each query to its `nProbe`
+    * nearest cells (candidate set ~ nProbe/nLists of the corpus — the
+    * scan shrinks BEFORE any scoring), and PQ-ADC scores only those
+    * candidates with integer table lookups. One corpus pass computes
+    * both the coarse cell and the PQ codes (both codegen argmins); the
+    * query side (probe cells + distance tables) is driver-side state
+    * bounded by |queries|, exploded to (query, cell) rows so the
+    * candidate join is a broadcast EQUI-join on the cell id.
+    *
+    * Probe selection reuses [[graft.functions.NearestCentroids.compute]]
+    * driver-side, so query routing is bit-identical to the corpus-side
+    * assignment; distances follow [[adcSearch]]'s scaled-long contract —
+    * ranking is deterministic and an oracle re-derives the exact result.
+    */
+  def ivfPqSearch(
+      coarse: IvfIndex.Model,
+      pq: Model,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sortedCoarse = coarse.centroids.sortBy(_._1)
+    val coarseIds = sortedCoarse.map(_._1)
+    val coarseMatrix = sortedCoarse.map(_._2.toArray)
+    val books = pq.codebooks.map(_.centroids.sortBy(_._1).map(_._2.toArray))
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+      .collect()
+    // nProbe (query_id, probed cell, tables) rows per query
+    val qSide: Seq[(Long, Int, Seq[Seq[Long]])] = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      val probes = graft.functions.NearestCentroids.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(qv.toArray),
+        coarseMatrix, nProbe)
+      val tbl = (0 until pq.blocks).map { b =>
+        books(b).toSeq.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < pq.subDim) {
+            val x = qv(b * pq.subDim + i) - c(i)
+            d += x * x
+            i += 1
+          }
+          math.floor(d * 1e12 + 0.5).toLong
+        }
+      }
+      (0 until probes.numElements()).map(p => (qid, coarseIds(probes.getInt(p)), tbl))
+    }
+    val qdf = qSide.toDF("query_id", "cell", "__tbl")
+    val enc = Dedup.spreadDf(IvfIndex.withCell(
+        corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv")),
+        "__cv", coarse))
+      .select(col("neighbor_id"), col("cell"), encode(col("__cv"), pq).as("__code"))
+    val adc = (0 until pq.blocks).map { b =>
+      element_at(element_at(col("__tbl"), b + 1), element_at(col("__code"), b + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("scaled_adc").asc, col("neighbor_id").asc)
+    // probe cells are distinct and a vector has one cell, so each
+    // (query, neighbor) pair joins at most once — no dedup pass
+    enc.join(broadcast(qdf), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("scaled_adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "scaled_adc")
+  }
+
   /** Per-block 1e12-scaled squared reconstruction error as
     * `array<long>` — LONGS, not doubles, so downstream sums are exact
     * and partition-order independent (the [[graft.functions

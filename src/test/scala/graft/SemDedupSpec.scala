@@ -135,6 +135,31 @@ class SemDedupSpec extends SparkSpec {
       (3, 3L, 18000000000000L)))
   }
 
+  test("IVF-PQ search: coarse routing bounds candidates; full probe equals plain ADC") {
+    import graft.ops.{IvfIndex, Pq}
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 2.0, 2.0, 0.0)),
+      (3L, Seq(3.0, 0.0, 0.0, 3.0))
+    ).toDF("id", "vec")
+    val coarse = IvfIndex.train(vecs, "id", "vec", nLists = 4, iterations = 0)
+    val pq = Pq.train(vecs, "id", "vec", blocks = 2, codebookSize = 4)
+    val q0 = vecs.filter($"id" === 0L)
+    // every vector is its own coarse cell; nProbe = 1 probes only the
+    // query's own cell, whose sole member is the query itself -> empty
+    val routed = Pq.ivfPqSearch(coarse, pq, vecs, q0, "id", "vec", k = 3, nProbe = 1)
+    assert(routed.count() == 0)
+    // probing every cell recovers exactly the un-routed ADC result
+    val full = Pq.ivfPqSearch(coarse, pq, vecs, q0, "id", "vec", k = 3, nProbe = 4)
+      .select("rank", "neighbor_id", "scaled_adc")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val plain = Pq.adcSearch(pq, vecs, q0, "id", "vec", k = 3)
+      .select("rank", "neighbor_id", "scaled_adc")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(full == plain && full.nonEmpty)
+  }
+
   test("q_semantic_dedup plan is cell-blocked too (driver-query shape)") {
     val out = SparkEntry.queries("q_semantic_dedup")(spark, sf)
     out.collect()
