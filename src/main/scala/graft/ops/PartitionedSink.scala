@@ -62,15 +62,25 @@ object PartitionedSink {
     * rewritten.
     *
     * Scale shape: the merge reads ONLY the partitions the batch touches
-    * (an IN filter on collected partition values — driver state bounded
-    * by partition cardinality, and partition pruning keeps the scan off
-    * everything else), anti-joins the batch keys out of the existing
-    * rows, unions the batch in, and rewrites just those partitions via
-    * dynamic partition overwrite. Replaced bytes ~ touched partitions,
-    * not corpus size. NOT transactional across concurrent writers (that
-    * is a table-format concern — Delta/Iceberg); single-writer pipelines
-    * get read-committed-per-partition semantics from the parquet commit
-    * protocol.
+    * (a filter on collected partition values — driver state bounded by
+    * partition cardinality, and partition pruning keeps the scan off
+    * everything else; null partition values are handled — `isin` alone
+    * would silently DROP the carried null-partition rows), anti-joins
+    * the batch keys out of the existing rows, unions the batch in, and
+    * rewrites just those partitions via dynamic partition overwrite.
+    * Replaced bytes ~ touched partitions, not corpus size.
+    *
+    * CONTRACT: a key's partition value must be STABLE — this op prunes
+    * to the batch's partitions, so a batch row whose key currently
+    * lives in an untouched partition leaves the stale copy there (the
+    * key is then duplicated). That matches the usual layout (partition
+    * is a function of the key — lang, date, source); when partitions
+    * can move, run a full rewrite instead, or enable
+    * `assertStableKeys` (a column-pruned key+partition scan of the
+    * whole corpus — debug-tier cost) to fail fast on a moved key.
+    * NOT transactional across concurrent writers (a table-format
+    * concern — Delta/Iceberg); single-writer pipelines get
+    * per-partition replace semantics from the parquet commit protocol.
     */
   def upsertByKey(
       batch: DataFrame,
@@ -78,43 +88,52 @@ object PartitionedSink {
       partCol: String,
       keyCol: String,
       sortCols: Seq[String] = Nil,
-      filesPerPartition: Int = 4): Unit = {
+      filesPerPartition: Int = 4,
+      assertStableKeys: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val touched = batch.select(partCol).distinct().collect().map(_.get(0))
-    if (touched.isEmpty) return
-    val existing = spark.read.parquet(path)
-      .filter(col(partCol).isin(touched: _*))
-    // localCheckpoint breaks the read-path lineage BEFORE the overwrite —
-    // Spark (correctly) refuses to overwrite a path a plan still reads
-    // from; the materialized set is bounded by the touched partitions
-    // (disk-backed executor storage), never the corpus
-    val merged = existing
-      .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(batch)
-      .localCheckpoint(true)
-    // same salted layout as writePartitioned, but only the touched
-    // partitions replace — dynamic overwrite leaves the rest untouched
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the batch is consumed three times (partition collect, anti-join
+    // keys, union branch): persist so an expensive upstream plan (joins,
+    // dedup) runs once
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val salt: Column =
-        if (filesPerPartition <= 1) lit(0)
-        else if (sortCols.nonEmpty) pmod(hash(sortCols.map(col): _*), lit(filesPerPartition))
-        else pmod(hash(col(partCol)).cast("long") + spark_partition_id(),
-          lit(filesPerPartition.toLong))
-      val shuffled = merged
-        .withColumn("__salt", salt)
-        .repartition(col(partCol), col("__salt"))
-        .drop("__salt")
-      val clustered =
-        if (sortCols.isEmpty) shuffled
-        else shuffled.sortWithinPartitions((partCol +: sortCols).map(col): _*)
-      clustered.write.mode("overwrite").partitionBy(partCol).parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val touched = b.select(partCol).distinct().collect().map(_.get(0))
+      if (touched.isEmpty) return
+      val nonNull = touched.filter(_ != null)
+      val partFilter: Column = {
+        val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
+        if (touched.contains(null)) in || col(partCol).isNull else in
       }
-    }
+      if (assertStableKeys) {
+        val moved = spark.read.parquet(path)
+          .select(col(keyCol), col(partCol))
+          .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          .filter(!coalesce(partFilter, lit(false)))
+          .limit(1).collect()
+        if (moved.nonEmpty)
+          throw new IllegalStateException(
+            s"[upsertByKey] key '${moved.head.get(0)}' lives in untouched partition " +
+              s"'${moved.head.get(1)}' — keys must not change partitions (see scaladoc)")
+      }
+      val existing = spark.read.parquet(path).filter(partFilter)
+      // localCheckpoint breaks the read-path lineage BEFORE the overwrite —
+      // Spark (correctly) refuses to overwrite a path a plan still reads
+      // from; the materialized set is bounded by the touched partitions
+      // (disk-backed executor storage), never the corpus
+      val merged = existing
+        .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(b)
+        .localCheckpoint(true)
+      // same salted layout as writePartitioned; dynamic overwrite replaces
+      // only the touched partitions
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try writePartitioned(merged, path, Seq(partCol), sortCols, filesPerPartition)
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    } finally b.unpersist(blocking = false)
   }
 }

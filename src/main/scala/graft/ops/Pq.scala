@@ -113,42 +113,59 @@ object Pq {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = queries
       .select(col(idCol).cast("long").as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
       .collect()
-    val books = model.codebooks.map(_.centroids.sortBy(_._1).map(_._2.toArray))
+    val books = sortedBooks(model)
     val tables: Seq[(Long, Seq[Seq[Long]])] = qRows.toSeq.map { r =>
-      val qid = r.getLong(0)
-      val qv = r.getSeq[Double](1)
-      val t = (0 until model.blocks).map { b =>
-        books(b).toSeq.map { c =>
-          var d = 0.0
-          var i = 0
-          while (i < model.subDim) {
-            val x = qv(b * model.subDim + i) - c(i)
-            d += x * x
-            i += 1
-          }
-          math.floor(d * 1e12 + 0.5).toLong
-        }
-      }
-      (qid, t)
+      (r.getLong(0), scaledDistanceTable(r.getSeq[Double](1), books, model))
     }
     val qTables = tables.toDF("query_id", "__tbl")
     val encoded = Dedup.spreadDf(corpus)
       .select(col(idCol).cast("long").as("neighbor_id"),
         encode(col(vecCol), model).as("__code"))
-    val blocksIdx = (0 until model.blocks)
-    val adc = blocksIdx.map { b =>
+    encoded.join(broadcast(qTables), col("query_id") =!= col("neighbor_id"))
+      .withColumn("scaled_adc", adcLookupSum(model))
+      .transform(topK(k))
+  }
+
+  /** The cross-engine determinism contract shared by [[adcSearch]] and
+    * [[ivfPqSearch]]: per-block squared distances from a query's
+    * subvectors to every codebook centroid, accumulated SEQUENTIALLY in
+    * index order and floor-rounded to 1e12-scaled longs.
+    */
+  private def scaledDistanceTable(
+      qv: Seq[Double], books: Array[Array[Array[Double]]], model: Model): Seq[Seq[Long]] =
+    (0 until model.blocks).map { b =>
+      books(b).toSeq.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < model.subDim) {
+          val x = qv(b * model.subDim + i) - c(i)
+          d += x * x
+          i += 1
+        }
+        math.floor(d * 1e12 + 0.5).toLong
+      }
+    }
+
+  private def sortedBooks(model: Model): Array[Array[Array[Double]]] =
+    model.codebooks.map(_.centroids.sortBy(_._1).map(_._2.toArray))
+
+  /** ADC = the sum of each block's table entry at the neighbor's code —
+    * exact long adds over `__tbl`/`__code` columns.
+    */
+  private def adcLookupSum(model: Model): Column =
+    (0 until model.blocks).map { b =>
       element_at(element_at(col("__tbl"), b + 1), element_at(col("__code"), b + 1) + 1)
     }.reduce(_ + _)
-    val w = Window.partitionBy("query_id")
+
+  private def topK(k: Int)(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("scaled_adc").asc, col("neighbor_id").asc)
-    encoded.join(broadcast(qTables), col("query_id") =!= col("neighbor_id"))
-      .withColumn("scaled_adc", adc)
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "scaled_adc")
@@ -160,9 +177,10 @@ object Pq {
     * scan shrinks BEFORE any scoring), and PQ-ADC scores only those
     * candidates with integer table lookups. One corpus pass computes
     * both the coarse cell and the PQ codes (both codegen argmins); the
-    * query side (probe cells + distance tables) is driver-side state
-    * bounded by |queries|, exploded to (query, cell) rows so the
-    * candidate join is a broadcast EQUI-join on the cell id.
+    * query side broadcasts as TWO slim relations — (query, cell) probe
+    * pairs for routing and one distance-table row per query — so the
+    * candidate join is a broadcast EQUI-join on the cell id and the
+    * broadcast stays |queries| tables, never |queries| x nProbe.
     *
     * Probe selection reuses [[graft.functions.NearestCentroids.compute]]
     * driver-side, so query routing is bit-identical to the corpus-side
@@ -178,55 +196,44 @@ object Pq {
       vecCol: String,
       k: Int,
       nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     val sortedCoarse = coarse.centroids.sortBy(_._1)
     val coarseIds = sortedCoarse.map(_._1)
     val coarseMatrix = sortedCoarse.map(_._2.toArray)
-    val books = pq.codebooks.map(_.centroids.sortBy(_._1).map(_._2.toArray))
+    val books = sortedBooks(pq)
     val qRows = queries
       .select(col(idCol).cast("long").as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
       .collect()
-    // nProbe (query_id, probed cell, tables) rows per query
-    val qSide: Seq[(Long, Int, Seq[Seq[Long]])] = qRows.toSeq.flatMap { r =>
+    // two SLIM broadcast relations instead of one with the table repeated
+    // per probed cell: (query, cell) probe pairs for routing, plus ONE
+    // table row per query — the broadcast stays |queries| tables, not
+    // |queries| x nProbe
+    val probePairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val tables = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Seq[Long]])]
+    qRows.foreach { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1)
       val probes = graft.functions.NearestCentroids.compute(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(qv.toArray),
         coarseMatrix, nProbe)
-      val tbl = (0 until pq.blocks).map { b =>
-        books(b).toSeq.map { c =>
-          var d = 0.0
-          var i = 0
-          while (i < pq.subDim) {
-            val x = qv(b * pq.subDim + i) - c(i)
-            d += x * x
-            i += 1
-          }
-          math.floor(d * 1e12 + 0.5).toLong
-        }
-      }
-      (0 until probes.numElements()).map(p => (qid, coarseIds(probes.getInt(p)), tbl))
+      (0 until probes.numElements()).foreach(p =>
+        probePairs += ((qid, coarseIds(probes.getInt(p)))))
+      tables += ((qid, scaledDistanceTable(qv, books, pq)))
     }
-    val qdf = qSide.toDF("query_id", "cell", "__tbl")
+    val probeDf = probePairs.toSeq.toDF("query_id", "cell")
+    val tableDf = tables.toSeq.toDF("query_id", "__tbl")
     val enc = Dedup.spreadDf(IvfIndex.withCell(
         corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv")),
         "__cv", coarse))
       .select(col("neighbor_id"), col("cell"), encode(col("__cv"), pq).as("__code"))
-    val adc = (0 until pq.blocks).map { b =>
-      element_at(element_at(col("__tbl"), b + 1), element_at(col("__code"), b + 1) + 1)
-    }.reduce(_ + _)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("scaled_adc").asc, col("neighbor_id").asc)
     // probe cells are distinct and a vector has one cell, so each
     // (query, neighbor) pair joins at most once — no dedup pass
-    enc.join(broadcast(qdf), Seq("cell"))
+    enc.join(broadcast(probeDf), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("scaled_adc", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "scaled_adc")
+      .join(broadcast(tableDf), Seq("query_id"))
+      .withColumn("scaled_adc", adcLookupSum(pq))
+      .transform(topK(k))
   }
 
   /** Per-block 1e12-scaled squared reconstruction error as

@@ -57,6 +57,41 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 5)
   }
 
+  test("upsertByKey: null partition rows are carried, not silently dropped") {
+    import spark.implicits._
+    val out = freshDir()
+    val base = Seq((1L, Some("a"), 10), (2L, None, 20), (3L, None, 30))
+      .toDF("id", "part", "v")
+    PartitionedSink.writePartitioned(base, out, Seq("part"), Seq("id"))
+    // batch touches the null partition: replaces id 3, must CARRY id 2
+    // (a bare isin(null) filter evaluates NULL and would lose it)
+    val batch = Seq((3L, Option.empty[String], 99)).toDF("id", "part", "v")
+    PartitionedSink.upsertByKey(batch, out, "part", "id")
+    val got = spark.read.parquet(out).select("id", "v")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10), (2L, 20), (3L, 99)))
+  }
+
+  test("upsertByKey: assertStableKeys fails fast when a key changed partitions") {
+    import spark.implicits._
+    val out = freshDir()
+    val base = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30)).toDF("id", "part", "v")
+    PartitionedSink.writePartitioned(base, out, Seq("part"), Seq("id"))
+    // key 2 moves a -> b: partition a is untouched, so the stale copy
+    // would survive — the debug assertion must catch it
+    val moved = Seq((2L, "b", 99)).toDF("id", "part", "v")
+    val e = intercept[IllegalStateException] {
+      PartitionedSink.upsertByKey(moved, out, "part", "id", assertStableKeys = true)
+    }
+    assert(e.getMessage.contains("must not change partitions"))
+    // a partition-stable batch passes the same assertion
+    PartitionedSink.upsertByKey(Seq((2L, "a", 99)).toDF("id", "part", "v"),
+      out, "part", "id", assertStableKeys = true)
+    val got = spark.read.parquet(out).select("id", "v")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10), (2L, 99), (3L, 30)))
+  }
+
   test("read-back scan prunes partitions on the partition predicate") {
     val out = freshDir()
     PartitionedSink.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"))
