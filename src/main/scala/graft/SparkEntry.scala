@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, DupGroups, Multimodal, NgramLm, Packing, PartitionedSink, Sampling, Similarity}
+import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, DupGroups, Multimodal, NgramLm, Packing, PartitionedSink, QualityClassifier, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -1929,6 +1929,35 @@ object SparkEntry {
     out
   }
 
+  /** fastText-style quality classifier ([[graft.ops.QualityClassifier]]):
+    * the train-a-filter-on-labeled-slices shape — a Naive Bayes log-odds
+    * linear model trained on the even-id slice (label: lang = 'en', a
+    * deterministic stand-in for "reference corpus / not"), scoring the
+    * odd-id slice. Every ln is of an integer and scaled once to a long,
+    * so the oracle reproduces weights, OOV floor, prior, and doc scores
+    * exactly ([[NgramLm]] discipline).
+    */
+  private def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val model = QualityClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0)),
+      "text", "__label")
+    val scored = QualityClassifier.score(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model,
+      carryCols = Seq("lang"))
+    val agg = scored
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("scaled_score").as("sum_scaled_score"),
+        sum(when(col("scaled_score") > 0, 1L).otherwise(0L)).as("n_pred_positive"),
+        sum("n_oov").as("sum_oov"))
+      .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    model.release()
+    out
+  }
+
   /** Fuzzy decontamination ([[graft.ops.Decontaminate
     * .contaminationCoverage]]): flag (corpus doc, eval item) pairs where
     * >= 50% of the eval item's distinct 8-gram shingles appear in the
@@ -2144,6 +2173,7 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_external_lm" -> (qExternalLm _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -3133,6 +3163,35 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
          |       CAST(sum(oov) AS BIGINT) AS sum_oov,
          |       CAST(sum(CASE WHEN oov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_oov
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_classifier" ->
+      s"""WITH tokA AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l,
+         |                     unnest($ToksSql) AS t
+         |              FROM documents WHERE doc_id % 2 = 0),
+         |vocab AS (SELECT t, CAST(sum(l) AS BIGINT) AS cpos,
+         |                 CAST(sum(1 - l) AS BIGINT) AS cneg FROM tokA GROUP BY t),
+         |consts AS (SELECT
+         |    CAST(floor(ln(coalesce(sum(cpos), 0) + greatest(count(*), 1)) * 1e6 + 0.5) AS BIGINT) AS spden,
+         |    CAST(floor(ln(coalesce(sum(cneg), 0) + greatest(count(*), 1)) * 1e6 + 0.5) AS BIGINT) AS snden
+         |  FROM vocab),
+         |dprior AS (SELECT
+         |    CAST(floor(ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1e6 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1) * 1e6 + 0.5) AS BIGINT) AS prior
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |w AS (SELECT t,
+         |        CAST(floor(ln(cpos + 1) * 1e6 + 0.5) AS BIGINT) - (SELECT spden FROM consts)
+         |      - CAST(floor(ln(cneg + 1) * 1e6 + 0.5) AS BIGINT) + (SELECT snden FROM consts) AS w
+         |      FROM vocab),
+         |tokB AS (SELECT doc_id, lang, unnest($ToksSql) AS t
+         |         FROM documents WHERE doc_id % 2 = 1),
+         |scored AS (SELECT b.doc_id, b.lang,
+         |             sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS oov,
+         |             sum(coalesce(w.w, (SELECT snden - spden FROM consts))) AS sw
+         |           FROM tokB b LEFT JOIN w USING (t) GROUP BY 1, 2),
+         |d AS (SELECT lang, oov, sw + (SELECT prior FROM dprior) AS sc FROM scored)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(sc) AS BIGINT) AS sum_scaled_score,
+         |       CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_positive,
+         |       CAST(sum(oov) AS BIGINT) AS sum_oov
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_decontaminate_fuzzy" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
