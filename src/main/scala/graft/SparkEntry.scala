@@ -2014,6 +2014,37 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Exact duplicated-substring dedup ([[graft.ops.SubstringDedup]], the
+    * Lee et al. 2022 shape): duplicated 8-token windows, keep-first
+    * ownership (min (doc_id, pos)), per-doc maximal span merge. Planted
+    * evidence: truncated copies (first ceil(0.9 n) normalized tokens,
+    * id + 1e6) of every 10th doc — the copy's whole text marks as
+    * duplicated while the original keeps ownership; natural repeated
+    * 8-grams in the base corpus flag on both sides identically.
+    */
+  private def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("__toks", TF.tokens(col("text")))
+      .withColumn("__n", size(col("__toks")))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        array_join(slice(col("__toks"), lit(1),
+          expr("cast((__n * 9 + 9) div 10 as int)")), " ").as("text"))
+    val corpus = spread(docs.select("doc_id", "lang", "text").unionByName(copies))
+    val (stats, release) = graft.ops.SubstringDedup.dedupStats(
+      corpus, "doc_id", "text", 8, keepFirst = true, carryCols = Seq("lang"))
+    val agg = stats
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_flagged"),
+        sum("n_dup_spans").as("n_spans"),
+        sum("dup_tokens").as("sum_dup_tokens"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens_flagged"))
+      .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    release()
+    out
+  }
+
   /** Token-entropy quality signal ([[NgramLm.tokenEntropy]]): exact
     * integer Shannon entropy of each doc's token distribution — the
     * template-spam / gibberish discriminator one step up from the
@@ -2174,6 +2205,7 @@ object SparkEntry {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_external_lm" -> (qExternalLm _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_substring_dedup" -> (qSubstringDedup _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -3193,6 +3225,41 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_positive,
          |       CAST(sum(oov) AS BIGINT) AS sum_oov
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_substring_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |cp AS (SELECT doc_id + 1000000 AS doc_id, lang, t[1:((len(t)*9+9)//10)] AS t
+         |       FROM tk WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT doc_id, lang, t FROM tk
+         |           UNION ALL SELECT doc_id, lang, t FROM cp),
+         |nn AS (SELECT doc_id, lang, t, len(t) AS n FROM corpus WHERE len(t) >= 1),
+         |w AS (SELECT doc_id, lang, n, gs.i AS pos,
+         |        array_to_string(t[(gs.i+1):(gs.i+least(8, n))], ' ') AS s
+         |      FROM nn, LATERAL (SELECT unnest(generate_series(0,
+         |        CASE WHEN n <= 8 THEN 0 ELSE n - 8 END)) AS i) gs),
+         |m AS (SELECT doc_id, lang, n, pos,
+         |        row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rk,
+         |        count(*) OVER (PARTITION BY s) AS c
+         |      FROM w),
+         |mk AS (SELECT doc_id, lang, n, pos, least(pos + 8, n) AS e
+         |       FROM m WHERE c > 1 AND rk > 1),
+         |sw AS (SELECT doc_id, lang, n, pos, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |       FROM mk),
+         |g AS (SELECT doc_id, lang, n, pos, e,
+         |        sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |      FROM sw),
+         |spans AS (SELECT doc_id, lang, n, grp, min(pos) AS st, max(e) AS en
+         |          FROM g GROUP BY 1, 2, 3, 4),
+         |stats AS (SELECT doc_id, lang, n, count(*) AS ns, sum(en - st) AS dt
+         |          FROM spans GROUP BY 1, 2, 3)
+         |SELECT lang, count(*) AS n_docs_flagged,
+         |       CAST(sum(ns) AS BIGINT) AS n_spans,
+         |       CAST(sum(dt) AS BIGINT) AS sum_dup_tokens,
+         |       CAST(sum(n) AS BIGINT) AS sum_tokens_flagged
+         |FROM stats GROUP BY lang ORDER BY lang""".stripMargin,
     "q_decontaminate_fuzzy" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
          |ev AS (SELECT doc_id, t FROM tk WHERE doc_id < 20),
