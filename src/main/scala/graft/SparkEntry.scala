@@ -2045,6 +2045,31 @@ object SparkEntry {
     out
   }
 
+  /** Gopher-style repetition signals ([[graft.ops.GopherRepetition]]):
+    * top-{2,3}-gram coverage and duplicated-5-gram position-union
+    * coverage per doc, all exact integer token numerators. The flag
+    * (5·top2 > n_tokens ⟺ top-2-gram share > 0.2) is the paper's
+    * threshold in integer arithmetic.
+    */
+  private def qGopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val (sig, release) = graft.ops.GopherRepetition.repetitionSignals(
+      spread(t(spark, dir, "documents")), "doc_id", "text",
+      topNs = Seq(2, 3), dupN = 5, carryCols = Seq("lang"))
+    val agg = sig
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum("top2_tokens").as("sum_top2_tokens"),
+        sum("top3_tokens").as("sum_top3_tokens"),
+        sum("dup5_tokens").as("sum_dup5_tokens"),
+        sum(when(col("top2_tokens") * 5 > col("n_tokens"), 1L).otherwise(0L))
+          .as("n_flagged_top2"))
+      .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    release()
+    out
+  }
+
   /** Token-entropy quality signal ([[NgramLm.tokenEntropy]]): exact
     * integer Shannon entropy of each doc's token distribution — the
     * template-spam / gibberish discriminator one step up from the
@@ -2206,6 +2231,7 @@ object SparkEntry {
     "q_external_lm" -> (qExternalLm _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_substring_dedup" -> (qSubstringDedup _),
+    "q_gopher_repetition" -> (qGopherRepetition _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -3260,6 +3286,49 @@ object SparkEntry {
          |       CAST(sum(dt) AS BIGINT) AS sum_dup_tokens,
          |       CAST(sum(n) AS BIGINT) AS sum_tokens_flagged
          |FROM stats GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_gopher_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |nn AS (SELECT doc_id, lang, t, len(t) AS nt FROM tk WHERE len(t) >= 1),
+         |w AS (SELECT doc_id, lang, nt, ns.n AS n, gs.i AS pos,
+         |        array_to_string(t[(gs.i+1):(gs.i+least(ns.n, nt))], ' ') AS s
+         |      FROM nn,
+         |        LATERAL (SELECT unnest([2, 3, 5]) AS n) ns,
+         |        LATERAL (SELECT unnest(generate_series(0,
+         |          CASE WHEN nt <= ns.n THEN 0 ELSE nt - ns.n END)) AS i) gs),
+         |c AS (SELECT doc_id, lang, nt, n, s, count(*) AS c
+         |      FROM w WHERE n IN (2, 3) GROUP BY 1, 2, 3, 4, 5),
+         |tops AS (SELECT doc_id, lang, nt,
+         |           coalesce(max(CASE WHEN n = 2
+         |             THEN least(c * least(2, nt), nt) END), 0) AS top2,
+         |           coalesce(max(CASE WHEN n = 3
+         |             THEN least(c * least(3, nt), nt) END), 0) AS top3
+         |         FROM c GROUP BY 1, 2, 3),
+         |w5 AS (SELECT doc_id, nt, pos, least(pos + 5, nt) AS e,
+         |         count(*) OVER (PARTITION BY doc_id, s) AS c
+         |       FROM w WHERE n = 5),
+         |mk AS (SELECT doc_id, nt, pos, e FROM w5 WHERE c > 1),
+         |sw AS (SELECT doc_id, pos, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |       FROM mk),
+         |g AS (SELECT doc_id, pos, e,
+         |        sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |      FROM sw),
+         |spans AS (SELECT doc_id, grp, min(pos) AS st, max(e) AS en
+         |          FROM g GROUP BY 1, 2),
+         |dup AS (SELECT doc_id, sum(en - st) AS d5 FROM spans GROUP BY 1),
+         |sig AS (SELECT t.doc_id, t.lang, t.nt, t.top2, t.top3,
+         |          coalesce(d.d5, 0) AS d5
+         |        FROM tops t LEFT JOIN dup d ON t.doc_id = d.doc_id)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(top2) AS BIGINT) AS sum_top2_tokens,
+         |       CAST(sum(top3) AS BIGINT) AS sum_top3_tokens,
+         |       CAST(sum(d5) AS BIGINT) AS sum_dup5_tokens,
+         |       CAST(sum(CASE WHEN top2 * 5 > nt THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_flagged_top2
+         |FROM sig GROUP BY lang ORDER BY lang""".stripMargin,
     "q_decontaminate_fuzzy" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
          |ev AS (SELECT doc_id, t FROM tk WHERE doc_id < 20),

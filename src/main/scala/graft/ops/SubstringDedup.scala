@@ -78,9 +78,10 @@ object SubstringDedup {
 
   /** Merge overlapping/adjacent-overlapping marks [pos, min(pos+k,
     * n_tokens)) into maximal spans: classic running-max sweep — a mark
-    * opens a new span iff it starts past everything seen so far.
+    * opens a new span iff it starts past everything seen so far. Shared
+    * with [[GopherRepetition]]'s within-doc duplicated-n-gram coverage.
     */
-  private def mergeSpans(
+  private[ops] def mergeSpans(
       marked: DataFrame, idCol: String, k: Int, carryCols: Seq[String]): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val endCol = least(col("pos") + k, col("n_tokens"))
