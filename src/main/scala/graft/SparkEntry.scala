@@ -2070,6 +2070,23 @@ object SparkEntry {
     out
   }
 
+  /** BM25 ranked retrieval ([[graft.ops.Bm25]]): three fixed corpus-vocab
+    * queries, top-10 docs each. The k1=6/5, b=3/4 integer-rational
+    * construction plus logs-of-integers idf make every score an exact
+    * long both engines re-derive; ties break on doc_id.
+    */
+  private def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
+      (3L, "stream window batch")).toDF("qid", "qtext")
+    val (out, release) = graft.ops.Bm25.bm25TopK(
+      spread(t(spark, dir, "documents")), "doc_id", "text",
+      queries, "qid", "qtext", k = 10)
+    val res = out.orderBy("qid", "rank").localCheckpoint(true)
+    release()
+    res
+  }
+
   /** Token-entropy quality signal ([[NgramLm.tokenEntropy]]): exact
     * integer Shannon entropy of each doc's token distribution — the
     * template-spam / gibberish discriminator one step up from the
@@ -2232,6 +2249,7 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
+    "q_bm25" -> (qBm25 _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -3329,6 +3347,36 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN top2 * 5 > nt THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_flagged_top2
          |FROM sig GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |nn AS (SELECT doc_id, t, len(t) AS dl FROM tk WHERE len(t) >= 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM nn),
+         |tfc AS (SELECT doc_id, tok, count(*) AS tf
+         |        FROM (SELECT doc_id, unnest(t) AS tok FROM nn) GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+         |q(qid, qtext) AS (VALUES (1, 'sort merge join'), (2, 'hash table scan'),
+         |                         (3, 'stream window batch')),
+         |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok FROM q),
+         |con AS (SELECT qt.qid, p.doc_id,
+         |          CAST(floor(
+         |            (CAST(floor(ln(2 * (SELECT n FROM st) + 2) * 1e6 + 0.5) AS BIGINT)
+         |             - CAST(floor(ln(2 * p.df + 1) * 1e6 + 0.5) AS BIGINT))
+         |            * CAST(22 * (SELECT s FROM st) * p.tf AS DOUBLE)
+         |            / CAST(10 * (SELECT s FROM st) * p.tf + 3 * (SELECT s FROM st)
+         |                   + 9 * (SELECT n FROM st) * p.dl AS DOUBLE)
+         |            + 0.5) AS BIGINT) AS c
+         |        FROM (SELECT tfc.doc_id, tfc.tok, tfc.tf, nn.dl, dfc.df
+         |              FROM tfc JOIN nn USING (doc_id) JOIN dfc USING (tok)) p
+         |        JOIN qt ON p.tok = qt.tok),
+         |sc AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS scaled_score
+         |       FROM con GROUP BY 1, 2),
+         |rk AS (SELECT qid, doc_id, scaled_score,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY scaled_score DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       doc_id, scaled_score
+         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_decontaminate_fuzzy" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
          |ev AS (SELECT doc_id, t FROM tk WHERE doc_id < 20),

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{HashedShingles, TextFunctions}
+
+/** BM25 ranked retrieval over the corpus — the inverted-index scoring
+  * step up from [[TfIdf]]: a batch of queries, each scored against every
+  * document sharing a term, top-k per query. Okapi BM25 with the
+  * Lucene/Robertson positive idf.
+  *
+  * Cross-engine determinism (the repo discipline — no raw doubles summed
+  * across rows): with k1 = 6/5 and b = 3/4 the term factor
+  * `tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl)` multiplied through by
+  * `10·S` (S = total corpus tokens, avgdl = S/N) is the INTEGER ratio
+  * `22·S·tf / (10·S·tf + 3·S + 9·dl·N)`, and the idf
+  * `ln((N+1)/(df+0.5))` is `ln(2N+2) − ln(2df+1)` — logs of integers,
+  * scaled once to longs by `s(x) = floor(ln(x)·1e6 + 0.5)`. Each
+  * (query, doc, term) contribution is `floor(idf_scaled · num/den + 0.5)`
+  * — one IEEE multiply+divide on exactly-representable inputs, identical
+  * in any engine — and per-doc scores are exact long sums of those.
+  * The long products stay exact while `22·S·tf` < 2^53 (cf. the same
+  * documented bound in [[RangeJoin]]); beyond that the double rounding
+  * is still deterministic per IEEE, just no longer exactly the rational.
+  *
+  * Scale shape: ONE corpus explode → per-(doc, term-hash) tf hash
+  * aggregate (persisted — document length, document frequency, and the
+  * postings all derive from it); df and dl are second-level aggregates of
+  * tf, never a re-scan. The query side is bounded by the query workload,
+  * so it broadcasts (the [[Decontaminate]] eval-set precedent); the
+  * postings never shuffle by query. Top-k per query compiles to a
+  * rank-filter the optimizer pushes as WindowGroupLimit — pre-shuffle
+  * top-k, the q_domain_cap shape. Only N and S (two scalars) ever reach
+  * the driver.
+  */
+object Bm25 {
+
+  private def sLong(x: Long): Long =
+    math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+
+  private def tokenHashArray(textCol: Column): Column =
+    when(TextFunctions.tokenCount(textCol) >= 1, HashedShingles(textCol, 1))
+      .otherwise(array().cast("array<long>"))
+
+  /** Top-k documents per query: (qidCol, rank, idCol, scaled_score),
+    * rank 1..k by (score desc, idCol asc) — the deterministic tiebreak.
+    * Query terms are DISTINCT per query (bag-of-words query, no query-side
+    * tf weighting); query terms absent from the corpus contribute nothing,
+    * and a query matching no document emits no rows. Returns the frame
+    * and a release handle for the persisted tf aggregate.
+    */
+  def bm25TopK(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qTextCol: String,
+      k: Int): (DataFrame, () => Unit) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = corpus
+      .select(col(idCol), explode(tokenHashArray(col(textCol))).as("th"))
+      .groupBy(idCol, "th")
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
+    val (nDocs, totTokens) = (stats.getLong(0), stats.getLong(1))
+    val sIdfNum = if (nDocs > 0) sLong(2 * nDocs + 2) else 0L
+
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val postings = tf
+      .join(dl, idCol)
+      .join(dfreq, "th")
+      .withColumn("__idf", lit(sIdfNum) -
+        floor(log(col("df") * 2 + 1) * 1e6 + 0.5).cast("long"))
+      .withColumn("__num", lit(22L * totTokens) * col("tf"))
+      .withColumn("__den", lit(10L * totTokens) * col("tf") +
+        lit(3L * totTokens) + lit(9L * nDocs) * col("dl"))
+      .withColumn("__contrib",
+        floor(col("__idf").cast("double") * col("__num").cast("double") /
+          col("__den").cast("double") + 0.5).cast("long"))
+
+    val qterms = queries
+      .select(col(qidCol), explode(tokenHashArray(col(qTextCol))).as("th"))
+      .distinct()
+    val win = Window.partitionBy(qidCol)
+      .orderBy(col("scaled_score").desc, col(idCol).asc)
+    val out = postings
+      .join(broadcast(qterms), Seq("th"))
+      .groupBy(qidCol, idCol)
+      .agg(sum("__contrib").as("scaled_score"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"),
+        col(idCol), col("scaled_score"))
+    (out, () => { tf.unpersist(blocking = false); () })
+  }
+}

@@ -197,6 +197,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
   }
 
+  test("bm25: per-query top-k gets WindowGroupLimit; query side broadcasts") {
+    import graft.ops.Bm25
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val queries = docs.limit(2)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val (out, release) = Bm25.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", 5)
+    val p = planStr(out)
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), "query-term side should broadcast")
+    release()
+  }
+
   test("q_seq_pack: no single-partition exchange anywhere in the plan") {
     // the whole point of the two-pass prefix sum — a global Window would
     // plan Exchange SinglePartition and funnel the dataset into one task
