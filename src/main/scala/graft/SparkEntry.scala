@@ -1475,6 +1475,27 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** Semantic decontamination ([[graft.ops.SemDedup.crossSetPairs]]):
+    * embedding-space eval-set leakage — corpus vectors cosine-near an
+    * eval vector (every 10th id), compared only within the shared IVF
+    * cell. Same iterations=0 bit-exact cell oracle as q_semantic_dedup;
+    * eval-side broadcast, corpus x corpus never compared.
+    */
+  private def qSemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
+      nLists = 8, iterations = 0)
+    graft.ops.SemDedup.crossSetPairs(model,
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", 0.4, carryCols = Seq("label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("corpus_id")).as("n_flagged"),
+        r(avg(col("cosine")), 3).as("avg_cos"))
+      .orderBy("label")
+  }
+
   /** Product quantization ([[graft.ops.Pq]]): 4 blocks x 16-centroid
     * codebooks over the 64-dim embeddings — the storage half of IVF-PQ
     * (64 floats -> 4 codes). iterations = 0 keeps every codebook a
@@ -2250,6 +2271,7 @@ object SparkEntry {
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
+    "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -2952,6 +2974,18 @@ object SparkEntry {
          |         WHERE dropped.idb IS NULL)
          |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM kept GROUP BY label ORDER BY label""".stripMargin,
+    "q_semantic_decontam" ->
+      s"""WITH $SemanticPairCtesSql,
+         |xp AS (SELECT a.label, a.vec_id AS cid,
+         |         list_cosine_similarity(a.v, b.v) AS cos
+         |       FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
+         |            JOIN asg bb ON aa.cell = bb.cell
+         |            JOIN e b ON b.vec_id = bb.vec_id
+         |       WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+         |         AND list_cosine_similarity(a.v, b.v) >= 0.4)
+         |SELECT label, count(*) AS n_pairs, count(DISTINCT cid) AS n_flagged,
+         |       floor(avg(cos) * 1000 + 0.5) / 1000 AS avg_cos
+         |FROM xp GROUP BY label ORDER BY label""".stripMargin,
     "q_embed_pq" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v

@@ -74,6 +74,62 @@ object SemDedup {
     corpus.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Cross-set SEMANTIC contamination — embedding-space eval-set leakage,
+    * the fuzzy-decontamination analog ([[Decontaminate]]) one
+    * representation up: corpus vectors near-identical (cosine >=
+    * `threshold`) to an EVAL-set vector are flagged, comparing only
+    * within the shared IVF cell (same recall trade as [[withinCellPairs]]
+    * — a pair straddling a cell boundary is missed). Corpus x corpus and
+    * eval x eval pairs are NEVER generated; the eval side is bounded by
+    * the benchmark suite, so it broadcasts pinned (the [[Decontaminate]]
+    * eval-set precedent) — the corpus never shuffles by cell for this.
+    * Output: (cell, corpus_id, carryCols…, eval_id, cosine), one row per
+    * qualifying cross pair. `maxCellSize` bounds the CORPUS side of a
+    * cell (logged coverage bound); the eval side is never dropped.
+    */
+  def crossSetPairs(
+      model: IvfIndex.Model,
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      carryCols: Seq[String] = Nil,
+      maxCellSize: Long = Long.MaxValue): DataFrame = {
+    require(threshold >= -1 && threshold <= 1, s"threshold must be in [-1,1], got $threshold")
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    val corpusAssigned = IvfIndex.withCell(
+      Dedup.spreadDf(corpus).select(col(idCol).as("corpus_id") +:
+        carryCols.map(col) :+ toDoubleArray(col(vecCol)).as("__vc"): _*),
+      "__vc", model)
+    val capped = dropOversizedCells(corpusAssigned, maxCellSize, "crossSetPairs")
+    val evalAssigned = IvfIndex.withCell(
+      evalSet.select(col(idCol).as("eval_id"),
+        toDoubleArray(col(vecCol)).as("__ve")),
+      "__ve", model)
+    capped.join(broadcast(evalAssigned), Seq("cell"))
+      .withColumn("cosine", cosineSimilarity(col("__vc"), col("__ve")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cell") +: col("corpus_id") +: carryCols.map(col) :+
+        col("eval_id") :+ col("cosine"): _*)
+  }
+
+  /** Sort-free cell-size cap, shared by the within-cell and cross-set
+    * paths: hash-agg the oversized cell ids, anti-join them away.
+    */
+  private def dropOversizedCells(
+      assigned: DataFrame, maxCellSize: Long, who: String): DataFrame =
+    if (maxCellSize == Long.MaxValue) assigned
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"SemDedup.$who: coverage bound maxCellSize=$maxCellSize — larger cells are dropped")
+      val oversized = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("__csize"))
+        .filter(col("__csize") > maxCellSize)
+        .select("cell")
+      assigned.join(oversized, Seq("cell"), "left_anti")
+    }
+
   /** Shared pair pipeline; `scoreCol` rides along as __sa/__sb when the
     * caller needs keep-best resolution.
     */
@@ -91,18 +147,7 @@ object SemDedup {
       .select(col(idCol).as("__id") +: toDoubleArray(col(vecCol)).as("__v") +:
         scoreCol.map(_.as("__s")).toSeq: _*)
     val assigned = IvfIndex.withCell(base, "__v", model)
-    val capped =
-      if (maxCellSize == Long.MaxValue) assigned
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"SemDedup: coverage bound maxCellSize=$maxCellSize — larger cells are dropped")
-        // sort-free hash-agg + anti-join, same shape as the LSH bucket cap
-        val oversized = assigned.groupBy("cell")
-          .agg(count(lit(1)).as("__csize"))
-          .filter(col("__csize") > maxCellSize)
-          .select("cell")
-        assigned.join(oversized, Seq("cell"), "left_anti")
-      }
+    val capped = dropOversizedCells(assigned, maxCellSize, "cellPairs")
     val sel = (suffix: String) =>
       col("cell") +: col("__id").as(s"id$suffix") +: col("__v").as(s"__v$suffix") +:
         scoreCol.map(_ => col("__s").as(s"__s${suffix.toLowerCase}")).toSeq

@@ -160,6 +160,31 @@ class SemDedupSpec extends SparkSpec {
     assert(full == plain && full.nonEmpty)
   }
 
+  test("crossSetPairs: only corpus-x-eval same-cell pairs, with carry columns") {
+    val full = corpus()
+    val evalSet = full.filter($"id".isin(3L, 5L))
+    val corp = full.filter(!$"id".isin(3L, 5L))
+    val got = SemDedup.crossSetPairs(model(), corp, evalSet, "id", "vec", Thr,
+        carryCols = Seq("quality"))
+      .select("corpus_id", "eval_id", "quality")
+      .as[(Long, Long, Double)].collect().toSet
+    // eval 3 (6°, cell 0) matches corpus 2 (5°, cell 0) at cos(1°).
+    // eval 5 (15.1°, cell 1) is cos(0.2°) from corpus 4 (14.9°) but they
+    // straddle the cell boundary → blocked (the documented recall trade).
+    // corpus-x-corpus near-dup (1, 6) must never appear.
+    assert(got == Set((2L, 3L, 0.5)))
+  }
+
+  test("crossSetPairs: maxCellSize caps the corpus side only") {
+    val full = corpus()
+    val evalSet = full.filter($"id".isin(3L, 5L))
+    val corp = full.filter(!$"id".isin(3L, 5L))
+    val got = SemDedup.crossSetPairs(model(), corp, evalSet, "id", "vec", Thr,
+      maxCellSize = 1L)
+    // corpus cell 0 holds {0, 2, 4} > 1 → dropped, so the (2, 3) pair goes
+    assert(got.count() == 0)
+  }
+
   test("q_semantic_dedup plan is cell-blocked too (driver-query shape)") {
     val out = SparkEntry.queries("q_semantic_dedup")(spark, sf)
     out.collect()
