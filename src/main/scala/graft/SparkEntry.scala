@@ -1048,6 +1048,67 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** One-time: the documents corpus as 4 ordered stream chunks — batches
+    * 0-2 split the originals by doc_id % 3; batch 3 is the TRUNCATED
+    * copies (first ceil(0.9 n) normalized tokens, id + 1e6) of every 10th
+    * doc, so every copy arrives strictly after its original. Files are
+    * written sequentially; the parquet file stream replays them oldest-
+    * first, one per trigger.
+    */
+  private def nearDupStreamSrcDir(spark: SparkSession, dir: String): String = {
+    val key = tmpKey(dir)
+    oncePerDir(s"/tmp/graft_stream_neardup_src/$key", "_OK") {
+      val out = s"/tmp/graft_stream_neardup_src/$key"
+      deleteRec(new java.io.File(out))
+      val docs = t(spark, dir, "documents").select("doc_id", "lang", "text")
+      for (i <- 0 until 3)
+        docs.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(out)
+      t(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .withColumn("__toks", TF.tokens(col("text")))
+        .withColumn("__n", size(col("__toks")))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          array_join(slice(col("__toks"), lit(1),
+            expr("cast((__n * 9 + 9) div 10 as int)")), " ").as("text"))
+        .coalesce(1).write.mode("append").parquet(out)
+      new java.io.File(s"$out/_OK").createNewFile()
+    }
+  }
+
+  /** Streaming near-dedup ([[graft.streaming.StreamingNearDedup]]): each
+    * micro-batch near-deduplicates (shingle-Jaccard >= 0.8, banded
+    * candidates + exact verify) against the KEPT rows of all prior
+    * batches; survivors join the history through the exactly-once sink.
+    * First occurrence wins across the stream; batch-internal near-dups
+    * are kept by contract. The oracle replays the same 4-batch kept-set
+    * recursion unrolled in SQL.
+    */
+  private def qStreamingNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = nearDupStreamSrcDir(spark, dir)
+    val key = tmpKey(dir)
+    val sinkDir = s"/tmp/graft_stream_neardup_sink/$key"
+    deleteRec(new java.io.File(sinkDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one source file per batch, in order
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardup_ckpt").toString
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.StreamingNearDedup.dedupBatch(b, id, sinkDir, "doc_id", "text")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) q.stop()
+    deleteRec(new java.io.File(ckpt))
+    readSinkOrEmpty(spark, sinkDir, "doc_id LONG, lang STRING, text STRING")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   /** Sliding windows (1 h window, 30 min slide) over events — each event
     * lands in exactly two windows; the oracle materializes both window
     * starts per event explicitly.
@@ -2272,6 +2333,7 @@ object SparkEntry {
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
     "q_semantic_decontam" -> (qSemanticDecontam _),
+    "q_streaming_neardedup" -> (qStreamingNearDedup _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -3439,6 +3501,44 @@ object SparkEntry {
          |SELECT count(*) AS n_pairs, count(DISTINCT cid) AS n_docs_flagged,
          |       CAST(coalesce(sum(CAST(floor(c * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_scaled_cov
          |FROM cov""".stripMargin,
+    "q_streaming_neardedup" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |orig AS (SELECT doc_id, lang, t, doc_id % 3 AS b FROM tk),
+         |cp AS (SELECT doc_id + 1000000 AS doc_id, lang,
+         |              t[1:((len(t)*9+9)//10)] AS t, 3 AS b
+         |       FROM tk WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT doc_id, lang, t, b FROM orig
+         |           UNION ALL SELECT doc_id, lang, t, b FROM cp),
+         |sh AS (SELECT doc_id, b, unnest(list_distinct(
+         |         CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+         |              ELSE list_transform(range(len(t)-2),
+         |                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END)) AS s
+         |       FROM corpus),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |xp AS (SELECT a.doc_id AS x, a.b AS bx, h.doc_id AS y, count(*) AS i
+         |       FROM sh a JOIN sh h ON a.s = h.s AND a.b > h.b
+         |       GROUP BY 1, 2, 3),
+         |dp AS (SELECT x, bx, y FROM xp
+         |       JOIN cnt cx ON x = cx.doc_id JOIN cnt cy ON y = cy.doc_id
+         |       WHERE i * 1.0 / (cx.n + cy.n - i) >= 0.8),
+         |k0 AS (SELECT doc_id FROM corpus WHERE b = 0),
+         |k1 AS (SELECT doc_id FROM corpus WHERE b = 1 AND doc_id NOT IN
+         |        (SELECT x FROM dp WHERE bx = 1
+         |         AND y IN (SELECT doc_id FROM k0))),
+         |k2 AS (SELECT doc_id FROM corpus WHERE b = 2 AND doc_id NOT IN
+         |        (SELECT x FROM dp WHERE bx = 2
+         |         AND (y IN (SELECT doc_id FROM k0)
+         |              OR y IN (SELECT doc_id FROM k1)))),
+         |k3 AS (SELECT doc_id FROM corpus WHERE b = 3 AND doc_id NOT IN
+         |        (SELECT x FROM dp WHERE bx = 3
+         |         AND (y IN (SELECT doc_id FROM k0)
+         |              OR y IN (SELECT doc_id FROM k1)
+         |              OR y IN (SELECT doc_id FROM k2)))),
+         |kept AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+         |         UNION ALL SELECT doc_id FROM k2 UNION ALL SELECT doc_id FROM k3)
+         |SELECT c.lang, count(*) AS n_kept, CAST(sum(c.doc_id) AS BIGINT) AS id_sum
+         |FROM kept JOIN corpus c USING (doc_id)
+         |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
     "q_cross_dedup" ->
       s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
          |hist AS (SELECT doc_id, t FROM tk WHERE doc_id % 3 = 0),
