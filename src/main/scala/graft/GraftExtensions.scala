@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash128, SimHash64, UnicodeNormalize, VectorMean}
+import graft.functions.{CanonicalizeUrl, CosineSimilarity, HashedShingles, MinHashSignature, ParseLogLineSql, RollingHashFingerprint, SimHash128, SimHash64, UnicodeNormalize, VectorMean}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT parse_log_line(value, '(\\d+)') ...")` works next to
@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize", "unicode_normalize(text) - NFC + lowercase + whitespace collapse"),
       (args: Seq[Expression]) => UnicodeNormalize(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("canonicalize_url"),
+      info("canonicalize_url", "canonicalize_url(url) - lowercase scheme/host, drop fragment/default port/tracking params, sort query params"),
+      (args: Seq[Expression]) => CanonicalizeUrl(args.head)))
     e.injectFunction((
       FunctionIdentifier("vector_mean"),
       info("vector_mean", "vector_mean(array<double>) - element-wise mean aggregate"),

@@ -1314,6 +1314,34 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), countDistinct(col("query")).as("n_refs"))
       .orderBy("host")
 
+  /** URL canonicalization ([[graft.functions.CanonicalizeUrl]]): noisy
+    * URL variants synthesized per doc — case noise, default port on every
+    * 3rd, unique utm_source on all, param order flipped on odd ids,
+    * fragment on all — then canonicalized and deduplicated. The oracle
+    * never string-transforms: it rebuilds each expected canonical URL
+    * from first principles off the same integers, so every rule is
+    * byte-checked end to end.
+    */
+  private def qUrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val params = when(col("doc_id") % 2 === 0,
+      format_string("p=%d&q=%d&utm_source=u%d",
+        pmod(col("doc_id"), lit(5)), pmod(col("doc_id"), lit(4)), col("doc_id")))
+      .otherwise(format_string("utm_source=u%d&q=%d&p=%d",
+        col("doc_id"), pmod(col("doc_id"), lit(4)), pmod(col("doc_id"), lit(5))))
+    val url = format_string("HTTPS://Site-%d.Example.ORG%s/%s/doc-%d?%s#sec-%d",
+      pmod(col("doc_id"), lit(20)),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      col("lang"), pmod(col("doc_id"), lit(100)), params, col("doc_id"))
+    docs.select(col("lang"),
+        graft.functions.CanonicalizeUrl(url).as("curl"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("curl")).as("n_canonical"),
+        min("curl").as("min_curl"), max("curl").as("max_curl"))
+      .orderBy("lang")
+  }
+
   /** Quality-aware canonical selection ([[Dedup.keepBest]]): per duplicate
     * group (content fingerprint), keep the HIGHEST-quality copy, min-id on
     * ties — ordered on the RAW quality sum (exact 0.5 steps) so the
@@ -2334,6 +2362,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_streaming_neardedup" -> (qStreamingNearDedup _),
+    "q_url_canonical" -> (qUrlCanonical _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -2626,6 +2655,15 @@ object SparkEntry {
         |             regexp_extract(url, '\?(.*)$', 1) AS query FROM u)
         |SELECT host, count(*) AS n, count(DISTINCT query) AS n_refs
         |FROM p GROUP BY host ORDER BY host""".stripMargin,
+    "q_url_canonical" ->
+      """WITH c AS (
+        |  SELECT lang, printf('https://site-%d.example.org/%s/doc-%d?p=%d&q=%d',
+        |                      doc_id % 20, lang, doc_id % 100,
+        |                      doc_id % 5, doc_id % 4) AS curl
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, count(DISTINCT curl) AS n_canonical,
+        |       min(curl) AS min_curl, max(curl) AS max_curl
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q_event_anomaly" ->
       """WITH h AS (
         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
