@@ -131,6 +131,46 @@ object KeyBloom {
   *    handled by AQE skew-join splitting; `maxBucketSize` additionally
   *    drops degenerate buckets (an explicit, logged coverage cap).
   */
+/** Precomputed LSH band postings of a near-dedup history corpus —
+  * (`__idH`, `__band`, `__bkey`) rows plus the banding parameters they
+  * were built with, so a batch side can always band itself compatibly
+  * ([[Dedup.crossCorpusNearDedupWithPostings]]). Build with
+  * [[Dedup.bandPostings]]; persist as plain parquet plus an
+  * underscore-prefixed params sidecar (ignored by parquet readers) via
+  * [[save]]/[[BandPostings.load]]. Postings compose by union — band keys
+  * are a pure per-row function — so nightly maintenance appends the
+  * accepted batch's postings instead of re-banding history.
+  */
+final case class BandPostings(
+    posts: DataFrame, shingleN: Int, numHashes: Int, bands: Int) {
+
+  /** Write postings + parameters under `dir` (any Hadoop FS path). */
+  def save(dir: String): Unit = {
+    val spark = posts.sparkSession
+    posts.write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, BandPostings.ParamsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(p, true))
+    try { out.writeInt(shingleN); out.writeInt(numHashes); out.writeInt(bands) }
+    finally out.close()
+  }
+}
+
+object BandPostings {
+  private[ops] val ParamsFile = "_graft_band_params"
+
+  /** Load postings written by [[BandPostings.save]]. */
+  def load(spark: SparkSession, dir: String): BandPostings = {
+    val p = new org.apache.hadoop.fs.Path(dir, ParamsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(fs.open(p))
+    val (s, n, b) =
+      try (in.readInt(), in.readInt(), in.readInt())
+      finally in.close()
+    BandPostings(spark.read.parquet(dir), s, n, b)
+  }
+}
+
 object Dedup {
 
   /** Exact dedup on a derived key (hash-groupBy; keeps min id per key —
@@ -355,13 +395,65 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    // candidates feed the verify join plus both semi-join id sets — persist,
-    // then cut lineage at the (small: one id per dropped row) dup-id set
     val (rawCand, releaseBands) = crossCorpusCandidatePairs(
       batch, history, idCol, textCol, shingleN, numHashes, bands, maxBucketSize)
+    finishCrossDedup(batch, history, rawCand, releaseBands,
+      idCol, textCol, shingleN, threshold)
+  }
+
+  /** [[crossCorpusNearDedup]] against PRECOMPUTED history band postings
+    * ([[bandPostings]]) — the production nightly shape the re-banding
+    * variant's scaladoc points at: the history side's minhash pipeline ran
+    * ONCE when the postings were built (typically loaded from parquet via
+    * [[BandPostings.load]]), so each batch pays only its own banding plus
+    * one join against the postings. `history` still supplies the TEXT for
+    * exact verification of candidate pairs — bucket-pruned to candidates
+    * before anything is tokenized. The batch is banded with the postings'
+    * own recorded parameters, so the two sides can never drift.
+    */
+  def crossCorpusNearDedupWithPostings(
+      batch: DataFrame,
+      history: DataFrame,
+      postings: BandPostings,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = postings.numHashes / postings.bands
+    val b = spreadDf(batch)
+      .select(col(idCol).as("__idB"),
+        minhashSignature(col(textCol), postings.shingleN, postings.numHashes).as("__sig"))
+      .select(col("__idB"),
+        posexplode(lshBandKeys(col("__sig"), postings.bands, rowsPerBand))
+          .as(Seq("__band", "__bkey")))
+    // no persist of the postings side: it is already materialized storage
+    // (parquet), and the cap aggregate + join each scan the narrow
+    // (id, band, bkey) columns with pushdown
+    val cand = b.join(dropOversizedBuckets(postings.posts, maxBucketSize),
+        Seq("__band", "__bkey"))
+      .select("__idB", "__idH")
+      .dropDuplicates("__idB", "__idH")
+    finishCrossDedup(batch, history, cand, () => (),
+      idCol, textCol, postings.shingleN, threshold)
+  }
+
+  /** Shared verification + anti-join tail of the cross-corpus family:
+    * exact hashed-shingle Jaccard from each side's OWN frame (id spaces
+    * may overlap between batch and history), only for candidate members.
+    * Candidates feed the verify join plus both semi-join id sets —
+    * persisted, then lineage cut at the (small: one id per dropped row)
+    * dup-id set.
+    */
+  private def finishCrossDedup(
+      batch: DataFrame,
+      history: DataFrame,
+      rawCand: DataFrame,
+      releaseBands: () => Unit,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
     val cand = rawCand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact verification: shingles from each side's OWN frame (id spaces
-    // may overlap between batch and history), only for candidate members
     def sh(df: DataFrame, ids: DataFrame, idOut: String) =
       df.join(ids.select(col(idOut).as("__vid")).distinct(),
           col(idCol) === col("__vid"), "left_semi")
@@ -378,6 +470,32 @@ object Dedup {
     releaseBands()
     cand.unpersist(blocking = false)
     batch.join(dupIds, col(idCol) === col("__dup"), "left_anti")
+  }
+
+  /** Build history band postings ONCE — (`__idH`, `__band`, `__bkey`)
+    * rows plus the banding parameters they were built with — for reuse
+    * across every subsequent [[crossCorpusNearDedupWithPostings]] batch.
+    * Persist them with [[BandPostings.save]]; extend them for newly
+    * accepted rows by unioning `bandPostings(newRows…).posts` and saving
+    * back (band keys are a pure per-row function, so postings compose by
+    * union).
+    */
+  def bandPostings(
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): BandPostings = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val posts = spreadDf(history)
+      .select(col(idCol).as("__idH"),
+        minhashSignature(col(textCol), shingleN, numHashes).as("__sig"))
+      .select(col("__idH"),
+        posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__bkey")))
+    BandPostings(posts, shingleN, numHashes, bands)
   }
 
   /** Candidate (batch, history) id pairs from batch x history LSH banding —

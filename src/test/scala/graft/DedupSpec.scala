@@ -363,6 +363,54 @@ class DedupSpec extends SparkSpec {
     assert(keptRoomy == Set(3L))
   }
 
+  test("band postings: precomputed-postings path equals the re-banding path") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val history = Seq(
+      (100L, base),
+      (101L, "completely different reference material nothing shared here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "unrelated fresh content with plenty of new words inside")
+    ).toDF("doc_id", "text")
+    val postings = Dedup.bandPostings(history, "doc_id", "text")
+    val viaPostings = Dedup.crossCorpusNearDedupWithPostings(
+        batch, history, postings, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val viaRebanding = Dedup.crossCorpusNearDedup(
+        batch, history, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPostings == viaRebanding && viaPostings == Set(3L))
+  }
+
+  test("band postings: save/load round-trip and union extension") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val h1 = Seq((100L, base)).toDF("doc_id", "text")
+    val h2 = Seq((200L, "second wave reference rows with their own vocabulary set"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString + "/posts"
+    // nightly maintenance: build on h1, save, load, EXTEND by unioning
+    // h2's postings (band keys are per-row pure), save back
+    Dedup.bandPostings(h1, "doc_id", "text").save(dir)
+    val loaded = graft.ops.BandPostings.load(spark, dir)
+    assert((loaded.shingleN, loaded.numHashes, loaded.bands) == ((3, 64, 16)))
+    val extended = loaded.copy(
+      posts = loaded.posts.unionByName(Dedup.bandPostings(h2, "doc_id", "text").posts))
+    extended.save(dir + "2")
+    val reloaded = graft.ops.BandPostings.load(spark, dir + "2")
+    val history = h1.unionByName(h2)
+    val batch = Seq(
+      (1L, base),                                                  // dups h1
+      (2L, "second wave reference rows with their own vocabulary"), // near-dups h2
+      (3L, "fresh material with entirely new words throughout")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusNearDedupWithPostings(
+        batch, history, reloaded, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("keepBest keeps the highest-score copy per key, min id on ties") {
     import org.apache.spark.sql.functions.{col, length}
     val df = Seq(
