@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("canonicalize_url", "canonicalize_url(url) - lowercase scheme/host, drop fragment/default port/tracking params, sort query params"),
       (args: Seq[Expression]) => CanonicalizeUrl(args.head)))
     e.injectFunction((
+      FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(array<double>) - unit-L2 vector (zero vector unchanged)"),
+      (args: Seq[Expression]) => graft.functions.L2Normalize(args.head)))
+    e.injectFunction((
       FunctionIdentifier("vector_mean"),
       info("vector_mean", "vector_mean(array<double>) - element-wise mean aggregate"),
       (args: Seq[Expression]) => VectorMean(args.head).toAggregateExpression()))

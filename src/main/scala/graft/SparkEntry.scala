@@ -1971,6 +1971,34 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** Embedding ingest prep ([[graft.functions.L2Normalize]]): the
+    * matryoshka pipeline — normalize the 64-dim embedding, truncate to
+    * the leading 32 dims, renormalize, int8-quantize. The sqnorm readout
+    * proves unit normalization (1e12-scaled squared norms); the rest is
+    * the q_embed_quantize error readout on the prepped vectors. Every
+    * fold is sequential and scaled per row, so the oracle reproduces all
+    * of it bit-for-bit.
+    */
+  private def qEmbedPrep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val maxAbsCode = aggregate(col("q"), lit(0L), (acc, x) => greatest(acc, abs(x)))
+    spread(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("m", graft.functions.L2Normalize(
+        slice(graft.functions.L2Normalize(col("v")), 1, 32)))
+      .withColumn("scale", int8Scale(col("m")))
+      .withColumn("q", quantizeInt8(col("m"), col("scale")))
+      .withColumn("sqerr", int8SqError(col("m"), col("q"), col("scale")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("sqerr") * lit(1e12) + 0.5).cast("long")).as("sum_scaled_sqerr"),
+        max(maxAbsCode).as("max_abs_code"),
+        sum(when(maxAbsCode === 127L, 1L).otherwise(0L)).as("n_saturated"),
+        sum(floor(aggregate(col("m"), lit(0.0), (a, x) => a + x * x) * lit(1e12) + 0.5)
+          .cast("long")).as("sum_scaled_sqnorm"))
+      .orderBy("label")
+  }
+
   /** In-corpus unigram-LM scoring ([[graft.ops.NgramLm]]): the CCNet-style
     * perplexity filter. Integer scaled-long log-likelihoods end to end —
     * see the op scaladoc for why no raw double is ever summed across rows.
@@ -2363,6 +2391,7 @@ object SparkEntry {
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_streaming_neardedup" -> (qStreamingNearDedup _),
     "q_url_canonical" -> (qUrlCanonical _),
+    "q_embed_prep" -> (qEmbedPrep _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -3344,6 +3373,36 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(sqerr * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled_sqerr,
         |       CAST(max(maxq) AS BIGINT) AS max_abs_code,
         |       CAST(sum(CASE WHEN maxq = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+        |FROM err GROUP BY label ORDER BY label""".stripMargin,
+    "q_embed_prep" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n1 AS (SELECT vec_id, label,
+        |         CASE WHEN list_sum(list_transform(e, x -> x*x)) > 0
+        |              THEN list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y*y))))
+        |              ELSE e END AS u
+        |       FROM v),
+        |n2 AS (SELECT vec_id, label,
+        |         CASE WHEN list_sum(list_transform(u[1:32], x -> x*x)) > 0
+        |              THEN list_transform(u[1:32], x -> x / sqrt(list_sum(list_transform(u[1:32], y -> y*y))))
+        |              ELSE u[1:32] END AS m
+        |       FROM n1),
+        |s AS (SELECT vec_id, label, m,
+        |        list_max(list_transform(m, x -> abs(x))) / 127.0 AS scale FROM n2),
+        |qz AS (SELECT vec_id, label, m, scale,
+        |         list_transform(m, x -> CASE WHEN scale > 0
+        |           THEN floor(x / scale + 0.5) ELSE 0 END) AS q
+        |       FROM s),
+        |err AS (SELECT label,
+        |          list_sum(list_transform(list_zip(m, q),
+        |            p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))) AS sqerr,
+        |          list_max(list_transform(q, x -> abs(x))) AS maxq,
+        |          list_sum(list_transform(m, x -> x * x)) AS sqn
+        |        FROM qz)
+        |SELECT label, count(*) AS n,
+        |       CAST(sum(CAST(floor(sqerr * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled_sqerr,
+        |       CAST(max(maxq) AS BIGINT) AS max_abs_code,
+        |       CAST(sum(CASE WHEN maxq = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+        |       CAST(sum(CAST(floor(sqn * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled_sqnorm
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_unigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS t FROM documents),
