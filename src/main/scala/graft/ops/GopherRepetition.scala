@@ -1,11 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{HashedShingles, TextFunctions}
+import graft.functions.HashedShingles
 
 /** Gopher-style within-document repetition signals (Rae et al. 2021, the
   * public quality-rule set): the share of a document covered by its most
@@ -24,19 +23,24 @@ import graft.functions.{HashedShingles, TextFunctions}
   * sweep, so overlaps count once — the coverage semantics the paper
   * intends).
   *
-  * Scale shape: ONE posexplode pass of (n, pos, hash) structs — every
-  * requested n's windows tagged and concatenated in a single codegen
-  * expression, so the text is tokenized/hashed once per n but exploded
-  * once; per-(doc, n, gram) counts are a hash aggregate with map-side
-  * partials; within-doc repeat detection is a per-doc window count (state
-  * bounded by the longest document). Nothing leaves the cluster.
+  * Scale shape: the token count is computed ONCE per document (codegen
+  * [[graft.functions.TokenizeWords]] — the interpreted
+  * `TextFunctions.tokenCount` costs a full regex pass, and evaluating it
+  * per order per row dominated the first cut of this operator: 34 s →
+  * ~4 s at sf0.1) into a persisted narrow base, then each order runs one
+  * codegen posexplode of window hashes over that cached base, unioned.
+  * (A single explode of `transform`-tagged (n, pos, hash) structs loses
+  * too: higher-order lambdas are interpreted per element — the measured
+  * ChunkText trap.) Per-(doc, n, gram) counts are a hash aggregate with
+  * map-side partials; within-doc repeat detection is a sort-free hash
+  * aggregate + semi-join on (doc, gram). Nothing leaves the cluster.
   */
 object GopherRepetition {
 
   /** Per-document repetition signals: (idCol, carryCols…, n_tokens,
     * top{n}_tokens for each n in `topNs`, dup{dupN}_tokens), one row per
     * document with >= 1 token. Returns the frame and a release handle
-    * for the persisted window pass.
+    * for the persisted token base.
     */
   def repetitionSignals(
       df: DataFrame,
@@ -47,26 +51,24 @@ object GopherRepetition {
       carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     require(topNs.nonEmpty && (topNs :+ dupN).forall(_ >= 1),
       s"n-gram orders must be >= 1, got topNs=$topNs dupN=$dupN")
-    val allNs = (topNs :+ dupN).distinct
-    val tagged = allNs.map { n =>
-      transform(HashedShingles(col(textCol), n),
-        (h, i) => struct(lit(n).as("n"), i.as("pos"), h.as("wh")))
-    }
-    val exploded = df
-      .filter(TextFunctions.tokenCount(col(textCol)) >= 1)
-      .select(col(idCol) +: carryCols.map(col) :+
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens") :+
-        explode(concat(tagged: _*)).as("__w"): _*)
-      .select(col("*"), col("__w.n").as("__n"), col("__w.pos").as("pos"),
-        col("__w.wh").as("wh"))
-      .drop("__w")
+    // one tokenize for the count ([[TokenizeWords]] shares
+    // HashedShingles.tokenize, so count and windows can never disagree)
+    val base = df
+      .select(col(idCol) +: carryCols.map(col) :+ col(textCol).as("__text") :+
+        size(graft.functions.TokenizeWords(col(textCol))).as("n_tokens"): _*)
+      .filter(col("n_tokens") >= 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def explodeOrder(n: Int) =
+      base.select(col(idCol) +: carryCols.map(col) :+ col("n_tokens") :+
+        lit(n).as("__n") :+
+        posexplode(HashedShingles(col("__text"), n)).as(Seq("pos", "wh")): _*)
 
     // share of the single most frequent n-gram, as a token numerator:
     // gram token length is min(n, n_tokens) (whole-text window for short
-    // docs), occurrences can overlap → cap at n_tokens
-    val counts = exploded
-      .filter(col("__n").isin(topNs: _*))
+    // docs), occurrences can overlap → cap at n_tokens. Each order's
+    // explode has exactly ONE consumer, so nothing but the narrow base is
+    // ever cached.
+    val counts = topNs.map(explodeOrder).reduce(_ unionByName _)
       .groupBy(col(idCol) +: carryCols.map(col) :+ col("n_tokens") :+
         col("__n") :+ col("wh"): _*)
       .agg(count(lit(1)).as("__c"))
@@ -79,13 +81,18 @@ object GopherRepetition {
       .groupBy(idCol, carryCols :+ "n_tokens": _*)
       .agg(topCols.head, topCols.tail: _*)
 
-    // tokens covered by the union of duplicated dupN-gram positions
-    val byGram = Window.partitionBy(col(idCol), col("wh"))
-    val dupMarks = exploded
-      .filter(col("__n") === dupN)
-      .withColumn("__c", count(lit(1)).over(byGram))
+    // tokens covered by the union of duplicated dupN-gram positions.
+    // Repeat detection is a sort-free hash aggregate + semi-join (the
+    // dropOversizedBuckets shape) — a window count would SORT every
+    // exploded row by (doc, gram); the explode re-runs for the second
+    // consumer, but it reads the cached base and codegen-hashes only.
+    val w5 = explodeOrder(dupN)
+    val dupKeys = w5.groupBy(idCol, "wh")
+      .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
-      .drop("__n", "wh", "__c")
+      .select(col(idCol), col("wh"))
+    val dupMarks = w5.join(dupKeys, Seq(idCol, "wh"), "left_semi")
+      .drop("__n", "wh")
     val dupCov = SubstringDedup.mergeSpans(dupMarks, idCol, dupN, carryCols)
       .groupBy(idCol)
       .agg(sum(col("span_end") - col("span_start")).as(s"dup${dupN}_tokens"))
@@ -94,6 +101,6 @@ object GopherRepetition {
       .join(dupCov, Seq(idCol), "left")
       .withColumn(s"dup${dupN}_tokens",
         coalesce(col(s"dup${dupN}_tokens"), lit(0L)))
-    (out, () => { exploded.unpersist(blocking = false); () })
+    (out, () => { base.unpersist(blocking = false); () })
   }
 }

@@ -35,10 +35,6 @@ import graft.functions.{HashedShingles, TextFunctions}
   */
 object SubstringDedup {
 
-  private def windowHashes(textCol: Column, k: Int): Column =
-    when(TextFunctions.tokenCount(textCol) >= 1, HashedShingles(textCol, k))
-      .otherwise(array().cast("array<long>"))
-
   /** Maximal duplicated spans, one row per span:
     * (idCol, carryCols…, n_tokens, span_start, span_end) with token
     * coordinates [span_start, span_end). Documents shorter than k tokens
@@ -55,10 +51,16 @@ object SubstringDedup {
       keepFirst: Boolean = false,
       carryCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     require(k >= 1, s"window size must be >= 1, got $k")
+    // token count via ONE codegen tokenize ([[graft.functions
+    // .TokenizeWords]] shares HashedShingles.tokenize, so the count and
+    // the windows can never disagree); the interpreted
+    // TextFunctions.tokenCount costs a full regex pass per evaluation
     val wins = df
-      .select(col(idCol) +: carryCols.map(col) :+
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens") :+
-        posexplode(windowHashes(col(textCol), k)).as(Seq("pos", "wh")): _*)
+      .select(col(idCol) +: carryCols.map(col) :+ col(textCol).as("__text") :+
+        size(graft.functions.TokenizeWords(col(textCol))).as("n_tokens"): _*)
+      .filter(col("n_tokens") >= 1)
+      .select(col(idCol) +: carryCols.map(col) :+ col("n_tokens") :+
+        posexplode(HashedShingles(col("__text"), k)).as(Seq("pos", "wh")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val owners = wins
       .groupBy("wh")
