@@ -41,6 +41,17 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Per-token 64-bit hashes, empty array for zero-token documents — the
+    * shared explode input of the unigram pipelines (LM scoring, quality
+    * classifier, BM25). Both the guard and the hashes run as codegen JVM
+    * passes ([[TokenizeWords]] / [[HashedShingles]] share one tokenizer);
+    * guarding with the interpreted [[tokenCount]] instead costs a full
+    * regex pass per row (measured 34 s → 8 s on the repetition operator).
+    */
+  def tokenHashes(c: Column): Column =
+    when(size(TokenizeWords(c)) >= 1, HashedShingles(c, 1))
+      .otherwise(array().cast("array<long>"))
+
   /** BPE-ish subword proxy count: letter runs, single digits, and single
     * punctuation marks each count as one token (a cheap, deterministic
     * stand-in for a real byte-pair-encoding tokenizer).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{HashedShingles, TextFunctions}
+import graft.functions.TextFunctions
 
 /** BM25 ranked retrieval over the corpus — the inverted-index scoring
   * step up from [[TfIdf]]: a batch of queries, each scored against every
@@ -42,8 +42,7 @@ object Bm25 {
     math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
 
   private def tokenHashArray(textCol: Column): Column =
-    when(TextFunctions.tokenCount(textCol) >= 1, HashedShingles(textCol, 1))
-      .otherwise(array().cast("array<long>"))
+    TextFunctions.tokenHashes(textCol)
 
   /** Top-k documents per query: (qidCol, rank, idCol, scaled_score),
     * rank 1..k by (score desc, idCol asc) — the deterministic tiebreak.

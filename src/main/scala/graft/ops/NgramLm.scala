@@ -36,8 +36,7 @@ object NgramLm {
     * explode input of every unigram path and the vocabulary builder.
     */
   private def tokenHashArray(textCol: Column): Column =
-    when(TextFunctions.tokenCount(textCol) >= 1, HashedShingles(textCol, 1))
-      .otherwise(array().cast("array<long>"))
+    TextFunctions.tokenHashes(textCol)
 
   /** (th, cnt) unigram vocabulary of `df` — the frame
     * [[unigramScoresWithVocab]] consumes. Build it ONCE on the reference
@@ -177,7 +176,7 @@ object NgramLm {
     val uni = HashedShingles(col(textCol), 1)
     val bi = HashedShingles(col(textCol), 2)
     val pairs = df
-      .filter(TextFunctions.tokenCount(col(textCol)) >= 2)
+      .filter(size(graft.functions.TokenizeWords(col(textCol))) >= 2)
       .select(col(idCol) +: carryCols.map(col) :+
         explode(zip_with(slice(uni, lit(1), size(uni) - 1), bi,
           (u, b) => struct(u.as("u"), b.as("b")))).as("__p"): _*)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{HashedShingles, TextFunctions}
+import graft.functions.TextFunctions
 
 /** fastText-style linear quality classifier — the train-a-classifier-on-
   * labeled-slices shape real corpus pipelines run (GPT-3/LLaMA-style
@@ -51,8 +51,7 @@ object QualityClassifier {
     math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
 
   private def tokenHashArray(textCol: Column): Column =
-    when(TextFunctions.tokenCount(textCol) >= 1, HashedShingles(textCol, 1))
-      .otherwise(array().cast("array<long>"))
+    TextFunctions.tokenHashes(textCol)
 
   /** Train on `labeled`, where `labelCol` is 1 (positive class) or 0.
     * Docs with zero tokens contribute nothing to token counts but do
