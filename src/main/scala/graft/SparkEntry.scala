@@ -1061,16 +1061,31 @@ object SparkEntry {
       val out = s"/tmp/graft_stream_neardup_src/$key"
       deleteRec(new java.io.File(out))
       val docs = t(spark, dir, "documents").select("doc_id", "lang", "text")
-      for (i <- 0 until 3)
-        docs.filter(col("doc_id") % 3 === i)
-          .coalesce(1).write.mode("append").parquet(out)
-      t(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val copies = t(spark, dir, "documents").filter(col("doc_id") % 10 === 0)
         .withColumn("__toks", TF.tokens(col("text")))
         .withColumn("__n", size(col("__toks")))
         .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
           array_join(slice(col("__toks"), lit(1),
             expr("cast((__n * 9 + 9) div 10 as int)")), " ").as("text"))
-        .coalesce(1).write.mode("append").parquet(out)
+      val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)) :+ copies
+      // FileStreamSource orders by modification time, and part-file mtimes
+      // from back-to-back writes can tie (coarse-granularity mounts) with
+      // a UUID-name tie-break — so pin the batch order OUTSIDE spark:
+      // stage each batch, move its one part file to a sequenced name, and
+      // force strictly increasing mtimes
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val t0 = System.currentTimeMillis()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$out/.stage"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new org.apache.hadoop.fs.Path(s"$out/batch-$i.parquet")
+        fs.rename(new org.apache.hadoop.fs.Path(part.getPath), dst)
+        fs.setTimes(dst, t0 + i * 60000L, -1)
+      }
+      deleteRec(new java.io.File(s"$out/.stage"))
       new java.io.File(s"$out/_OK").createNewFile()
     }
   }

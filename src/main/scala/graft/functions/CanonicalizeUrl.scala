@@ -66,11 +66,29 @@ object CanonicalizeUrl {
     name.startsWith("utm_") || TrackingExact.contains(name)
   }
 
+  /** RFC 3986 scheme: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ). */
+  private def isValidScheme(s: String): Boolean = {
+    if (s.isEmpty) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
   def compute(s: UTF8String): UTF8String = {
     val raw = s.toString.trim
     val schemeEnd = raw.indexOf("://")
-    // no scheme → not a URL we understand; pass through unchanged
-    if (schemeEnd <= 0) return UTF8String.fromString(raw)
+    // no "://", or what precedes it is not an RFC 3986 scheme (free text
+    // like "see how http:// works") → not a URL; pass through unchanged
+    if (schemeEnd <= 0 || !isValidScheme(raw.substring(0, schemeEnd)))
+      return UTF8String.fromString(raw)
     val scheme = raw.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
     var rest = raw.substring(schemeEnd + 3)
 

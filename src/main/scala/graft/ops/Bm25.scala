@@ -38,8 +38,7 @@ import graft.functions.TextFunctions
   */
 object Bm25 {
 
-  private def sLong(x: Long): Long =
-    math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+  private def sLong(x: Long): Long = graft.functions.ScaledLn.long(x)
 
   private def tokenHashArray(textCol: Column): Column =
     TextFunctions.tokenHashes(textCol)
@@ -75,7 +74,7 @@ object Bm25 {
       .join(dl, idCol)
       .join(dfreq, "th")
       .withColumn("__idf", lit(sIdfNum) -
-        floor(log(col("df") * 2 + 1) * 1e6 + 0.5).cast("long"))
+        graft.functions.ScaledLn.column(col("df") * 2 + 1))
       .withColumn("__num", lit(22L * totTokens) * col("tf"))
       .withColumn("__den", lit(10L * totTokens) * col("tf") +
         lit(3L * totTokens) + lit(9L * nDocs) * col("dl"))

@@ -144,15 +144,30 @@ object KeyBloom {
 final case class BandPostings(
     posts: DataFrame, shingleN: Int, numHashes: Int, bands: Int) {
 
-  /** Write postings + parameters under `dir` (any Hadoop FS path). */
+  /** Write postings + parameters under `dir` (any Hadoop FS path).
+    * Writes to a temp sibling first, then swaps — so the documented
+    * maintenance flow (load from `dir`, union the new batch's postings,
+    * save back to the SAME `dir`) works: a direct overwrite would fail
+    * Spark's cannot-overwrite-a-path-being-read check, because the
+    * loaded `posts` lineage still reads `dir`. The temp write runs (and
+    * finishes reading the old generation) before anything is deleted;
+    * the delete→rename window is the KeyBloom non-FileContext caveat.
+    */
   def save(dir: String): Unit = {
     val spark = posts.sparkSession
-    posts.write.mode("overwrite").parquet(dir)
-    val p = new org.apache.hadoop.fs.Path(dir, BandPostings.ParamsFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
+    posts.write.mode("overwrite").parquet(tmp.toString)
+    val p = new org.apache.hadoop.fs.Path(tmp, BandPostings.ParamsFile)
     val out = new java.io.DataOutputStream(fs.create(p, true))
     try { out.writeInt(shingleN); out.writeInt(numHashes); out.writeInt(bands) }
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"[BandPostings] cannot rename $tmp to $dst")
   }
 }
 
@@ -426,14 +441,19 @@ object Dedup {
       .select(col("__idB"),
         posexplode(lshBandKeys(col("__sig"), postings.bands, rowsPerBand))
           .as(Seq("__band", "__bkey")))
-    // no persist of the postings side: it is already materialized storage
-    // (parquet), and the cap aggregate + join each scan the narrow
-    // (id, band, bkey) columns with pushdown
-    val cand = b.join(dropOversizedBuckets(postings.posts, maxBucketSize),
+    // the postings feed the bucket-cap aggregate AND the candidate join;
+    // persist so an in-memory postings lineage (a fresh bandPostings()
+    // or a union-extended frame) never re-runs the history minhash
+    // pipeline twice — for parquet-loaded postings this is just a cheap
+    // cache of the narrow rows
+    val h = postings.posts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = b.join(dropOversizedBuckets(h, maxBucketSize),
         Seq("__band", "__bkey"))
       .select("__idB", "__idH")
       .dropDuplicates("__idB", "__idH")
-    finishCrossDedup(batch, history, cand, () => (),
+    finishCrossDedup(batch, history, cand,
+      () => { h.unpersist(blocking = false); () },
       idCol, textCol, postings.shingleN, threshold)
   }
 

@@ -27,7 +27,7 @@ import graft.functions.HashedShingles
   * [[graft.functions.TokenizeWords]] — the interpreted
   * `TextFunctions.tokenCount` costs a full regex pass, and evaluating it
   * per order per row dominated the first cut of this operator: 34 s →
-  * ~4 s at sf0.1) into a persisted narrow base, then each order runs one
+  * 8 s at sf0.1) into a persisted narrow base, then each order runs one
   * codegen posexplode of window hashes over that cached base, unioned.
   * (A single explode of `transform`-tagged (n, pos, hash) structs loses
   * too: higher-order lambdas are interpreted per element — the measured

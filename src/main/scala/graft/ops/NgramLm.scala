@@ -77,11 +77,11 @@ object NgramLm {
     val v = vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = v.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
     val lnTotalScaled =
-      if (total > 0) math.floor(math.log(total.toDouble) * 1e6 + 0.5).toLong else 0L
+      if (total > 0) graft.functions.ScaledLn.long(total) else 0L
     val out = df.select(col(idCol) +: carryCols.map(col) :+
         explode(tokenHashArray(col(textCol))).as("th"): _*)
       .join(v.select(col("th"),
-        floor(log(col("cnt")) * 1e6 + 0.5).cast("long").as("__tok_score")), Seq("th"), "left")
+        graft.functions.ScaledLn.column(col("cnt")).as("__tok_score")), Seq("th"), "left")
       .groupBy(idCol, carryCols: _*)
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__tok_score").isNull, 1L).otherwise(0L)).as("n_oov"),
@@ -111,7 +111,7 @@ object NgramLm {
       idCol: String,
       textCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
-    def s(c: Column): Column = floor(log(c) * 1e6 + 0.5).cast("long")
+    def s(c: Column): Column = graft.functions.ScaledLn.column(c)
     df.select(col(idCol) +: carryCols.map(col) :+
         explode(tokenHashArray(col(textCol))).as("th"): _*)
       .groupBy(col(idCol) +: carryCols.map(col) :+ col("th"): _*)
@@ -141,11 +141,11 @@ object NgramLm {
     val vocab = pairs.groupBy("th").agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
     val lnTotalScaled =
-      if (total > 0) math.floor(math.log(total.toDouble) * 1e6 + 0.5).toLong else 0L
+      if (total > 0) graft.functions.ScaledLn.long(total) else 0L
     val out = pairs
       .join(
         vocab.select(col("th"),
-          floor(log(col("cnt")) * 1e6 + 0.5).cast("long").as("__tok_score")),
+          graft.functions.ScaledLn.column(col("cnt")).as("__tok_score")),
         Seq("th"))
       .groupBy(idCol, carryCols: _*)
       .agg(count(lit(1)).as("n_tokens"), sum("__tok_score").as("__sum_tok"))
@@ -187,9 +187,9 @@ object NgramLm {
     val bigramCounts = pairs.groupBy("__b").agg(count(lit(1)).as("cb"))
     val out = pairs
       .join(prefixCounts.select(col("__u"),
-        floor(log(col("cu")) * 1e6 + 0.5).cast("long").as("__su")), Seq("__u"))
+        graft.functions.ScaledLn.column(col("cu")).as("__su")), Seq("__u"))
       .join(bigramCounts.select(col("__b"),
-        floor(log(col("cb")) * 1e6 + 0.5).cast("long").as("__sb")), Seq("__b"))
+        graft.functions.ScaledLn.column(col("cb")).as("__sb")), Seq("__b"))
       .groupBy(idCol, carryCols: _*)
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__sb") - col("__su")).as("scaled_logprob"))

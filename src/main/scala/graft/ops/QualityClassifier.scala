@@ -46,9 +46,8 @@ object QualityClassifier {
       oovScaled: Long,
       release: () => Unit)
 
-  private def s(c: Column): Column = floor(log(c) * 1e6 + 0.5).cast("long")
-  private def sLong(x: Long): Long =
-    math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+  private def s(c: Column): Column = graft.functions.ScaledLn.column(c)
+  private def sLong(x: Long): Long = graft.functions.ScaledLn.long(x)
 
   private def tokenHashArray(textCol: Column): Column =
     TextFunctions.tokenHashes(textCol)

@@ -39,6 +39,13 @@ class CanonicalizeUrlSpec extends SparkSpec {
   test("non-URLs pass through unchanged; null stays null") {
     assert(canon("not a url") == "not a url")
     assert(canon("  spaced  ") == "spaced")
+    // "://" inside free text does not make it a URL: the pseudo-scheme
+    // "see how http" fails RFC 3986 validation → byte-identical output
+    assert(canon("see how http:// works for details")
+      == "see how http:// works for details")
+    assert(canon("weird ://host/p?x=1") == "weird ://host/p?x=1")
+    // a real exotic-but-valid scheme still canonicalizes
+    assert(canon("ssh+git://Host.Example/Repo#frag") == "ssh+git://host.example/Repo")
     val n = Seq[Option[String]](None).toDF("u")
       .select(CanonicalizeUrl(col("u"))).collect().head
     assert(n.isNullAt(0))

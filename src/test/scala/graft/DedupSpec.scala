@@ -391,14 +391,16 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString + "/posts"
     // nightly maintenance: build on h1, save, load, EXTEND by unioning
-    // h2's postings (band keys are per-row pure), save back
+    // h2's postings (band keys are per-row pure), save back IN PLACE —
+    // the extended lineage still reads `dir`, which the temp-write+swap
+    // in save() must tolerate
     Dedup.bandPostings(h1, "doc_id", "text").save(dir)
     val loaded = graft.ops.BandPostings.load(spark, dir)
     assert((loaded.shingleN, loaded.numHashes, loaded.bands) == ((3, 64, 16)))
     val extended = loaded.copy(
       posts = loaded.posts.unionByName(Dedup.bandPostings(h2, "doc_id", "text").posts))
-    extended.save(dir + "2")
-    val reloaded = graft.ops.BandPostings.load(spark, dir + "2")
+    extended.save(dir)
+    val reloaded = graft.ops.BandPostings.load(spark, dir)
     val history = h1.unionByName(h2)
     val batch = Seq(
       (1L, base),                                                  // dups h1
