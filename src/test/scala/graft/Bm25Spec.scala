@@ -65,6 +65,30 @@ class Bm25Spec extends SparkSpec {
     release9()
   }
 
+  test("scale probe: 20k docs x 500 queries stays top-k-bounded") {
+    // a query workload (not one ad-hoc query) against a real corpus
+    // slice: output must be exactly <= k rows per query, ranks dense
+    // from 1, and the whole thing one postings pass + one broadcast join
+    val corpus = (0L until 20000L).map { i =>
+      (i, (0 until 10).map(j => s"t${(i + j * 131) % 997}").mkString(" "))
+    }.toDF("doc_id", "text").repartition(32)
+    val queries = (0L until 500L).map { q =>
+      (q, s"t${q % 997} t${(q * 7 + 13) % 997}")
+    }.toDF("qid", "qtext")
+    val (out, release) = Bm25.bm25TopK(corpus, "doc_id", "text",
+      queries, "qid", "qtext", k = 10)
+    val perQuery = out.groupBy("qid")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("rank").as("maxr"),
+        org.apache.spark.sql.functions.min("rank").as("minr"))
+      .as[(Long, Long, Long, Long)].collect()
+    release()
+    assert(perQuery.length == 500)
+    assert(perQuery.forall { case (_, n, maxr, minr) =>
+      n <= 10 && minr == 1 && maxr == n })
+  }
+
   test("unknown query terms score nothing; no-match queries emit no rows") {
     val queries = Seq((1L, "nonexistent"), (2L, "apple nonexistent"))
       .toDF("qid", "qtext")

@@ -70,6 +70,32 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got == Seq((2L, 1L, 4L)))
   }
 
+  test("scale probe: 20k docs, 50% exact re-crawls, removal keeps one copy each") {
+    // 10k distinct docs + an exact re-crawl of each (the Lee-et-al
+    // motivating case). Keep-first removal must leave the originals
+    // intact and empty every re-crawl — and complete in one pass
+    // (bounded by the window explode, never all-pairs).
+    val docs = (0L until 10000L).map { i =>
+      // tokens unique per (doc, position): no natural cross-doc windows,
+      // so the only duplicated substrings are the planted re-crawls
+      val text = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+      (i, text)
+    }
+    val corpus = (docs ++ docs.map { case (i, t) => (i + 100000L, t) })
+      .toDF("id", "text").repartition(32)
+    val (stats, release) = SubstringDedup.dedupStats(
+      corpus, "id", "text", 8, keepFirst = true)
+    val flagged = stats.select("id", "dup_tokens")
+      .as[(Long, Long)].collect()
+    release()
+    // every re-crawl (id >= 100000) is fully covered; no original is
+    // flagged unless it collides with a distinct doc's window (the hash
+    // construction above makes full 8-windows unique per i)
+    val (copies, originals) = flagged.partition(_._1 >= 100000L)
+    assert(copies.length == 10000 && copies.forall(_._2 == 12L))
+    assert(originals.isEmpty)
+  }
+
   test("mark join is an equi-join, never a nested loop or cartesian") {
     val df = (0L until 200L)
       .map(i => (i, s"w${i % 11} w${i % 7} w${i % 5} w${i % 3} w${i % 2} end$i"))
