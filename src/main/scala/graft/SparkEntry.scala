@@ -1600,6 +1600,23 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** IVF ingest/drift monitoring ([[graft.ops.IvfIndex
+    * .assignmentStats]]): the retrain trigger of the index lifecycle —
+    * a quantizer trained on the even-id slice (iterations = 0 → bit-exact
+    * lowest-even-id centroids the oracle re-derives) watches the odd-id
+    * batch arrive: per-cell counts and 1e12-scaled LONG squared
+    * distances to the assigned centroid, exact cross-engine.
+    */
+  private def qIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.ops.IvfIndex.train(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      nLists = 8, iterations = 0)
+    graft.ops.IvfIndex.assignmentStats(
+        model, spread(emb.filter(col("vec_id") % 2 === 1)), "embedding")
+      .orderBy("cell")
+  }
+
   /** Product quantization ([[graft.ops.Pq]]): 4 blocks x 16-centroid
     * codebooks over the 64-dim embeddings — the storage half of IVF-PQ
     * (64 floats -> 4 codes). iterations = 0 keeps every codebook a
@@ -2407,6 +2424,7 @@ object SparkEntry {
     "q_streaming_neardedup" -> (qStreamingNearDedup _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_embed_prep" -> (qEmbedPrep _),
+    "q_ivf_drift" -> (qIvfDrift _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -3118,6 +3136,24 @@ object SparkEntry {
          |         WHERE dropped.idb IS NULL)
          |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM kept GROUP BY label ORDER BY label""".stripMargin,
+    "q_ivf_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+        |          FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+        |odd AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        |d AS (SELECT o.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(o.v, c.v),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |      FROM odd o CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, cell, dist FROM (
+        |          SELECT vec_id, cell, dist,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+        |          FROM d)
+        |        WHERE rk = 1)
+        |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n,
+        |       CAST(sum(CAST(floor(dist * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS scaled_sum_sqdist
+        |FROM asg GROUP BY cell ORDER BY cell""".stripMargin,
     "q_semantic_decontam" ->
       s"""WITH $SemanticPairCtesSql,
          |xp AS (SELECT a.label, a.vec_id AS cid,

@@ -123,6 +123,37 @@ object IvfIndex {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Per-cell ingest statistics for a batch of vectors under an EXISTING
+    * quantizer — the retrain trigger of the index lifecycle (train →
+    * [[save]]/[[load]] → [[withCell]] new batches → monitor → retrain):
+    * assignments stay valid while per-cell quantization error is stable,
+    * and a growing mean distance-to-centroid (distribution drift) or a
+    * ballooning cell count (density shift) says retrain. Output:
+    * (cell, n, scaled_sum_sqdist) for non-empty cells, where each row's
+    * squared L2 distance to its assigned centroid is scaled ONCE to a
+    * 1e12 long before the cross-row sum (the int8/PQ float discipline —
+    * raw double sums are partition-order dependent; the per-row fold is
+    * sequential, matching DuckDB's list_sum for the oracle).
+    *
+    * One scan + the broadcast-model assignment + one broadcast join back
+    * to the (nLists-row) centroid table + one hash aggregate — the batch
+    * never shuffles by anything but the final nLists-key aggregate.
+    */
+  def assignmentStats(model: Model, batch: DataFrame, vecCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.toDF("cell", "__cent")
+    val sq = aggregate(
+      zip_with(col("__v"), col("__cent"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, e) => a + e)
+    withCell(batch, vecCol, model)
+      .select(col("cell"), toDoubleArray(col(vecCol)).as("__v"))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("__scaled", floor(sq * lit(1e12) + 0.5).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("__scaled").as("scaled_sum_sqdist"))
+  }
+
   /** Persist the trained quantizer as plain (cell, centroid) parquet so an
     * index trained once is reused across jobs. Retraining per run would
     * both waste `iterations` corpus scans and re-derive cell ids (they are

@@ -91,6 +91,33 @@ class IvfSpec extends SparkSpec {
     } finally { corpus.unpersist(blocking = false); () }
   }
 
+  test("assignmentStats: closed-form per-cell counts and scaled distances") {
+    import spark.implicits._
+    // hand-built 2-cell model on 2-dim vectors
+    val model = IvfIndex.Model(Array(
+      (0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0))))
+    val batch = Seq(
+      (1L, Seq(1.0, 0.0)),   // cell 0, sqdist 1
+      (2L, Seq(0.0, 2.0)),   // cell 0, sqdist 4
+      (3L, Seq(10.0, 3.0))   // cell 1, sqdist 9
+    ).toDF("id", "vec")
+    val got = IvfIndex.assignmentStats(model, batch, "vec")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // scaled = floor(sqdist * 1e12 + 0.5); exact for these integers
+    assert(got == Seq((0, 2L, 5000000000000L), (1, 1L, 9000000000000L)))
+  }
+
+  test("assignmentStats: empty cells emit no row; batch never lands cross-cell") {
+    import spark.implicits._
+    val model = IvfIndex.Model(Array(
+      (0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)), (2, Seq(100.0, 0.0))))
+    val batch = Seq((1L, Seq(0.5, 0.0)), (2L, Seq(0.25, 0.0))).toDF("id", "vec")
+    val got = IvfIndex.assignmentStats(model, batch, "vec")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0)) // cells 1 and 2 saw nothing
+    assert(got.head._2 == 2L)
+  }
+
   test("IVF search accepts models with non-contiguous cell ids") {
     // a caller may drop empty cells from a trained model; positions map
     // back to the surviving cell ids
