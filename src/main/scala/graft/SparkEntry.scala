@@ -1124,6 +1124,71 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** One-time: the odd-id documents as 2 stream chunks (doc_id % 4 ∈
+    * {1, 3}). Batch ORDER is irrelevant here — scores under a fixed
+    * model are per-doc — so plain sequential writes suffice.
+    */
+  private def classifyStreamSrcDir(spark: SparkSession, dir: String): String = {
+    val key = tmpKey(dir)
+    oncePerDir(s"/tmp/graft_stream_classify_src/$key", "_OK") {
+      val out = s"/tmp/graft_stream_classify_src/$key"
+      deleteRec(new java.io.File(out))
+      val odd = t(spark, dir, "documents").filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "text")
+      for (m <- Seq(1, 3))
+        odd.filter(pmod(col("doc_id"), lit(4)) === m)
+          .coalesce(1).write.mode("append").parquet(out)
+      new java.io.File(s"$out/_OK").createNewFile()
+    }
+  }
+
+  /** Streaming quality classification: the [[qQualityClassifier]] model
+    * trained ONCE on the static even-id slice, then held fixed while the
+    * odd-id corpus arrives as micro-batches — each batch scored in
+    * `foreachBatch` (one explode + one unpinned weights join, the same
+    * scan shape as batch) into the exactly-once sink. The oracle is the
+    * batch classifier oracle VERBATIM: a fixed model scores per doc, so
+    * batching must not change one value.
+    */
+  private def qStreamingClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spread(t(spark, dir, "documents"))
+    val model = QualityClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0)),
+      "text", "__label")
+    val srcDir = classifyStreamSrcDir(spark, dir)
+    val sinkDir = s"/tmp/graft_stream_classify_sink/${tmpKey(dir)}"
+    deleteRec(new java.io.File(sinkDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_classify_ckpt").toString
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.IdempotentParquetSink.writeBatch(
+          QualityClassifier.score(b, "doc_id", "text", model, carryCols = Seq("lang")),
+          id, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) q.stop()
+    deleteRec(new java.io.File(ckpt))
+    val agg = readSinkOrEmpty(spark, sinkDir,
+      "doc_id LONG, lang STRING, n_tokens LONG, n_oov LONG, scaled_score LONG")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("scaled_score").as("sum_scaled_score"),
+        sum(when(col("scaled_score") > 0, 1L).otherwise(0L)).as("n_pred_positive"),
+        sum("n_oov").as("sum_oov"))
+      .orderBy("lang")
+    val out = agg.localCheckpoint(true)
+    model.release()
+    out
+  }
+
   /** Sliding windows (1 h window, 30 min slide) over events — each event
     * lands in exactly two windows; the oracle materializes both window
     * starts per event explicitly.
@@ -2425,6 +2490,7 @@ object SparkEntry {
     "q_url_canonical" -> (qUrlCanonical _),
     "q_embed_prep" -> (qEmbedPrep _),
     "q_ivf_drift" -> (qIvfDrift _),
+    "q_streaming_classify" -> (qStreamingClassify _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -2439,6 +2505,43 @@ object SparkEntry {
   private val FpSql = s"substr(md5($NormSql), 1, 16)"
   private val ToksSql =
     s"list_filter(string_split_regex($NormSql, '\\s+'), x -> x <> '')"
+
+  /** Naive-Bayes classifier oracle — train on even ids (label lang='en'),
+    * score odd ids, aggregate per lang. Shared VERBATIM by
+    * q_quality_classifier (batch scoring) and q_streaming_classify
+    * (micro-batch scoring under a fixed pre-trained model): the model is
+    * fixed and scores are per-doc, so batching must not change a single
+    * value — the strongest statement of the batch/streaming contract.
+    */
+  private lazy val QualityClassifierOracleSql =
+    s"""WITH tokA AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l,
+       |                     unnest($ToksSql) AS t
+       |              FROM documents WHERE doc_id % 2 = 0),
+       |vocab AS (SELECT t, CAST(sum(l) AS BIGINT) AS cpos,
+       |                 CAST(sum(1 - l) AS BIGINT) AS cneg FROM tokA GROUP BY t),
+       |consts AS (SELECT
+       |    CAST(floor(ln(coalesce(sum(cpos), 0) + greatest(count(*), 1)) * 1e6 + 0.5) AS BIGINT) AS spden,
+       |    CAST(floor(ln(coalesce(sum(cneg), 0) + greatest(count(*), 1)) * 1e6 + 0.5) AS BIGINT) AS snden
+       |  FROM vocab),
+       |dprior AS (SELECT
+       |    CAST(floor(ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1e6 + 0.5) AS BIGINT)
+       |  - CAST(floor(ln(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1) * 1e6 + 0.5) AS BIGINT) AS prior
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |w AS (SELECT t,
+       |        CAST(floor(ln(cpos + 1) * 1e6 + 0.5) AS BIGINT) - (SELECT spden FROM consts)
+       |      - CAST(floor(ln(cneg + 1) * 1e6 + 0.5) AS BIGINT) + (SELECT snden FROM consts) AS w
+       |      FROM vocab),
+       |tokB AS (SELECT doc_id, lang, unnest($ToksSql) AS t
+       |         FROM documents WHERE doc_id % 2 = 1),
+       |scored AS (SELECT b.doc_id, b.lang,
+       |             sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS oov,
+       |             sum(coalesce(w.w, (SELECT snden - spden FROM consts))) AS sw
+       |           FROM tokB b LEFT JOIN w USING (t) GROUP BY 1, 2),
+       |d AS (SELECT lang, oov, sw + (SELECT prior FROM dprior) AS sc FROM scored)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(sc) AS BIGINT) AS sum_scaled_score,
+       |       CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_positive,
+       |       CAST(sum(oov) AS BIGINT) AS sum_oov
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Exact 3-token-shingle Jaccard >= 0.8 over ALL document pairs, via a
     * shingle inverted-index join — the ground truth both sketch-blocking
@@ -3484,35 +3587,8 @@ object SparkEntry {
          |       CAST(sum(oov) AS BIGINT) AS sum_oov,
          |       CAST(sum(CASE WHEN oov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_oov
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_quality_classifier" ->
-      s"""WITH tokA AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l,
-         |                     unnest($ToksSql) AS t
-         |              FROM documents WHERE doc_id % 2 = 0),
-         |vocab AS (SELECT t, CAST(sum(l) AS BIGINT) AS cpos,
-         |                 CAST(sum(1 - l) AS BIGINT) AS cneg FROM tokA GROUP BY t),
-         |consts AS (SELECT
-         |    CAST(floor(ln(coalesce(sum(cpos), 0) + greatest(count(*), 1)) * 1e6 + 0.5) AS BIGINT) AS spden,
-         |    CAST(floor(ln(coalesce(sum(cneg), 0) + greatest(count(*), 1)) * 1e6 + 0.5) AS BIGINT) AS snden
-         |  FROM vocab),
-         |dprior AS (SELECT
-         |    CAST(floor(ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1e6 + 0.5) AS BIGINT)
-         |  - CAST(floor(ln(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1) * 1e6 + 0.5) AS BIGINT) AS prior
-         |  FROM documents WHERE doc_id % 2 = 0),
-         |w AS (SELECT t,
-         |        CAST(floor(ln(cpos + 1) * 1e6 + 0.5) AS BIGINT) - (SELECT spden FROM consts)
-         |      - CAST(floor(ln(cneg + 1) * 1e6 + 0.5) AS BIGINT) + (SELECT snden FROM consts) AS w
-         |      FROM vocab),
-         |tokB AS (SELECT doc_id, lang, unnest($ToksSql) AS t
-         |         FROM documents WHERE doc_id % 2 = 1),
-         |scored AS (SELECT b.doc_id, b.lang,
-         |             sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS oov,
-         |             sum(coalesce(w.w, (SELECT snden - spden FROM consts))) AS sw
-         |           FROM tokB b LEFT JOIN w USING (t) GROUP BY 1, 2),
-         |d AS (SELECT lang, oov, sw + (SELECT prior FROM dprior) AS sc FROM scored)
-         |SELECT lang, count(*) AS n_docs, CAST(sum(sc) AS BIGINT) AS sum_scaled_score,
-         |       CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_positive,
-         |       CAST(sum(oov) AS BIGINT) AS sum_oov
-         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_classifier" -> QualityClassifierOracleSql,
+    "q_streaming_classify" -> QualityClassifierOracleSql,
     "q_substring_dedup" ->
       s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
          |cp AS (SELECT doc_id + 1000000 AS doc_id, lang, t[1:((len(t)*9+9)//10)] AS t
