@@ -1336,6 +1336,22 @@ object SparkEntry {
         sum("component").as("sum_canonical"))
   }
 
+  /** Dup-cluster size histogram — the dedup-rate readout a corpus report
+    * leads with: how many groups of each size, and the quadratic "pair
+    * weight" (sz²) that tells you which few mega-clusters dominate the
+    * dedup work. Same components as [[qDupClusters]], one more aggregate.
+    */
+  private def qDupHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val truth = shingleTruthPairs(spark, dir)
+    val comp = DupGroups.connectedComponents(truth, "idA", "idB")
+    comp.groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz") * col("sz")).as("sq_doc_weight"))
+      .select(col("sz").as("group_size"), col("n_groups"), col("sq_doc_weight"))
+      .orderBy("group_size")
+  }
+
   /** Deterministic stratified sampling + split assignment
     * ([[graft.ops.Sampling]]): membership is a pure function of
     * (doc_id, seed) — retry-stable and engine-portable, which is the whole
@@ -2491,6 +2507,7 @@ object SparkEntry {
     "q_embed_prep" -> (qEmbedPrep _),
     "q_ivf_drift" -> (qIvfDrift _),
     "q_streaming_classify" -> (qStreamingClassify _),
+    "q_dup_histogram" -> (qDupHistogram _),
     "q_decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_cross_dedup" -> (qCrossDedup _),
@@ -2505,6 +2522,23 @@ object SparkEntry {
   private val FpSql = s"substr(md5($NormSql), 1, 16)"
   private val ToksSql =
     s"list_filter(string_split_regex($NormSql, '\\s+'), x -> x <> '')"
+
+  /** Shared connected-components CTE chain: exact >= 0.8 pair graph →
+    * recursive min-label reachability → `sizes(component, sz)` — the
+    * q_dup_clusters / q_dup_histogram common prefix.
+    */
+  private lazy val DupSizesCtesSql =
+    s"""WITH RECURSIVE $ShinglePairCtesSql,
+       |pairs AS (SELECT ida, idb FROM j WHERE jac >= 0.8),
+       |edges AS (SELECT ida AS u, idb AS v FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+       |  WHERE r.lab < e.v),
+       |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1),
+       |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)""".stripMargin
 
   /** Naive-Bayes classifier oracle — train on even ids (label lang='en'),
     * score odd ids, aggregate per lang. Shared VERBATIM by
@@ -3098,21 +3132,16 @@ object SparkEntry {
     // min-label propagation (only labels smaller than the target node flow,
     // so the fixpoint is each node's component minimum)
     "q_dup_clusters" ->
-      s"""WITH RECURSIVE $ShinglePairCtesSql,
-         |pairs AS (SELECT ida, idb FROM j WHERE jac >= 0.8),
-         |edges AS (SELECT ida AS u, idb AS v FROM pairs
-         |          UNION SELECT idb, ida FROM pairs),
-         |reach(node, lab) AS (
-         |  SELECT DISTINCT u, u FROM edges
-         |  UNION
-         |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
-         |  WHERE r.lab < e.v),
-         |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1),
-         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+      s"""$DupSizesCtesSql
          |SELECT count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_dup_docs,
          |       max(sz) AS max_group_size,
          |       CAST(sum(component) AS BIGINT) AS sum_canonical
          |FROM sizes""".stripMargin,
+    "q_dup_histogram" ->
+      s"""$DupSizesCtesSql
+         |SELECT CAST(sz AS BIGINT) AS group_size, count(*) AS n_groups,
+         |       CAST(sum(sz * sz) AS BIGINT) AS sq_doc_weight
+         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
     // raw (unrounded) quality sum: exact 0.5 steps, so ORDER BY q DESC,
     // doc_id reproduces keepBest's (score, -id) max_by bit-for-bit
     "q_dedup_keep_best" ->
