@@ -2154,6 +2154,36 @@ object SparkEntry {
     out
   }
 
+  /** CCNet perplexity buckets ([[graft.ops.NgramLm.pplBuckets]], exact
+    * mode): per language, documents split into head/middle/tail thirds by
+    * per-token unigram log-likelihood — the published CCNet step after LM
+    * scoring. The sort key is one long/long double division (bit-identical
+    * cross-engine) with doc_id tiebreak, so DuckDB's ntile reproduces the
+    * assignment exactly. The approx (sketch-threshold) scale mode is
+    * invariant-checked in PipelineOpsSpec instead.
+    */
+  private def qPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val (scores, release) = NgramLm.unigramScores(
+      docs, "doc_id", "text", carryCols = Seq("lang"))
+    val bucketed = NgramLm.pplBuckets(
+      scores, partitionCols = Seq("lang"), idCol = "doc_id", buckets = 3,
+      exact = true)
+    val agg = bucketed
+      .withColumn("bucket",
+        when(col("ppl_bucket") === 1, "head")
+          .when(col("ppl_bucket") === 2, "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("scaled_logprob").as("sum_scaled_lp"),
+        min("doc_id").as("min_doc"))
+      .orderBy("lang", "bucket")
+    val out = agg.localCheckpoint(true)
+    release()
+    out
+  }
+
   /** External-LM scoring ([[graft.ops.NgramLm.unigramScoresWithVocab]]):
     * the real CCNet shape — vocabulary estimated on one slice (even ids:
     * "train on A"), documents of the OTHER slice scored against it
@@ -2496,6 +2526,7 @@ object SparkEntry {
     "q_common_ngrams" -> (qCommonNgrams _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_ppl_buckets" -> (qPplBuckets _),
     "q_external_lm" -> (qExternalLm _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_substring_dedup" -> (qSubstringDedup _),
@@ -3600,6 +3631,26 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
          |       CAST(sum(CASE WHEN lp > -3401000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS t FROM documents),
+         |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         |scored AS (SELECT doc_id, lang, count(*) AS n,
+         |             sum(CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT)) AS s
+         |           FROM tok JOIN vocab USING (t) GROUP BY 1, 2),
+         |d AS (SELECT doc_id, lang, n,
+         |        s - n * CAST(floor(ln((SELECT total FROM tot)) * 1e6 + 0.5) AS BIGINT) AS lp
+         |      FROM scored),
+         |b AS (SELECT doc_id, lang, n, lp,
+         |        ntile(3) OVER (PARTITION BY lang
+         |          ORDER BY CAST(lp AS DOUBLE) / n DESC, doc_id) AS nt
+         |      FROM d)
+         |SELECT lang,
+         |       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(lp) AS BIGINT) AS sum_scaled_lp,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc
+         |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q_external_lm" ->
       s"""WITH tokA AS (SELECT unnest($ToksSql) AS t FROM documents WHERE doc_id % 2 = 0),
          |vocab AS (SELECT t, count(*) AS cnt FROM tokA GROUP BY t),

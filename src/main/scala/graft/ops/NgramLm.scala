@@ -155,6 +155,65 @@ object NgramLm {
     (out, () => { pairs.unpersist(blocking = false); () })
   }
 
+  /** CCNet-style perplexity bucketing: split each language's documents into
+    * `buckets` quality tiers (bucket 1 = lowest perplexity = "head",
+    * last = "tail") by per-token log-likelihood — the published CCNet
+    * pipeline step that follows LM scoring (the head third trains, the
+    * tail third is dropped or down-weighted).
+    *
+    * The sort key is `scaled_logprob / n_tokens` computed as ONE double
+    * division of a long by a long — a single IEEE-754 op, bit-identical
+    * across engines — with `idCol` as the total-order tiebreak, so exact
+    * mode reproduces in any SQL engine.
+    *
+    * `exact = true`: `ntile(buckets)` over a per-partition window — one
+    * global sort per language, the same cost class as any ranked readout;
+    * this is the oracle-checkable mode. `exact = false` (the 100 TB
+    * default): per-language bucket thresholds come from ONE
+    * `percentile_approx` aggregate (bounded sketch state, no global
+    * sort), broadcast back and assigned by comparison — CCNet itself
+    * estimates thresholds on a sample, not a total order. Approx
+    * assignments can differ from exact near bucket boundaries (sketch
+    * error) and split ties by key value only; bucket POPULATIONS are
+    * approximate, the ordering invariant (higher key ⇒ never a later
+    * bucket) still holds.
+    *
+    * Input is a scores frame from [[unigramScores]] /
+    * [[unigramScoresWithVocab]] / [[bigramScores]] (any frame with
+    * `scoreCol`, `nTokensCol`, `idCol`, and the partition columns).
+    * Output: input columns + `ppl_bucket` (1-based).
+    */
+  def pplBuckets(
+      scores: DataFrame,
+      partitionCols: Seq[String],
+      idCol: String,
+      buckets: Int = 3,
+      nTokensCol: String = "n_tokens",
+      scoreCol: String = "scaled_logprob",
+      exact: Boolean = false): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val key = col(scoreCol).cast("double") / col(nTokensCol)
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partitionCols.map(col): _*)
+        .orderBy(key.desc, col(idCol))
+      scores.withColumn("ppl_bucket", ntile(buckets).over(w))
+    } else {
+      val ps = (1 until buckets).map(_.toDouble / buckets)
+      val thresholds = scores
+        .groupBy(partitionCols.map(col): _*)
+        .agg(percentile_approx(key * -1d, // ascending-perplexity quantiles
+          array(ps.map(lit): _*), lit(10000)).as("__ts"))
+      val joined = scores.join(broadcast(thresholds), partitionCols)
+      // bucket = 1 + #thresholds strictly below this doc's quality
+      val negKey = key * -1d
+      val rank = (0 until buckets - 1)
+        .map(i => when(negKey > element_at(col("__ts"), i + 1), 1).otherwise(0))
+        .reduce(_ + _)
+      joined.withColumn("ppl_bucket", rank + 1).drop("__ts")
+    }
+  }
+
   /** Conditional bigram log-likelihood — one order up the KenLM ladder from
     * [[unigramScores]]: `Σᵢ ln P(tᵢ|tᵢ₋₁) = Σ ln cnt₂(tᵢ₋₁tᵢ) − Σ
     * ln cnt₁(tᵢ₋₁)` with MLE counts from the corpus itself (prefix counts

@@ -270,6 +270,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(17).sortWithinPartitions("lang")))
   }
 
+  test("pplBuckets exact: tiers split per language, best scores land in bucket 1") {
+    import graft.ops.NgramLm
+    val scores = Seq(
+      // lang en: per-token keys -1.0, -2.0, -3.0, -4.0 -> ntile(3) = 1,1,2,3
+      (1L, "en", 10L, -10000000L), (2L, "en", 10L, -20000000L),
+      (3L, "en", 10L, -30000000L), (4L, "en", 10L, -40000000L),
+      // lang de: one doc -> bucket 1
+      (5L, "de", 4L, -8000000L))
+      .toDF("doc_id", "lang", "n_tokens", "scaled_logprob")
+    val got = NgramLm.pplBuckets(scores, Seq("lang"), "doc_id", buckets = 3,
+        exact = true)
+      .select("doc_id", "ppl_bucket").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 1))
+  }
+
+  test("pplBuckets approx: ordering invariant holds and tiers roughly balance") {
+    import graft.ops.NgramLm
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (scores, release) = NgramLm.unigramScores(
+      docs, "doc_id", "text", carryCols = Seq("lang"))
+    val b = NgramLm.pplBuckets(scores, Seq("lang"), "doc_id", buckets = 3)
+      .select(col("lang"), col("ppl_bucket"),
+        (col("scaled_logprob").cast("double") / col("n_tokens")).as("key"))
+      .as[(String, Int, Double)].collect()
+    release()
+    assert(b.map(_._2).forall(x => x >= 1 && x <= 3))
+    // higher key (better quality) never lands in a LATER bucket than a
+    // lower key of the same language
+    b.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(-_._3).foldLeft(0) { (prev, r) =>
+        assert(r._2 >= prev); math.max(prev, r._2)
+      }
+      // with >= 30 docs each tier holds between 15% and 55% (sketch slack)
+      if (rows.length >= 30) (1 to 3).foreach { t =>
+        val share = rows.count(_._2 == t).toDouble / rows.length
+        assert(share > 0.15 && share < 0.55, s"tier $t share $share")
+      }
+    }
+  }
+
   test("bigram scores match the closed form; per-history probabilities sum to 1") {
     import graft.ops.NgramLm
     // bigrams: "a b":2 (docs 1,2), "b a":1; prefixes: a:3, b:1... counted
