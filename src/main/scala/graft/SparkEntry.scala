@@ -2239,6 +2239,33 @@ object SparkEntry {
     out
   }
 
+  /** Calibration sweep ([[graft.ops.QualityClassifier.calibrationSweep]]):
+    * confusion counts of the NB quality filter at five candidate
+    * thresholds (±2, ±1, 0 in 1e6-scaled log-odds) in one pass over the
+    * held-out scored slice — the operating-point selection step that
+    * follows training. The t = 0 row reproduces
+    * [[qQualityClassifier]]'s production `n_pred_positive` split by
+    * outcome, which chains the two oracles together.
+    */
+  private def qQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val model = QualityClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0)),
+      "text", "__label")
+    val scored = QualityClassifier.score(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model,
+      carryCols = Seq("lang"))
+      .withColumn("__y", when(col("lang") === "en", 1).otherwise(0))
+    val swept = QualityClassifier.calibrationSweep(
+        scored, "__y",
+        thresholds = Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L))
+      .orderBy("threshold")
+    val out = swept.localCheckpoint(true)
+    model.release()
+    out
+  }
+
   /** Fuzzy decontamination ([[graft.ops.Decontaminate
     * .contaminationCoverage]]): flag (corpus doc, eval item) pairs where
     * >= 50% of the eval item's distinct 8-gram shingles appear in the
@@ -2529,6 +2556,7 @@ object SparkEntry {
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_external_lm" -> (qExternalLm _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_quality_calibration" -> (qQualityCalibration _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
@@ -2578,8 +2606,12 @@ object SparkEntry {
     * fixed and scores are per-doc, so batching must not change a single
     * value — the strongest statement of the batch/streaming contract.
     */
-  private lazy val QualityClassifierOracleSql =
-    s"""WITH tokA AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l,
+  /** Shared CTE chain ending in `d(lang, oov, sc)` — per-doc integer
+    * scores of the odd-id slice under the NB model trained on the even-id
+    * slice; consumed by the classifier readout and the calibration sweep.
+    */
+  private lazy val ClassifierScoredCtesSql =
+    s"""tokA AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l,
        |                     unnest($ToksSql) AS t
        |              FROM documents WHERE doc_id % 2 = 0),
        |vocab AS (SELECT t, CAST(sum(l) AS BIGINT) AS cpos,
@@ -2602,7 +2634,10 @@ object SparkEntry {
        |             sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS oov,
        |             sum(coalesce(w.w, (SELECT snden - spden FROM consts))) AS sw
        |           FROM tokB b LEFT JOIN w USING (t) GROUP BY 1, 2),
-       |d AS (SELECT lang, oov, sw + (SELECT prior FROM dprior) AS sc FROM scored)
+       |d AS (SELECT lang, oov, sw + (SELECT prior FROM dprior) AS sc FROM scored)""".stripMargin
+
+  private lazy val QualityClassifierOracleSql =
+    s"""WITH $ClassifierScoredCtesSql
        |SELECT lang, count(*) AS n_docs, CAST(sum(sc) AS BIGINT) AS sum_scaled_score,
        |       CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_positive,
        |       CAST(sum(oov) AS BIGINT) AS sum_oov
@@ -3668,6 +3703,16 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN oov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_oov
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_quality_classifier" -> QualityClassifierOracleSql,
+    "q_quality_calibration" ->
+      s"""WITH $ClassifierScoredCtesSql,
+         |d2 AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, sc FROM d),
+         |th AS (SELECT unnest([-2000000, -1000000, 0, 1000000, 2000000]) AS threshold)
+         |SELECT CAST(threshold AS BIGINT) AS threshold,
+         |       CAST(sum(CASE WHEN y = 1 AND sc > threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |       CAST(sum(CASE WHEN y = 0 AND sc > threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |       CAST(sum(CASE WHEN y = 1 AND sc <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |       CAST(sum(CASE WHEN y = 0 AND sc <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM d2 CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_streaming_classify" -> QualityClassifierOracleSql,
     "q_substring_dedup" ->
       s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),

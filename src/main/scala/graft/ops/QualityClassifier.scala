@@ -107,4 +107,43 @@ object QualityClassifier {
         sum(coalesce(col("w"), lit(model.oovScaled))).as("__sum_w"))
       .withColumn("scaled_score", col("__sum_w") + lit(model.priorScaled))
       .drop("__sum_w")
+
+  /** Threshold calibration sweep — the step that picks the filter's
+    * operating point: confusion counts (tp/fp/fn/tn) of `scoreCol > t`
+    * against the true `labelCol` for every candidate threshold, in ONE
+    * pass over the scored frame. Precision/recall/F1 are driver-side
+    * ratios of the four counts; emitting the integers keeps the result
+    * engine-exact.
+    *
+    * Predicted positive is STRICT `score > threshold` — the same rule
+    * [[score]] callers apply at `t = 0`, so the `t = 0` row of the sweep
+    * reproduces the production filter's counts.
+    *
+    * Scale shape: the explode multiplies rows by `thresholds.size`
+    * (bounded, caller-chosen) before a hash aggregate whose map-side
+    * partials collapse each partition to `thresholds.size` rows — no
+    * sort, no per-threshold rescan of the corpus. Output: (threshold,
+    * tp, fp, fn, tn), one row per threshold.
+    */
+  def calibrationSweep(
+      scored: DataFrame,
+      labelCol: String,
+      thresholds: Seq[Long],
+      scoreCol: String = "scaled_score"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val y = col(labelCol).cast("int")
+    scored
+      .select(y.as("__y"), col(scoreCol).as("__s"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__y") === 1 && col("__s") > col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__y") === 0 && col("__s") > col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__y") === 1 && col("__s") <= col("threshold"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__y") === 0 && col("__s") <= col("threshold"), 1L)
+          .otherwise(0L)).as("tn"))
+  }
 }

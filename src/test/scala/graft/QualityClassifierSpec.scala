@@ -56,6 +56,23 @@ class QualityClassifierSpec extends SparkSpec {
     assert(scored.toSeq == Seq((1L, 1L, 0L, wAlpha + model.priorScaled)))
   }
 
+  test("calibrationSweep: confusion counts per threshold, strict > rule") {
+    // scores: y=1 at 5, 15; y=0 at -5, 10
+    val scored = Seq((1L, 1, 5L), (2L, 1, 15L), (3L, 0, -5L), (4L, 0, 10L))
+      .toDF("id", "y", "scaled_score")
+    val got = QualityClassifier.calibrationSweep(scored, "y", Seq(0L, 5L, 20L))
+      .select("threshold", "tp", "fp", "fn", "tn")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 0L, 1L),   // > 0: scores 5, 15 (tp), 10 (fp)
+      (5L, 1L, 1L, 1L, 1L),   // > 5 STRICT: 5 now fn
+      (20L, 0L, 0L, 2L, 2L))) // nothing predicted positive
+    // monotone: tp and fp never increase as the threshold rises
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3)
+    }
+  }
+
   test("training explode feeds one hash aggregate; scoring join is unpinned") {
     val labeled = (0L until 100L)
       .map(i => (i, s"tok${i % 7} tok${i % 3} filler", (i % 2).toInt))
