@@ -2239,6 +2239,20 @@ object SparkEntry {
     out
   }
 
+  /** PMI collocations ([[graft.ops.Collocations.topPmi]]): top-20
+    * adjacent word pairs by pointwise mutual information with min support
+    * 5 — counting runs on 8-byte hashes, strings join back only for the
+    * top candidates. candidateCap is sized above the test corpora's whole
+    * qualifying-pair population (asserted in TextOpsSpec) so the top-k is
+    * exact and the oracle — the same integer PMI over string pairs —
+    * reproduces it row for row.
+    */
+  private def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    graft.ops.Collocations.topPmi(
+      docs, "text", minCount = 5, k = 20, candidateCap = 100000)
+  }
+
   /** Calibration sweep ([[graft.ops.QualityClassifier.calibrationSweep]]):
     * confusion counts of the NB quality filter at five candidate
     * thresholds (±2, ±1, 0 in 1e6-scaled log-odds) in one pass over the
@@ -2557,6 +2571,7 @@ object SparkEntry {
     "q_external_lm" -> (qExternalLm _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_quality_calibration" -> (qQualityCalibration _),
+    "q_collocations" -> (qCollocations _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
@@ -3714,6 +3729,23 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN y = 0 AND sc <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |FROM d2 CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_streaming_classify" -> QualityClassifierOracleSql,
+    "q_collocations" ->
+      s"""WITH tk AS (SELECT $ToksSql AS t FROM documents),
+         |pr AS (SELECT t[gs.i] AS u, t[gs.i + 1] AS v
+         |       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gs
+         |       WHERE len(t) >= 2),
+         |bc AS (SELECT u, v, count(*) AS cnt FROM pr GROUP BY 1, 2),
+         |pc AS (SELECT u, count(*) AS cu FROM pr GROUP BY 1),
+         |sc AS (SELECT v, count(*) AS cv FROM pr GROUP BY 1),
+         |n2 AS (SELECT count(*) AS n FROM pr)
+         |SELECT u AS w1, v AS w2, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT)
+         |     + CAST(floor(ln((SELECT n FROM n2)) * 1e6 + 0.5) AS BIGINT)
+         |     - CAST(floor(ln(cu) * 1e6 + 0.5) AS BIGINT)
+         |     - CAST(floor(ln(cv) * 1e6 + 0.5) AS BIGINT) AS scaled_pmi
+         |FROM bc JOIN pc USING (u) JOIN sc USING (v)
+         |WHERE cnt >= 5
+         |ORDER BY scaled_pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_substring_dedup" ->
       s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
          |cp AS (SELECT doc_id + 1000000 AS doc_id, lang, t[1:((len(t)*9+9)//10)] AS t

@@ -21,6 +21,49 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(3) == 8) // 5 words + 3 punctuation marks
   }
 
+  test("topPmi: integer PMI matches the closed form, min support filters") {
+    import graft.ops.Collocations
+    // pairs: (a,b)x2, (b,a)x1, (c,d)x1 -> N=4; prefixes a:2,b:1,c:1;
+    // suffixes b:2,a:1,d:1
+    val docs = Seq("a b a b", "c d").toDF("text")
+    def s(x: Long) = graft.functions.ScaledLn.long(x)
+    val got = Collocations.topPmi(docs, "text", minCount = 1, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val want = Seq(
+      ("c", "d", 1L, s(1) + s(4) - s(1) - s(1)), // pmi ln(4)
+      ("b", "a", 1L, s(1) + s(4) - s(1) - s(1)), // pmi ln(4)
+      ("a", "b", 2L, s(2) + s(4) - s(2) - s(2))) // pmi ln(2)
+      .sortBy(r => (-r._4, r._1, r._2))
+    assert(got == want)
+    // min support 2 keeps only the repeated pair
+    val top = Collocations.topPmi(docs, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(top == want.filter(_._3 >= 2))
+  }
+
+  test("topPmi: candidate cap covers the corpus; no cartesian join-back") {
+    import graft.ops.Collocations
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Collocations.topPmi(docs, "text", minCount = 5, k = 20,
+      candidateCap = 100000)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = out.as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // the q_collocations cap must dominate the qualifying-pair population
+    // (exact-top-k precondition; re-checked here so corpus growth trips it)
+    val uni = graft.functions.HashedShingles(col("text"), 1)
+    val qualifying = docs
+      .filter(size(graft.functions.TokenizeWords(col("text"))) >= 2)
+      .select(explode(zip_with(
+        slice(uni, lit(1), size(uni) - 1),
+        slice(uni, lit(2), size(uni) - 1),
+        (a, b) => struct(a, b))).as("p"))
+      .groupBy("p").count().filter(col("count") >= 5).count()
+    assert(qualifying < 100000)
+  }
+
   test("short doc yields single whole-text shingle") {
     val r = Seq("one two").toDF("text")
       .select(TextFunctions.shingles($"text", 3)).collect().head
