@@ -2239,6 +2239,17 @@ object SparkEntry {
     out
   }
 
+  /** BPE merge candidates ([[graft.ops.Bpe.pairCounts]]): top-20 adjacent
+    * character pairs by frequency-weighted occurrence count — tokenizer
+    * training's first merge decision, computed on the vocabulary, not the
+    * corpus. Exact integer counts; ordering is total (pair is unique), so
+    * the oracle reproduces the top-k row for row.
+    */
+  private def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    graft.ops.Bpe.pairCounts(docs, "text", k = 20)
+  }
+
   /** PMI collocations ([[graft.ops.Collocations.topPmi]]): top-20
     * adjacent word pairs by pointwise mutual information with min support
     * 5 — counting runs on 8-byte hashes, strings join back only for the
@@ -2572,6 +2583,7 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_collocations" -> (qCollocations _),
+    "q_bpe_pairs" -> (qBpePairs _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
@@ -3729,6 +3741,15 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN y = 0 AND sc <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |FROM d2 CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_streaming_classify" -> QualityClassifierOracleSql,
+    "q_bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest($ToksSql) AS w FROM documents),
+         |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+         |p AS (SELECT substring(w, gs.i, 2) AS pair, w, cnt
+         |      FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) gs
+         |      WHERE length(w) >= 2)
+         |SELECT pair, CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+         |       CAST(sum(cnt) AS BIGINT) AS n_occurrences
+         |FROM p GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     "q_collocations" ->
       s"""WITH tk AS (SELECT $ToksSql AS t FROM documents),
          |pr AS (SELECT t[gs.i] AS u, t[gs.i + 1] AS v

@@ -21,6 +21,17 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(3) == 8) // 5 words + 3 punctuation marks
   }
 
+  test("bpe pairCounts: frequency-weighted char pairs, multi-position words") {
+    import graft.ops.Bpe
+    // vocab: aa x2, ab x1, aaa x1, z x1 (dropped: single char)
+    val docs = Seq("aa ab aa", "aaa z").toDF("text")
+    val got = Bpe.pairCounts(docs, "text", k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // "aa" appears in word aa (1 position, cnt 2) and word aaa (2
+    // positions, cnt 1) -> n_types 2, n_occurrences 2*1 + 1*2 = 4
+    assert(got == Seq(("aa", 2L, 4L), ("ab", 1L, 1L)))
+  }
+
   test("topPmi: integer PMI matches the closed form, min support filters") {
     import graft.ops.Collocations
     // pairs: (a,b)x2, (b,a)x1, (c,d)x1 -> N=4; prefixes a:2,b:1,c:1;
