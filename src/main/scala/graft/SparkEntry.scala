@@ -2239,6 +2239,30 @@ object SparkEntry {
     out
   }
 
+  /** Domain blocklist ([[graft.ops.UrlFilter.flagBlocked]]): URLs
+    * synthesized over 20 hosts (every 5th behind a `cdn.` subdomain) are
+    * matched against a 3-entry blocklist by host-suffix-on-label-boundary
+    * semantics — the subdomain rows prove suffix matching, the oracle's
+    * `host = d OR host LIKE '%.' || d` is the same predicate in SQL.
+    */
+  private def qUrlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val host = when(col("doc_id") % 5 === 0,
+      format_string("cdn.site-%d.example.org", pmod(col("doc_id"), lit(20))))
+      .otherwise(format_string("site-%d.example.org", pmod(col("doc_id"), lit(20))))
+    val withUrl = docs.select(col("doc_id"), col("lang"),
+      concat(lit("https://"), host, lit("/"), col("lang"), lit("/doc")).as("url"))
+    val blocklist = spark.createDataFrame(Seq(
+      Tuple1("site-3.example.org"), Tuple1("site-7.example.org"),
+      Tuple1("bad.example.net"))).toDF("domain")
+    graft.ops.UrlFilter.flagBlocked(withUrl, "doc_id", "url", blocklist)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        min(when(col("blocked"), col("doc_id"))).as("min_blocked"))
+      .orderBy("lang")
+  }
+
   /** BPE merge candidates ([[graft.ops.Bpe.pairCounts]]): top-20 adjacent
     * character pairs by frequency-weighted occurrence count — tokenizer
     * training's first merge decision, computed on the vocabulary, not the
@@ -2584,6 +2608,7 @@ object SparkEntry {
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_collocations" -> (qCollocations _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_url_blocklist" -> (qUrlBlocklist _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
@@ -3741,6 +3766,21 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN y = 0 AND sc <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |FROM d2 CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_streaming_classify" -> QualityClassifierOracleSql,
+    "q_url_blocklist" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |       CASE WHEN doc_id % 5 = 0
+        |            THEN 'cdn.site-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+        |            ELSE 'site-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' END AS host
+        |     FROM documents),
+        |bl AS (SELECT unnest(['site-3.example.org', 'site-7.example.org',
+        |                      'bad.example.net']) AS dom),
+        |f AS (SELECT d.doc_id, d.lang, count(b.dom) > 0 AS blocked
+        |      FROM d LEFT JOIN bl b ON d.host = b.dom OR d.host LIKE '%.' || b.dom
+        |      GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+        |       CAST(min(CASE WHEN blocked THEN doc_id END) AS BIGINT) AS min_blocked
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH tok AS (SELECT unnest($ToksSql) AS w FROM documents),
          |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),

@@ -58,4 +58,36 @@ class CanonicalizeUrlSpec extends SparkSpec {
     assert(viaSql == canon("HTTP://A.B:80/p?utm_x=1&z=1&y=2#f"))
     assert(viaSql == "http://a.b/p?y=2&z=1")
   }
+
+  test("hostSuffixes: label suffixes 2..maxLabels, null-safe") {
+    import graft.ops.UrlFilter
+    def sfx(h: String, maxLabels: Int = 10): Seq[String] =
+      Seq(Tuple1(h)).toDF("h")
+        .select(UrlFilter.hostSuffixes(col("h"), maxLabels).as("s"))
+        .as[Seq[String]].collect().head
+    assert(sfx("a.b.example.org")
+      == Seq("example.org", "b.example.org", "a.b.example.org"))
+    assert(sfx("a.b.example.org", maxLabels = 2) == Seq("example.org"))
+    assert(sfx("localhost") == Seq.empty) // below the registrable floor
+    assert(Seq(Tuple1(null: String)).toDF("h")
+      .select(UrlFilter.hostSuffixes(col("h")).as("s"))
+      .as[Seq[String]].collect().head == Seq.empty)
+  }
+
+  test("flagBlocked: suffix on label boundaries, never substring") {
+    import graft.ops.UrlFilter
+    val rows = Seq(
+      (1L, "https://site-3.example.org/x"),       // exact host in list
+      (2L, "https://cdn.site-3.example.org/x"),   // subdomain of entry
+      (3L, "https://notexample.org/x"),           // substring must NOT match
+      (4L, "https://Site-3.Example.ORG./x"),      // case + trailing dot
+      (5L, "https://example.org/x"),              // parent of entry: kept
+      (6L, "https://localhost/x"))                // single label: kept
+      .toDF("id", "url")
+    val bl = Seq(Tuple1("site-3.example.org")).toDF("domain")
+    val got = UrlFilter.flagBlocked(rows, "id", "url", bl)
+      .select("id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false))
+  }
 }
