@@ -2239,6 +2239,31 @@ object SparkEntry {
     out
   }
 
+  /** Snapshot diff ([[graft.ops.SnapshotDiff.diff]]): the old snapshot is
+    * derived deterministically from `documents` — ids %7=0 missing
+    * (→ added), ids %5=0 carrying ` legacy`-suffixed text (→ changed),
+    * plus id+2e6 ghost rows (→ removed) — and diffed against the current
+    * table by content fingerprint. The oracle rebuilds both snapshots and
+    * compares TEXT equality, so it also cross-checks that the fingerprint
+    * is injective on the corpus.
+    */
+  private def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    def fp(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TF.contentFingerprint(col("text")).as("fp"))
+    graft.ops.SnapshotDiff.diff(fp(oldSnap), fp(docs), "doc_id", "fp")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("status")
+  }
+
   /** Domain blocklist ([[graft.ops.UrlFilter.flagBlocked]]): URLs
     * synthesized over 20 hosts (every 5th behind a `cdn.` subdomain) are
     * matched against a 3-entry blocklist by host-suffix-on-label-boundary
@@ -2609,6 +2634,7 @@ object SparkEntry {
     "q_collocations" -> (qCollocations _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_url_blocklist" -> (qUrlBlocklist _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
@@ -3766,6 +3792,22 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN y = 0 AND sc <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |FROM d2 CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_streaming_classify" -> QualityClassifierOracleSql,
+    "q_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS id,
+        |        CASE WHEN o.doc_id IS NULL THEN 'added'
+        |             WHEN n.doc_id IS NULL THEN 'removed'
+        |             WHEN o.text = n.text THEN 'unchanged'
+        |             ELSE 'changed' END AS status
+        |      FROM old o FULL OUTER JOIN documents n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n, CAST(min(id) AS BIGINT) AS min_id,
+        |       CAST(max(id) AS BIGINT) AS max_id
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
     "q_url_blocklist" ->
       """WITH d AS (SELECT doc_id, lang,
         |       CASE WHEN doc_id % 5 = 0

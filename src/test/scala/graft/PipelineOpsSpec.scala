@@ -270,6 +270,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(17).sortWithinPartitions("lang")))
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import graft.ops.SnapshotDiff
+    import graft.functions.TextFunctions
+    val oldDf = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "text")
+    val newDf = Seq((2L, "bb"), (3L, "cc changed"), (4L, "dd")).toDF("id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), TextFunctions.contentFingerprint(col("text")).as("fp"))
+    val got = SnapshotDiff.diff(fp(oldDf), fp(newDf), "id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+    // the classifying join is a plain equi-join, never a nested loop
+    val plan = SnapshotDiff.diff(fp(oldDf), fp(newDf), "id", "fp")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pplBuckets exact: tiers split per language, best scores land in bucket 1") {
     import graft.ops.NgramLm
     val scores = Seq(
