@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, DupGroups, Multimodal, NgramLm, Packing, PartitionedSink, QualityClassifier, Sampling, Similarity}
+import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, Dsir, DupGroups, Multimodal, NgramLm, Packing, PartitionedSink, QualityClassifier, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -2210,6 +2210,30 @@ object SparkEntry {
     out
   }
 
+  /** DSIR importance resampling ([[graft.ops.Dsir]]): the published
+    * data-selection shape — a target LM (English slice 0: "what we want
+    * more of") and a raw LM (slice 1: "what we are selecting from") are
+    * estimated once, candidates (slice 2) are weighted by the scaled
+    * integer `Σ ln p_target − ln p_raw`, and the top-50 by (weight,
+    * doc_id) are kept. Row-for-row oracle: the selected SET, weights,
+    * and OOV counts must all reproduce exactly.
+    */
+  private def qDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val target = NgramLm.tokenVocabulary(
+      docs.filter(col("doc_id") % 3 === 0 && col("lang") === "en"), "text")
+    val raw = NgramLm.tokenVocabulary(docs.filter(col("doc_id") % 3 === 1), "text")
+    val (weights, release) = Dsir.importanceWeights(
+      docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", target, raw,
+      carryCols = Seq("lang"))
+    val sel = Dsir.selectTopK(weights, "doc_id", 50)
+      .select("doc_id", "lang", "n_tokens", "n_oov_target", "n_oov_raw",
+        "scaled_weight")
+    val out = sel.localCheckpoint(true)
+    release()
+    out
+  }
+
   /** fastText-style quality classifier ([[graft.ops.QualityClassifier]]):
     * the train-a-filter-on-labeled-slices shape — a Naive Bayes log-odds
     * linear model trained on the even-id slice (label: lang = 'en', a
@@ -2629,6 +2653,7 @@ object SparkEntry {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_external_lm" -> (qExternalLm _),
+    "q_dsir" -> (qDsir _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_collocations" -> (qCollocations _),
@@ -3780,6 +3805,31 @@ object SparkEntry {
          |       CAST(sum(oov) AS BIGINT) AS sum_oov,
          |       CAST(sum(CASE WHEN oov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_oov
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dsir" ->
+      s"""WITH tokP AS (SELECT unnest($ToksSql) AS t FROM documents
+         |             WHERE doc_id % 3 = 0 AND lang = 'en'),
+         |vp AS (SELECT t, count(*) AS cp FROM tokP GROUP BY t),
+         |tokQ AS (SELECT unnest($ToksSql) AS t FROM documents WHERE doc_id % 3 = 1),
+         |vq AS (SELECT t, count(*) AS cq FROM tokQ GROUP BY t),
+         |totp AS (SELECT coalesce(CAST(floor(ln(sum(cp)) * 1e6 + 0.5) AS BIGINT), 0) AS sp FROM vp),
+         |totq AS (SELECT coalesce(CAST(floor(ln(sum(cq)) * 1e6 + 0.5) AS BIGINT), 0) AS sq FROM vq),
+         |m AS (SELECT coalesce(vp.t, vq.t) AS t,
+         |        coalesce(CAST(floor(ln(cp) * 1e6 + 0.5) AS BIGINT), 0)
+         |      - coalesce(CAST(floor(ln(cq) * 1e6 + 0.5) AS BIGINT), 0) AS delta,
+         |        (cp IS NULL) AS oovp, (cq IS NULL) AS oovq
+         |      FROM vp FULL OUTER JOIN vq ON vp.t = vq.t),
+         |tokC AS (SELECT doc_id, lang, unnest($ToksSql) AS t FROM documents
+         |         WHERE doc_id % 3 = 2),
+         |sc AS (SELECT c.doc_id, c.lang, count(*) AS n,
+         |         sum(CASE WHEN m.t IS NULL OR m.oovp THEN 1 ELSE 0 END) AS oovt,
+         |         sum(CASE WHEN m.t IS NULL OR m.oovq THEN 1 ELSE 0 END) AS oovr,
+         |         sum(coalesce(m.delta, 0)) AS sd
+         |       FROM tokC c LEFT JOIN m ON c.t = m.t GROUP BY 1, 2)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+         |       CAST(oovt AS BIGINT) AS n_oov_target, CAST(oovr AS BIGINT) AS n_oov_raw,
+         |       CAST(sd - n * ((SELECT sp FROM totp) - (SELECT sq FROM totq)) AS BIGINT)
+         |         AS scaled_weight
+         |FROM sc ORDER BY scaled_weight DESC, doc_id LIMIT 50""".stripMargin,
     "q_quality_classifier" -> QualityClassifierOracleSql,
     "q_quality_calibration" ->
       s"""WITH $ClassifierScoredCtesSql,
