@@ -2234,6 +2234,38 @@ object SparkEntry {
     out
   }
 
+  /** C4-style page cleaning ([[graft.ops.LineClean]]): the published T5
+    * line+page rules. The flat synthetic corpus has no newlines or
+    * punctuation, so multi-line pages are constructed deterministically
+    * from it IN BOTH ENGINES (the q_url_blocklist pattern): tokens are
+    * re-lined 8 per line via [[graft.functions.ChunkText]], each line
+    * gets a (doc_id + line#)-cycled suffix (. ! ? none " javascript."),
+    * and every 31st page gets a "lorem ipsum { x }" line — exercising
+    * the terminal-punctuation, min-words, banned-line, min-lines, and
+    * both banned-page rules on real data.
+    */
+  private def qC4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val suffixes = array(lit("."), lit("!"), lit("?"), lit(""), lit(" javascript."))
+    val lines = graft.functions.ChunkText(col("text"), 8, 8)
+    val page = concat(
+      array_join(transform(lines, (x, i) =>
+        concat(x, element_at(suffixes,
+          ((col("doc_id") + i) % 5).cast("int") + 1))), "\n"),
+      when(col("doc_id") % 31 === 0, lit("\nlorem ipsum { x }")).otherwise(lit("")))
+    val pages = docs.select(col("doc_id"), col("lang"), page.as("text"))
+    val cleaned = graft.ops.LineClean.cleanPages(
+      pages, "doc_id", "text", carryCols = Seq("lang"))
+    cleaned.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("page_kept"), 1L).otherwise(0L)).as("n_pages_kept"),
+        sum("n_lines").as("sum_lines"),
+        sum("n_kept_lines").as("sum_kept_lines"),
+        sum(when(col("page_kept"), length(col("clean_text"))).otherwise(0L))
+          .as("sum_clean_chars"))
+      .orderBy("lang")
+  }
+
   /** fastText-style quality classifier ([[graft.ops.QualityClassifier]]):
     * the train-a-filter-on-labeled-slices shape — a Naive Bayes log-odds
     * linear model trained on the even-id slice (label: lang = 'en', a
@@ -2654,6 +2686,7 @@ object SparkEntry {
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_external_lm" -> (qExternalLm _),
     "q_dsir" -> (qDsir _),
+    "q_c4_clean" -> (qC4Clean _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_collocations" -> (qCollocations _),
@@ -3830,6 +3863,42 @@ object SparkEntry {
          |       CAST(sd - n * ((SELECT sp FROM totp) - (SELECT sq FROM totq)) AS BIGINT)
          |         AS scaled_weight
          |FROM sc ORDER BY scaled_weight DESC, doc_id LIMIT 50""".stripMargin,
+    "q_c4_clean" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |ln0 AS (SELECT doc_id, lang, gs.i AS i,
+         |          array_to_string(t[(gs.i - 1) * 8 + 1 : least(gs.i * 8, len(t))], ' ')
+         |          || CASE CAST((doc_id + gs.i - 1) % 5 AS INT)
+         |               WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+         |               WHEN 3 THEN '' ELSE ' javascript.' END AS line
+         |        FROM tk, LATERAL (SELECT unnest(generate_series(1,
+         |          CAST(ceil(len(t) / 8.0) AS INT))) AS i) gs),
+         |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS body
+         |        FROM ln0 GROUP BY doc_id),
+         |pages AS (SELECT d.doc_id, d.lang,
+         |            coalesce(p.body, '') || CASE WHEN d.doc_id % 31 = 0
+         |              THEN chr(10) || 'lorem ipsum { x }' ELSE '' END AS page
+         |          FROM documents d LEFT JOIN pg0 p ON d.doc_id = p.doc_id),
+         |r AS (SELECT doc_id, lang, page,
+         |        length(page) - length(replace(page, chr(10), '')) + 1 AS n_lines,
+         |        list_filter(list_transform(string_split(page, chr(10)),
+         |            x -> trim(x, ' ' || chr(9) || chr(12) || chr(13))),
+         |          t -> length(t) > 0
+         |           AND list_contains(['.', '!', '?', '"'], t[-1:])
+         |           AND len(list_filter(string_split_regex(t, '\\s+'), w -> w <> '')) >= 5
+         |           AND NOT contains(lower(t), 'javascript')) AS kept
+         |      FROM pages),
+         |v AS (SELECT lang, n_lines, len(kept) AS n_kept,
+         |        (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+         |         AND NOT contains(page, '{')) AS page_kept,
+         |        length(array_to_string(kept, chr(10))) AS clean_len
+         |      FROM r)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN page_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_pages_kept,
+         |       CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+         |       CAST(sum(n_kept) AS BIGINT) AS sum_kept_lines,
+         |       CAST(sum(CASE WHEN page_kept THEN clean_len ELSE 0 END) AS BIGINT)
+         |         AS sum_clean_chars
+         |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
     "q_quality_classifier" -> QualityClassifierOracleSql,
     "q_quality_calibration" ->
       s"""WITH $ClassifierScoredCtesSql,
