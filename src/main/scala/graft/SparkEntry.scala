@@ -2525,6 +2525,34 @@ object SparkEntry {
     res
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion ([[graft.ops.Rrf]]):
+    * THE hybrid-search shape — a lexical BM25 run over document text and
+    * a semantic brute-force cosine run over the aligned embeddings table
+    * (same id space), each top-20 per query, fused by integer
+    * `1e9 div (60 + rank)` and re-ranked top-10. Only ranks cross runs,
+    * so the incomparable score scales (scaled-long BM25, float cosine)
+    * fuse without calibration.
+    */
+  private def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val emb = t(spark, dir, "embeddings")
+    val (lex, release) = graft.ops.Bm25.bm25TopK(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text").as("qtext")),
+      "qid", "qtext", k = 20)
+    val sem = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 20)
+    val fused = graft.ops.Rrf.fuse(Seq(
+        lex.select(col("qid"), col("doc_id").as("id"), col("rank")),
+        sem.select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+          col("rank"))),
+      "qid", "id", topK = 10)
+    val res = fused.orderBy("qid", "rank").localCheckpoint(true)
+    release()
+    res
+  }
+
   /** Token-entropy quality signal ([[NgramLm.tokenEntropy]]): exact
     * integer Shannon entropy of each doc's token distribution — the
     * template-spam / gibberish discriminator one step up from the
@@ -2696,6 +2724,7 @@ object SparkEntry {
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_streaming_neardedup" -> (qStreamingNearDedup _),
     "q_url_canonical" -> (qUrlCanonical _),
@@ -2717,6 +2746,34 @@ object SparkEntry {
   private val FpSql = s"substr(md5($NormSql), 1, 16)"
   private val ToksSql =
     s"list_filter(string_split_regex($NormSql, '\\s+'), x -> x <> '')"
+
+  /** Shared BM25 oracle CTE chain (tokenize → doc/corpus stats → per-
+    * (query-term, doc) contribution → per-(query, doc) score `sc`), with
+    * the query-term set `qt(qid, tok)` supplied by the caller — q_bm25
+    * retrieves for literal query strings, q_hybrid_rrf for document
+    * texts. Mirrors `ops/Bm25.scala` integer arithmetic exactly.
+    */
+  private def bm25CtesSql(qtCtes: String): String =
+    s"""tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |nn AS (SELECT doc_id, t, len(t) AS dl FROM tk WHERE len(t) >= 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM nn),
+       |tfc AS (SELECT doc_id, tok, count(*) AS tf
+       |        FROM (SELECT doc_id, unnest(t) AS tok FROM nn) GROUP BY 1, 2),
+       |dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+       |$qtCtes,
+       |con AS (SELECT qt.qid, p.doc_id,
+       |          CAST(floor(
+       |            (CAST(floor(ln(2 * (SELECT n FROM st) + 2) * 1e6 + 0.5) AS BIGINT)
+       |             - CAST(floor(ln(2 * p.df + 1) * 1e6 + 0.5) AS BIGINT))
+       |            * CAST(22 * (SELECT s FROM st) * p.tf AS DOUBLE)
+       |            / CAST(10 * (SELECT s FROM st) * p.tf + 3 * (SELECT s FROM st)
+       |                   + 9 * (SELECT n FROM st) * p.dl AS DOUBLE)
+       |            + 0.5) AS BIGINT) AS c
+       |        FROM (SELECT tfc.doc_id, tfc.tok, tfc.tf, nn.dl, dfc.df
+       |              FROM tfc JOIN nn USING (doc_id) JOIN dfc USING (tok)) p
+       |        JOIN qt ON p.tok = qt.tok),
+       |sc AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS scaled_score
+       |       FROM con GROUP BY 1, 2)""".stripMargin
 
   /** Shared connected-components CTE chain: exact >= 0.8 pair graph →
     * recursive min-label reachability → `sizes(component, sz)` — the
@@ -4047,34 +4104,42 @@ object SparkEntry {
          |         AS n_flagged_top2
          |FROM sig GROUP BY lang ORDER BY lang""".stripMargin,
     "q_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |nn AS (SELECT doc_id, t, len(t) AS dl FROM tk WHERE len(t) >= 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM nn),
-         |tfc AS (SELECT doc_id, tok, count(*) AS tf
-         |        FROM (SELECT doc_id, unnest(t) AS tok FROM nn) GROUP BY 1, 2),
-         |dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
-         |q(qid, qtext) AS (VALUES (1, 'sort merge join'), (2, 'hash table scan'),
-         |                         (3, 'stream window batch')),
-         |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok FROM q),
-         |con AS (SELECT qt.qid, p.doc_id,
-         |          CAST(floor(
-         |            (CAST(floor(ln(2 * (SELECT n FROM st) + 2) * 1e6 + 0.5) AS BIGINT)
-         |             - CAST(floor(ln(2 * p.df + 1) * 1e6 + 0.5) AS BIGINT))
-         |            * CAST(22 * (SELECT s FROM st) * p.tf AS DOUBLE)
-         |            / CAST(10 * (SELECT s FROM st) * p.tf + 3 * (SELECT s FROM st)
-         |                   + 9 * (SELECT n FROM st) * p.dl AS DOUBLE)
-         |            + 0.5) AS BIGINT) AS c
-         |        FROM (SELECT tfc.doc_id, tfc.tok, tfc.tf, nn.dl, dfc.df
-         |              FROM tfc JOIN nn USING (doc_id) JOIN dfc USING (tok)) p
-         |        JOIN qt ON p.tok = qt.tok),
-         |sc AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS scaled_score
-         |       FROM con GROUP BY 1, 2),
+      s"""WITH ${bm25CtesSql(
+           """q(qid, qtext) AS (VALUES (1, 'sort merge join'), (2, 'hash table scan'),
+             |                         (3, 'stream window batch')),
+             |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)""".stripMargin)},
          |rk AS (SELECT qid, doc_id, scaled_score,
          |         row_number() OVER (PARTITION BY qid
          |           ORDER BY scaled_score DESC, doc_id) AS rank
          |       FROM sc)
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
          |       doc_id, scaled_score
+         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH ${bm25CtesSql(
+           "qt AS (SELECT DISTINCT doc_id AS qid, unnest(t) AS tok FROM nn WHERE doc_id < 10)")},
+         |lexk AS (SELECT qid, doc_id AS id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY scaled_score DESC, doc_id) AS rank
+         |         FROM sc QUALIFY rank <= 20),
+         |semk AS (SELECT qid, id, rank FROM (
+         |           SELECT q.vec_id AS qid, c.vec_id AS id,
+         |             row_number() OVER (PARTITION BY q.vec_id
+         |               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+         |           FROM embeddings q JOIN embeddings c
+         |             ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |         WHERE rank <= 20),
+         |u AS (SELECT qid, id, 1000000000 // (60 + rank) AS c FROM lexk
+         |      UNION ALL SELECT qid, id, 1000000000 // (60 + rank) AS c FROM semk),
+         |f AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS scaled_rrf,
+         |        count(*) AS n_runs FROM u GROUP BY 1, 2),
+         |rk AS (SELECT qid, id, scaled_rrf, n_runs,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY scaled_rrf DESC, id) AS rank
+         |       FROM f)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |       CAST(id AS BIGINT) AS id, scaled_rrf, CAST(n_runs AS BIGINT) AS n_runs
          |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_decontaminate_fuzzy" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
