@@ -2553,6 +2553,21 @@ object SparkEntry {
     res
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each
+    * anchor embedding, the top-5 most-similar vectors with a DIFFERENT
+    * label, near-identical candidates (cosine >= 0.99) excluded — the
+    * contrastive-training batch-construction op. Rank-only output (the
+    * q_embed_topk pattern): float cosines never cross the oracle
+    * boundary, orderings must.
+    */
+  private def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+      .withColumn("neg_label", col("neg_label").cast("long"))
+      .orderBy("anchor_id", "rank")
+  }
+
   /** Token-entropy quality signal ([[NgramLm.tokenEntropy]]): exact
     * integer Shannon entropy of each doc's token distribution — the
     * template-spam / gibberish discriminator one step up from the
@@ -2725,6 +2740,7 @@ object SparkEntry {
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_streaming_neardedup" -> (qStreamingNearDedup _),
     "q_url_canonical" -> (qUrlCanonical _),
@@ -3920,6 +3936,18 @@ object SparkEntry {
          |       CAST(sd - n * ((SELECT sp FROM totp) - (SELECT sq FROM totq)) AS BIGINT)
          |         AS scaled_weight
          |FROM sc ORDER BY scaled_weight DESC, doc_id LIMIT 50""".stripMargin,
+    "q_hard_negatives" ->
+      """SELECT anchor_id, rank, negative_id, neg_label FROM (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+        |         CAST(c.label AS BIGINT) AS neg_label,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |             CAST(a.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings c
+        |    ON a.vec_id < 10 AND c.label <> a.label
+        |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(a.embedding AS DOUBLE[])) < 0.99)
+        |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     "q_c4_clean" ->
       s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
          |ln0 AS (SELECT doc_id, lang, gs.i AS i,

@@ -103,4 +103,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the negatives that actually move a contrastive loss —
+    * excluding candidates with cosine >= `maxCosine` (near-identical
+    * vectors across labels are overwhelmingly label noise / undetected
+    * duplicates, the known false-negative trap of naive mining).
+    *
+    * Same plan shape as [[bruteForceTopK]]: the bounded anchor batch
+    * broadcasts against one corpus scan (label filter applied in the
+    * join condition, so same-label pairs never materialize), then a
+    * per-anchor top-k window over the surviving rows. Output:
+    * (anchor_id, rank, negative_id, neg_label).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      maxCosine: Double = 0.99): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("negative_id"),
+      col(labelCol).as("neg_label"), toDoubleArray(col(vecCol)).as("__cv"))
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__albl"), toDoubleArray(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    c.join(broadcast(a), col("neg_label") =!= col("__albl"))
+      .withColumn("cosine", cosineSimilarity(col("__cv"), col("__qv")))
+      .filter(col("cosine") < maxCosine)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "rank", "negative_id", "neg_label")
+  }
 }

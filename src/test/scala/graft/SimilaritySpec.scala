@@ -115,4 +115,24 @@ class SimilaritySpec extends SparkSpec {
     val nScans = "FileScan parquet".r.findAllIn(finalPlan).length
     assert(nScans == 2, s"expected 2 parquet scans (corpus+queries), got $nScans in:\n$finalPlan")
   }
+
+  test("hard negatives: cross-label only, near-duplicates excluded, ranked") {
+    import spark.implicits._
+    // anchor a1 (label 0); candidates: same-label twin (never a negative),
+    // a cross-label near-duplicate (cosine 1.0, excluded by maxCosine),
+    // and two genuine cross-label negatives at distinct similarities.
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0), // anchor
+      (2L, Array(1f, 0f, 0f, 0f), 0), // same label: excluded by label rule
+      (3L, Array(2f, 0f, 0f, 0f), 1), // cross-label dup: cosine 1 >= 0.99
+      (4L, Array(1f, 1f, 0f, 0f), 1), // cosine ~0.707
+      (5L, Array(1f, 3f, 0f, 0f), 2), // cosine ~0.316
+      (6L, Array(0f, 1f, 0f, 0f), 1)) // cosine 0
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows,
+        rows.filter($"vec_id" === 1), "vec_id", "embedding", "label", k = 2)
+      .select("anchor_id", "rank", "negative_id", "neg_label")
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq((1L, 1L, 4L, 1), (1L, 2L, 5L, 2)))
+  }
 }
