@@ -2244,8 +2244,10 @@ object SparkEntry {
     * the terminal-punctuation, min-words, banned-line, min-lines, and
     * both banned-page rules on real data.
     */
-  private def qC4Clean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spread(t(spark, dir, "documents"))
+  /** Deterministic multi-line page construction shared by the batch and
+    * streaming C4 queries (and mirrored in the oracle SQL).
+    */
+  private def c4Pages(docs: DataFrame): DataFrame = {
     val suffixes = array(lit("."), lit("!"), lit("?"), lit(""), lit(" javascript."))
     val lines = graft.functions.ChunkText(col("text"), 8, 8)
     val page = concat(
@@ -2253,17 +2255,76 @@ object SparkEntry {
         concat(x, element_at(suffixes,
           ((col("doc_id") + i) % 5).cast("int") + 1))), "\n"),
       when(col("doc_id") % 31 === 0, lit("\nlorem ipsum { x }")).otherwise(lit("")))
-    val pages = docs.select(col("doc_id"), col("lang"), page.as("text"))
-    val cleaned = graft.ops.LineClean.cleanPages(
-      pages, "doc_id", "text", carryCols = Seq("lang"))
-    cleaned.groupBy("lang").agg(
+    docs.select(col("doc_id"), col("lang"), page.as("text"))
+  }
+
+  /** Per-doc C4 verdicts with a streaming-sink-stable LONG schema. */
+  private def c4CleanVerdicts(pages: DataFrame): DataFrame =
+    graft.ops.LineClean.cleanPages(pages, "doc_id", "text",
+        carryCols = Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        col("n_lines").cast("long").as("n_lines"),
+        col("n_kept_lines").cast("long").as("n_kept_lines"),
+        col("page_kept"),
+        when(col("page_kept"), length(col("clean_text")).cast("long"))
+          .otherwise(0L).as("clean_len"))
+
+  private def c4CleanAgg(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("page_kept"), 1L).otherwise(0L)).as("n_pages_kept"),
         sum("n_lines").as("sum_lines"),
         sum("n_kept_lines").as("sum_kept_lines"),
-        sum(when(col("page_kept"), length(col("clean_text"))).otherwise(0L))
-          .as("sum_clean_chars"))
+        sum("clean_len").as("sum_clean_chars"))
       .orderBy("lang")
+
+  private def qC4Clean(spark: SparkSession, dir: String): DataFrame =
+    c4CleanAgg(c4CleanVerdicts(c4Pages(spread(t(spark, dir, "documents")))))
+
+  /** Streaming C4 cleaning: [[qC4Clean]]'s rule filter is stateless, so
+    * it must commute with micro-batching — the corpus arrives as
+    * parquet-file micro-batches, each batch is page-built + rule-filtered
+    * in `foreachBatch` (the same zero-shuffle scan shape as batch) into
+    * the exactly-once sink, and the oracle is the batch oracle VERBATIM.
+    */
+  private def qStreamingC4(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = docsStreamSrcDir(spark, dir)
+    val sinkDir = s"/tmp/graft_stream_c4_sink/${tmpKey(dir)}"
+    deleteRec(new java.io.File(sinkDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c4_ckpt").toString
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.IdempotentParquetSink.writeBatch(
+          c4CleanVerdicts(c4Pages(b)), id, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) q.stop()
+    deleteRec(new java.io.File(ckpt))
+    c4CleanAgg(readSinkOrEmpty(spark, sinkDir,
+      "doc_id LONG, lang STRING, n_lines LONG, n_kept_lines LONG, " +
+        "page_kept BOOLEAN, clean_len LONG"))
+      .localCheckpoint(true)
+  }
+
+  /** All-documents micro-batch source dir (3 files → 3 triggers). */
+  private def docsStreamSrcDir(spark: SparkSession, dir: String): String = {
+    val key = tmpKey(dir)
+    oncePerDir(s"/tmp/graft_stream_docs_src/$key", "_OK") {
+      val out = s"/tmp/graft_stream_docs_src/$key"
+      deleteRec(new java.io.File(out))
+      val docs = t(spark, dir, "documents").select("doc_id", "lang", "text")
+      for (m <- Seq(0, 1, 2))
+        docs.filter(pmod(col("doc_id"), lit(3)) === m)
+          .coalesce(1).write.mode("append").parquet(out)
+      new java.io.File(s"$out/_OK").createNewFile()
+    }
   }
 
   /** fastText-style quality classifier ([[graft.ops.QualityClassifier]]):
@@ -2730,6 +2791,7 @@ object SparkEntry {
     "q_external_lm" -> (qExternalLm _),
     "q_dsir" -> (qDsir _),
     "q_c4_clean" -> (qC4Clean _),
+    "q_streaming_c4" -> (qStreamingC4 _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_collocations" -> (qCollocations _),
@@ -2762,6 +2824,46 @@ object SparkEntry {
   private val FpSql = s"substr(md5($NormSql), 1, 16)"
   private val ToksSql =
     s"list_filter(string_split_regex($NormSql, '\\s+'), x -> x <> '')"
+
+  /** C4 oracle shared by the batch and streaming queries: pages
+    * rebuilt from tokens identically in SQL, same rule predicates.
+    */
+  private lazy val C4CleanOracleSql =
+    s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+       |ln0 AS (SELECT doc_id, lang, gs.i AS i,
+       |          array_to_string(t[(gs.i - 1) * 8 + 1 : least(gs.i * 8, len(t))], ' ')
+       |          || CASE CAST((doc_id + gs.i - 1) % 5 AS INT)
+       |               WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+       |               WHEN 3 THEN '' ELSE ' javascript.' END AS line
+       |        FROM tk, LATERAL (SELECT unnest(generate_series(1,
+       |          CAST(ceil(len(t) / 8.0) AS INT))) AS i) gs),
+       |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS body
+       |        FROM ln0 GROUP BY doc_id),
+       |pages AS (SELECT d.doc_id, d.lang,
+       |            coalesce(p.body, '') || CASE WHEN d.doc_id % 31 = 0
+       |              THEN chr(10) || 'lorem ipsum { x }' ELSE '' END AS page
+       |          FROM documents d LEFT JOIN pg0 p ON d.doc_id = p.doc_id),
+       |r AS (SELECT doc_id, lang, page,
+       |        length(page) - length(replace(page, chr(10), '')) + 1 AS n_lines,
+       |        list_filter(list_transform(string_split(page, chr(10)),
+       |            x -> trim(x, ' ' || chr(9) || chr(12) || chr(13))),
+       |          t -> length(t) > 0
+       |           AND list_contains(['.', '!', '?', '"'], t[-1:])
+       |           AND len(list_filter(string_split_regex(t, '\\s+'), w -> w <> '')) >= 5
+       |           AND NOT contains(lower(t), 'javascript')) AS kept
+       |      FROM pages),
+       |v AS (SELECT lang, n_lines, len(kept) AS n_kept,
+       |        (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+       |         AND NOT contains(page, '{')) AS page_kept,
+       |        length(array_to_string(kept, chr(10))) AS clean_len
+       |      FROM r)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN page_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_pages_kept,
+       |       CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+       |       CAST(sum(n_kept) AS BIGINT) AS sum_kept_lines,
+       |       CAST(sum(CASE WHEN page_kept THEN clean_len ELSE 0 END) AS BIGINT)
+       |         AS sum_clean_chars
+       |FROM v GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Shared BM25 oracle CTE chain (tokenize → doc/corpus stats → per-
     * (query-term, doc) contribution → per-(query, doc) score `sc`), with
@@ -3948,42 +4050,8 @@ object SparkEntry {
         |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
         |          CAST(a.embedding AS DOUBLE[])) < 0.99)
         |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
-    "q_c4_clean" ->
-      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
-         |ln0 AS (SELECT doc_id, lang, gs.i AS i,
-         |          array_to_string(t[(gs.i - 1) * 8 + 1 : least(gs.i * 8, len(t))], ' ')
-         |          || CASE CAST((doc_id + gs.i - 1) % 5 AS INT)
-         |               WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
-         |               WHEN 3 THEN '' ELSE ' javascript.' END AS line
-         |        FROM tk, LATERAL (SELECT unnest(generate_series(1,
-         |          CAST(ceil(len(t) / 8.0) AS INT))) AS i) gs),
-         |pg0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS body
-         |        FROM ln0 GROUP BY doc_id),
-         |pages AS (SELECT d.doc_id, d.lang,
-         |            coalesce(p.body, '') || CASE WHEN d.doc_id % 31 = 0
-         |              THEN chr(10) || 'lorem ipsum { x }' ELSE '' END AS page
-         |          FROM documents d LEFT JOIN pg0 p ON d.doc_id = p.doc_id),
-         |r AS (SELECT doc_id, lang, page,
-         |        length(page) - length(replace(page, chr(10), '')) + 1 AS n_lines,
-         |        list_filter(list_transform(string_split(page, chr(10)),
-         |            x -> trim(x, ' ' || chr(9) || chr(12) || chr(13))),
-         |          t -> length(t) > 0
-         |           AND list_contains(['.', '!', '?', '"'], t[-1:])
-         |           AND len(list_filter(string_split_regex(t, '\\s+'), w -> w <> '')) >= 5
-         |           AND NOT contains(lower(t), 'javascript')) AS kept
-         |      FROM pages),
-         |v AS (SELECT lang, n_lines, len(kept) AS n_kept,
-         |        (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
-         |         AND NOT contains(page, '{')) AS page_kept,
-         |        length(array_to_string(kept, chr(10))) AS clean_len
-         |      FROM r)
-         |SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(CASE WHEN page_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_pages_kept,
-         |       CAST(sum(n_lines) AS BIGINT) AS sum_lines,
-         |       CAST(sum(n_kept) AS BIGINT) AS sum_kept_lines,
-         |       CAST(sum(CASE WHEN page_kept THEN clean_len ELSE 0 END) AS BIGINT)
-         |         AS sum_clean_chars
-         |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_c4_clean" -> C4CleanOracleSql,
+    "q_streaming_c4" -> C4CleanOracleSql,
     "q_quality_classifier" -> QualityClassifierOracleSql,
     "q_quality_calibration" ->
       s"""WITH $ClassifierScoredCtesSql,
