@@ -2629,6 +2629,17 @@ object SparkEntry {
       .orderBy("anchor_id", "rank")
   }
 
+  /** Exact-k-per-group sampling ([[Sampling.exactKPerGroup]]): a fixed
+    * 20-doc eval set per language, selected by the cross-engine md5
+    * pseudo-random order — the set itself is the oracle contract,
+    * row-for-row.
+    */
+  private def qGroupSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.exactKPerGroup(spread(t(spark, dir, "documents")),
+        Seq("lang"), "doc_id", k = 20, seed = "s1")
+      .select("lang", "sample_rank", "doc_id")
+      .orderBy("lang", "sample_rank")
+
   /** Token-entropy quality signal ([[NgramLm.tokenEntropy]]): exact
     * integer Shannon entropy of each doc's token distribution — the
     * template-spam / gibberish discriminator one step up from the
@@ -2803,6 +2814,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_group_sample" -> (qGroupSample _),
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_streaming_neardedup" -> (qStreamingNearDedup _),
     "q_url_canonical" -> (qUrlCanonical _),
@@ -4038,6 +4050,14 @@ object SparkEntry {
          |       CAST(sd - n * ((SELECT sp FROM totp) - (SELECT sq FROM totq)) AS BIGINT)
          |         AS scaled_weight
          |FROM sc ORDER BY scaled_weight DESC, doc_id LIMIT 50""".stripMargin,
+    "q_group_sample" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
     "q_hard_negatives" ->
       """SELECT anchor_id, rank, negative_id, neg_label FROM (
         |  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,

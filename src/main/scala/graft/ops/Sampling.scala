@@ -46,6 +46,35 @@ object Sampling {
     * strata get `defaultRate`. The rate lookup folds to a CASE expression —
     * still scan-side, still shuffle-free.
     */
+  /** EXACT-k-per-group deterministic sample — fixed-size per-stratum
+    * eval/holdout sets, where rate-based sampling ([[stratifiedSample]])
+    * can only hit a size in expectation. Rows rank within their group by
+    * `md5(seed ':' id)` — a cross-engine pseudo-random order (md5 is
+    * identical everywhere, unlike xxhash64 which SQL engines lack), so
+    * the selected SET is reproducible from any engine, retry-stable, and
+    * re-drawable with a fresh seed. Groups smaller than k keep all rows.
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit (Spark's
+    * pre-shuffle per-group top-k, the q_domain_cap pattern — plan-
+    * asserted in PlanSpec), so each map task forwards at most k rows per
+    * group before the exchange; no global sort, no full-group
+    * materialization.
+    */
+  def exactKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   def stratifiedSample(
       df: DataFrame,
       key: Column,

@@ -192,6 +192,11 @@ class PlanSpec extends SparkSpec {
       "q_incremental_dedup plan must contain the broadcast-handle bloom expression")
   }
 
+  test("q_group_sample: exact-k rank filter gets WindowGroupLimit pushdown") {
+    val p = planStr(SparkEntry.queries("q_group_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
+  }
+
   test("q_domain_cap: per-source rank filter gets WindowGroupLimit pushdown") {
     val p = planStr(SparkEntry.queries("q_domain_cap")(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")

@@ -80,6 +80,24 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("exactKPerGroup: exact k, small groups kept whole, seed redraws") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "grp").repartition(7)
+    val out = Sampling.exactKPerGroup(df, Seq("grp"), "id", k = 15, seed = "a")
+      .select("grp", "id").as[(String, Long)].collect().toSeq
+    assert(out.count(_._1 == "big") == 15)
+    assert(out.count(_._1 == "small") == 10) // group of 10 < k: all kept
+    // deterministic under re-evaluation and layout, redrawn under a new seed
+    val again = Sampling.exactKPerGroup(df.repartition(3), Seq("grp"), "id",
+        k = 15, seed = "a")
+      .select("grp", "id").as[(String, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+    val other = Sampling.exactKPerGroup(df, Seq("grp"), "id", k = 15, seed = "b")
+      .filter($"grp" === "big").select("id").as[Long].collect().toSet
+    assert(out.filter(_._1 == "big").map(_._2).toSet != other)
+  }
+
   test("sampling filter reaches the parquet scan as a pushed/partial predicate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = Sampling.hashSample(docs, col("doc_id"), 0.5, seed = 7)
