@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, Dsir, DupGroups, Multimodal, NgramLm, Packing, PartitionedSink, QualityClassifier, Sampling, Similarity}
+import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, Dsir, DupGroups, Multimodal, NgramLm, Packing, PageRank, PartitionedSink, QualityClassifier, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -2705,6 +2705,48 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** PageRank link authority ([[graft.ops.PageRank]]): the graph-derived
+    * quality prior over a 20-host link graph derived deterministically
+    * from the documents table (each doc's host links to one or two other
+    * hosts; three hosts have no out-links and exercise the dangling-mass
+    * correction). 3 damped power iterations in exact scaled-long
+    * arithmetic — the oracle unrolls the same integer recurrence in SQL
+    * and must match bit-for-bit.
+    */
+  private def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val h = t(spark, dir, "documents")
+      .select((col("doc_id") % 20).as("d"), col("doc_id"))
+      .filter(col("d") < 17)
+    val e1 = h.select(
+      concat(lit("site-"), col("d").cast("string")).as("src"),
+      concat(lit("site-"), ((col("doc_id") * 7 + 3) % 20).cast("string")).as("dst"))
+    val e2 = h.filter(col("d") % 3 === 0).select(
+      concat(lit("site-"), col("d").cast("string")).as("src"),
+      concat(lit("site-"), ((col("doc_id") * 3 + 5) % 20).cast("string")).as("dst"))
+    PageRank.pageRank(e1.union(e2), "src", "dst", iterations = 3)
+      .orderBy("node")
+  }
+
+  /** Deterministic global shuffle + exact-size sharding
+    * ([[Sampling.shardAssign]]): the training-export step — 8 shards cut
+    * from the corpus-wide md5 order, sizes balanced to ±1 row. The oracle
+    * recomputes the same order/rank/floor-div assignment in SQL; per-shard
+    * id-sum + boundary keys pin the exact membership of every shard.
+    */
+  private def qShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val (sharded, release) = Sampling.shardAssign(
+      spread(t(spark, dir, "documents")), "doc_id", nShards = 8, seed = "sh1")
+    val out = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        min("shuffle_key").as("min_key"),
+        max("shuffle_key").as("max_key"))
+      .orderBy("shard")
+      .localCheckpoint(true)
+    release()
+    out
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2829,6 +2871,8 @@ object SparkEntry {
     "q_paragraph_dedup" -> (qParagraphDedup _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_profile" -> (qProfile _),
+    "q_pagerank" -> (qPagerank _),
+    "q_shard_assign" -> (qShardAssign _),
     "q_domain_cap" -> (qDomainCap _))
 
   // DuckDB SQL fragments shared below.
@@ -4434,5 +4478,53 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY source
         |          ORDER BY n_chars DESC, doc_id ASC) AS rk
         |      FROM documents)
-        |WHERE rk <= 5 GROUP BY source ORDER BY source""".stripMargin)
+        |WHERE rk <= 5 GROUP BY source ORDER BY source""".stripMargin,
+    "q_pagerank" -> pagerankOracleSql(3),
+    "q_shard_assign" ->
+      """WITH r AS (
+        |  SELECT doc_id, md5('sh1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shuffle_key,
+        |         ((row_number() OVER (ORDER BY shuffle_key) - 1) * 8)
+        |           // (SELECT count(*) FROM r) AS shard
+        |  FROM r)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       min(shuffle_key) AS min_key, max(shuffle_key) AS max_key
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin)
+
+  /** Unrolls the [[graft.ops.PageRank]] integer recurrence to `iters`
+    * chained CTEs — same edges, same floor divisions, same damping, so
+    * the comparison is bit-exact, not an epsilon check.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT printf('site-%d', doc_id % 20) AS src,
+        |         printf('site-%d', (doc_id * 7 + 3) % 20) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION
+        |  SELECT DISTINCT printf('site-%d', doc_id % 20),
+        |         printf('site-%d', (doc_id * 3 + 5) % 20)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+        |p AS (SELECT count(*) AS n, 1000000000000 // count(*) AS base FROM nodes),
+        |r0 AS (SELECT node, coalesce(outdeg, 0) AS outdeg,
+        |              (SELECT base FROM p) AS rank FROM nodes
+        |       LEFT JOIN deg USING (node))""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(rank), 0) // (SELECT n FROM p) AS ds
+         |       FROM r${k - 1} WHERE outdeg = 0),
+         |c$k AS (SELECT e.dst AS node, sum(r.rank // r.outdeg) AS contrib
+         |       FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY e.dst),
+         |r$k AS (SELECT r.node, r.outdeg,
+         |              (15 * (SELECT base FROM p)
+         |               + 85 * (coalesce(c.contrib, 0) + (SELECT ds FROM d$k)))
+         |              // 100 AS rank
+         |       FROM r${k - 1} r LEFT JOIN c$k c USING (node))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, outdeg, rank AS rank_scaled FROM r$iters ORDER BY node"
+  }
 }

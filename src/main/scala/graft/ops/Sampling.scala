@@ -134,4 +134,49 @@ object Sampling {
       case (((label, _), cut), acc) => when(b < lit(cut), lit(label)).otherwise(acc)
     }
   }
+
+  /** Deterministic global shuffle + EXACT-size shard assignment — the
+    * training-export step: randomize document order corpus-wide (so no
+    * shard inherits crawl/source locality) and cut the order into
+    * `nShards` contiguous shards whose sizes differ by at most one row.
+    *
+    * The shuffle key is `md5(seed ':' id)` (the [[exactKPerGroup]]
+    * cross-engine order: reproducible from any SQL engine, retry-stable,
+    * reseedable); the global position in that order comes from
+    * [[Packing.withExclusivePrefixSum]] — the distributed two-pass rank,
+    * NOT a single-partition `row_number()` window (the plan that dies at
+    * 100 TB). Shard id is then `rank · nShards div total`: pure long
+    * arithmetic, floor division, sizes exactly ⌈/⌉-balanced — unlike the
+    * hash-mod assignment (`md5 % n`), whose binomial spread leaves shards
+    * percent-level uneven, this is balanced to ±1 row, which is what
+    * data-parallel training loaders assume.
+    *
+    * Requires distinct `idCol` values (md5 of the id IS the total order;
+    * duplicate ids would tie). Returns (df + `shuffle_key`, `shard`) and
+    * the prefix-sum cache release handle — call it after the terminal
+    * action. Overflow: `rank · nShards` bounded by rows·shards; the
+    * require keeps it inside long range.
+    */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: String,
+      assertUniqueIds: Boolean = false): (DataFrame, () => Unit) = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary")))
+    val (ranked, release) = Packing.withExclusivePrefixSum(
+      keyed.withColumn("__one", lit(1L)), "shuffle_key", "__one", "__rank",
+      assertUniqueOrder = assertUniqueIds)
+    val total = ranked.count() // cheap: counts the persisted sorted frame
+    require(total <= Long.MaxValue / math.max(nShards, 1),
+      s"rank*nShards would overflow long: rows=$total shards=$nShards")
+    val out =
+      if (total == 0) ranked.drop("__one", "__rank").withColumn("shard", lit(0L))
+      else ranked
+        .withColumn("shard", expr(s"(__rank * $nShards) div ${total}L"))
+        .drop("__one", "__rank")
+    (out, release)
+  }
 }

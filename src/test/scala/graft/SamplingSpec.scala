@@ -98,6 +98,49 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._1 == "big").map(_._2).toSet != other)
   }
 
+  test("shardAssign: exact ±1 sizes, contiguous key ranges, seed redraw") {
+    import spark.implicits._
+    val df = (0L until 503L).toDF("id").repartition(7)
+    val (out, release) = Sampling.shardAssign(df, "id", nShards = 8, seed = "s")
+    val rows = out.select("shard", "id", "shuffle_key")
+      .as[(Long, Long, String)].collect().toSeq
+    release()
+    assert(rows.size == 503)
+    val sizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0L until 8L).toSet, "every shard populated")
+    assert(sizes.values.max - sizes.values.min <= 1, s"sizes=$sizes")
+    // shards are contiguous ranges of the md5 order
+    val bounds = rows.groupBy(_._1).view
+      .mapValues(g => (g.map(_._3).min, g.map(_._3).max)).toMap
+    for (s <- 0L until 7L)
+      assert(bounds(s)._2 < bounds(s + 1)._1, s"shards $s/${s + 1} overlap")
+    // deterministic under layout, redrawn under a new seed
+    val (again, release2) = Sampling.shardAssign(df.repartition(3), "id", 8, "s")
+    val againMap = again.select("id", "shard").as[(Long, Long)].collect().toMap
+    release2()
+    assert(rows.map(r => r._2 -> r._1).toMap == againMap)
+    val (other, release3) = Sampling.shardAssign(df, "id", 8, "t")
+    val otherMap = other.select("id", "shard").as[(Long, Long)].collect().toMap
+    release3()
+    assert(rows.exists(r => otherMap(r._2) != r._1), "new seed reshuffles")
+  }
+
+  test("shardAssign: nShards=1 puts everything in shard 0") {
+    import spark.implicits._
+    val (out, release) = Sampling.shardAssign((0L until 9L).toDF("id"), "id", 1, "s")
+    assert(out.select("shard").as[Long].collect().toSet == Set(0L))
+    release()
+  }
+
+  test("shardAssign: duplicate ids are caught by the uniqueness assert") {
+    import spark.implicits._
+    val dup = Seq(1L, 2L, 2L).toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.shardAssign(dup, "id", 2, "s", assertUniqueIds = true)
+    }
+    assert(ex.getMessage.contains("total order"))
+  }
+
   test("sampling filter reaches the parquet scan as a pushed/partial predicate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = Sampling.hashSample(docs, col("doc_id"), 0.5, seed = 7)
