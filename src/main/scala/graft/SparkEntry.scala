@@ -628,6 +628,29 @@ object SparkEntry {
           .as("avg_gap_s"))
   }
 
+  /** Tolerance-bounded as-of join ([[AsOfJoin.backward]] with
+    * `tolerance`, the pandas `merge_asof` contract): each click attaches
+    * its user's most recent purchase only if it happened within the past
+    * 6 hours — a too-old nearest match nulls, it is never skipped past.
+    * The oracle reproduces this as DuckDB ASOF + a gap CASE over the
+    * matched time.
+    */
+  private def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+    // one row per (user, ts): same tie hygiene as q_asof_join — carried
+    // `value` must not depend on which tied row an engine happens to keep
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pu"), col("ts").as("pts"))
+      .agg(max("value").as("value"))
+    AsOfJoin.backward(clicks, purchases, "user_id", "pu", "ts", "pts",
+        Seq("pts", "value"), tolerance = Some(expr("INTERVAL 6 HOURS")))
+      .agg(count(lit(1)).as("n_clicks"), count(col("pts")).as("n_matched"),
+        r(sum(col("value")), 2).as("sum_value"),
+        r(avg((unix_micros(col("ts")) - unix_micros(col("pts"))) / lit(1e6)), 2)
+          .as("avg_gap_s"))
+  }
+
   /** Batch range (interval) join through [[graft.ops.RangeJoin]]'s
     * bucketized equi-join — same semantics as the raw interval predicate
     * (which Spark would execute as a nested-loop join), same oracle as the
@@ -2713,7 +2736,12 @@ object SparkEntry {
     * arithmetic — the oracle unrolls the same integer recurrence in SQL
     * and must match bit-for-bit.
     */
-  private def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+  private def qPagerank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.pageRank(docLinkEdges(spark, dir), "src", "dst", iterations = 3)
+      .orderBy("node")
+
+  /** The deterministic 20-host link graph both rank queries run on. */
+  private def docLinkEdges(spark: SparkSession, dir: String): DataFrame = {
     val h = t(spark, dir, "documents")
       .select((col("doc_id") % 20).as("d"), col("doc_id"))
       .filter(col("d") < 17)
@@ -2723,7 +2751,20 @@ object SparkEntry {
     val e2 = h.filter(col("d") % 3 === 0).select(
       concat(lit("site-"), col("d").cast("string")).as("src"),
       concat(lit("site-"), ((col("doc_id") * 3 + 5) % 20).cast("string")).as("dst"))
-    PageRank.pageRank(e1.union(e2), "src", "dst", iterations = 3)
+    e1.union(e2)
+  }
+
+  /** TrustRank ([[graft.ops.PageRank.personalizedPageRank]]): restart
+    * mass pinned to five trusted hosts; stationary mass then measures
+    * link-proximity to the trusted set — the spam-demotion prior. Same
+    * bit-exact integer recurrence as q_pagerank with a seed-indicator
+    * restart vector.
+    */
+  private def qTrustrank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = (0 until 5).map(i => s"site-$i").toDF("node")
+    PageRank.personalizedPageRank(docLinkEdges(spark, dir), "src", "dst",
+        seeds, "node", iterations = 3)
       .orderBy("node")
   }
 
@@ -2745,6 +2786,26 @@ object SparkEntry {
       .localCheckpoint(true)
     release()
     out
+  }
+
+  /** Deterministic upsampling ([[Sampling.upsample]]): sources are
+    * weighted 2.5x / 1x / 0.4x / 0x by source number mod 4 — whole
+    * copies plus a hash-selected fractional copy, zero-shuffle scan-side
+    * explode. The checksum over `doc_id·(copy_idx+1)` pins exactly which
+    * rows got which copy count.
+    */
+  private def qUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("long")
+    val bp = when(pmod(srcNum, lit(4L)) === 0L, 25000L)
+      .when(pmod(srcNum, lit(4L)) === 1L, 10000L)
+      .when(pmod(srcNum, lit(4L)) === 2L, 4000L)
+      .otherwise(0L)
+    Sampling.upsample(t(spark, dir, "documents"), col("doc_id"), bp, seed = 11)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("doc_id").as("n_docs"),
+        sum(col("doc_id") * (col("copy_idx") + 1)).as("copy_checksum"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------- maps
@@ -2787,6 +2848,7 @@ object SparkEntry {
     "q_regex_extract" -> (qRegexExtract _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
     "q_range_join" -> (qRangeJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
     "q_skew_join" -> (qSkewJoin _),
@@ -2872,6 +2934,8 @@ object SparkEntry {
     "q_bigram_lm" -> (qBigramLm _),
     "q_profile" -> (qProfile _),
     "q_pagerank" -> (qPagerank _),
+    "q_trustrank" -> (qTrustrank _),
+    "q_upsample" -> (qUpsample _),
     "q_shard_assign" -> (qShardAssign _),
     "q_domain_cap" -> (qDomainCap _))
 
@@ -3343,6 +3407,21 @@ object SparkEntry {
         |SELECT count(*) AS n_clicks, count(pts) AS n_matched,
         |       floor(avg((epoch_us(pts) - epoch_us(ts)) / 1000000.0) * 100 + 0.5) / 100 AS avg_gap_s
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.pts""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, ts AS pts, max(value) AS value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT c.ts, p.pts, p.value
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.pu AND c.ts >= p.pts),
+        |tl AS (SELECT ts,
+        |         CASE WHEN ts - pts <= INTERVAL 6 HOUR THEN pts END AS pts,
+        |         CASE WHEN ts - pts <= INTERVAL 6 HOUR THEN value END AS value
+        |       FROM j)
+        |SELECT count(*) AS n_clicks, count(pts) AS n_matched,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+        |       floor(avg((epoch_us(ts) - epoch_us(pts)) / 1000000.0) * 100 + 0.5)
+        |         / 100 AS avg_gap_s
+        |FROM tl""".stripMargin,
     "q_range_join" ->
       """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
         |       count(*) AS n_matches, count(DISTINCT c.user_id) AS n_users
@@ -4479,7 +4558,27 @@ object SparkEntry {
         |          ORDER BY n_chars DESC, doc_id ASC) AS rk
         |      FROM documents)
         |WHERE rk <= 5 GROUP BY source ORDER BY source""".stripMargin,
-    "q_pagerank" -> pagerankOracleSql(3),
+    "q_pagerank" -> pagerankOracleSql(3, seedPred = None),
+    "q_trustrank" -> pagerankOracleSql(3, seedPred = Some(
+      "node IN ('site-0','site-1','site-2','site-3','site-4')")),
+    "q_upsample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CASE CAST(substr(source, 4) AS BIGINT) % 4
+        |           WHEN 0 THEN 25000 WHEN 1 THEN 10000
+        |           WHEN 2 THEN 4000 ELSE 0 END AS bp,
+        |         ((doc_id + 11) % 2147483647 * 48271) % 2147483647 % 10000 AS bkt
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |             bp // 10000
+        |               + CASE WHEN bkt < bp % 10000 THEN 1 ELSE 0 END AS copies
+        |      FROM r),
+        |x AS (SELECT doc_id, source,
+        |             unnest(generate_series(0, copies - 1)) AS copy_idx
+        |      FROM c)
+        |SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |       CAST(sum(doc_id * (copy_idx + 1)) AS BIGINT) AS copy_checksum
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "q_shard_assign" ->
       """WITH r AS (
         |  SELECT doc_id, md5('sh1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
@@ -4495,36 +4594,47 @@ object SparkEntry {
 
   /** Unrolls the [[graft.ops.PageRank]] integer recurrence to `iters`
     * chained CTEs — same edges, same floor divisions, same damping, so
-    * the comparison is bit-exact, not an epsilon check.
+    * the comparison is bit-exact, not an epsilon check. `seedPred`
+    * (a SQL predicate over `node`) switches to the personalized restart
+    * vector: base mass on seeds only, dangling mass back to seeds only.
     */
-  private def pagerankOracleSql(iters: Int): String = {
+  private def pagerankOracleSql(iters: Int, seedPred: Option[String]): String = {
+    val pred = seedPred.getOrElse("TRUE")
     val head =
-      """WITH e AS (
-        |  SELECT DISTINCT printf('site-%d', doc_id % 20) AS src,
-        |         printf('site-%d', (doc_id * 7 + 3) % 20) AS dst
-        |  FROM documents WHERE doc_id % 20 < 17
-        |  UNION
-        |  SELECT DISTINCT printf('site-%d', doc_id % 20),
-        |         printf('site-%d', (doc_id * 3 + 5) % 20)
-        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
-        |p AS (SELECT count(*) AS n, 1000000000000 // count(*) AS base FROM nodes),
-        |r0 AS (SELECT node, coalesce(outdeg, 0) AS outdeg,
-        |              (SELECT base FROM p) AS rank FROM nodes
-        |       LEFT JOIN deg USING (node))""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT printf('site-%d', doc_id % 20) AS src,
+         |         printf('site-%d', (doc_id * 7 + 3) % 20) AS dst
+         |  FROM documents WHERE doc_id % 20 < 17
+         |  UNION
+         |  SELECT DISTINCT printf('site-%d', doc_id % 20),
+         |         printf('site-%d', (doc_id * 3 + 5) % 20)
+         |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+         |p AS (SELECT count(*) AS sc,
+         |             1000000000000 // count(*) AS sbase
+         |      FROM nodes WHERE $pred),
+         |r0 AS (SELECT node, coalesce(outdeg, 0) AS outdeg, $pred AS is_seed,
+         |              CASE WHEN $pred THEN (SELECT sbase FROM p) ELSE 0 END AS base,
+         |              CASE WHEN $pred THEN (SELECT sbase FROM p) ELSE 0 END AS rank
+         |       FROM nodes LEFT JOIN deg USING (node))""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""d$k AS (SELECT coalesce(sum(rank), 0) // (SELECT n FROM p) AS ds
+      s"""d$k AS (SELECT coalesce(sum(rank), 0) // (SELECT sc FROM p) AS ds
          |       FROM r${k - 1} WHERE outdeg = 0),
          |c$k AS (SELECT e.dst AS node, sum(r.rank // r.outdeg) AS contrib
          |       FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY e.dst),
-         |r$k AS (SELECT r.node, r.outdeg,
-         |              (15 * (SELECT base FROM p)
-         |               + 85 * (coalesce(c.contrib, 0) + (SELECT ds FROM d$k)))
+         |r$k AS (SELECT r.node, r.outdeg, r.is_seed, r.base,
+         |              (15 * r.base
+         |               + 85 * (coalesce(c.contrib, 0)
+         |                       + CASE WHEN r.is_seed THEN (SELECT ds FROM d$k)
+         |                              ELSE 0 END))
          |              // 100 AS rank
          |       FROM r${k - 1} r LEFT JOIN c$k c USING (node))""".stripMargin
     }
+    val outCols =
+      if (seedPred.isDefined) "node, outdeg, is_seed, rank AS rank_scaled"
+      else "node, outdeg, rank AS rank_scaled"
     (head +: steps).mkString(",\n") +
-      s"\nSELECT node, outdeg, rank AS rank_scaled FROM r$iters ORDER BY node"
+      s"\nSELECT $outCols FROM r$iters ORDER BY node"
   }
 }

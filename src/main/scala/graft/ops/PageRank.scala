@@ -7,7 +7,10 @@ import org.apache.spark.storage.StorageLevel
 /** PageRank-style link authority over an edge list — the graph-derived
   * quality prior web-corpus pipelines attach to every page (harvested
   * link graphs rank hosts; the rank then feeds the quality/mixing
-  * stages alongside classifier scores).
+  * stages alongside classifier scores). [[personalizedPageRank]] is the
+  * TrustRank variant: restart mass concentrated on a trusted seed set,
+  * so authority can only flow out along links from the seeds —
+  * the standard spam-demotion prior.
   *
   * The iteration is the textbook damped power method, but in EXACT
   * INTEGER arithmetic so the result is bit-reproducible across engines,
@@ -18,26 +21,29 @@ import org.apache.spark.storage.StorageLevel
   * summation-order drift). One iteration:
   *
   *   contrib(v) = Σ_{(u,v) ∈ E} rank(u) div outdeg(u)
-  *   rank'(v)   = ((den−num)·base + num·(contrib(v) + dangling div N)) div den
+  *   rank'(v)   = ((den−num)·base(v) + num·(contrib(v) + dang(v))) div den
   *
-  * where `base = scale div N` is the uniform prior, `num/den` is the
-  * damping factor (default 85/100), and `dangling` — the mass parked on
-  * nodes with no out-edges — is redistributed uniformly (the standard
-  * dangling-node correction; without it the total mass leaks each
+  * where `base(v)` is the restart vector (uniform `scale div N`, or
+  * `scale div |S|` on seeds and 0 elsewhere), `num/den` is the damping
+  * factor (default 85/100), and `dang(v)` redistributes the mass parked
+  * on out-degree-0 nodes back onto the restart support (`dangling div
+  * |support|` to each support node — uniform over the support because
+  * the restart vector is; without the correction total mass leaks every
   * iteration). Floor divisions shed at most den·N scale-units of mass
   * per iteration — negligible at scale=1e12 and spec-asserted bounded.
   *
-  * Scale shape: nodes+outdegrees are computed ONCE and carried inside
-  * the ranks frame (no per-iteration degree join). Each iteration is
-  * exactly one equi-join (edges ⋈ ranks on src — a shuffle hash join;
-  * nothing is broadcast because a web-scale rank vector doesn't fit) +
-  * one hash aggregate on dst + one left join back to the node set, plus
-  * a 1-row dangling aggregate (a driver scalar per iteration, bounded
-  * by iteration count, never data size). Each iteration's ranks are
-  * persisted and the previous generation released, so lineage stays one
-  * generation deep — at hundreds of iterations on a real cluster you
-  * would additionally checkpoint every ~10 rounds to truncate the plan;
-  * with the bounded iteration counts here persist+unpersist suffices.
+  * Scale shape: nodes, out-degrees, and the restart vector are computed
+  * ONCE and carried inside the ranks frame (no per-iteration degree or
+  * seed join). Each iteration is exactly one equi-join (edges ⋈ ranks
+  * on src — a shuffle hash join; nothing is broadcast because a
+  * web-scale rank vector doesn't fit) + one hash aggregate on dst + one
+  * left join back to the node set, plus a 1-row dangling aggregate (a
+  * driver scalar per iteration, bounded by iteration count, never data
+  * size). Each iteration's ranks are persisted and the previous
+  * generation released, so lineage stays one generation deep — at
+  * hundreds of iterations on a real cluster you would additionally
+  * checkpoint every ~10 rounds to truncate the plan; with the bounded
+  * iteration counts here persist+unpersist suffices.
   *
   * Edges are DISTINCT (src, dst) pairs — parallel links don't multiply
   * authority (the convention of host-graph rank); self-loops are kept
@@ -45,12 +51,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
-  /** Runs `iterations` rounds and returns `(node, outdeg, rank_scaled)`.
-    * `edges` needs columns `srcCol`, `dstCol` (any equatable type);
-    * nulls on either side are dropped (a half-specified link is not an
-    * edge). Overflow posture: intermediate products are bounded by
-    * `num · scale` (≈ 8.5e13 at the defaults) — far inside long range as
-    * long as `scale ≤ ~9e16 / den`, which the require enforces.
+  /** Runs `iterations` rounds with the UNIFORM restart vector and
+    * returns `(node, outdeg, rank_scaled)`. `edges` needs columns
+    * `srcCol`, `dstCol` (any equatable type); nulls on either side are
+    * dropped (a half-specified link is not an edge). Overflow posture:
+    * intermediate products are bounded by `num · scale` (≈ 8.5e13 at
+    * the defaults) — far inside long range as long as
+    * `scale ≤ ~9e16 / den`, which the require enforces.
     */
   def pageRank(
       edges: DataFrame,
@@ -60,39 +67,107 @@ object PageRank {
       scale: Long = 1000000000000L,
       dampNum: Long = 85,
       dampDen: Long = 100): DataFrame = {
+    checkParams(iterations, scale, dampNum, dampDen)
+    val e = cleanEdges(edges, srcCol, dstCol)
+    val nd = nodesWithOutdeg(e)
+    val n = nd.count()
+    if (n == 0) {
+      e.unpersist(blocking = false)
+      return nd.withColumn("rank_scaled", lit(0L))
+    }
+    val withBase = nd.withColumn("is_seed", lit(true))
+      .withColumn("base", lit(scale / n))
+    run(e, withBase, supportCount = n, iterations, dampNum, dampDen)
+      .select("node", "outdeg", "rank_scaled")
+  }
+
+  /** TrustRank-style personalized PageRank: the restart vector puts
+    * `scale div |S|` on each node of the seed set and 0 elsewhere, so
+    * stationary mass measures proximity to the trusted seeds. `seeds`
+    * is a frame with column `seedCol`; seeds are intersected with the
+    * graph's node set (restart mass on a node the graph doesn't contain
+    * is undefined) and the intersection must be non-empty. Returns
+    * `(node, outdeg, is_seed, rank_scaled)`.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    checkParams(iterations, scale, dampNum, dampDen)
+    val e = cleanEdges(edges, srcCol, dstCol)
+    val seedSet = seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull).distinct()
+    val nd = nodesWithOutdeg(e)
+      .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("outdeg"),
+        coalesce(col("__s"), lit(false)).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sCount = nd.filter(col("is_seed")).count()
+    if (sCount == 0) {
+      nd.unpersist(blocking = false); e.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        "personalizedPageRank: no seed appears in the graph's node set")
+    }
+    val withBase = nd.withColumn("base",
+      when(col("is_seed"), lit(scale / sCount)).otherwise(lit(0L)))
+    val out = run(e, withBase, supportCount = sCount, iterations, dampNum, dampDen)
+      .select("node", "outdeg", "is_seed", "rank_scaled")
+    nd.unpersist(blocking = false)
+    out
+  }
+
+  private def checkParams(iterations: Int, scale: Long,
+      dampNum: Long, dampDen: Long): Unit = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
     require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
       s"scale too large for overflow-free integer damping: $scale")
+  }
 
-    val e = edges
+  private def cleanEdges(edges: DataFrame, srcCol: String, dstCol: String) =
+    edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Node set = src ∪ dst, with out-degree carried in-frame so the
-    // iteration never re-joins a degree table.
+  /** Node set = src ∪ dst with out-degree carried in-frame so the
+    * iteration never re-joins a degree table.
+    */
+  private def nodesWithOutdeg(e: DataFrame): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    val nd = nodes.join(outdeg, Seq("node"), "left")
+    nodes.join(outdeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+  }
 
-    val n = nd.count()
-    if (n == 0) { e.unpersist(blocking = false); return nd.withColumn("rank_scaled", lit(0L)) }
-    val base = scale / n
-
-    var ranks = nd.withColumn("rank_scaled", lit(base))
+  /** Shared power-iteration loop over a ranks frame carrying
+    * (node, outdeg, is_seed, base). Releases `e` when done.
+    */
+  private def run(
+      e: DataFrame,
+      withBase: DataFrame,
+      supportCount: Long,
+      iterations: Int,
+      dampNum: Long,
+      dampDen: Long): DataFrame = {
+    var ranks = withBase.withColumn("rank_scaled", col("base"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count() // materialize so the unpersist chain below is safe
 
     var it = 0
     while (it < iterations) {
-      val next = step(e, ranks, n, base, dampNum, dampDen)
+      val next = step(e, ranks, supportCount, dampNum, dampDen)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       ranks.unpersist(blocking = false)
@@ -103,21 +178,21 @@ object PageRank {
     ranks
   }
 
-  /** One power iteration (unpersisted — [[pageRank]] owns caching).
-    * Package-visible so the spec can assert the iteration PLAN (one
-    * equi-join + one hash aggregate + one left join, never a nested
-    * loop) rather than the opaque cached result.
+  /** One power iteration (unpersisted — [[run]] owns caching). `ranks`
+    * carries (node, outdeg, is_seed, base, rank_scaled). Package-visible
+    * so the spec can assert the iteration PLAN (one equi-join + one hash
+    * aggregate + one left join, never a nested loop) rather than the
+    * opaque cached result.
     */
   private[graft] def step(
       e: DataFrame,
       ranks: DataFrame,
-      n: Long,
-      base: Long,
+      supportCount: Long,
       dampNum: Long,
       dampDen: Long): DataFrame = {
     val dangling = ranks.filter(col("outdeg") === 0L)
       .agg(coalesce(sum(col("rank_scaled")), lit(0L))).head().getLong(0)
-    val danglingShare = dangling / n
+    val danglingShare = dangling / supportCount
 
     val contribs = e
       .join(ranks.filter(col("outdeg") > 0L), e("src") === col("node"))
@@ -129,12 +204,13 @@ object PageRank {
       .groupBy("node")
       .agg(sum(col("c")).as("contrib"))
 
-    ranks.select(col("node"), col("outdeg"))
+    ranks.select(col("node"), col("outdeg"), col("is_seed"), col("base"))
       .join(contribs, Seq("node"), "left")
       .withColumn("__mass",
-        lit(dampDen - dampNum) * lit(base) +
-          lit(dampNum) * (coalesce(col("contrib"), lit(0L)) + lit(danglingShare)))
-      .select(col("node"), col("outdeg"),
+        lit(dampDen - dampNum) * col("base") +
+          lit(dampNum) * (coalesce(col("contrib"), lit(0L)) +
+            when(col("is_seed"), lit(danglingShare)).otherwise(lit(0L))))
+      .select(col("node"), col("outdeg"), col("is_seed"), col("base"),
         expr(s"__mass div ${dampDen}L").as("rank_scaled"))
   }
 }

@@ -135,6 +135,34 @@ object Sampling {
     }
   }
 
+  /** Deterministic fractional UPSAMPLING — the mixture counterpart of
+    * [[stratifiedSample]] for weights above 1 (epoch-style repetition of
+    * prized sources: "see wiki 2.5 times per pass"). A row with rate `r`
+    * basis points (1x = 10000) yields `r div 10000` whole copies plus
+    * one more exactly when its [[bucket]] falls below `r mod 10000` —
+    * so the fractional copies are a deterministic hash-selected subset,
+    * not a rand() draw: retry-stable, engine-reproducible, and NESTED
+    * (the extra-copy set at 2.3x is a strict subset of the one at 2.7x,
+    * so raising a weight never unselects a copy an earlier run emitted).
+    * `copy_idx` (0-based) distinguishes the copies downstream (fold it
+    * into the id for re-keying). Rows at rate 0 disappear; rates must
+    * be non-negative (a negative `div`/`pmod` pair would floor toward
+    * surprising values — documented contract, not checked per-row).
+    *
+    * Scale shape: pure scan-side column arithmetic + one explode — zero
+    * shuffles, zero joins, output size = Σ rates, evaluated inside
+    * whole-stage codegen next to the scan.
+    */
+  def upsample(df: DataFrame, key: Column, rateBp: Column, seed: Long): DataFrame =
+    df.withColumn("__bp", rateBp.cast("long"))
+      .withColumn("__copies",
+        expr("__bp div 10000") +
+          when(bucket(key, seed) < pmod(col("__bp"), lit(10000L)), 1L)
+            .otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__bp", "__copies")
+
   /** Deterministic global shuffle + EXACT-size shard assignment — the
     * training-export step: randomize document order corpus-wide (so no
     * shard inherits crawl/source locality) and cut the order into

@@ -72,12 +72,48 @@ class PageRankSpec extends SparkSpec {
 
   test("iteration plan is equi-join + aggregate, never a nested loop") {
     val e = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
-    val ranks = Seq(("a", 1L, Scale / 3), ("b", 1L, Scale / 3),
-      ("c", 1L, Scale / 3)).toDF("node", "outdeg", "rank_scaled")
-    val plan = PageRank.step(e, ranks, 3L, Scale / 3, 85L, 100L)
+    val ranks = Seq(("a", 1L, true, Scale / 3, Scale / 3),
+      ("b", 1L, true, Scale / 3, Scale / 3),
+      ("c", 1L, true, Scale / 3, Scale / 3))
+      .toDF("node", "outdeg", "is_seed", "base", "rank_scaled")
+    val plan = PageRank.step(e, ranks, 3L, 85L, 100L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("HashAggregate"), plan)
+  }
+
+  private def trustRanks(edges: Seq[(String, String)], seeds: Seq[String],
+      iters: Int) =
+    PageRank.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node"), "node", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+
+  test("personalized: authority flows only out from the seeds") {
+    // a -> b -> c, seed {a}: two hand-computed iterations.
+    val r = trustRanks(Seq("a" -> "b", "b" -> "c"), Seq("a"), 2)
+    assert(r == Map("a" -> 150000000000L, "b" -> 127500000000L,
+      "c" -> 722500000000L))
+  }
+
+  test("personalized: dangling mass returns to the seeds only") {
+    // a -> b, b dangling, seed {a}. Exact conservation after 2 steps.
+    val r = trustRanks(Seq("a" -> "b"), Seq("a"), 2)
+    assert(r == Map("a" -> 872500000000L, "b" -> 127500000000L))
+    assert(r.values.sum == Scale)
+  }
+
+  test("personalized: all-nodes seed set degenerates to uniform PageRank") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val uniform = ranksOf(edges, 3).view.mapValues(_._2).toMap
+    val personalized = trustRanks(edges, Seq("a", "b", "c"), 3)
+    assert(uniform == personalized)
+  }
+
+  test("personalized: seeds outside the graph are rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      trustRanks(Seq("a" -> "b"), Seq("zz"), 1)
+    }
+    assert(ex.getMessage.contains("no seed"))
   }
 }

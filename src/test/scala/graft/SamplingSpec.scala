@@ -98,6 +98,46 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(_._1 == "big").map(_._2).toSet != other)
   }
 
+  test("upsample: whole rates replicate exactly, rate 0 drops, 1x is identity") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    val x3 = Sampling.upsample(df, $"id", lit(30000L), seed = 5)
+    assert(x3.count() == 300)
+    assert(x3.groupBy("id").count().select("count").as[Long].collect().toSet == Set(3L))
+    assert(x3.select("copy_idx").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    assert(Sampling.upsample(df, $"id", lit(0L), seed = 5).count() == 0)
+    val x1 = Sampling.upsample(df, $"id", lit(10000L), seed = 5)
+    assert(x1.count() == 100 &&
+      x1.select("copy_idx").as[Long].collect().toSet == Set(0L))
+  }
+
+  test("upsample: fractional copies are the hashSample membership, nested") {
+    import spark.implicits._
+    val df = (0L until 50000L).toDF("id")
+    val up = Sampling.upsample(df, $"id", lit(25000L), seed = 9)
+      .groupBy("id").count()
+    val extra = up.filter($"count" === 3).select("id").as[Long].collect().toSet
+    // the fractional-copy set IS hashSample at the fractional rate
+    val members = Sampling.hashSample(df, $"id", 0.5, seed = 9)
+      .select("id").as[Long].collect().toSet
+    assert(extra == members)
+    // nesting: extras at 2.3x are a subset of extras at 2.7x
+    val lo = Sampling.upsample(df, $"id", lit(23000L), seed = 9)
+      .groupBy("id").count().filter($"count" === 3)
+      .select("id").as[Long].collect().toSet
+    val hi = Sampling.upsample(df, $"id", lit(27000L), seed = 9)
+      .groupBy("id").count().filter($"count" === 3)
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+  }
+
+  test("upsample plan is scan-side: no shuffle, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Sampling.upsample(docs, col("doc_id"), lit(25000L), seed = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("shardAssign: exact ±1 sizes, contiguous key ranges, seed redraw") {
     import spark.implicits._
     val df = (0L until 503L).toDF("id").repartition(7)

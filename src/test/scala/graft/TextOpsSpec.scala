@@ -235,6 +235,26 @@ class TextOpsSpec extends SparkSpec {
     assert(fwd == Map("t1" -> null, "tnull" -> null))
   }
 
+  test("as-of tolerance: a too-far nearest match nulls, never reaches past") {
+    val trades = Seq((1, 100, "t1"), (1, 200, "t2")).toDF("k", "t", "trade")
+    // t1@100 -> quote@90 (gap 10), t2@200 -> quote@150 (gap 50)
+    val quotes = Seq((1, 90, 1.0), (1, 150, 2.0)).toDF("k", "qt", "px")
+    val got = AsOfJoin.backward(trades, quotes, "k", "k", "t", "qt", Seq("px"),
+        tolerance = Some(lit(30)))
+      .collect().map(r => r.getAs[String]("trade") -> r.getAs[Any]("px")).toMap
+    assert(got == Map("t1" -> 1.0, "t2" -> null)) // gap 10 in, gap 50 out
+    // boundary is inclusive, matching the <=/>= join bound
+    val edge = AsOfJoin.backward(trades, quotes, "k", "k", "t", "qt", Seq("px"),
+        tolerance = Some(lit(10)))
+      .collect().map(r => r.getAs[String]("trade") -> r.getAs[Any]("px")).toMap
+    assert(edge == Map("t1" -> 1.0, "t2" -> null))
+    val fwd = AsOfJoin.forward(trades, quotes, "k", "k", "t", "qt", Seq("px"),
+        tolerance = Some(lit(40)))
+      .collect().map(r => r.getAs[String]("trade") -> r.getAs[Any]("px")).toMap
+    // t1@100 -> quote@150 gap 50 > 40: null; t2@200 -> nothing after
+    assert(fwd == Map("t1" -> null, "t2" -> null))
+  }
+
   test("as-of join does not stitch value columns from different right rows") {
     val left = Seq((1, 30)).toDF("k", "t")
     val right = Seq((1, 10, Some(5.0), None: Option[Double]), (1, 20, None, Some(7.0)))
