@@ -52,9 +52,12 @@ import org.apache.spark.storage.StorageLevel
 object PageRank {
 
   /** Runs `iterations` rounds with the UNIFORM restart vector and
-    * returns `(node, outdeg, rank_scaled)`. `edges` needs columns
-    * `srcCol`, `dstCol` (any equatable type); nulls on either side are
-    * dropped (a half-specified link is not an edge). Overflow posture:
+    * returns `(node, outdeg, rank_scaled)` — the returned frame is the
+    * last iteration's PERSISTED generation (callers unpersist it after
+    * their terminal action; it is nodes-sized, not data-sized). `edges`
+    * needs columns `srcCol`, `dstCol` (any equatable type); nulls on
+    * either side are dropped (a half-specified link is not an edge).
+    * Overflow posture:
     * intermediate products are bounded by `num · scale` (≈ 8.5e13 at
     * the defaults) — far inside long range as long as
     * `scale ≤ ~9e16 / den`, which the require enforces.
@@ -153,6 +156,13 @@ object PageRank {
 
   /** Shared power-iteration loop over a ranks frame carrying
     * (node, outdeg, is_seed, base). Releases `e` when done.
+    *
+    * One driver job per iteration, not two: the aggregate that
+    * materializes the freshly persisted generation ALSO returns the
+    * dangling mass the NEXT iteration needs (a fused
+    * materialize+measure pass — a separate count() plus a separate
+    * dangling scan would double the per-iteration job count, which at
+    * bench scale is the entire cost of a small graph).
     */
   private def run(
       e: DataFrame,
@@ -161,15 +171,19 @@ object PageRank {
       iterations: Int,
       dampNum: Long,
       dampDen: Long): DataFrame = {
+    def materializeAndDangling(df: DataFrame): Long =
+      df.agg(coalesce(sum(when(col("outdeg") === 0L, col("rank_scaled"))),
+        lit(0L))).head().getLong(0)
+
     var ranks = withBase.withColumn("rank_scaled", col("base"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count() // materialize so the unpersist chain below is safe
+    var dangling = materializeAndDangling(ranks)
 
     var it = 0
     while (it < iterations) {
-      val next = step(e, ranks, supportCount, dampNum, dampDen)
+      val next = step(e, ranks, dangling / supportCount, dampNum, dampDen)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      dangling = materializeAndDangling(next)
       ranks.unpersist(blocking = false)
       ranks = next
       it += 1
@@ -178,22 +192,18 @@ object PageRank {
     ranks
   }
 
-  /** One power iteration (unpersisted — [[run]] owns caching). `ranks`
-    * carries (node, outdeg, is_seed, base, rank_scaled). Package-visible
-    * so the spec can assert the iteration PLAN (one equi-join + one hash
-    * aggregate + one left join, never a nested loop) rather than the
-    * opaque cached result.
+  /** One power iteration (unpersisted — [[run]] owns caching and the
+    * `danglingShare` scalar). `ranks` carries (node, outdeg, is_seed,
+    * base, rank_scaled). Package-visible so the spec can assert the
+    * iteration PLAN (one equi-join + one hash aggregate + one left
+    * join, never a nested loop) rather than the opaque cached result.
     */
   private[graft] def step(
       e: DataFrame,
       ranks: DataFrame,
-      supportCount: Long,
+      danglingShare: Long,
       dampNum: Long,
       dampDen: Long): DataFrame = {
-    val dangling = ranks.filter(col("outdeg") === 0L)
-      .agg(coalesce(sum(col("rank_scaled")), lit(0L))).head().getLong(0)
-    val danglingShare = dangling / supportCount
-
     val contribs = e
       .join(ranks.filter(col("outdeg") > 0L), e("src") === col("node"))
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a

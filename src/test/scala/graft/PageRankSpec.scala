@@ -76,7 +76,7 @@ class PageRankSpec extends SparkSpec {
       ("b", 1L, true, Scale / 3, Scale / 3),
       ("c", 1L, true, Scale / 3, Scale / 3))
       .toDF("node", "outdeg", "is_seed", "base", "rank_scaled")
-    val plan = PageRank.step(e, ranks, 3L, 85L, 100L)
+    val plan = PageRank.step(e, ranks, danglingShare = 0L, 85L, 100L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
