@@ -1795,6 +1795,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage retrieval ([[graft.ops.Similarity.rerankExact]]): IVF-PQ
+    * supplies 20 cheap ADC candidates per query, then EXACT cosine
+    * re-ranks the survivors to the final top-5 — the approximate-recall /
+    * exact-precision split every production vector store runs. Rank-only
+    * output (the q_embed_topk pattern: float cosines never cross the
+    * oracle boundary, orderings must agree).
+    */
+  private def qAnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val coarse = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
+      nLists = 16, iterations = 0)
+    val pq = graft.ops.Pq.train(emb, "vec_id", "embedding", blocks = 4, codebookSize = 16)
+    val cands = graft.ops.Pq.ivfPqSearch(coarse, pq, emb, queries,
+      "vec_id", "embedding", k = 20, nProbe = 4)
+    Similarity.rerankExact(cands, emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-format scan/sink round-trip (SURVEY.md §2B "scans: other
     * formats / sinks"): the same event subset written as CSV and JSON,
     * read back, joined, and aggregated — oracle reproduces from the
@@ -2736,9 +2756,13 @@ object SparkEntry {
     * arithmetic — the oracle unrolls the same integer recurrence in SQL
     * and must match bit-for-bit.
     */
-  private def qPagerank(spark: SparkSession, dir: String): DataFrame =
-    PageRank.pageRank(docLinkEdges(spark, dir), "src", "dst", iterations = 3)
-      .orderBy("node")
+  private def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (ranks, release) =
+      PageRank.pageRank(docLinkEdges(spark, dir), "src", "dst", iterations = 3)
+    val out = ranks.orderBy("node").localCheckpoint(true)
+    release()
+    out
+  }
 
   /** The deterministic 20-host link graph both rank queries run on. */
   private def docLinkEdges(spark: SparkSession, dir: String): DataFrame = {
@@ -2763,9 +2787,11 @@ object SparkEntry {
   private def qTrustrank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seeds = (0 until 5).map(i => s"site-$i").toDF("node")
-    PageRank.personalizedPageRank(docLinkEdges(spark, dir), "src", "dst",
-        seeds, "node", iterations = 3)
-      .orderBy("node")
+    val (ranks, release) = PageRank.personalizedPageRank(
+      docLinkEdges(spark, dir), "src", "dst", seeds, "node", iterations = 3)
+    val out = ranks.orderBy("node").localCheckpoint(true)
+    release()
+    out
   }
 
   /** Deterministic global shuffle + exact-size sharding
@@ -2884,6 +2910,7 @@ object SparkEntry {
     "q_embed_pq" -> (qEmbedPq _),
     "q_embed_adc" -> (qEmbedAdc _),
     "q_embed_ivfpq" -> (qEmbedIvfPq _),
+    "q_ann_rerank" -> (qAnnRerank _),
     "q_multi_format" -> (qMultiFormat _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -3162,6 +3189,54 @@ object SparkEntry {
     * n_exact / n_queries reproduced exactly; recall_ok is the in-query
     * invariant the approximate side must satisfy.
     */
+  /** The full IVF-PQ re-derivation (coarse 16-cell routing, probe top-4,
+    * per-block codebooks/codes, scaled ADC tables, ranked candidates in
+    * `r`) — shared by q_embed_ivfpq (reads `r` at k=5) and q_ann_rerank
+    * (takes `r` at k=20 as the candidate stage, then exact-reranks).
+    */
+  private val IvfPqCtesSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      |         FROM e ORDER BY vec_id LIMIT 16),
+      |dc AS (SELECT e.vec_id, b.cell,
+      |         list_sum(list_transform(list_zip(e.v, b.v),
+      |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |       FROM e CROSS JOIN base b),
+      |casg AS (SELECT vec_id, cell FROM (
+      |           SELECT vec_id, cell,
+      |                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+      |           FROM dc)
+      |         WHERE rk = 1),
+      |probe AS (SELECT vec_id AS query_id, cell FROM (
+      |            SELECT vec_id, cell,
+      |                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+      |            FROM dc)
+      |          WHERE rk <= 4 AND vec_id < 10),
+      |blk AS (SELECT unnest(generate_series(0, 3)) AS b),
+      |cb AS (SELECT b, cell, v[(b*16+1):(b*16+16)] AS c FROM base CROSS JOIN blk),
+      |sub AS (SELECT vec_id, b, v[(b*16+1):(b*16+16)] AS s FROM e CROSS JOIN blk),
+      |dpq AS (SELECT sub.vec_id, sub.b, cb.cell,
+      |          list_sum(list_transform(list_zip(sub.s, cb.c),
+      |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |        FROM sub JOIN cb ON sub.b = cb.b),
+      |pasg AS (SELECT vec_id, b, cell FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cell) AS rk
+      |           FROM dpq)
+      |         WHERE rk = 1),
+      |qt AS (SELECT vec_id AS query_id, b, cell,
+      |         CAST(floor(dist * 1e12 + 0.5) AS BIGINT) AS sd
+      |       FROM dpq WHERE vec_id < 10),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |         FROM casg a JOIN probe p ON a.cell = p.cell AND p.query_id <> a.vec_id),
+      |adc AS (SELECT c.query_id, c.neighbor_id, CAST(sum(qt.sd) AS BIGINT) AS scaled_adc
+      |        FROM cand c JOIN pasg n ON n.vec_id = c.neighbor_id
+      |             JOIN qt ON qt.query_id = c.query_id AND qt.b = n.b AND qt.cell = n.cell
+      |        GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, scaled_adc,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY scaled_adc, neighbor_id) AS rank
+      |      FROM adc)""".stripMargin
+
   private val AnnExactSideSql =
     """SELECT count(*) AS n_exact, count(DISTINCT query_id) AS n_queries, true AS recall_ok
       |FROM (
@@ -3414,8 +3489,13 @@ object SparkEntry {
         |j AS (SELECT c.ts, p.pts, p.value
         |      FROM c ASOF LEFT JOIN p ON c.user_id = p.pu AND c.ts >= p.pts),
         |tl AS (SELECT ts,
-        |         CASE WHEN ts - pts <= INTERVAL 6 HOUR THEN pts END AS pts,
-        |         CASE WHEN ts - pts <= INTERVAL 6 HOUR THEN value END AS value
+        |         -- gap compared in MICROSECONDS: Spark sees these ns
+        |         -- timestamps truncated to us, so an ns-precision interval
+        |         -- compare could flip a within-1us-of-6h boundary match
+        |         CASE WHEN epoch_us(ts) - epoch_us(pts) <= 21600000000
+        |              THEN pts END AS pts,
+        |         CASE WHEN epoch_us(ts) - epoch_us(pts) <= 21600000000
+        |              THEN value END AS value
         |       FROM j)
         |SELECT count(*) AS n_clicks, count(pts) AS n_matched,
         |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
@@ -3879,50 +3959,20 @@ object SparkEntry {
     // coarse routing (16 full-vector cells, probe top-4 by (dist, cell))
     // + the PQ code/table machinery of q_embed_adc; both quantizers
     // derive from the SAME 16 lowest-id vectors (iterations = 0)
-    "q_embed_ivfpq" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |base AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-        |         FROM e ORDER BY vec_id LIMIT 16),
-        |dc AS (SELECT e.vec_id, b.cell,
-        |         list_sum(list_transform(list_zip(e.v, b.v),
-        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-        |       FROM e CROSS JOIN base b),
-        |casg AS (SELECT vec_id, cell FROM (
-        |           SELECT vec_id, cell,
-        |                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-        |           FROM dc)
-        |         WHERE rk = 1),
-        |probe AS (SELECT vec_id AS query_id, cell FROM (
-        |            SELECT vec_id, cell,
-        |                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-        |            FROM dc)
-        |          WHERE rk <= 4 AND vec_id < 10),
-        |blk AS (SELECT unnest(generate_series(0, 3)) AS b),
-        |cb AS (SELECT b, cell, v[(b*16+1):(b*16+16)] AS c FROM base CROSS JOIN blk),
-        |sub AS (SELECT vec_id, b, v[(b*16+1):(b*16+16)] AS s FROM e CROSS JOIN blk),
-        |dpq AS (SELECT sub.vec_id, sub.b, cb.cell,
-        |          list_sum(list_transform(list_zip(sub.s, cb.c),
-        |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-        |        FROM sub JOIN cb ON sub.b = cb.b),
-        |pasg AS (SELECT vec_id, b, cell FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, cell) AS rk
-        |           FROM dpq)
-        |         WHERE rk = 1),
-        |qt AS (SELECT vec_id AS query_id, b, cell,
-        |         CAST(floor(dist * 1e12 + 0.5) AS BIGINT) AS sd
-        |       FROM dpq WHERE vec_id < 10),
-        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |         FROM casg a JOIN probe p ON a.cell = p.cell AND p.query_id <> a.vec_id),
-        |adc AS (SELECT c.query_id, c.neighbor_id, CAST(sum(qt.sd) AS BIGINT) AS scaled_adc
-        |        FROM cand c JOIN pasg n ON n.vec_id = c.neighbor_id
-        |             JOIN qt ON qt.query_id = c.query_id AND qt.b = n.b AND qt.cell = n.cell
-        |        GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, scaled_adc,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY scaled_adc, neighbor_id) AS rank
-        |      FROM adc)
-        |SELECT query_id, rank, neighbor_id, scaled_adc FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_embed_ivfpq" -> (IvfPqCtesSql +
+      "\nSELECT query_id, rank, neighbor_id, scaled_adc FROM r WHERE rank <= 5" +
+      "\nORDER BY query_id, rank"),
+    "q_ann_rerank" -> (IvfPqCtesSql +
+      """,
+        |c20 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 20),
+        |rr AS (SELECT c.query_id, c.neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(en.v, eq.v) DESC,
+        |                    c.neighbor_id) AS BIGINT) AS rank
+        |       FROM c20 c JOIN e en ON en.vec_id = c.neighbor_id
+        |            JOIN e eq ON eq.vec_id = c.query_id)
+        |SELECT query_id, rank, neighbor_id FROM rr WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     "q_rolling_fingerprint" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -28,7 +28,11 @@ object AsOfJoin {
     *   value column names must not collide; `__mt` is reserved.
     * @param tolerance max allowed `leftTime - matchedRightTime` (e.g.
     *   `expr("INTERVAL 1 HOUR")` for timestamps, a numeric literal for
-    *   numeric time axes). None = unbounded (classic as-of).
+    *   numeric time axes). None = unbounded (classic as-of). Must be
+    *   non-negative: the bound's type is opaque (interval or numeric),
+    *   so unlike pandas this is NOT validated — a negative tolerance
+    *   contradicts the direction bound and silently yields the no-match
+    *   outcome (all nulls) for every row.
     */
   def backward(
       left: DataFrame,

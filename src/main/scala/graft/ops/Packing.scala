@@ -55,6 +55,22 @@ object Packing {
       valueCol: String,
       outCol: String = "cum_excl",
       assertUniqueOrder: Boolean = false): (DataFrame, () => Unit) = {
+    val (out, _, release) =
+      withExclusivePrefixSumAndTotal(df, orderCol, valueCol, outCol, assertUniqueOrder)
+    (out, release)
+  }
+
+  /** [[withExclusivePrefixSum]] plus the GRAND TOTAL of `valueCol` —
+    * already known driver-side as the last prefix offset, so callers that
+    * need it (e.g. `Sampling.shardAssign`'s `rank·n div total`) don't pay
+    * a second full scan just to count.
+    */
+  def withExclusivePrefixSumAndTotal(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String = "cum_excl",
+      assertUniqueOrder: Boolean = false): (DataFrame, Long, () => Unit) = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val sorted = df
@@ -102,7 +118,7 @@ object Packing {
         res
       }
     }(Encoders.row(outSchema))
-    (out, () => { sorted.unpersist(blocking = false); () })
+    (out, offsets(par), () => { sorted.unpersist(blocking = false); () })
   }
 
   /** Concat-and-chunk bin assignment: with documents laid end-to-end in

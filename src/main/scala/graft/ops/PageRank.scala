@@ -52,14 +52,15 @@ import org.apache.spark.storage.StorageLevel
 object PageRank {
 
   /** Runs `iterations` rounds with the UNIFORM restart vector and
-    * returns `(node, outdeg, rank_scaled)` — the returned frame is the
-    * last iteration's PERSISTED generation (callers unpersist it after
-    * their terminal action; it is nodes-sized, not data-sized). `edges`
-    * needs columns `srcCol`, `dstCol` (any equatable type); nulls on
-    * either side are dropped (a half-specified link is not an edge).
-    * Overflow posture:
-    * intermediate products are bounded by `num · scale` (≈ 8.5e13 at
-    * the defaults) — far inside long range as long as
+    * returns `(node, outdeg, rank_scaled)` plus a RELEASE HANDLE for the
+    * final persisted generation (nodes-sized, not data-sized) — call it
+    * after the terminal action; unpersisting the returned frame itself
+    * would be a no-op because its select() plan is not `sameResult` with
+    * the cached plan (the [[Packing]] handle convention). `edges` needs
+    * columns `srcCol`, `dstCol` (any equatable type); nulls on either
+    * side are dropped (a half-specified link is not an edge). Overflow
+    * posture: intermediate products are bounded by `num · scale`
+    * (≈ 8.5e13 at the defaults) — far inside long range as long as
     * `scale ≤ ~9e16 / den`, which the require enforces.
     */
   def pageRank(
@@ -69,19 +70,22 @@ object PageRank {
       iterations: Int,
       scale: Long = 1000000000000L,
       dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100): (DataFrame, () => Unit) = {
     checkParams(iterations, scale, dampNum, dampDen)
     val e = cleanEdges(edges, srcCol, dstCol)
-    val nd = nodesWithOutdeg(e)
+    val nd = nodesWithOutdeg(e).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nd.count()
     if (n == 0) {
       e.unpersist(blocking = false)
-      return nd.withColumn("rank_scaled", lit(0L))
+      val empty = nd.withColumn("rank_scaled", lit(0L))
+      return (empty, () => { nd.unpersist(blocking = false); () })
     }
     val withBase = nd.withColumn("is_seed", lit(true))
       .withColumn("base", lit(scale / n))
-    run(e, withBase, supportCount = n, iterations, dampNum, dampDen)
-      .select("node", "outdeg", "rank_scaled")
+    val (ranks, release) =
+      run(e, withBase, supportCount = n, iterations, dampNum, dampDen)
+    nd.unpersist(blocking = false) // generation 0 is materialized by now
+    (ranks.select("node", "outdeg", "rank_scaled"), release)
   }
 
   /** TrustRank-style personalized PageRank: the restart vector puts
@@ -90,7 +94,8 @@ object PageRank {
     * is a frame with column `seedCol`; seeds are intersected with the
     * graph's node set (restart mass on a node the graph doesn't contain
     * is undefined) and the intersection must be non-empty. Returns
-    * `(node, outdeg, is_seed, rank_scaled)`.
+    * `(node, outdeg, is_seed, rank_scaled)` plus the release handle for
+    * the final persisted generation (see [[pageRank]]).
     */
   def personalizedPageRank(
       edges: DataFrame,
@@ -101,7 +106,7 @@ object PageRank {
       iterations: Int,
       scale: Long = 1000000000000L,
       dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100): (DataFrame, () => Unit) = {
     checkParams(iterations, scale, dampNum, dampDen)
     val e = cleanEdges(edges, srcCol, dstCol)
     val seedSet = seeds.select(col(seedCol).as("node"))
@@ -119,10 +124,10 @@ object PageRank {
     }
     val withBase = nd.withColumn("base",
       when(col("is_seed"), lit(scale / sCount)).otherwise(lit(0L)))
-    val out = run(e, withBase, supportCount = sCount, iterations, dampNum, dampDen)
-      .select("node", "outdeg", "is_seed", "rank_scaled")
-    nd.unpersist(blocking = false)
-    out
+    val (ranks, release) =
+      run(e, withBase, supportCount = sCount, iterations, dampNum, dampDen)
+    nd.unpersist(blocking = false) // generation 0 is materialized by now
+    (ranks.select("node", "outdeg", "is_seed", "rank_scaled"), release)
   }
 
   private def checkParams(iterations: Int, scale: Long,
@@ -170,7 +175,7 @@ object PageRank {
       supportCount: Long,
       iterations: Int,
       dampNum: Long,
-      dampDen: Long): DataFrame = {
+      dampDen: Long): (DataFrame, () => Unit) = {
     def materializeAndDangling(df: DataFrame): Long =
       df.agg(coalesce(sum(when(col("outdeg") === 0L, col("rank_scaled"))),
         lit(0L))).head().getLong(0)
@@ -189,7 +194,8 @@ object PageRank {
       it += 1
     }
     e.unpersist(blocking = false)
-    ranks
+    val finalGen = ranks
+    (finalGen, () => { finalGen.unpersist(blocking = false); () })
   }
 
   /** One power iteration (unpersisted — [[run]] owns caching and the

@@ -67,7 +67,7 @@ object Sampling {
       k: Int,
       seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
+    val key = seededKey(seed, idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(key.asc, col(idCol).asc)
@@ -135,6 +135,14 @@ object Sampling {
     }
   }
 
+  /** THE cross-engine pseudo-random ordering key: `md5(seed ':' id)`.
+    * One definition shared by [[exactKPerGroup]] and [[shardAssign]] —
+    * the "same md5 order" contract between them (and their SQL oracles)
+    * only holds while the byte layout stays identical.
+    */
+  private def seededKey(seed: String, idCol: String): Column =
+    md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
+
   /** Deterministic fractional UPSAMPLING — the mixture counterpart of
     * [[stratifiedSample]] for weights above 1 (epoch-style repetition of
     * prized sources: "see wiki 2.5 times per pass"). A row with rate `r`
@@ -153,7 +161,10 @@ object Sampling {
     * shuffles, zero joins, output size = Σ rates, evaluated inside
     * whole-stage codegen next to the scan.
     */
-  def upsample(df: DataFrame, key: Column, rateBp: Column, seed: Long): DataFrame =
+  def upsample(df: DataFrame, key: Column, rateBp: Column, seed: Long): DataFrame = {
+    require(!df.columns.contains("copy_idx"),
+      "upsample: input already has a copy_idx column — rename it first " +
+        "(re-upsampling must not silently clobber earlier copy indices)")
     df.withColumn("__bp", rateBp.cast("long"))
       .withColumn("__copies",
         expr("__bp div 10000") +
@@ -162,6 +173,7 @@ object Sampling {
       .filter(col("__copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__bp", "__copies")
+  }
 
   /** Deterministic global shuffle + EXACT-size shard assignment — the
     * training-export step: randomize document order corpus-wide (so no
@@ -192,12 +204,13 @@ object Sampling {
       seed: String,
       assertUniqueIds: Boolean = false): (DataFrame, () => Unit) = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val keyed = df.withColumn("shuffle_key",
-      md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary")))
-    val (ranked, release) = Packing.withExclusivePrefixSum(
+    require(!df.columns.contains("shuffle_key") && !df.columns.contains("shard"),
+      "shardAssign: input already has a shuffle_key/shard column — rename it first")
+    val keyed = df.withColumn("shuffle_key", seededKey(seed, idCol))
+    // total rides out of the prefix sum's subtotal collect — no second scan
+    val (ranked, total, release) = Packing.withExclusivePrefixSumAndTotal(
       keyed.withColumn("__one", lit(1L)), "shuffle_key", "__one", "__rank",
       assertUniqueOrder = assertUniqueIds)
-    val total = ranked.count() // cheap: counts the persisted sorted frame
     require(total <= Long.MaxValue / math.max(nShards, 1),
       s"rank*nShards would overflow long: rows=$total shards=$nShards")
     val out =

@@ -117,6 +117,42 @@ object Similarity {
     * per-anchor top-k window over the surviving rows. Output:
     * (anchor_id, rank, negative_id, neg_label).
     */
+  /** Two-stage retrieval finish: EXACT cosine re-ranking of an ANN
+    * candidate set — the standard production pattern (cheap approximate
+    * recall stage → exact precision stage over the survivors).
+    * `candidates` is (query_id, neighbor_id) from any ANN stage
+    * ([[lshTopK]], `Pq.adcSearch`, `Pq.ivfPqSearch`); the vectors are
+    * re-attached from the corpus/query frames, never recomputed from the
+    * ANN's quantized codes. Returns (query_id, rank, neighbor_id,
+    * cosine) with rank by exact cosine desc, id tiebreak.
+    *
+    * Scale shape: the candidate set is |queries| · k' rows — bounded by
+    * the query batch, NOT the corpus — so it BROADCASTS into one corpus
+    * equi-join to attach neighbor vectors (the corpus is scanned once
+    * and filtered scan-side by the broadcast hash); query vectors attach
+    * from a second bounded broadcast. No all-pairs term anywhere.
+    */
+  def rerankExact(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosineSimilarity(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   def hardNegatives(
       corpus: DataFrame,
       anchors: DataFrame,

@@ -9,9 +9,14 @@ class PageRankSpec extends SparkSpec {
 
   private val Scale = 1000000000000L
 
-  private def ranksOf(edges: Seq[(String, String)], iters: Int) =
-    PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  private def ranksOf(edges: Seq[(String, String)], iters: Int) = {
+    val (df, release) =
+      PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+    val out = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    release()
+    out
+  }
 
   test("2-cycle is a fixed point: ranks stay at the uniform prior") {
     for (iters <- Seq(0, 1, 4)) {
@@ -65,8 +70,9 @@ class PageRankSpec extends SparkSpec {
   test("null endpoints are dropped, not nodes") {
     val edges = Seq(("a", "b"), ("b", "a"), ("a", null), (null, "b"))
       .toDF("src", "dst")
-    val r = PageRank.pageRank(edges, "src", "dst", 1)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val (df, release) = PageRank.pageRank(edges, "src", "dst", 1)
+    val r = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    release()
     assert(r.keySet == Set("a", "b") && r.values.toSet == Set(Scale / 2))
   }
 
@@ -84,10 +90,13 @@ class PageRankSpec extends SparkSpec {
   }
 
   private def trustRanks(edges: Seq[(String, String)], seeds: Seq[String],
-      iters: Int) =
-    PageRank.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
-        seeds.toDF("node"), "node", iters)
-      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      iters: Int) = {
+    val (df, release) = PageRank.personalizedPageRank(edges.toDF("src", "dst"),
+      "src", "dst", seeds.toDF("node"), "node", iters)
+    val out = df.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    release()
+    out
+  }
 
   test("personalized: authority flows only out from the seeds") {
     // a -> b -> c, seed {a}: two hand-computed iterations.

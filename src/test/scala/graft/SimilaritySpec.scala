@@ -116,6 +116,36 @@ class SimilaritySpec extends SparkSpec {
     assert(nScans == 2, s"expected 2 parquet scans (corpus+queries), got $nScans in:\n$finalPlan")
   }
 
+  test("rerankExact: exact cosine reorders candidates, never reaches outside them") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),  // cosine 1.0 to the query — NOT a candidate
+      (11L, Array(1f, 1f, 0f, 0f)),  // ~0.707
+      (12L, Array(1f, 3f, 0f, 0f)),  // ~0.316
+      (13L, Array(0f, 1f, 0f, 0f)))  // 0.0
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    // ANN stage (simulated) surfaced 12 before 11 and missed 10 entirely
+    val cands = Seq((1L, 12L), (1L, 11L), (1L, 13L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.rerankExact(cands, corpus, q, "vec_id", "embedding", k = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    // exact cosine fixes the candidate ORDER (11 over 12); 10 can't appear
+    // (two-stage contract: precision fixes ranking, recall was stage 1's job)
+    assert(got == Seq((1L, 1L, 11L), (1L, 2L, 12L)))
+  }
+
+  test("rerankExact plan: bounded candidate/query sides broadcast, corpus never does") {
+    val cands = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 20,
+      dim = 64, nPlanes = 4, tables = 8).select("query_id", "neighbor_id")
+    val out = Similarity.rerankExact(cands, emb, queries, "vec_id", "embedding", 5)
+    out.collect()
+    val finalPlan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+  }
+
   test("hard negatives: cross-label only, near-duplicates excluded, ranked") {
     import spark.implicits._
     // anchor a1 (label 0); candidates: same-label twin (never a negative),
