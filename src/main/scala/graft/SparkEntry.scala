@@ -1248,6 +1248,34 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pairs"),
         r(avg("jaccard"), 3).as("avg_jaccard"))
 
+  /** Containment dedup ([[Dedup.shingleContainmentPairsWithPostings]]):
+    * |A∩B| / min(|A|,|B|) — the partial-copy detector. Planted evidence:
+    * every 9th doc reappears truncated to its first 60% of tokens
+    * (id + 1e6); the copy's shingles are a subset of the original's, so
+    * containment hits 1.0 while the same pair's Jaccard ≈ 0.6 sits below
+    * the 0.8 near-dup bar — `n_jaccard_misses` counts exactly the pairs
+    * only containment catches.
+    */
+  private def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val copies = docs.filter(col("doc_id") % 9 === 0)
+      .withColumn("__toks", TF.tokens(col("text")))
+      .withColumn("__n", size(col("__toks")))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(col("__toks"), lit(1),
+          expr("cast((__n * 6 + 9) div 10 as int)")), " ").as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(copies)
+    val (pairs, posts) = Dedup.shingleContainmentPairsWithPostings(
+      corpus, "doc_id", "text", shingleN = 3, threshold = 0.95)
+    val out = pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        r(avg("containment"), 3).as("avg_containment"),
+        sum(when(col("jaccard") < 0.8, 1L).otherwise(0L)).as("n_jaccard_misses"))
+      .localCheckpoint(true)
+    posts.unpersist(blocking = false)
+    out
+  }
+
   /** MinHash+LSH near-dup pipeline, oracle-checked end to end: candidates
     * from banded LSH, verified with EXACT shingle-set Jaccard >= 0.8. The
     * oracle reproduces the exact pair set via a shingle inverted-index join
@@ -2889,6 +2917,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_dup_clusters" -> (qDupClusters _),
@@ -3624,6 +3653,32 @@ object SparkEntry {
          |  FROM inter JOIN counts ca ON ida = ca.doc_id JOIN counts cb ON idb = cb.doc_id)
          |SELECT count(*) AS n_pairs, floor(avg(jac) * 1000 + 0.5) / 1000 AS avg_jaccard
          |FROM j WHERE jac >= 0.8""".stripMargin,
+    "q_containment" ->
+      s"""WITH b0 AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |tr AS (SELECT doc_id + 1000000 AS doc_id,
+         |              t[1:CAST((len(t) * 6 + 9) // 10 AS BIGINT)] AS t
+         |       FROM b0 WHERE doc_id % 9 = 0),
+         |tk AS (SELECT * FROM b0 UNION ALL SELECT * FROM tr),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(range(len(t)-2),
+         |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END)) AS s
+         |  FROM tk),
+         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |m AS (
+         |  SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jac,
+         |         i * 1.0 / least(ca.n, cb.n) AS cont
+         |  FROM inter JOIN counts ca ON ida = ca.doc_id
+         |       JOIN counts cb ON idb = cb.doc_id)
+         |SELECT count(*) AS n_pairs,
+         |       floor(avg(cont) * 1000 + 0.5) / 1000 AS avg_containment,
+         |       CAST(coalesce(sum(CASE WHEN jac < 0.8 THEN 1 ELSE 0 END), 0)
+         |         AS BIGINT) AS n_jaccard_misses
+         |FROM m WHERE cont >= 0.95""".stripMargin,
     "q_multi_format" ->
       """SELECT event_type, count(*) AS n,
         |       floor(sum(value + value + value) * 100 + 0.5) / 100 AS sum3

@@ -726,7 +726,21 @@ object Dedup {
     * shingle variant (posting key = shingle hash).
     */
   private def invertedIndexJaccard(
-      posts: DataFrame, postingCols: Seq[String], threshold: Double): DataFrame = {
+      posts: DataFrame, postingCols: Seq[String], threshold: Double): DataFrame =
+    invertedIndexPairs(posts, postingCols, threshold, containment = false)
+      .select("idA", "idB", "jaccard")
+
+  /** Shared inverted-index pair scoring: intersections from the a<b
+    * self-join on the posting key, then EITHER Jaccard
+    * |A∩B| / |A∪B| (containment = false, threshold on `jaccard`) OR
+    * containment |A∩B| / min(|A|,|B|) (containment = true, threshold on
+    * `containment`). Both columns are emitted either way — they share
+    * every input, and a containment report that also shows the Jaccard
+    * is how partial-copy findings are usually triaged.
+    */
+  private def invertedIndexPairs(
+      posts: DataFrame, postingCols: Seq[String], threshold: Double,
+      containment: Boolean): DataFrame = {
     val counts = posts.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = posts.alias("a")
       .join(posts.alias("b"),
@@ -739,8 +753,10 @@ object Dedup {
       .join(counts.select(col("__id").as("idB"), col("__n").as("__nB")), "idB")
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__nA") + col("__nB") - col("__i")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("idA", "idB", "jaccard")
+      .withColumn("containment",
+        col("__i").cast("double") / least(col("__nA"), col("__nB")).cast("double"))
+      .filter((if (containment) col("containment") else col("jaccard")) >= threshold)
+      .select("idA", "idB", "jaccard", "containment")
   }
 
   /** EXACT shingle-set Jaccard >= threshold over ALL pairs, via a hashed
@@ -773,11 +789,35 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8): (DataFrame, DataFrame) = {
-    val posts = spreadDf(df).select(col(idCol).as("__id"),
-      explode(array_distinct(graft.functions.HashedShingles(col(textCol), shingleN))).as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = shinglePostings(df, idCol, textCol, shingleN)
     (invertedIndexJaccard(posts, Seq("__h"), threshold), posts)
   }
+
+  /** EXACT shingle-set CONTAINMENT >= threshold: |A∩B| / min(|A|,|B|) —
+    * the partial-copy detector. A truncated or quoted copy whose shingles
+    * are a SUBSET of the original's scores containment 1.0 while its
+    * Jaccard ≈ |short|/|long| can sit far below any near-dup threshold —
+    * containment is the metric that catches the 60%-prefix copy Jaccard
+    * dedup waves through. Same sparse shingle inverted-index join as
+    * [[shingleJaccardPairs]]; returns (idA, idB, jaccard, containment)
+    * (both metrics — triage wants the contrast) plus the PERSISTED
+    * postings frame (unpersist after the terminal action).
+    */
+  def shingleContainmentPairsWithPostings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val posts = shinglePostings(df, idCol, textCol, shingleN)
+    (invertedIndexPairs(posts, Seq("__h"), threshold, containment = true), posts)
+  }
+
+  private def shinglePostings(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    spreadDf(df).select(col(idCol).as("__id"),
+      explode(array_distinct(graft.functions.HashedShingles(col(textCol), shingleN))).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact token-set Jaccard over all same-`blockCol` pairs via the
     * inverted-index join (explode tokens → join on token → count

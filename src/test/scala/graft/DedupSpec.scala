@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == via)
   }
 
+  test("shingleContainmentPairs: a truncated copy scores 1.0 where Jaccard misses") {
+    // doc 6 = the first 8 tokens of doc 1 (14 tokens): its 6 shingles are
+    // all shingles of 1 -> containment 1.0; Jaccard = 6/12 = 0.5 < 0.8
+    val withCopy = docs.unionByName(Seq(
+      (6L, "the quick brown fox jumps over the lazy")).toDF("doc_id", "text"))
+    val (pairs, posts) = Dedup.shingleContainmentPairsWithPostings(
+      withCopy, "doc_id", "text", 3, threshold = 0.95)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    posts.unpersist(blocking = false)
+    // containment catches the truncation against 1, its exact dup 4, AND
+    // near-dup 2 (which shares the identical 8-token prefix)
+    assert(got.keySet == Set((1L, 4L), (1L, 6L), (2L, 6L), (4L, 6L)))
+    assert(got((1L, 6L))._2 == 1.0 && got((1L, 6L))._1 < 0.8,
+      s"truncated copy must be containment-1.0 but sub-threshold Jaccard: $got")
+    assert(got((1L, 4L)) == ((1.0, 1.0))) // exact dup: both metrics 1.0
+    // the near-dup pair (1,2) differs in a trailing token: its last shingles
+    // diverge, so containment < 0.95 keeps it out at this threshold
+    assert(!got.contains((1L, 2L)))
+  }
+
   test("tokenJaccardPairs maxDf cap drops hot tokens from the vocabulary") {
     // 'common' appears in every doc — the quadratic hot key a stopword
     // becomes at corpus scale; the cap excludes it from the vocabulary on

@@ -119,6 +119,28 @@ class PageRankSpec extends SparkSpec {
     assert(uniform == personalized)
   }
 
+  test("scale probe: 100k-node random host graph, mass conserved, skew absorbed") {
+    // supercritical deterministic random graph: ~300k edges over 100k
+    // nodes, with a hub (node 0) receiving ~1/16 of all edges — the
+    // realistic in-degree skew of a web host graph. Asserts the exact
+    // floor-loss conservation bound holds at five orders of magnitude
+    // above the closed-form cases, on the same code path a cluster runs.
+    val n = 100000L
+    val edges = spark.range(300000).selectExpr(
+      s"cast(abs(hash(id, 7)) % $n as bigint) as src",
+      s"case when id % 16 = 0 then 0L else cast(abs(hash(id, 11)) % $n as bigint) end as dst")
+    val iters = 3
+    val (df, release) = PageRank.pageRank(edges, "src", "dst", iters)
+    val row = df.agg(sum("rank_scaled"), count(lit(1)),
+      max(when(col("node") === 0L, col("rank_scaled")))).head()
+    val (total, nodes, hubRank) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    release()
+    // distinct edge count <= 300k; conservation bound as in the mixed test
+    val bound = nodes + iters * (300000L + nodes + nodes * 100L)
+    assert(total <= Scale && total > Scale - bound, s"total=$total bound=$bound")
+    assert(hubRank > 100L * (Scale / nodes), "the hub must dominate the prior")
+  }
+
   test("personalized: seeds outside the graph are rejected") {
     val ex = intercept[IllegalArgumentException] {
       trustRanks(Seq("a" -> "b"), Seq("zz"), 1)
