@@ -1270,7 +1270,8 @@ object SparkEntry {
     val out = pairs
       .agg(count(lit(1)).as("n_pairs"),
         r(avg("containment"), 3).as("avg_containment"),
-        sum(when(col("jaccard") < 0.8, 1L).otherwise(0L)).as("n_jaccard_misses"))
+        coalesce(sum(when(col("jaccard") < 0.8, 1L).otherwise(0L)), lit(0L))
+          .as("n_jaccard_misses"))
       .localCheckpoint(true)
     posts.unpersist(blocking = false)
     out
@@ -3214,10 +3215,6 @@ object SparkEntry {
        |    (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.5 END) AS q
        |  FROM qf)""".stripMargin
 
-  /** Exact brute-force top-k aggregate (the ANN queries' oracle side):
-    * n_exact / n_queries reproduced exactly; recall_ok is the in-query
-    * invariant the approximate side must satisfy.
-    */
   /** The full IVF-PQ re-derivation (coarse 16-cell routing, probe top-4,
     * per-block codebooks/codes, scaled ADC tables, ranked candidates in
     * `r`) — shared by q_embed_ivfpq (reads `r` at k=5) and q_ann_rerank
@@ -3266,6 +3263,10 @@ object SparkEntry {
       |          ORDER BY scaled_adc, neighbor_id) AS rank
       |      FROM adc)""".stripMargin
 
+  /** Exact brute-force top-k aggregate (the ANN queries' oracle side):
+    * n_exact / n_queries reproduced exactly; recall_ok is the in-query
+    * invariant the approximate side must satisfy.
+    */
   private val AnnExactSideSql =
     """SELECT count(*) AS n_exact, count(DISTINCT query_id) AS n_queries, true AS recall_ok
       |FROM (

@@ -162,9 +162,10 @@ object Sampling {
     * whole-stage codegen next to the scan.
     */
   def upsample(df: DataFrame, key: Column, rateBp: Column, seed: Long): DataFrame = {
-    require(!df.columns.contains("copy_idx"),
-      "upsample: input already has a copy_idx column — rename it first " +
-        "(re-upsampling must not silently clobber earlier copy indices)")
+    for (c <- Seq("copy_idx", "__bp", "__copies"))
+      require(!df.columns.contains(c),
+        s"upsample: input already has a $c column — rename it first " +
+          "(the operator must not silently clobber or drop it)")
     df.withColumn("__bp", rateBp.cast("long"))
       .withColumn("__copies",
         expr("__bp div 10000") +
@@ -204,8 +205,9 @@ object Sampling {
       seed: String,
       assertUniqueIds: Boolean = false): (DataFrame, () => Unit) = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    require(!df.columns.contains("shuffle_key") && !df.columns.contains("shard"),
-      "shardAssign: input already has a shuffle_key/shard column — rename it first")
+    for (c <- Seq("shuffle_key", "shard", "__one", "__rank"))
+      require(!df.columns.contains(c),
+        s"shardAssign: input already has a $c column — rename it first")
     val keyed = df.withColumn("shuffle_key", seededKey(seed, idCol))
     // total rides out of the prefix sum's subtotal collect — no second scan
     val (ranked, total, release) = Packing.withExclusivePrefixSumAndTotal(

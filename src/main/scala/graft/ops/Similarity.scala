@@ -104,19 +104,6 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Hard-negative mining for contrastive embedding training: for each
-    * anchor, the top-k most-similar corpus vectors with a DIFFERENT
-    * label — the negatives that actually move a contrastive loss —
-    * excluding candidates with cosine >= `maxCosine` (near-identical
-    * vectors across labels are overwhelmingly label noise / undetected
-    * duplicates, the known false-negative trap of naive mining).
-    *
-    * Same plan shape as [[bruteForceTopK]]: the bounded anchor batch
-    * broadcasts against one corpus scan (label filter applied in the
-    * join condition, so same-label pairs never materialize), then a
-    * per-anchor top-k window over the surviving rows. Output:
-    * (anchor_id, rank, negative_id, neg_label).
-    */
   /** Two-stage retrieval finish: EXACT cosine re-ranking of an ANN
     * candidate set — the standard production pattern (cheap approximate
     * recall stage → exact precision stage over the survivors).
@@ -140,7 +127,11 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // dedup defensively: a pre-dedup multi-table LSH candidate set would
+    // otherwise emit the same neighbor at consecutive ranks, pushing a
+    // genuine top-k neighbor out of the cut
     val cand = candidates.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv"))
     val w = Window.partitionBy("query_id")
@@ -153,6 +144,19 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the negatives that actually move a contrastive loss —
+    * excluding candidates with cosine >= `maxCosine` (near-identical
+    * vectors across labels are overwhelmingly label noise / undetected
+    * duplicates, the known false-negative trap of naive mining).
+    *
+    * Same plan shape as [[bruteForceTopK]]: the bounded anchor batch
+    * broadcasts against one corpus scan (label filter applied in the
+    * join condition, so same-label pairs never materialize), then a
+    * per-anchor top-k window over the surviving rows. Output:
+    * (anchor_id, rank, negative_id, neg_label).
+    */
   def hardNegatives(
       corpus: DataFrame,
       anchors: DataFrame,
