@@ -1422,6 +1422,27 @@ object SparkEntry {
       .orderBy("lang", "split")
   }
 
+  /** Leakage-free grouped split ([[Sampling.groupedSplit]]): the split
+    * key is the near-dup COMPONENT (shared [[shingleTruthPairs]] graph →
+    * [[DupGroups.connectedComponents]]), so near-copies can never
+    * straddle train/val/test. `n_groups` (distinct split_group per
+    * split) pins the group→split assignment itself: a straddling group
+    * would raise the global sum above the true group count, so the
+    * oracle row catches leakage, not just totals; `id_sum` pins exact
+    * row membership.
+    */
+  private def qGroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val truth = shingleTruthPairs(spark, dir)
+    val comp = DupGroups.connectedComponents(truth, "idA", "idB")
+    Sampling.groupedSplit(docs, "doc_id", comp, seed = 29,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+        count_distinct(col("split_group")).as("n_groups"))
+      .orderBy("split")
+  }
+
   /** Domain mixing ([[Sampling.proportionalSample]]): DoReMi-style
     * deterministic subsampling toward target source shares (60/30/10
     * across three sources, target size 60; everything else dropped —
@@ -2925,6 +2946,7 @@ object SparkEntry {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_group_split" -> (qGroupSplit _),
     "q_domain_mix" -> (qDomainMix _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -3816,6 +3838,21 @@ object SparkEntry {
          |SELECT count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |       CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1
          |FROM keep""".stripMargin,
+    // split key = the connected component (recursive-CTE min-label chain),
+    // singletons fall back to their own id; same Lehmer-bucket split CASE
+    // as q_sample_hash. count(DISTINCT split_group) pins group→split.
+    "q_group_split" ->
+      s"""$DupSizesCtesSql,
+         |asg AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS g
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |spl AS (SELECT doc_id, g,
+         |          CASE WHEN ((g + 29) % 2147483647 * 48271) % 2147483647 % 10000 < 8000 THEN 'train'
+         |               WHEN ((g + 29) % 2147483647 * 48271) % 2147483647 % 10000 < 9000 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM asg)
+         |SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       count(DISTINCT g) AS n_groups
+         |FROM spl GROUP BY split ORDER BY split""".stripMargin,
     // the same portable Lehmer-bucket formula as Sampling.bucket — membership
     // must agree bit-for-bit across engines
     "q_sample_hash" ->

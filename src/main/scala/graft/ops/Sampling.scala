@@ -176,6 +176,49 @@ object Sampling {
       .drop("__bp", "__copies")
   }
 
+  /** Leakage-free split assignment: near-duplicate GROUPS (connected
+    * components over the verified dup-pair graph,
+    * [[DupGroups.connectedComponents]]) land in ONE split together, so a
+    * train/test boundary never separates two near-copies of the same
+    * document — the contamination path a per-row [[assignSplit]] leaves
+    * open (one copy trains, its near-copy evaluates, and the eval metric
+    * is memorization, not generalization).
+    *
+    * `components` is the (node, component) frame; docs absent from it are
+    * singleton groups and split by their own id — which IS component-min
+    * semantics (a singleton's component is itself), so one formula covers
+    * both cases and the assignment stays a pure function of
+    * (group key, seed): retry-stable, engine-portable, reseedable.
+    *
+    * Scale shape: the component frame is bounded by the dup-PAIR graph
+    * (sparse after LSH blocking + verification — a few percent of the
+    * corpus at web scale), so the left join is UNPINNED: AQE broadcasts
+    * it when it fits and falls back to a hash join when a pathological
+    * corpus makes it large. The split CASE is scan-side column arithmetic
+    * after the join — no other shuffle.
+    *
+    * Output: df + (`split_group` LONG, `split` STRING).
+    */
+  def groupedSplit(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      seed: Long,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    for (c <- Seq("split", "split_group", "__node"))
+      require(!df.columns.contains(c),
+        s"groupedSplit: input already has a $c column — rename it first " +
+          "(the operator must not silently clobber or drop it)")
+    val comp = components.select(
+      col("node").cast("long").as("__node"),
+      col("component").cast("long").as("split_group"))
+    df.join(comp, df.col(idCol).cast("long") === comp.col("__node"), "left")
+      .withColumn("split_group",
+        coalesce(col("split_group"), col(idCol).cast("long")))
+      .withColumn("split", assignSplit(col("split_group"), seed, fractions))
+      .drop("__node")
+  }
+
   /** Deterministic global shuffle + EXACT-size shard assignment — the
     * training-export step: randomize document order corpus-wide (so no
     * shard inherits crawl/source locality) and cut the order into

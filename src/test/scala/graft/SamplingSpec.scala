@@ -181,6 +181,41 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("total order"))
   }
 
+  test("groupedSplit: components share a split, singletons fall back to own id") {
+    import graft.ops.DupGroups
+    // two components: {1,2,3} (chain) and {10,11}; 20 and 21 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val comp = DupGroups.connectedComponents(edges, "u", "v")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.groupedSplit(docs, "doc_id", comp, seed = 29, fr)
+      .select("doc_id", "split_group", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // members of one component agree on group AND split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(1L)._1 == 1L, "group key is the component min")
+    assert(Set(out(10L), out(11L)).size == 1)
+    // singletons: group = own id, split = plain assignSplit of that id
+    val own = Seq(20L, 21L).toDF("doc_id")
+      .withColumn("s", Sampling.assignSplit($"doc_id", 29, fr))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(20L) == ((20L, own(20L))) && out(21L) == ((21L, own(21L))))
+    // no group straddles two splits
+    val straddle = Sampling.groupedSplit(docs, "doc_id", comp, seed = 29, fr)
+      .groupBy("split_group").agg(countDistinct("split").as("k"))
+      .filter($"k" > 1).count()
+    assert(straddle == 0)
+  }
+
+  test("groupedSplit: reserved output columns are rejected") {
+    val comp = Seq((1L, 1L)).toDF("node", "component")
+    val bad = Seq((1L, "x")).toDF("doc_id", "split")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.groupedSplit(bad, "doc_id", comp, 7, Seq("a" -> 1.0))
+    }
+    assert(e.getMessage.contains("split"))
+  }
+
   test("sampling filter reaches the parquet scan as a pushed/partial predicate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = Sampling.hashSample(docs, col("doc_id"), 0.5, seed = 7)
