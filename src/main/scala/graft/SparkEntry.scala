@@ -4774,9 +4774,13 @@ object SparkEntry {
          |              // 100 AS rank
          |       FROM r${k - 1} r LEFT JOIN c$k c USING (node))""".stripMargin
     }
+    // CAST: sum() over BIGINT is HUGEINT in DuckDB, which the driver's
+    // pandas fetch widens to float64 — hash-mismatching Spark's exact
+    // longs even when every value is identical.
     val outCols =
-      if (seedPred.isDefined) "node, outdeg, is_seed, rank AS rank_scaled"
-      else "node, outdeg, rank AS rank_scaled"
+      if (seedPred.isDefined)
+        "node, outdeg, is_seed, CAST(rank AS BIGINT) AS rank_scaled"
+      else "node, outdeg, CAST(rank AS BIGINT) AS rank_scaled"
     (head +: steps).mkString(",\n") +
       s"\nSELECT $outCols FROM r$iters ORDER BY node"
   }
