@@ -42,19 +42,45 @@ object SparkEntry {
     */
   private def spread(df: DataFrame): DataFrame = Dedup.spreadDf(df)
 
-  /** events.parquet carries nanosecond timestamps, which Spark's parquet
-    * reader rejects; read them as long nanos and convert to TimestampType
-    * (micros). DuckDB reads the same column natively as TIMESTAMP_NS —
-    * truncation ns→us never crosses the second/hour boundaries our queries
-    * group by.
+  /** events.parquet's `ts` physical encoding has drifted across testdata
+    * generations (int64 nanoseconds vs native timestamp[us]); branch on the
+    * loaded schema so both load to TimestampType with identical UTC
+    * wall-clock. DuckDB reads the same file natively, so the oracle agrees
+    * on either encoding.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      // integer `div`, not `/`: double division rounds at 2^53 and 2024
-      // epoch-nanos are ~1.7e18 (ulp 256 ns) — a boundary event could land
-      // in the wrong window vs DuckDB's native ns truncation
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try t(spark, dir, "events")
+    catch {
+      // nanosecond-encoded parquet timestamps are rejected unless read as
+      // raw longs; only flip the session flag when actually needed
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(spark, dir, "events")
+    }
+
+  /** The TimestampType-producing conversion for a raw `ts` column of the
+    * given loaded type. */
+  private def eventsTsCol(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType =>
+        // integer `div`, not `/`: double division rounds at 2^53 and 2024
+        // epoch-nanos are ~1.7e18 (ulp 256 ns) — a boundary event could land
+        // in the wrong window vs DuckDB's native ns truncation
+        timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType | TimestampType =>
+        // session TZ is pinned UTC, so NTZ wall-clock is preserved
+        col("ts").cast(TimestampType)
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts encoding: $other")
+    }
+  }
+
+  // private[graft]: EventsEncodingSpec drives this loader over fixture
+  // parquet in each historical ts encoding
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    raw.withColumn("ts", eventsTsCol(raw.schema("ts").dataType))
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -62,8 +88,21 @@ object SparkEntry {
     f.delete()
   }
 
-  /** The one /tmp-path key scheme for per-dir sinks and caches. */
-  private def tmpKey(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  /** The one /tmp-path key scheme for per-dir sinks and caches. Folds a
+    * cheap content fingerprint (per-file name+length+mtime) into the key so
+    * regenerated source data can never be served from a stale fixture cache
+    * or collide with a checkpoint built against the old data.
+    */
+  private def tmpKey(dir: String): String = {
+    val base = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+    val fp = files.filter(_.isFile).sortBy(_.getName)
+      .foldLeft(1125899906842597L) { (h, f) =>
+        ((h * 1000003L + f.getName.hashCode) * 1000003L + f.length()) *
+          1000003L + f.lastModified()
+      }
+    base + "_" + java.lang.Long.toHexString(fp)
+  }
 
   /** One-time /tmp materialization: contents are deterministic per key, so
     * a complete previous write (sentinel present — written last) is reused
@@ -576,6 +615,43 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** [[qEventAnomaly]]'s integer-arithmetic anomaly shape over the
+    * documents family: per-language source profile counting sources at
+    * >= 2x the language's mean docs-per-source. Emits one row per language
+    * unconditionally (a zero count is still a row), so the query grades the
+    * threshold arithmetic even on a uniform corpus.
+    */
+  private def qDocAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang")
+    perSrc
+      .withColumn("tot", sum("n").over(w))
+      .withColumn("ns", count(lit(1)).over(w))
+      .groupBy("lang")
+      .agg(
+        sum(when(col("n") * col("ns") >= col("tot") * 2, 1L).otherwise(0L))
+          .as("n_hot_sources"),
+        max("n").as("max_n"))
+      .orderBy("lang")
+  }
+
+  /** The [[graft.ops.Dedup.minhashBucketAudit]] no-silent-caps surface as
+    * an oracled query. Bucket keys are xxhash-seeded (not SQL-derivable),
+    * so the oracle pins the auditable INVARIANTS instead: every document
+    * lands in exactly one bucket per band (per-band sizes sum to the doc
+    * count) and the drop flag agrees with the cap everywhere.
+    */
+  private def qLshBucketAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashBucketAudit(
+        t(spark, dir, "documents"), "doc_id", "text", maxBucketSize = 50)
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(sum("size").as("sum_size"),
+        (sum(when(col("dropped") =!= (col("size") > 50), 1L).otherwise(0L)) === 0)
+          .as("cap_ok"))
+      .orderBy("band")
+
   private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
@@ -726,15 +802,12 @@ object SparkEntry {
     * synchronously). Oracle: plain date_trunc aggregation.
     */
   private def qStreamingWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = t(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
+    val raw = eventsRaw(spark, dir) // resolves the ts physical encoding
+    val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a directory
       .parquet(dir)
-      // integer `div` like the batch path (events()): double division rounds
-      // at 2^53 and epoch-nanos exceed it — a boundary event would land in
-      // the wrong window vs the oracle's native ns truncation
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // same encoding-branched conversion as the batch path (events())
+      .withColumn("ts", eventsTsCol(raw.schema("ts").dataType))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -1466,6 +1539,14 @@ object SparkEntry {
   private def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     graft.ops.HeavyHitters.topKWithCmsCheck(
       events(spark, dir).select(col("user_id")), "user_id", 10)
+
+  /** [[qHeavyHitters]] over the documents table (`source` key) — the sketch
+    * path exercised on BOTH fixture families, so the Count–Min surface is
+    * never hostage to the events table's timestamp encoding.
+    */
+  private def qHeavyHittersDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.HeavyHitters.topKWithCmsCheck(
+      t(spark, dir, "documents").select(col("source")), "source", 10)
 
   /** URL parsing (`parse_url` — host/query components) over synthesized
     * per-doc URLs, grouped by host: the C4-style provenance-grouping shape
@@ -2917,8 +2998,11 @@ object SparkEntry {
     "q_percentile" -> (qPercentile _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_heavy_hitters_docs" -> (qHeavyHittersDocs _),
     "q_url_extract" -> (qUrlExtract _),
     "q_event_anomaly" -> (qEventAnomaly _),
+    "q_doc_anomaly" -> (qDocAnomaly _),
+    "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_regex_extract" -> (qRegexExtract _),
@@ -3469,6 +3553,10 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n, true AS cms_ok
         |FROM events GROUP BY user_id
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "q_heavy_hitters_docs" ->
+      """SELECT source, count(*) AS n, true AS cms_ok
+        |FROM documents GROUP BY source
+        |ORDER BY n DESC, source LIMIT 10""".stripMargin,
     "q_url_extract" ->
       """WITH u AS (
         |  SELECT printf('https://site-%d.example.org/%s/doc-%d?ref=%d',
@@ -3499,6 +3587,23 @@ object SparkEntry {
         |  FROM h)
         |SELECT event_type, count(*) AS n_anomalous_hours, max(n) AS max_hourly
         |FROM s WHERE n * nh >= tot * 2 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_doc_anomaly" ->
+      """WITH h AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |s AS (
+        |  SELECT lang, n,
+        |         sum(n) OVER (PARTITION BY lang) AS tot,
+        |         count(*) OVER (PARTITION BY lang) AS ns
+        |  FROM h)
+        |SELECT lang,
+        |       CAST(sum(CASE WHEN n * ns >= tot * 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hot_sources,
+        |       max(n) AS max_n
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lsh_bucket_audit" ->
+      """SELECT band, (SELECT count(*) FROM documents) AS sum_size, true AS cap_ok
+        |FROM (SELECT unnest(generate_series(0, 15)) AS band)
+        |ORDER BY band""".stripMargin,
     "q_setops" ->
       """SELECT
         |  (SELECT count(*) FROM (

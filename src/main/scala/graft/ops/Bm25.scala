@@ -30,11 +30,13 @@ import graft.functions.TextFunctions
   * aggregate (persisted — document length, document frequency, and the
   * postings all derive from it); df and dl are second-level aggregates of
   * tf, never a re-scan. The query side is bounded by the query workload,
-  * so it broadcasts (the [[Decontaminate]] eval-set precedent); the
-  * postings never shuffle by query. Top-k per query compiles to a
-  * rank-filter the optimizer pushes as WindowGroupLimit — pre-shuffle
-  * top-k, the q_domain_cap shape. Only N and S (two scalars) ever reach
-  * the driver.
+  * so it broadcasts (the [[Decontaminate]] eval-set precedent) and prunes
+  * tf BEFORE the dl/df joins: the full inverted index is aggregated
+  * (map-side combine) but only query-matched postings ever pass through a
+  * join shuffle, and the query-vocabulary df table broadcasts. Top-k per
+  * query compiles to a rank-filter the optimizer pushes as
+  * WindowGroupLimit — pre-shuffle top-k, the q_domain_cap shape. Only N
+  * and S (two scalars) ever reach the driver.
   */
 object Bm25 {
 
@@ -69,10 +71,25 @@ object Bm25 {
     val (nDocs, totTokens) = (stats.getLong(0), stats.getLong(1))
     val sIdfNum = if (nDocs > 0) sLong(2 * nDocs + 2) else 0L
 
-    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
-    val postings = tf
+    val qterms = queries
+      .select(col(qidCol), explode(tokenHashArray(col(qTextCol))).as("th"))
+      .distinct()
+    // Query-term pruning FIRST: the bounded query side broadcasts against
+    // the persisted tf, so the dl/df joins below run over query-matched
+    // postings only — the full inverted index is aggregated (map-side
+    // combine) but never re-shuffled through a join. df still counts over
+    // the FULL corpus (a term's rarity is corpus-global), restricted to
+    // query terms before the aggregate; the resulting df table is bounded
+    // by the query vocabulary, so it broadcasts too.
+    val qvocab = qterms.select("th").distinct()
+    val dfq = tf.join(broadcast(qvocab), Seq("th"))
+      .groupBy("th").agg(count(lit(1)).as("df"))
+    val tfq = tf.join(broadcast(qterms), Seq("th"))
+    val win = Window.partitionBy(qidCol)
+      .orderBy(col("scaled_score").desc, col(idCol).asc)
+    val out = tfq
       .join(dl, idCol)
-      .join(dfreq, "th")
+      .join(broadcast(dfq), Seq("th"))
       .withColumn("__idf", lit(sIdfNum) -
         graft.functions.ScaledLn.column(col("df") * 2 + 1))
       .withColumn("__num", lit(22L * totTokens) * col("tf"))
@@ -81,14 +98,6 @@ object Bm25 {
       .withColumn("__contrib",
         floor(col("__idf").cast("double") * col("__num").cast("double") /
           col("__den").cast("double") + 0.5).cast("long"))
-
-    val qterms = queries
-      .select(col(qidCol), explode(tokenHashArray(col(qTextCol))).as("th"))
-      .distinct()
-    val win = Window.partitionBy(qidCol)
-      .orderBy(col("scaled_score").desc, col(idCol).asc)
-    val out = postings
-      .join(broadcast(qterms), Seq("th"))
       .groupBy(qidCol, idCol)
       .agg(sum("__contrib").as("scaled_score"))
       .withColumn("rank", row_number().over(win))

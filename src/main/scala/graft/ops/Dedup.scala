@@ -570,6 +570,62 @@ object Dedup {
     banded.join(oversized, Seq("__band", "__bkey"), "left_anti")
   }
 
+  /** Per-bucket audit of the MinHash LSH banding against the
+    * `maxBucketSize` coverage cap — the no-silent-caps companion to
+    * [[minhashCandidatePairs]]: one row per (band, bucket) with its
+    * population and whether the cap would DROP it (a dropped bucket of B
+    * docs suppresses up to B*(B-1)/2 candidate pairs, so `dropped` rows
+    * quantify the recall loss the cap trades for). Runs the identical
+    * signature+banding pipeline as candidate generation (same hashes, so
+    * the audit names exactly the buckets the cap removes) but aggregates
+    * per bucket — pairs are never materialized, so auditing costs one
+    * hash-agg at any corpus size. Result is unsorted; order/filter
+    * driver-side (e.g. `.filter($"dropped")`, `.orderBy(desc("size"))`).
+    */
+  def minhashBucketAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    auditBuckets(spreadDf(df).select(
+      posexplode(lshBandKeys(
+        minhashSignature(col(textCol), shingleN, numHashes), bands, rowsPerBand))
+        .as(Seq("__band", "__bkey"))), maxBucketSize)
+  }
+
+  /** [[minhashBucketAudit]] for the SimHash multi-index banding of
+    * [[simhashCandidatePairs]] (same band extraction, same cap semantics).
+    */
+  def simhashBucketAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(bands > 0 && 128 % bands == 0 && 128 / bands <= 64,
+      "bands must divide 128 into chunks of <= 64 bits")
+    val bits = 128 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val bandsPerWord = 64 / bits
+    val fp = spreadDf(df).select(
+      graft.functions.SimHash128(graft.functions.TokenizeWords(col(textCol))).as("__fp"))
+    auditBuckets(fp.select(
+      posexplode(array((0 until bands).map { b =>
+        val word = element_at(col("__fp"), b / bandsPerWord + 1)
+        shiftrightunsigned(word, (b % bandsPerWord) * bits).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("__band", "__bkey"))), maxBucketSize)
+  }
+
+  private def auditBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded.groupBy(col("__band").as("band"), col("__bkey").as("bucket"))
+      .agg(count(lit(1)).as("size"))
+      .withColumn("dropped", col("size") > maxBucketSize)
+
   /** Exact shingle-set Jaccard for a set of candidate pairs (verification
     * stage after LSH blocking): array_intersect/array_union on distinct
     * HASHED shingle arrays (8-byte longs instead of ~50-char strings; the

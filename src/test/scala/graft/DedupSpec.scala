@@ -217,6 +217,36 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((1L, 4L)))
   }
 
+  test("bucket audits surface the exact buckets the maxBucketSize cap drops") {
+    // duplicate flood (every bucket holds all 50 rows) + the 5 normal docs:
+    // audit rows must mark precisely the flooded buckets as dropped, and
+    // dropped-bucket rows must account for the flood's population.
+    val flood = spark.range(50)
+      .select(($"id" + 100L).as("doc_id"),
+        lit("identical duplicate text repeated across the whole corpus").as("text"))
+    val mixed = docs.unionByName(flood)
+    for (audit <- Seq(
+        Dedup.minhashBucketAudit(mixed, "doc_id", "text", maxBucketSize = 10),
+        Dedup.simhashBucketAudit(mixed, "doc_id", "text", maxBucketSize = 10))) {
+      val rows = audit.collect()
+      assert(rows.forall(r => r.getAs[Boolean]("dropped") == (r.getAs[Long]("size") > 10)))
+      val droppedRows = rows.filter(_.getAs[Boolean]("dropped"))
+      // the 50-row flood exceeds the cap in every band it lands in
+      assert(droppedRows.nonEmpty && droppedRows.forall(_.getAs[Long]("size") >= 50))
+      // per-band bucket populations sum back to rows-per-band (no row lost)
+      val n = mixed.count()
+      val perBand = rows.groupBy(_.getAs[Int]("band"))
+        .map { case (_, rs) => rs.map(_.getAs[Long]("size")).sum }
+      assert(perBand.forall(_ == n))
+    }
+    // and the cap decision matches candidate generation: with the flood
+    // dropped, minhash pairs over `mixed` still find the (1,2)/(1,4) dups
+    val pairs = Dedup.minhashCandidatePairs(mixed, "doc_id", "text", maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L })
+  }
+
   test("nearDedup keeps the min id of each duplicate cluster, drops the rest") {
     val out = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
