@@ -768,6 +768,27 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** [[qOverlapJoin]] through [[graft.ops.RangeJoin.overlapJoinAutoBucket]]:
+    * `bucketUs` derived from the data (p90 interval length) instead of the
+    * caller's guess. Join semantics are bucket-invariant, so the oracle is
+    * the SAME theta-join aggregate — what this row certifies is that
+    * auto-tuning changes only the plan's explode factor, never the result.
+    */
+  private def qOverlapAutoBucket(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def windowed(kind: String, key: String, s: String, e: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as(key), col("ts").as(s),
+          timestamp_micros(unix_micros(col("ts")) + 1800000000L).as(e))
+    graft.ops.RangeJoin.overlapJoinAutoBucket(
+        windowed("click", "cu", "cs", "ce"),
+        windowed("purchase", "pu", "ps", "pe"),
+        "cu", "pu", "cs", "ce", "ps", "pe")
+      .groupBy(date_format(col("cs"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n_overlaps"), countDistinct(col("cu")).as("n_users"))
+      .orderBy("hour")
+  }
+
   /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
     * salt changes the physical key distribution, never the result, which
     * is exactly what the oracle checks with a plain join.
@@ -3011,6 +3032,7 @@ object SparkEntry {
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_range_join" -> (qRangeJoin _),
     "q_overlap_join" -> (qOverlapJoin _),
+    "q_overlap_autobucket" -> (qOverlapAutoBucket _),
     "q_skew_join" -> (qSkewJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
@@ -3669,6 +3691,15 @@ object SparkEntry {
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_overlap_join" ->
+      """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
+        |       count(*) AS n_overlaps, count(DISTINCT c.user_id) AS n_users
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts) + 1800000000
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_overlap_autobucket" ->
       """SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H') AS hour,
         |       count(*) AS n_overlaps, count(DISTINCT c.user_id) AS n_users
         |FROM events c JOIN events p

@@ -98,8 +98,10 @@ object Sampling {
     * count, out of scope here). Groups NOT in `targetShares` are
     * dropped — the mixture definition is exhaustive by design.
     *
-    * Group counts come from ONE aggregate (a driver-side map bounded by
-    * group cardinality, the same boundedness as the rate CASE fold);
+    * Group counts come from ONE aggregate restricted to the groups the
+    * mixture names, so the driver-side map is bounded by |targetShares|
+    * (the caller's spec), NOT by the data's group cardinality — a corpus
+    * with millions of distinct sources can never flood the driver here;
     * membership is the deterministic [[bucket]] hash — retry-stable,
     * engine-portable, scan-side.
     */
@@ -113,7 +115,11 @@ object Sampling {
     require(targetShares.values.forall(s => s >= 0 && s <= 1),
       "shares must be in [0,1]")
     require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__c")).collect()
+    // cast-to-string comparison matches the String-keyed rate CASE fold in
+    // stratifiedSample, so non-string group columns behave identically here
+    val counts = df
+      .filter(col(groupCol).cast("string").isin(targetShares.keys.toSeq: _*))
+      .groupBy(groupCol).agg(count(lit(1)).as("__c")).collect()
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val rates: Map[String, Double] = targetShares.flatMap { case (g, share) =>
       counts.get(g).map(c => g -> math.min(1.0, share * totalTarget / c))

@@ -80,6 +80,27 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("proportionalSample: driver-side counts are bounded by the mixture spec, not group cardinality") {
+    // a million-distinct-group corpus with only 2 named groups: the counts
+    // aggregate must filter to the named groups BEFORE collecting — same
+    // output as before, but only |targetShares| rows can ever reach the
+    // driver (the 100 TB posture; unlisted groups are dropped regardless)
+    val wide = spark.range(0, 5000)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id < 500 THEN 'g0' WHEN id < 1000 THEN 'g1' " +
+          "ELSE concat('u', cast(id AS string)) END AS grp")
+    val out = Sampling.proportionalSample(wide, col("doc_id"), "grp",
+      Map("g0" -> 0.5, "g1" -> 0.5), totalTarget = 1000000L, seed = 7)
+    // both named groups clamp at rate 1 -> all 1000 named rows, 0 unlisted
+    assert(out.count() == 1000)
+    assert(out.filter(col("grp").startsWith("u")).count() == 0)
+    // integer group column: cast-to-string matching still resolves shares
+    val intGrp = spark.range(0, 100).selectExpr("id AS doc_id", "cast(id % 3 AS int) AS grp")
+    val got = Sampling.proportionalSample(intGrp, col("doc_id"), "grp",
+      Map("0" -> 1.0), totalTarget = 1000L, seed = 7)
+    assert(got.count() == 34 && got.filter(col("grp") =!= 0).count() == 0)
+  }
+
   test("exactKPerGroup: exact k, small groups kept whole, seed redraws") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
