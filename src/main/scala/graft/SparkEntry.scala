@@ -549,6 +549,29 @@ object SparkEntry {
           col("exact_orders").cast("double") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
+  /** Mergeable HLL sketches (DataSketches `hll_sketch_agg` /
+    * `hll_union_agg`) — the way distinct counts actually run at 100 TB:
+    * one sketch per shard/partition/snapshot, persisted as a binary
+    * column, unioned later WITHOUT revisiting the data. Here: per-language
+    * source sketches unioned into the corpus-wide distinct-source count.
+    * Sketch bytes differ across engines, so the oracle checks the
+    * invariants — per-language estimates and the post-union estimate match
+    * the exact counts the oracle recomputes (HLL at lgK=12 is exact at
+    * these cardinalities; large-corpus error bounds are spec-gated).
+    */
+  private def qHllSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(hll_sketch_agg(col("source"), lit(12)).as("__sk"),
+        countDistinct(col("source")).as("n_exact"))
+    perLang
+      .agg(count(lit(1)).as("n_shards"),
+        sum(when(hll_sketch_estimate(col("__sk")) === col("n_exact"), 1L)
+          .otherwise(0L)).as("n_shard_ok"),
+        hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
+          .as("union_distinct"))
+  }
+
   /** Session windows (30-minute gap) over the events stream-table; the
     * oracle reproduces sessionization with the lag/cumsum islands trick.
     */
@@ -3014,6 +3037,7 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_supplier_topk" -> (qSupplierTopk _),
     "q_hll" -> (qHll _),
+    "q_hll_sketch_union" -> (qHllSketchUnion _),
     "q_session_window" -> (qSessionWindow _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_percentile" -> (qPercentile _),
@@ -3931,6 +3955,11 @@ object SparkEntry {
     "q_hll" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, true AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hll_sketch_union" ->
+      """SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_shards,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_shard_ok,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS union_distinct
+        |FROM documents""".stripMargin,
     "q_minhash_lsh" -> exactShinglePairsSql("n_neardup_pairs", "avg_j"),
     "q_simhash" ->
       exactShinglePairsSql("n_true_pairs", "avg_j", ", true AS simhash_recall_ok"),
