@@ -28,6 +28,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, 50L), (1L, 150L), (2L, 120L)))
   }
 
+  test("intervalJoin agrees with the naive theta join on random points, negative lower bound") {
+    // a lower bound below zero exercises the signed bucket arithmetic
+    // (c - pmod(c, w) must floor toward -inf for shifted negatives too)
+    val rnd = new scala.util.Random(11)
+    def mk(kc: String, tc: String) = (1 to 300)
+      .map(_ => (rnd.nextInt(5).toLong, ts(rnd.nextInt(5000))))
+      .toDF(kc, tc)
+    val l = mk("lk", "lts")
+    val r = mk("rk", "rts")
+    val fast = RangeJoin.intervalJoin(l, r, "lk", "rk", "lts", "rts",
+      -200L * 1000000, 300L * 1000000).count()
+    val naive = l.join(r, col("lk") === col("rk") &&
+      unix_micros(col("rts")) >= unix_micros(col("lts")) - 200000000L &&
+      unix_micros(col("rts")) <= unix_micros(col("lts")) + 300000000L).count()
+    assert(fast == naive && naive > 0)
+  }
+
   test("each matching pair appears exactly once (no bucket double-count)") {
     val left = Seq((1L, ts(0))).toDF("lk", "lt")
     // right at ts(0): same bucket as both explored left buckets' range start

@@ -219,6 +219,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", 101.0), ("t3", null), ("t2", null)))
   }
 
+  test("as-of backward agrees with a naive join+window implementation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 200).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000)))
+      .toDF("lid", "lk", "lt")
+    // unique (key, time) pairs on the right so the as-of pick is well-defined
+    val right = (0L until 5L).flatMap { k =>
+      rnd.shuffle((0 to 999).toList).take(40).map(t => (k, t, k * 10000 + t))
+    }.toDF("rk", "rt", "pay")
+    val fast = AsOfJoin.backward(left, right, "lk", "rk", "lt", "rt", Seq("pay"))
+      .select("lid", "pay").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val w = Window.partitionBy("lid").orderBy(col("rt").desc)
+    val naive = left
+      .join(right, col("lk") === col("rk") && col("rt") <= col("lt"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("lid", "pay").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fast.size == 200 && fast == naive)
+    assert(fast.values.exists(_.isDefined) && fast.values.exists(_.isEmpty))
+  }
+
   test("as-of join: null timestamps match nothing on either side, both directions") {
     val trades = Seq((1, Some(10), "t1"), (1, None: Option[Int], "tnull"))
       .toDF("k", "t", "trade")
