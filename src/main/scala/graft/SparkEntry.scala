@@ -812,6 +812,36 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** Co-located big-big join via BUCKETING — the pre-shuffle answer for
+    * repeated joins at 100 TB: both sides bucketed (and sorted) on the
+    * join key at write time, so every subsequent join of the pair runs
+    * WITHOUT a shuffle on either side (`BucketingSpec` asserts zero
+    * ShuffleExchange in this exact shape). The bucketed write is the
+    * one-time cost; table names are content-keyed like every fixture so
+    * regenerated testdata rebuilds them. The oracle is the plain join
+    * aggregate — bucketing changes the physical layout, never the result.
+    */
+  private def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val key = tmpKey(dir)
+    val (ot, lt) = (s"orders_bkt_$key", s"lineitem_bkt_$key")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def build(name: String, table: String, bucketCol: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        // the in-memory catalog forgets tables across JVMs while the
+        // warehouse dir persists — clear the orphan dir or CTAS refuses
+        // the non-empty location
+        deleteRec(new java.io.File(s"$wh/$name"))
+        t(spark, dir, table).write.bucketBy(16, bucketCol).sortBy(bucketCol)
+          .mode("overwrite").saveAsTable(name)
+      }
+    build(ot, "orders", "o_orderkey")
+    build(lt, "lineitem", "l_orderkey")
+    spark.table(lt).join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), r(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
     * salt changes the physical key distribution, never the result, which
     * is exactly what the oracle checks with a plain join.
@@ -3058,6 +3088,7 @@ object SparkEntry {
     "q_overlap_join" -> (qOverlapJoin _),
     "q_overlap_autobucket" -> (qOverlapAutoBucket _),
     "q_skew_join" -> (qSkewJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_chunk" -> (qStreamingChunk _),
@@ -3733,6 +3764,11 @@ object SparkEntry {
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
         |GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
