@@ -1980,6 +1980,7 @@ object SparkEntry {
     val model = graft.ops.Pq.train(emb, "vec_id", "embedding", blocks = 4, codebookSize = 16)
     graft.ops.Pq.adcSearch(model, emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
+      .withColumn("rank", col("rank").cast("long")) // DuckDB row_number is BIGINT
       .orderBy("query_id", "rank")
   }
 
@@ -1997,6 +1998,7 @@ object SparkEntry {
     val pq = graft.ops.Pq.train(emb, "vec_id", "embedding", blocks = 4, codebookSize = 16)
     graft.ops.Pq.ivfPqSearch(coarse, pq, emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long")) // DuckDB row_number is BIGINT
       .orderBy("query_id", "rank")
   }
 
