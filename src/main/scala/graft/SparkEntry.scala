@@ -660,6 +660,63 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Time-series gap-filling (resample): each event type's observed hourly
+    * counts joined onto its complete hour spine, missing hours filled with
+    * zero. The spine is a per-key `sequence()` explode — bounded by the
+    * key's time range, fully distributed, no driver-side calendar loop —
+    * and the fill join is a plain equi-join on (type, hour), so the shape
+    * survives any number of keys at 100 TB. Summarized per type to keep
+    * the result compact.
+    */
+  private def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_gap_hours"),
+        sum(coalesce(col("n"), lit(0L))).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** Robust outlier detection per event type: an hour is an outlier when
+    * its count's absolute deviation from the type's MEDIAN exceeds 3x the
+    * median absolute deviation (MAD) — the classic robust z-score, immune
+    * to the mean-dragging that defeats [[qEventAnomaly]]'s 2x-mean rule on
+    * heavy-tailed rates. Medians of small integers interpolate to exact
+    * halves and MADs of those to exact quarters — both engines' linear
+    * interpolation is exact binary arithmetic there, so scaling deviations
+    * by 4 and their median by a further 2 turns the whole rule into
+    * bit-exact INTEGER comparisons (2*dev4 > 3*mad8). The med/mad side
+    * frames are bounded by the type count, so both join back by broadcast.
+    */
+  private def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val med = hourly.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5d)").as("med"))
+    // dev4 = 4*|n - med| is always integral (med is a half-integer)
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev4", (abs(col("n") - col("med")) * 4).cast("long"))
+    // the median of integers interpolates to a half-integer: 2x is integral
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(dev4, 0.5d)") * 2).cast("long").as("mad8"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("dev4") * 2 > col("mad8") * 3, 1L).otherwise(0L))
+          .as("n_outlier_hours"),
+        (max("med") * 2).cast("long").as("med2"),
+        max("mad8").as("mad8"))
+      .orderBy("event_type")
+  }
+
   /** The [[graft.ops.Dedup.minhashBucketAudit]] no-silent-caps surface as
     * an oracled query. Bucket keys are xxhash-seeded (not SQL-derivable),
     * so the oracle pins the auditable INVARIANTS instead: every document
@@ -3079,6 +3136,8 @@ object SparkEntry {
     "q_url_extract" -> (qUrlExtract _),
     "q_event_anomaly" -> (qEventAnomaly _),
     "q_doc_anomaly" -> (qDocAnomaly _),
+    "q_gap_fill" -> (qGapFill _),
+    "q_mad_outliers" -> (qMadOutliers _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -3679,6 +3738,36 @@ object SparkEntry {
         |         AS n_hot_sources,
         |       max(n) AS max_n
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_gap_fill" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b)
+        |SELECT s.event_type, count(*) AS n_hours,
+        |       CAST(sum(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+        |       CAST(sum(coalesce(h.n, 0)) AS BIGINT) AS n_events
+        |FROM spine s LEFT JOIN h ON s.event_type = h.event_type AND s.hour = h.hour
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM h GROUP BY 1),
+        |d AS (SELECT h.event_type, h.n, m.med,
+        |             CAST(abs(h.n - m.med) * 4 AS BIGINT) AS dev4
+        |      FROM h JOIN m USING (event_type)),
+        |md AS (SELECT event_type, CAST(quantile_cont(dev4, 0.5) * 2 AS BIGINT) AS mad8
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_hours,
+        |       CAST(sum(CASE WHEN d.dev4 * 2 > md.mad8 * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outlier_hours,
+        |       CAST(max(d.med) * 2 AS BIGINT) AS med2,
+        |       max(md.mad8) AS mad8
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lsh_bucket_audit" ->
       """SELECT band, (SELECT count(*) FROM documents) AS sum_size, true AS cap_ok
         |FROM (SELECT unnest(generate_series(0, 15)) AS band)
