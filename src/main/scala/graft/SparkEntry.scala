@@ -899,6 +899,46 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** RUNTIME bloom-filter join pruning — Catalyst's InjectRuntimeFilter:
+    * a selective filter on the build side (urgent high-value orders) is
+    * turned into a bloom filter that prunes the probe side's scan BEFORE
+    * the join shuffle. At 100 TB this is the difference between shuffling
+    * the whole fact table and shuffling the ~1% that can match; at a real
+    * cluster's dim sizes the build side exceeds the broadcast threshold,
+    * so the query pins that regime (no-broadcast + zero app-side scan
+    * floor) to exercise the exact plan shape (`PlanSpec` asserts the
+    * `bloom_filter_might_contain` probe-side filter). The rewrite is
+    * semantics-neutral — the oracle is the plain join — and the tuning
+    * confs are scoped: set, the join EXECUTED eagerly, restored in
+    * `finally`, the bounded aggregate returned as a local relation.
+    */
+  private def qRuntimeBloom(spark: SparkSession, dir: String): DataFrame = {
+    val tuned = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select("o_orderkey")
+      val agg = t(spark, dir, "lineitem")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag")
+      val rows = agg.collect() // bounded: one row per return flag
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
     * salt changes the physical key distribution, never the result, which
     * is exactly what the oracle checks with a plain join.
@@ -3150,6 +3190,7 @@ object SparkEntry {
     "q_overlap_autobucket" -> (qOverlapAutoBucket _),
     "q_skew_join" -> (qSkewJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_runtime_bloom" -> (qRuntimeBloom _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_chunk" -> (qStreamingChunk _),
@@ -3859,6 +3900,13 @@ object SparkEntry {
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_runtime_bloom" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty

@@ -38,6 +38,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("runtime bloom filter: selective build side prunes the probe scan pre-shuffle") {
+    // the q_runtime_bloom regime: shuffle join (no broadcast), zero
+    // app-side scan floor so the tiny test table qualifies
+    val tuned = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select("o_orderkey")
+      val joined = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val p = planStr(joined)
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter probe in the plan:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("as-of join is a single shuffle (no join explosion node)") {
     import graft.ops.AsOfJoin
     import spark.implicits._
