@@ -939,6 +939,35 @@ object SparkEntry {
     }
   }
 
+  /** Small-file compaction ([[graft.ops.Compaction]]) end-to-end: the
+    * documents table fragmented into 64 tiny files (the accreted-sink
+    * state), compacted shuffle-free (`coalesce` over target-sized input
+    * bins — `CompactionSpec` asserts the no-Exchange plan and the exact
+    * output file count), then aggregated from the COMPACTED copy. The
+    * oracle runs the same aggregate on the source table: compaction
+    * changes the file layout, never a row. Both /tmp stages are
+    * content-keyed and one-time per testdata generation.
+    */
+  private def qCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val key = tmpKey(dir)
+    val frag = s"/tmp/graft_compact/${key}_frag"
+    oncePerDir(frag, "_SUCCESS") {
+      t(spark, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    }
+    val out = s"/tmp/graft_compact/${key}_out"
+    oncePerDir(out, "_SUCCESS") {
+      graft.ops.Compaction.compact(spark, frag, out, targetBytes = 4L << 20)
+    }
+    spark.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
   /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
     * salt changes the physical key distribution, never the result, which
     * is exactly what the oracle checks with a plain join.
@@ -3191,6 +3220,7 @@ object SparkEntry {
     "q_skew_join" -> (qSkewJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_runtime_bloom" -> (qRuntimeBloom _),
+    "q_compaction" -> (qCompaction _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_chunk" -> (qStreamingChunk _),
@@ -3907,6 +3937,12 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
