@@ -74,5 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_mean"),
       info("vector_mean", "vector_mean(array<double>) - element-wise mean aggregate"),
       (args: Seq[Expression]) => VectorMean(args.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("zorder64"),
+      info("zorder64", "zorder64(a, b) - 64-bit Morton interleave of two bigints (clustering key)"),
+      (args: Seq[Expression]) => graft.functions.ZOrder64(args(0), args(1))))
   }
 }

@@ -968,6 +968,31 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Z-order clustering ([[graft.ops.ZOrderLayout]]) end-to-end: events
+    * re-laid-out on the Morton interleave of (user_id, hour), then scanned
+    * with a user-range predicate — the two-dimensional data-skipping
+    * layout (each file covers a compact (user, time) rectangle, so
+    * parquet min/max stats prune on either column; `ZOrderSpec` pins the
+    * per-file span bound). The oracle runs the same filter+aggregate on
+    * the source table: clustering changes the file layout, never a row.
+    */
+  private def qZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_zorder/${tmpKey(dir)}"
+    oncePerDir(out, "_SUCCESS") {
+      val ev = events(spark, dir)
+        .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      graft.ops.ZOrderLayout.write(ev, "user_id", "hr", nFiles = 16, out)
+    }
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 10 && col("user_id") <= 20)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        r(min("value"), 2).as("min_v"),
+        r(max("value"), 2).as("max_v"))
+      .orderBy("event_type")
+  }
+
   /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
     * salt changes the physical key distribution, never the result, which
     * is exactly what the oracle checks with a plain join.
@@ -3221,6 +3246,7 @@ object SparkEntry {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_runtime_bloom" -> (qRuntimeBloom _),
     "q_compaction" -> (qCompaction _),
+    "q_zorder_scan" -> (qZorderScan _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_chunk" -> (qStreamingChunk _),
@@ -3943,6 +3969,12 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       floor(min(value) * 100 + 0.5) / 100 AS min_v,
+        |       floor(max(value) * 100 + 0.5) / 100 AS max_v
+        |FROM events WHERE user_id BETWEEN 10 AND 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
