@@ -1245,6 +1245,48 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** Stream-stream LEFT OUTER join — inner matching plus the
+    * state-EVICTION semantics outer joins add: an unmatched click emits
+    * its null-extended row only when the watermark proves no purchase can
+    * ever arrive for its one-hour window (wm > cts + 1h), and clicks
+    * whose window the final watermark never passes are withheld forever.
+    * The oracle reproduces exactly that rule in MILLISECONDS (watermark
+    * arithmetic is ms-precision): matched pairs all emit; null rows only
+    * where `cts_ms + 1h < wm_final`, with the final GLOBAL watermark the
+    * MIN across the two watermarked inputs (multipleWatermarkPolicy=min):
+    * `wm_final = min(max_click_ms, max_purchase_ms) - 1h` — verified
+    * empirically: using the all-events max over-emits null rows.
+    */
+  private def qStreamingLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val srcDir = streamChunksDir(spark, dir)
+    val key = tmpKey(dir)
+    val sinkDir = s"/tmp/graft_stream_ljoin_sink/$key"
+    deleteRec(new java.io.File(sinkDir))
+    val schema = spark.read.parquet(srcDir).schema
+    // same 2-batch admission + state-partition cap rationale as
+    // q_streaming_join (4 state stores per partition)
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(srcDir)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    drainAppendToParquet(joined, sinkDir, "q_streaming_left_join",
+      statePartitionCap = Some(8))
+    readSinkOrEmpty(spark, sinkDir, "cu BIGINT, cts TIMESTAMP, pu BIGINT, pts TIMESTAMP")
+      .groupBy(date_format(col("cts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(sum(when(col("pts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("pts").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("cu")).as("n_users"))
+      .orderBy("hour")
+  }
+
   /** The CUSTOM stateful operator ([[graft.streaming.Sessionize]],
     * `flatMapGroupsWithState`) end-to-end: event-time sessions with a
     * 30-minute gap over the chunked event stream, emitted on close (by a
@@ -3252,6 +3294,7 @@ object SparkEntry {
     "q_streaming_chunk" -> (qStreamingChunk _),
     "q_streaming_join" -> (qStreamingJoin _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
+    "q_streaming_left_join" -> (qStreamingLeftJoin _),
     "q_streaming_dedup" -> (qStreamingDedup _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -4037,6 +4080,27 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
         |       CAST(max(n_ev) AS BIGINT) AS max_session_events
         |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_streaming_left_join" ->
+      """WITH c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.cu, c.cts, p.pts
+        |      FROM c LEFT JOIN p ON c.cu = p.pu
+        |        AND epoch_us(p.pts) >= epoch_us(c.cts)
+        |        AND epoch_us(p.pts) <= epoch_us(c.cts) + 3600000000),
+        |wm AS (
+        |  SELECT least((SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'click'),
+        |               (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+        |         - 3600000 AS w),
+        |e AS (SELECT cu, cts, pts FROM j WHERE pts IS NOT NULL
+        |      UNION ALL
+        |      SELECT cu, cts, pts FROM j
+        |      WHERE pts IS NULL
+        |        AND epoch_us(cts) // 1000 + 3600000 < (SELECT w FROM wm))
+        |SELECT strftime(date_trunc('hour', cts), '%Y-%m-%d %H') AS hour,
+        |       CAST(sum(CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       count(DISTINCT cu) AS n_users
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stream injects duplicates; a correct streaming dedup emits
     // exactly the distinct event set, so both columns are the distinct count
     "q_streaming_dedup" ->
