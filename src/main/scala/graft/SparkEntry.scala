@@ -3164,6 +3164,16 @@ object SparkEntry {
     out
   }
 
+  /** Triangle census of the link graph ([[graft.ops.Triangles]]) — the
+    * compact-forward count: edges deduped undirected, oriented low-degree
+    * to high so wedge fan-out is arboricity-bounded on hubs, two plain
+    * equi-joins. The oracle rebuilds the same graph and reproduces node/
+    * edge/wedge/triangle counts exactly (the wedge count pins the
+    * orientation rule itself — sum over oriented out-degrees of C(d,2)).
+    */
+  private def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Triangles.count(docLinkEdges(spark, dir), "src", "dst")
+
   /** The deterministic 20-host link graph both rank queries run on. */
   private def docLinkEdges(spark: SparkSession, dir: String): DataFrame = {
     val h = t(spark, dir, "documents")
@@ -3375,6 +3385,7 @@ object SparkEntry {
     "q_bigram_lm" -> (qBigramLm _),
     "q_profile" -> (qProfile _),
     "q_pagerank" -> (qPagerank _),
+    "q_triangles" -> (qTriangles _),
     "q_trustrank" -> (qTrustrank _),
     "q_upsample" -> (qUpsample _),
     "q_shard_assign" -> (qShardAssign _),
@@ -5173,6 +5184,36 @@ object SparkEntry {
         |          ORDER BY n_chars DESC, doc_id ASC) AS rk
         |      FROM documents)
         |WHERE rk <= 5 GROUP BY source ORDER BY source""".stripMargin,
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |         'site-' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION ALL
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR),
+        |         'site-' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |deg AS (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS a,
+        |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS b
+        |  FROM und e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+        |w AS (SELECT CAST(coalesce(sum(od * (od - 1) // 2), 0) AS BIGINT) AS n_wedges
+        |      FROM (SELECT a, count(*) AS od FROM o GROUP BY 1)),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM und e1 JOIN und e2 ON e2.u = e1.v
+        |                    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM und) AS n_edges,
+        |       (SELECT n_wedges FROM w) AS n_wedges,
+        |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin,
     "q_pagerank" -> pagerankOracleSql(3, seedPred = None),
     "q_trustrank" -> pagerankOracleSql(3, seedPred = Some(
       "node IN ('site-0','site-1','site-2','site-3','site-4')")),

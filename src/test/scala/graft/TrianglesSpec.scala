@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Triangles
+
+class TrianglesSpec extends SparkSpec {
+
+  private def run(edges: Seq[(String, String)]): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Triangles.count(edges.toDF("src", "dst"), "src", "dst").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("K3 has one triangle; K4 has four") {
+    assert(run(Seq(("a", "b"), ("b", "c"), ("c", "a"))) == ((3L, 3L, 1L, 1L)))
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d") if x < y
+    } yield (x, y)
+    val (n, e, _, t) = run(k4)
+    assert((n, e, t) == ((4L, 6L, 4L)))
+  }
+
+  test("paths and stars are triangle-free; wedges still counted") {
+    assert(run(Seq(("a", "b"), ("b", "c")))._4 == 0L)
+    // star: hub h with 4 leaves — oriented edges point INTO the hub
+    // (leaves have lower degree), so oriented out-degrees are all <= 1:
+    // zero wedges, the power-law-hub bound in action
+    val (_, _, w, t) = run(Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")))
+    assert(w == 0L && t == 0L)
+  }
+
+  test("duplicates, reversed duplicates, and self-loops do not change counts") {
+    val noisy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "a"), ("c", "c"))
+    assert(run(noisy) == ((3L, 3L, 1L, 1L)))
+  }
+
+  test("two triangles sharing an edge") {
+    // a-b-c and a-b-d: 4 nodes, 5 edges, 2 triangles
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "a"))
+    val (n, e, _, t) = run(g)
+    assert((n, e, t) == ((4L, 5L, 2L)))
+  }
+
+  test("chorded ring: closed-form count on a larger multi-partition graph") {
+    import spark.implicits._
+    // ring 0..39 plus chords i -> i+7: a triangle needs x+y=7 with
+    // x,y in {1,7} steps... only 1+7=8 != 7 and 7+7=14 != 7 around the
+    // ring of 40, EXCEPT triples closing via two chords + rings summing
+    // to 0 mod 40: enumerate by brute force here instead of trusting
+    // arithmetic
+    val edges = (0 until 40).flatMap(i => Seq((i, (i + 1) % 40), (i, (i + 7) % 40)))
+    val adj = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val expected = (for {
+      a <- 0 until 40; b <- adj(a) if b > a; c <- adj(b) if c > b && adj(a).contains(c)
+    } yield 1).size.toLong
+    val (_, _, _, t) = run(edges.map { case (u, v) => (s"n$u", s"n$v") })
+    assert(t == expected, s"expected $expected triangles, got $t")
+  }
+}
