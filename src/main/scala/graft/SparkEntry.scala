@@ -1245,6 +1245,42 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** Streaming per-window approximate distinct count — the sketch+stream
+    * composition a live dashboard runs at 100 TB/day: HLL state per
+    * watermarked hourly window (mergeable partial aggregates, no exact
+    * distinct's Expand blowup in the state store), emitted once when the
+    * watermark passes the window. Graded the q_hll way: the emitted
+    * estimate joins the batch-exact distinct per window and the query
+    * outputs exact + an envelope flag — within 5% OR +/-2 absolute (per-
+    * hour cardinalities run 3-8 users, where HLL's small-range estimator
+    * is off by 1-2 and a pure relative bound would demand exactness; HLL
+    * is deterministic on fixed input, so the flag is stable); the
+    * withheld-trailing-window rule is q_streaming_sink's. */
+  private def qStreamingHll(spark: SparkSession, dir: String): DataFrame = {
+    val srcDir = streamChunksDir(spark, dir)
+    val sinkDir = s"/tmp/graft_stream_hll_sink/${tmpKey(dir)}"
+    deleteRec(new java.io.File(sinkDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct("user_id").as("est"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("est"))
+    drainAppendToParquet(stream, sinkDir, "q_streaming_hll", statePartitionCap = Some(8))
+    val est = readSinkOrEmpty(spark, sinkDir, "hour STRING, event_type STRING, est LONG")
+    val exact = events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    est.join(exact, Seq("hour", "event_type"))
+      .select(col("hour"), col("event_type"), col("n_users"),
+        (abs(col("est") - col("n_users")) * 20 <= col("n_users") ||
+          abs(col("est") - col("n_users")) <= 2).as("within_envelope"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Stream-stream LEFT OUTER join — inner matching plus the
     * state-EVICTION semantics outer joins add: an unmatched click emits
     * its null-extended row only when the watermark proves no purchase can
@@ -3305,6 +3341,7 @@ object SparkEntry {
     "q_streaming_join" -> (qStreamingJoin _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
     "q_streaming_left_join" -> (qStreamingLeftJoin _),
+    "q_streaming_hll" -> (qStreamingHll _),
     "q_streaming_dedup" -> (qStreamingDedup _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -4091,6 +4128,13 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
         |       CAST(max(n_ev) AS BIGINT) AS max_session_events
         |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_streaming_hll" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |       count(DISTINCT user_id) AS n_users, true AS within_envelope
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |        <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_streaming_left_join" ->
       """WITH c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
