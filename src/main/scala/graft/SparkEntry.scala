@@ -717,6 +717,96 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Relational PIVOT: the hour-of-day x event-type count matrix with an
+    * EXPLICIT pivot domain — at 100 TB the value list is configuration,
+    * not a driver-side distinct-discovery pass (which `pivot(col)` without
+    * values would run). Absent cells are true zeros.
+    */
+  private def qPivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("hod", hour(col("ts")).cast("long"))
+      .groupBy("hod")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("hod")
+
+  /** Conversion funnel: each user's FIRST click, converted if a purchase
+    * follows within 7 days, cohorted by first-click day. Two bounded
+    * aggregates (one row per user) + one equi-join; the gap readout is
+    * integer minutes (`div`), so every column is bit-exact cross-engine.
+    */
+  private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min("ts").as("c0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("c0") && col("ts") <= col("c0") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min("ts").as("p0"))
+    c.join(p, Seq("user_id"), "left")
+      .groupBy(to_date(col("c0")).cast("string").as("cohort_day"))
+      .agg(count(lit(1)).as("n_clickers"),
+        sum(when(col("p0").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        sum(when(col("p0").isNotNull,
+          expr("(unix_micros(p0) - unix_micros(c0)) div 60000000")).otherwise(0L))
+          .as("sum_gap_min"))
+      .orderBy("cohort_day")
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen ISO week, the
+    * classic wk+0..wk+3 active-user matrix. The distinct (user, week)
+    * activity set is aggregated once; offsets are exact integer week
+    * counts (both engines truncate weeks to Monday).
+    */
+  private def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cw"))
+    val act = ev.distinct().join(first, "user_id")
+      .withColumn("off", expr("datediff(cast(wk as date), cast(cw as date)) div 7"))
+    act.groupBy(col("cw").cast("date").cast("string").as("cohort_week"))
+      .agg(countDistinct(when(col("off") === 0, col("user_id"))).as("w0"),
+        countDistinct(when(col("off") === 1, col("user_id"))).as("w1"),
+        countDistinct(when(col("off") === 2, col("user_id"))).as("w2"),
+        countDistinct(when(col("off") === 3, col("user_id"))).as("w3"))
+      .orderBy("cohort_week")
+  }
+
+  /** Mergeable histogram quantiles — the percentile-monitoring analogue
+    * of [[qHllSketchUnion]]: integer log2 buckets (floor(log2(cents)) =
+    * bit length - 1, exact in any engine) are counted PER INGEST SHARD,
+    * shard histograms merge by plain summation (never re-scanning rows),
+    * and p50 is located by cumulative bucket mass. Graded exactly: the
+    * oracle re-derives the bucket arithmetic AND the true median
+    * (half-integer, x2 to an integer) — no envelope needed because every
+    * step is integer-exact.
+    */
+  private def qValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .withColumn("bkt", (length(expr("bin(cents)")) - 1).cast("long"))
+    val perShard = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("shard"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+    val merged = perShard.groupBy("event_type", "bkt").agg(sum("n").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+    val p50b = merged
+      .withColumn("cumn", sum("n").over(w))
+      .withColumn("tot", sum("n").over(Window.partitionBy("event_type")))
+      .filter(col("cumn") * 2 >= col("tot"))
+      .groupBy("event_type").agg(min("bkt").as("p50_bucket"))
+    val med = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (expr("percentile(cents, 0.5d)") * 2).cast("long").as("med2"))
+    med.join(broadcast(p50b), "event_type")
+      .withColumn("median_in_bucket",
+        col("med2") >= expr("shiftleft(cast(1 as bigint), cast(p50_bucket as int) + 1)") &&
+          col("med2") < expr("shiftleft(cast(1 as bigint), cast(p50_bucket as int) + 2)"))
+      .select("event_type", "n", "p50_bucket", "med2", "median_in_bucket")
+      .orderBy("event_type")
+  }
+
   /** The [[graft.ops.Dedup.minhashBucketAudit]] no-silent-caps surface as
     * an oracled query. Bucket keys are xxhash-seeded (not SQL-derivable),
     * so the oracle pins the auditable INVARIANTS instead: every document
@@ -3320,6 +3410,10 @@ object SparkEntry {
     "q_doc_anomaly" -> (qDocAnomaly _),
     "q_gap_fill" -> (qGapFill _),
     "q_mad_outliers" -> (qMadOutliers _),
+    "q_pivot" -> (qPivot _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -3956,6 +4050,63 @@ object SparkEntry {
         |       max(md.mad8) AS mad8
         |FROM d JOIN md USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hod,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH c AS (
+        |  SELECT user_id, min(ts) AS c0 FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p0
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts >= c.c0 AND e.ts <= c.c0 + INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT CAST(CAST(c.c0 AS DATE) AS VARCHAR) AS cohort_day,
+        |       count(*) AS n_clickers,
+        |       CAST(sum(CASE WHEN p.p0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |       CAST(sum(CASE WHEN p.p0 IS NOT NULL
+        |                THEN (epoch_us(p.p0) - epoch_us(c.c0)) // 60000000
+        |                ELSE 0 END) AS BIGINT) AS sum_gap_min
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cw FROM a GROUP BY 1),
+        |x AS (SELECT a.user_id, date_diff('day', f.cw, a.wk) // 7 AS off, f.cw
+        |      FROM a JOIN f ON a.user_id = f.user_id)
+        |SELECT CAST(CAST(cw AS DATE) AS VARCHAR) AS cohort_week,
+        |       count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS w0,
+        |       count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS w1,
+        |       count(DISTINCT CASE WHEN off = 2 THEN user_id END) AS w2,
+        |       count(DISTINCT CASE WHEN off = 3 THEN user_id END) AS w3
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_value_histogram" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT event_type, length(bin(cents)) - 1 AS bkt FROM ev),
+        |h AS (SELECT event_type, bkt, count(*) AS n FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, bkt, n,
+        |             sum(n) OVER (PARTITION BY event_type ORDER BY bkt) AS cumn,
+        |             sum(n) OVER (PARTITION BY event_type) AS tot
+        |      FROM h),
+        |p AS (SELECT event_type, CAST(min(bkt) AS BIGINT) AS p50_bucket
+        |      FROM c WHERE cumn * 2 >= tot GROUP BY 1),
+        |m AS (SELECT event_type, count(*) AS n,
+        |             CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+        |      FROM ev GROUP BY 1)
+        |SELECT m.event_type, m.n, p.p50_bucket, m.med2,
+        |       (m.med2 >= (CAST(1 AS BIGINT) << (p.p50_bucket + 1)) AND
+        |        m.med2 <  (CAST(1 AS BIGINT) << (p.p50_bucket + 2))) AS median_in_bucket
+        |FROM m JOIN p ON m.event_type = p.event_type
+        |ORDER BY m.event_type""".stripMargin,
     "q_lsh_bucket_audit" ->
       """SELECT band, (SELECT count(*) FROM documents) AS sum_size, true AS cap_ok
         |FROM (SELECT unnest(generate_series(0, 15)) AS band)
