@@ -1083,6 +1083,37 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** SCD TYPE-2 dimension maintenance ([[graft.ops.Scd2]]): the customer
+    * order-profile dimension (order count + spend class) loaded from the
+    * pre-1998 snapshot, then merged with the full-range snapshot taken
+    * "2001-09-01" — changed customers get their v1 row closed and a v2
+    * opened, unchanged pass through, first-order-after-1998 customers
+    * insert. Summarized per (valid_from, is_current) with key/attr
+    * checksums; the oracle re-derives the full case analysis in SQL.
+    * Spend class is an integer bucket (count-based), so attr comparison
+    * is exact cross-engine.
+    */
+  private def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Scd2
+    def snap(cut: Option[String]) = {
+      val o = t(spark, dir, "orders")
+      cut.fold(o)(c => o.filter(col("o_orderdate") < lit(c)))
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(count(lit(1)).as("n_orders"),
+          (count(lit(1)) >= 3).cast("int").as("heavy"))
+    }
+    val h0 = Scd2.snapshotAsHistory(snap(Some("1998-01-01")),
+      "cust", Seq("n_orders", "heavy"), to_date(lit("1998-01-01")))
+    val h1 = Scd2.merge(h0, snap(None),
+      "cust", Seq("n_orders", "heavy"), to_date(lit("2001-09-01")))
+    h1.groupBy(col("valid_from").cast("string").as("valid_from"), col("is_current"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("cust").as("sum_keys"),
+        sum("n_orders").as("sum_orders"),
+        sum("heavy").cast("long").as("n_heavy"))
+      .orderBy("valid_from", "is_current")
+  }
+
   /** Salted skew join (explicit salting via [[graft.ops.SkewJoin]]) — the
     * salt changes the physical key distribution, never the result, which
     * is exactly what the oracle checks with a plain join.
@@ -3429,6 +3460,7 @@ object SparkEntry {
     "q_runtime_bloom" -> (qRuntimeBloom _),
     "q_compaction" -> (qCompaction _),
     "q_zorder_scan" -> (qZorderScan _),
+    "q_scd2" -> (qScd2 _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_chunk" -> (qStreamingChunk _),
@@ -4211,6 +4243,30 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_scd2" ->
+      """WITH v1 AS (
+        |  SELECT o_custkey AS cust, count(*) AS n, CAST(count(*) >= 3 AS INT) AS h
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |v2 AS (
+        |  SELECT o_custkey AS cust, count(*) AS n, CAST(count(*) >= 3 AS INT) AS h
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT v2.cust, v1.cust AS c1, v1.n AS n1, v1.h AS h1, v2.n AS n2, v2.h AS h2
+        |  FROM v2 LEFT JOIN v1 ON v1.cust = v2.cust),
+        |rows_out AS (
+        |  SELECT '1998-01-01' AS valid_from, true AS is_current, cust, n1 AS n, h1 AS h
+        |  FROM m WHERE c1 IS NOT NULL AND n1 = n2 AND h1 = h2
+        |  UNION ALL
+        |  SELECT '1998-01-01', false, cust, n1, h1
+        |  FROM m WHERE c1 IS NOT NULL AND NOT (n1 = n2 AND h1 = h2)
+        |  UNION ALL
+        |  SELECT '2001-09-01', true, cust, n2, h2
+        |  FROM m WHERE c1 IS NULL OR NOT (n1 = n2 AND h1 = h2))
+        |SELECT valid_from, is_current, count(*) AS n_rows,
+        |       CAST(sum(cust) AS BIGINT) AS sum_keys,
+        |       CAST(sum(n) AS BIGINT) AS sum_orders,
+        |       CAST(sum(h) AS BIGINT) AS n_heavy
+        |FROM rows_out GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_zorder_scan" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |       floor(min(value) * 100 + 0.5) / 100 AS min_v,
