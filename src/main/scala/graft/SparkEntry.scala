@@ -822,6 +822,45 @@ object SparkEntry {
           .as("cap_ok"))
       .orderBy("band")
 
+  /** Zero-extra-pass pipeline telemetry (`Dataset.observe`): the pass
+    * itself reports its audit metrics through a CollectMetrics node —
+    * counts/sums accumulate per task and reach the driver with the job's
+    * completion events, so a 100 TB write audits itself without a second
+    * scan. The query executes ONE action over the filtered projection and
+    * returns the observed metrics as the result; the oracle computes the
+    * same aggregates directly.
+    */
+  private def qObserve(spark: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val df = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 25)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").cast("long").as("sum_qty"),
+        r(max("l_extendedprice"), 2).as("max_price"))
+    df.count() // the one action; metrics ride on it
+    val row = obs.get
+    import spark.implicits._
+    Seq((row("n_rows").asInstanceOf[Long],
+      row("sum_qty").asInstanceOf[Long],
+      row("max_price").asInstanceOf[Double]))
+      .toDF("n_rows", "sum_qty", "max_price")
+  }
+
+  /** MULTIPLE distinct aggregates in one GROUP BY — the Expand-based
+    * rewrite (one row replicated per distinct column set, then two-phase
+    * aggregation); distinct state is partitioned by (group, value), so
+    * a hot group's distinct sets still spread across reducers.
+    */
+  private def qMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(date_format(col("o_orderdate"), "yyyy-MM").as("m")).as("n_months"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
@@ -3432,6 +3471,8 @@ object SparkEntry {
     "q_hll_sketch_union" -> (qHllSketchUnion _),
     "q_session_window" -> (qSessionWindow _),
     "q_distinct_agg" -> (qDistinctAgg _),
+    "q_multi_distinct" -> (qMultiDistinct _),
+    "q_observe" -> (qObserve _),
     "q_percentile" -> (qPercentile _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -4052,6 +4093,17 @@ object SparkEntry {
         |         AS n_hot_sources,
         |       max(n) AS max_n
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_observe" ->
+      """SELECT count(*) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
+        |FROM lineitem WHERE l_quantity >= 25""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+        |       count(DISTINCT o_orderstatus) AS n_status,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gap_fill" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
