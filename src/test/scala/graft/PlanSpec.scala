@@ -38,6 +38,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q_gap_fill / q_funnel / q_scd2: equi-joins only, never a nested loop") {
+    for (q <- Seq("q_gap_fill", "q_funnel", "q_scd2")) {
+      val p = planStr(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q should plan equi-joins only:\n${p.take(2000)}")
+    }
+  }
+
+  test("q_value_histogram: shard histograms merge by hash aggregation, p50 side broadcasts") {
+    val p = planStr(SparkEntry.queries("q_value_histogram")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"p50 bucket side should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("runtime bloom filter: selective build side prunes the probe scan pre-shuffle") {
     // the q_runtime_bloom regime: shuffle join (no broadcast), zero
     // app-side scan floor so the tiny test table qualifies

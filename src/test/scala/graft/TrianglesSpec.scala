@@ -41,6 +41,17 @@ class TrianglesSpec extends SparkSpec {
     assert((n, e, t) == ((4L, 5L, 2L)))
   }
 
+  test("complete tripartite K(30,30,30): 27000 triangles, zero within-part wedcycles") {
+    // every triangle uses one node per part: a*b*c closed form; 2700 edges
+    val parts = Seq("a", "b", "c")
+    val edges = for {
+      (p1, i1) <- parts.zipWithIndex; (p2, i2) <- parts.zipWithIndex if i1 < i2
+      x <- 0 until 30; y <- 0 until 30
+    } yield (s"$p1$x", s"$p2$y")
+    val (n, e, _, t) = run(edges)
+    assert((n, e, t) == ((90L, 2700L, 27000L)))
+  }
+
   test("chorded ring: closed-form count on a larger multi-partition graph") {
     import spark.implicits._
     // ring 0..39 plus chords i -> i+7: a triangle needs x+y=7 with
