@@ -1122,6 +1122,24 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Declarative data-quality audit ([[graft.ops.Constraints]]) — the
+    * publish gate: the orders table's contract (non-null key, price
+    * range, unique order key, customer referential integrity, date
+    * sanity) evaluated with all row-level checks folded into ONE
+    * aggregate pass, uniqueness as one hash aggregate, and the reference
+    * check as one anti-join. The oracle recomputes each violation count
+    * directly.
+    */
+  private def qConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Constraints._
+    graft.ops.Constraints.audit(t(spark, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 300000.0),
+      Unique(Seq("o_orderkey")),
+      RefIntegrity("o_custkey", t(spark, dir, "customer"), "c_custkey"),
+      Satisfies(col("o_orderdate") < lit("2002-01-01"), "order_date_sane")))
+  }
+
   /** SCD TYPE-2 dimension maintenance ([[graft.ops.Scd2]]): the customer
     * order-profile dimension (order count + spend class) loaded from the
     * pre-1998 snapshot, then merged with the full-range snapshot taken
@@ -3502,6 +3520,7 @@ object SparkEntry {
     "q_compaction" -> (qCompaction _),
     "q_zorder_scan" -> (qZorderScan _),
     "q_scd2" -> (qScd2 _),
+    "q_constraints" -> (qConstraints _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_chunk" -> (qStreamingChunk _),
@@ -4295,6 +4314,33 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_constraints" ->
+      """WITH v AS (
+        |  SELECT 'in_range(o_totalprice,0.0,300000.0)' AS c,
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_totalprice IS NOT NULL
+        |            AND (o_totalprice < 0 OR o_totalprice > 300000)) AS n
+        |  UNION ALL
+        |  SELECT 'not_null(o_custkey)',
+        |         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'ref_integrity(o_custkey)',
+        |         (SELECT count(*) FROM orders o
+        |          WHERE o.o_custkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'satisfies(order_date_sane)',
+        |         (SELECT count(*) FROM orders
+        |          WHERE NOT coalesce(o_orderdate < TIMESTAMP '2002-01-01', false))
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |         (SELECT CAST(coalesce(sum(k - 1), 0) AS BIGINT) FROM (
+        |            SELECT count(*) AS k FROM orders GROUP BY o_orderkey)
+        |          WHERE k > 1))
+        |SELECT c AS "constraint", CAST(n AS BIGINT) AS n_violations,
+        |       n = 0 AS passed
+        |FROM v ORDER BY c""".stripMargin,
     "q_scd2" ->
       """WITH v1 AS (
         |  SELECT o_custkey AS cust, count(*) AS n, CAST(count(*) >= 3 AS INT) AS h
