@@ -1122,6 +1122,40 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Golden-record survivorship (MDM merge finish): the same entity
+    * arrives from three sources of differing trust and completeness; the
+    * merged record takes EACH FIELD from the highest-priority source
+    * where it is non-null — `max_by(field, priority-when-non-null)`, one
+    * hash aggregate per entity, no joins, no per-field passes. The
+    * three source variants are synthesized deterministically from
+    * `documents` (crawl: text but no lang; api: lang + chars but no
+    * text; archive: complete but lowest priority), so the oracle
+    * rebuilds them and applies DuckDB's `arg_max` identically.
+    */
+  private def qGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val crawl = d.select(col("doc_id"), lit(3L).as("prio"),
+      col("text"), lit(null).cast("string").as("lang"),
+      lit(null).cast("long").as("n_chars"))
+    val api = d.select(col("doc_id"), lit(2L).as("prio"),
+      lit(null).cast("string").as("text"), col("lang"),
+      (col("n_chars") + 1).as("n_chars")) // api over-counts by one
+    val archive = d.select(col("doc_id"), lit(1L).as("prio"),
+      concat(lit("archived: "), col("text")).as("text"), col("lang"),
+      col("n_chars"))
+    def survive(f: String) =
+      expr(s"max_by($f, if(isnotnull($f), prio, null))").as(f)
+    crawl.unionByName(api).unionByName(archive)
+      .groupBy("doc_id")
+      .agg(survive("text"), survive("lang"), survive("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(when(col("text").startsWith("archived: "), 1L).otherwise(0L))
+          .as("n_from_archive"))
+      .orderBy("lang")
+  }
+
   /** Declarative data-quality audit ([[graft.ops.Constraints]]) — the
     * publish gate: the orders table's contract (non-null key, price
     * range, unique order key, customer referential integrity, date
@@ -3521,6 +3555,7 @@ object SparkEntry {
     "q_zorder_scan" -> (qZorderScan _),
     "q_scd2" -> (qScd2 _),
     "q_constraints" -> (qConstraints _),
+    "q_golden_record" -> (qGoldenRecord _),
     "q_streaming_window" -> (qStreamingWindow _),
     "q_streaming_sink" -> (qStreamingSink _),
     "q_streaming_chunk" -> (qStreamingChunk _),
@@ -4314,6 +4349,24 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_golden_record" ->
+      """WITH s AS (
+        |  SELECT doc_id, 3 AS prio, text, CAST(NULL AS VARCHAR) AS lang,
+        |         CAST(NULL AS BIGINT) AS n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, CAST(NULL AS VARCHAR), lang, n_chars + 1 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'archived: ' || text, lang, n_chars FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         arg_max(text, CASE WHEN text IS NOT NULL THEN prio END) AS text,
+        |         arg_max(lang, CASE WHEN lang IS NOT NULL THEN prio END) AS lang,
+        |         arg_max(n_chars, CASE WHEN n_chars IS NOT NULL THEN prio END) AS n_chars
+        |  FROM s GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN text LIKE 'archived: %' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_from_archive
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_constraints" ->
       """WITH v AS (
         |  SELECT 'in_range(o_totalprice,0.0,300000.0)' AS c,
