@@ -3422,6 +3422,17 @@ object SparkEntry {
   private def qTriangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Triangles.count(docLinkEdges(spark, dir), "src", "dst")
 
+  /** Community detection ([[graft.ops.LabelPropagation]], 3 synchronous
+    * rounds) on the link graph — deterministic by construction (sync
+    * rounds + min-label tie-break), so the oracle unrolls the identical
+    * recurrence as SQL CTEs and the assignment matches bit-for-bit.
+    */
+  private def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LabelPropagation.run(docLinkEdges(spark, dir), "src", "dst", 3)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .orderBy("label")
+
   /** The deterministic 20-host link graph both rank queries run on. */
   private def docLinkEdges(spark: SparkSession, dir: String): DataFrame = {
     val h = t(spark, dir, "documents")
@@ -3644,6 +3655,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
+    "q_label_prop" -> (qLabelProp _),
     "q_trustrank" -> (qTrustrank _),
     "q_upsample" -> (qUpsample _),
     "q_shard_assign" -> (qShardAssign _),
@@ -5586,6 +5598,40 @@ object SparkEntry {
         |          ORDER BY n_chars DESC, doc_id ASC) AS rk
         |      FROM documents)
         |WHERE rk <= 5 GROUP BY source ORDER BY source""".stripMargin,
+    "q_label_prop" ->
+      """WITH raw AS (
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |         'site-' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION ALL
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR),
+        |         'site-' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |adj AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+        |c1 AS (SELECT a.u AS node, p.label, count(*) AS n
+        |       FROM adj a JOIN l0 p ON a.v = p.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk
+        |         FROM c1) WHERE rk = 1),
+        |c2 AS (SELECT a.u AS node, p.label, count(*) AS n
+        |       FROM adj a JOIN l1 p ON a.v = p.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk
+        |         FROM c2) WHERE rk = 1),
+        |c3 AS (SELECT a.u AS node, p.label, count(*) AS n
+        |       FROM adj a JOIN l2 p ON a.v = p.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label,
+        |                row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk
+        |         FROM c3) WHERE rk = 1)
+        |SELECT label, count(*) AS n_nodes, min(node) AS min_node
+        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_triangles" ->
       """WITH raw AS (
         |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,

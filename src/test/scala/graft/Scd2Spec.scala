@@ -72,6 +72,17 @@ class Scd2Spec extends SparkSpec {
       (1, "a", "2024-03-01", null, true)))
   }
 
+  test("merge is idempotent: re-merging the same snapshot changes nothing") {
+    import spark.implicits._
+    val h0 = Scd2.snapshotAsHistory(
+      Seq((1, "a"), (2, "b")).toDF("id", "name"), "id", Seq("name"),
+      to_date(lit("2024-01-01")))
+    val snap = Seq((1, "a2"), (3, "c")).toDF("id", "name")
+    val h1 = Scd2.merge(h0, snap, "id", Seq("name"), to_date(lit("2024-02-01")))
+    val h2 = Scd2.merge(h1, snap, "id", Seq("name"), to_date(lit("2024-03-01")))
+    assert(rows(h2) == rows(h1))
+  }
+
   test("empty attrs rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
