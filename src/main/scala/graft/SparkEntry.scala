@@ -861,6 +861,28 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** The TYPED Dataset surface end-to-end ([[graft.ops.TypedAgg]]):
+    * case-class rows (`as[Item]`), `groupByKey`, and a custom
+    * `Aggregator[IN, BUF, OUT]` with map-side partials — the
+    * quantity-weighted mean price per return flag in integer cents
+    * (exact partial sums; ONE integer division per group, so the result
+    * is partition-order independent and the oracle reproduces it with
+    * the same arithmetic).
+    */
+  private def qTypedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.TypedAgg
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("priceCents"))
+      .as[TypedAgg.Item]
+      .groupByKey(_.flag)
+      .agg(TypedAgg.WeightedPriceCents.toColumn.name("w_price_cents"))
+      .toDF("l_returnflag", "w_price_cents")
+      .orderBy("l_returnflag")
+  }
+
   private def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
@@ -3536,6 +3558,7 @@ object SparkEntry {
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_observe" -> (qObserve _),
+    "q_typed_agg" -> (qTypedAgg _),
     "q_percentile" -> (qPercentile _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -4163,6 +4186,12 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |       floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
         |FROM lineitem WHERE l_quantity >= 25""".stripMargin,
+    "q_typed_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS BIGINT) *
+        |                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) //
+        |            sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_price_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multi_distinct" ->
       """SELECT o_orderpriority,
         |       count(DISTINCT o_custkey) AS n_cust,
