@@ -717,6 +717,27 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Interval-union coverage per event type: each event opens a half-open
+    * activity interval `[ts, ts + 1s + value/10 s)` and the readout is the
+    * exact total duration covered by AT LEAST ONE interval — the
+    * distributed sweep from [[graft.ops.IntervalCoverage]]. A naive sweep
+    * is a per-type GLOBAL sort (one task per type at scale); the operator
+    * clips intervals to p90-length-derived buckets so the window runs per
+    * (type, bucket) and the per-group total is an exact sum of disjoint
+    * per-bucket unions. All arithmetic is integer microseconds; the
+    * duration mantissa is floor'd before widening so both engines build
+    * identical interval ends.
+    */
+  private def qIntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val iv = events(spark, dir)
+      .withColumn("end_ts", timestamp_micros(
+        unix_micros(col("ts")) + lit(1000000L) +
+          floor(col("value") * 100000).cast("long")))
+    graft.ops.IntervalCoverage
+      .coverageAutoBucket(iv, Seq("event_type"), "ts", "end_ts")
+      .orderBy("event_type")
+  }
+
   /** Relational PIVOT: the hour-of-day x event-type count matrix with an
     * EXPLICIT pivot domain — at 100 TB the value list is configuration,
     * not a driver-side distinct-discovery pass (which `pivot(col)` without
@@ -3568,6 +3589,7 @@ object SparkEntry {
     "q_doc_anomaly" -> (qDocAnomaly _),
     "q_gap_fill" -> (qGapFill _),
     "q_mad_outliers" -> (qMadOutliers _),
+    "q_interval_coverage" -> (qIntervalCoverage _),
     "q_pivot" -> (qPivot _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4229,6 +4251,21 @@ object SparkEntry {
         |       max(md.mad8) AS mad8
         |FROM d JOIN md USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 1000000
+        |           + CAST(floor("value" * 100000) AS BIGINT) AS e
+        |  FROM events),
+        |sw AS (
+        |  SELECT event_type, s, e,
+        |         max(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv)
+        |SELECT event_type,
+        |       CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s)))) AS BIGINT)
+        |         AS covered_us
+        |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(hour(ts) AS BIGINT) AS hod,
         |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
