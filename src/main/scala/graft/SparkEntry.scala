@@ -3320,6 +3320,34 @@ object SparkEntry {
     res
   }
 
+  /** NDCG@10 retrieval evaluation ([[graft.ops.RetrievalEval]]): the
+    * BM25 run scored against a corpus-derived graded relevance set
+    * (grade = #distinct query terms present in the doc, 0..3). The ideal
+    * ranking is computed from per-grade COUNTS — one bounded hash
+    * aggregate, never a corpus sort — and every readout is integer
+    * (literal micro-discount weights, `2^rel-1` gains, ppm division), so
+    * both engines produce identical rows.
+    */
+  private def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
+      (3L, "stream window batch")).toDF("qid", "qtext")
+    val docs = spread(t(spark, dir, "documents"))
+    val (run, release) = graft.ops.Bm25.bm25TopK(
+      docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
+    val qt = queries.select(col("qid"),
+      explode(array_distinct(TF.tokenHashes(col("qtext")))).as("th"))
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(TF.tokenHashes(col("text")))).as("th"))
+    val rels = dt.join(broadcast(qt), "th")
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("rel"))
+    val out = graft.ops.RetrievalEval.ndcgAtK(
+        run, "qid", "doc_id", "rank", rels, "qid", "doc_id", "rel", k = 10)
+      .orderBy("qid").localCheckpoint(true)
+    release()
+    out
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion ([[graft.ops.Rrf]]):
     * THE hybrid-search shape — a lexical BM25 run over document text and
     * a semantic brute-force cosine run over the aligned embeddings table
@@ -3681,6 +3709,7 @@ object SparkEntry {
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
+    "q_ndcg" -> (qNdcg _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_group_sample" -> (qGroupSample _),
@@ -5460,6 +5489,46 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
          |       doc_id, scaled_score
          |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH ${bm25CtesSql(
+           """q(qid, qtext) AS (VALUES (1, 'sort merge join'), (2, 'hash table scan'),
+             |                         (3, 'stream window batch')),
+             |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)""".stripMargin)},
+         |rk AS (SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY scaled_score DESC, doc_id) AS rank
+         |       FROM sc QUALIFY rank <= 10),
+         |dt AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM nn),
+         |rel AS (SELECT qt.qid, dt.doc_id, CAST(count(*) AS BIGINT) AS rel
+         |        FROM dt JOIN qt ON dt.tok = qt.tok GROUP BY 1, 2),
+         |w(r, w) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+         |                   (4, 430677), (5, 386853), (6, 356207),
+         |                   (7, 333333), (8, 315465), (9, 301030),
+         |                   (10, 289065)),
+         |dcg AS (SELECT rk.qid,
+         |          CAST(sum(((1 << CAST(coalesce(rel.rel, 0) AS INT)) - 1) * w.w)
+         |            AS BIGINT) AS dcg_u
+         |        FROM rk
+         |        LEFT JOIN rel ON rk.qid = rel.qid AND rk.doc_id = rel.doc_id
+         |        JOIN w ON rk.rank = w.r
+         |        GROUP BY 1),
+         |gc AS (SELECT qid, rel AS g, count(*) AS cnt FROM rel GROUP BY 1, 2),
+         |cc AS (SELECT qid, g,
+         |         sum(cnt) OVER (PARTITION BY qid ORDER BY g DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM gc),
+         |nrel AS (SELECT qid, CAST(max(cum) AS BIGINT) AS n_rel FROM cc GROUP BY 1),
+         |ig AS (SELECT cc.qid, w.r, w.w, max(cc.g) AS ig
+         |       FROM cc JOIN w ON cc.cum >= w.r GROUP BY 1, 2, 3),
+         |idcg AS (SELECT qid,
+         |           CAST(sum(((1 << CAST(ig AS INT)) - 1) * w) AS BIGINT) AS idcg_u
+         |         FROM ig GROUP BY 1)
+         |SELECT CAST(d.qid AS BIGINT) AS qid, coalesce(n.n_rel, 0) AS n_rel,
+         |       d.dcg_u, coalesce(i.idcg_u, 0) AS idcg_u,
+         |       CASE WHEN i.idcg_u > 0 THEN d.dcg_u * 1000000 // i.idcg_u END
+         |         AS ndcg_ppm
+         |FROM dcg d LEFT JOIN nrel n USING (qid) LEFT JOIN idcg i USING (qid)
+         |ORDER BY qid""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH ${bm25CtesSql(
            "qt AS (SELECT DISTINCT doc_id AS qid, unnest(t) AS tok FROM nn WHERE doc_id < 10)")},
