@@ -738,6 +738,35 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** CDC log compaction ([[graft.ops.CdcApply]]): the events stream read
+    * as a change log — each user's signup seeds the base snapshot, later
+    * events upsert their (type, value) payload, `error` events are delete
+    * tombstones — compacted to the final per-user state by one `max_by`
+    * hash aggregate + one full-outer join (no window over the log).
+    * (ts, event_id) is the total order, so out-of-order arrival is
+    * irrelevant. Readout: per surviving last-event-type counts plus
+    * floor-scaled integer value sums.
+    */
+  private def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val base = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("__first"))
+      .select(col("user_id"), col("__first.event_type").as("event_type"),
+        col("__first.value").as("value"))
+    val log = ev.filter(col("event_type") =!= "signup")
+      .withColumn("op",
+        when(col("event_type") === "error", "delete").otherwise("upsert"))
+    val fin = graft.ops.CdcApply.compact(
+      base, log, Seq("user_id"), Seq("ts", "event_id"),
+      "op", "delete", Seq("event_type", "value"))
+    fin.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_u"))
+      .orderBy("event_type")
+  }
+
   /** Relational PIVOT: the hour-of-day x event-type count matrix with an
     * EXPLICIT pivot domain — at 100 TB the value list is configuration,
     * not a driver-side distinct-discovery pass (which `pivot(col)` without
@@ -3618,6 +3647,7 @@ object SparkEntry {
     "q_gap_fill" -> (qGapFill _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_interval_coverage" -> (qIntervalCoverage _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q_pivot" -> (qPivot _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4295,6 +4325,34 @@ object SparkEntry {
         |       CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s)))) AS BIGINT)
         |         AS covered_us
         |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, "value" FROM (
+        |    SELECT user_id, event_type, "value",
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+        |lg AS (
+        |  SELECT user_id, ts, event_id, event_type, "value",
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END AS op
+        |  FROM events WHERE event_type <> 'signup'),
+        |last AS (
+        |  SELECT user_id, op, event_type, "value" FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM lg) WHERE rn = 1),
+        |fin AS (
+        |  SELECT coalesce(l.user_id, b.user_id) AS user_id,
+        |         CASE WHEN l.user_id IS NULL THEN b.event_type
+        |              ELSE l.event_type END AS event_type,
+        |         CASE WHEN l.user_id IS NULL THEN b."value"
+        |              ELSE l."value" END AS v
+        |  FROM base b FULL JOIN last l ON b.user_id = l.user_id
+        |  WHERE l.user_id IS NULL OR l.op <> 'delete')
+        |SELECT event_type, count(*) AS n_users,
+        |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_u
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(hour(ts) AS BIGINT) AS hod,
         |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
