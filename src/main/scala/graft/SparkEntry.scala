@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Boilerplate, Chunking, Dedup, Dsir, DupGroups, Multimodal, NgramLm, Packing, PageRank, PartitionedSink, QualityClassifier, Sampling, Similarity}
+import graft.ops.{AsOfJoin, Bfs, Boilerplate, Chunking, Dedup, Dsir, DupGroups, Multimodal, NgramLm, Packing, PageRank, PartitionedSink, QualityClassifier, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -3533,6 +3533,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
       .orderBy("label")
 
+  /** Link distance from trusted hosts ([[graft.ops.Bfs]]): exact directed
+    * hop counts from the {site-0, site-1} seed set over the 20-host link
+    * graph, 4 rounds of frontier expansion (one frontier⋈edges join + one
+    * anti-join per round, early exit on an empty frontier). The
+    * spam-demotion "distance from seeds" prior next to [[qTrustrank]].
+    */
+  private def qBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Seq("site-0", "site-1").toDF("s")
+    Bfs.hops(docLinkEdges(spark, dir), "src", "dst", seeds, "s", maxHops = 4)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .orderBy("hop")
+  }
+
   /** The deterministic 20-host link graph both rank queries run on. */
   private def docLinkEdges(spark: SparkSession, dir: String): DataFrame = {
     val h = t(spark, dir, "documents")
@@ -3760,6 +3775,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_label_prop" -> (qLabelProp _),
+    "q_bfs_hops" -> (qBfsHops _),
     "q_trustrank" -> (qTrustrank _),
     "q_upsample" -> (qUpsample _),
     "q_shard_assign" -> (qShardAssign _),
@@ -5791,6 +5807,24 @@ object SparkEntry {
         |          ORDER BY n_chars DESC, doc_id ASC) AS rk
         |      FROM documents)
         |WHERE rk <= 5 GROUP BY source ORDER BY source""".stripMargin,
+    "q_bfs_hops" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |         'site-' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION ALL
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR),
+        |         'site-' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM raw),
+        |bfs(node, hop) AS (
+        |  SELECT * FROM (VALUES ('site-0', 0), ('site-1', 0)) t(node, hop)
+        |  UNION ALL
+        |  SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON bfs.node = e.src
+        |  WHERE bfs.hop < 4),
+        |d AS (SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY 1)
+        |SELECT hop, count(*) AS n_nodes, min(node) AS min_node
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_label_prop" ->
       """WITH raw AS (
         |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,

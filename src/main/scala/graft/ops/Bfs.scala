@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source breadth-first search: exact hop distance from a seed set
+  * along DIRECTED edges, bounded depth — link-distance-from-trusted-hosts
+  * is the classic web-corpus quality prior next to [[PageRank]] (it is
+  * the "hop count from seed list" feature in spam-demotion stacks).
+  *
+  * Iteration is frontier expansion, the only BFS shape that scales: each
+  * round is ONE equi-join of the current frontier against the edge list
+  * (shuffle hash join on src — the frontier is data-sized in the worst
+  * round, so nothing is broadcast) + ONE anti-join against the visited
+  * set to keep only first discoveries. Rounds are bounded by `maxHops`
+  * and terminate early when a frontier empties; per round exactly one
+  * driver scalar (the frontier count) is collected. Each generation is
+  * persisted and the previous released, so lineage stays one generation
+  * deep (the [[PageRank]] discipline).
+  *
+  * Distances are exact, not approximate: a node's hop is the FIRST round
+  * that reached it (the anti-join guarantees min-hop), identical to the
+  * sequential BFS result regardless of partitioning.
+  */
+object Bfs {
+
+  /** @param seeds one column `seedCol` of start nodes (hop 0); seeds
+    *              absent from the graph still appear at hop 0
+    * @return `(node, hop)` for every node within `maxHops` directed hops
+    *         of any seed; unreachable nodes are absent
+    */
+  def hops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .na.drop().distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hop", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var h = 1
+    var exhausted = visited.count() == 0
+    while (h <= maxHops && !exhausted) {
+      val next = frontier
+        .join(e, col("node") === col("__src"))
+        .select(col("__dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      exhausted = next.count() == 0
+      if (!exhausted) {
+        val gen = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        gen.count() // materialize before releasing the parents
+        if (h > 1) frontier.unpersist(blocking = false) // h=1: frontier IS visited
+        visited.unpersist(blocking = false)
+        visited = gen
+        frontier = next
+      } else next.unpersist(blocking = false)
+      h += 1
+    }
+    // snapshot the node-sized result off the persisted lineage, then drop
+    // every intermediate generation
+    val out = visited.localCheckpoint(true)
+    visited.unpersist(blocking = false)
+    if (frontier ne visited) frontier.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
+  }
+}
