@@ -3377,6 +3377,32 @@ object SparkEntry {
     out
   }
 
+  /** Recall@10 + reciprocal rank ([[RetrievalEval.recallAtK]]) for the
+    * same BM25 run, binary relevance = "doc contains >= 2 of the query's
+    * terms". One run⋈rels join + one bounded aggregate; ppm integer
+    * readouts (averaging rr_ppm across queries is MRR).
+    */
+  private def qRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
+      (3L, "stream window batch")).toDF("qid", "qtext")
+    val docs = spread(t(spark, dir, "documents"))
+    val (run, release) = graft.ops.Bm25.bm25TopK(
+      docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
+    val qt = queries.select(col("qid"),
+      explode(array_distinct(TF.tokenHashes(col("qtext")))).as("th"))
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(TF.tokenHashes(col("text")))).as("th"))
+    val rels = dt.join(broadcast(qt), "th")
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("rel"))
+      .filter(col("rel") >= 2)
+    val out = graft.ops.RetrievalEval.recallAtK(
+        run, "qid", "doc_id", "rank", rels, "qid", "doc_id", k = 10)
+      .orderBy("qid").localCheckpoint(true)
+    release()
+    out
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion ([[graft.ops.Rrf]]):
     * THE hybrid-search shape — a lexical BM25 run over document text and
     * a semantic brute-force cosine run over the aligned embeddings table
@@ -3755,6 +3781,7 @@ object SparkEntry {
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_bm25" -> (qBm25 _),
     "q_ndcg" -> (qNdcg _),
+    "q_retrieval_recall" -> (qRetrievalRecall _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_group_sample" -> (qGroupSample _),
@@ -5603,6 +5630,32 @@ object SparkEntry {
          |         AS ndcg_ppm
          |FROM dcg d LEFT JOIN nrel n USING (qid) LEFT JOIN idcg i USING (qid)
          |ORDER BY qid""".stripMargin,
+    "q_retrieval_recall" ->
+      s"""WITH ${bm25CtesSql(
+           """q(qid, qtext) AS (VALUES (1, 'sort merge join'), (2, 'hash table scan'),
+             |                         (3, 'stream window batch')),
+             |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok FROM q)""".stripMargin)},
+         |rk AS (SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY scaled_score DESC, doc_id) AS rank
+         |       FROM sc QUALIFY rank <= 10),
+         |dt AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM nn),
+         |rb AS (SELECT qt.qid, dt.doc_id
+         |       FROM dt JOIN qt ON dt.tok = qt.tok
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rb GROUP BY 1),
+         |h AS (SELECT rk.qid,
+         |        CAST(sum(CASE WHEN rb.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_hits,
+         |        min(CASE WHEN rb.doc_id IS NOT NULL THEN rk.rank END) AS fh
+         |      FROM rk LEFT JOIN rb ON rk.qid = rb.qid AND rk.doc_id = rb.doc_id
+         |      GROUP BY 1)
+         |SELECT CAST(h.qid AS BIGINT) AS qid, coalesce(nr.n_rel, 0) AS n_rel,
+         |       h.n_hits,
+         |       CASE WHEN nr.n_rel > 0
+         |            THEN h.n_hits * 1000000 // least(nr.n_rel, 10) END AS recall_ppm,
+         |       CAST(coalesce(1000000 // fh, 0) AS BIGINT) AS rr_ppm
+         |FROM h LEFT JOIN nr ON h.qid = nr.qid ORDER BY qid""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH ${bm25CtesSql(
            "qt AS (SELECT DISTINCT doc_id AS qid, unnest(t) AS tok FROM nn WHERE doc_id < 10)")},

@@ -104,4 +104,47 @@ object RetrievalEval {
         when(col("idcg_u") > 0, expr("dcg_u * 1000000 div idcg_u"))
           .as("ndcg_ppm"))
   }
+
+  /** Binary-relevance recall@k and reciprocal rank, ppm-exact.
+    *
+    * Same scale shape as [[ndcgAtK]]: hits are one run⋈rels equi-join,
+    * the corpus-wide relevant count is one hash aggregate, and the
+    * readouts are integer divisions —
+    * `recall_ppm = hits * 1e6 div min(n_rel, k)` (the k-capped
+    * denominator, so a perfect ranker can reach 1e6 even when n_rel > k)
+    * and `rr_ppm = 1e6 div first_hit_rank` (0 when the top-k has no hit;
+    * averaging rr_ppm over queries is MRR). Grades in `rels` are not
+    * interpreted beyond presence — filter grade thresholds upstream.
+    *
+    * @return one row per qid in `run`:
+    *         `(qid, n_rel, n_hits, recall_ppm, rr_ppm)`; `recall_ppm` is
+    *         null when the query has no relevant docs anywhere
+    */
+  def recallAtK(
+      run: DataFrame,
+      qidCol: String,
+      docCol: String,
+      rankCol: String,
+      rels: DataFrame,
+      relQidCol: String,
+      relDocCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val relKeys = rels
+      .select(col(relQidCol).as(qidCol), col(relDocCol).as(docCol)).distinct()
+    val nRel = relKeys.groupBy(qidCol).agg(count(lit(1)).as("n_rel"))
+    val hits = run
+      .filter(col(rankCol) <= k)
+      .join(relKeys.withColumn("__hit", lit(1L)), Seq(qidCol, docCol), "left")
+      .groupBy(qidCol)
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        min(when(col("__hit").isNotNull, col(rankCol))).as("__first"))
+    hits
+      .join(nRel, Seq(qidCol), "left")
+      .select(col(qidCol), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_hits"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr(s"n_hits * 1000000 div least(n_rel, ${k}L)")).as("recall_ppm"),
+        coalesce(expr("1000000 div __first"), lit(0L)).as("rr_ppm"))
+  }
 }

@@ -80,6 +80,37 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(m(1L)._4.contains(1000000L) && m(2L)._4.contains(1000000L))
   }
 
+  private def evalR(r: DataFrame, g: DataFrame, k: Int): Map[Long, (Long, Long, Option[Long], Long)] =
+    RetrievalEval.recallAtK(r, "qid", "doc_id", "rank", g, "qid", "doc_id", k)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2),
+          if (row.isNullAt(3)) None else Some(row.getLong(3)), row.getLong(4)))).toMap
+
+  test("recall@k: k-capped denominator, hits, and reciprocal rank") {
+    // 3 relevant docs, run finds 2 of them at ranks 2 and 5 within k=5
+    val g = rels(Seq((1L, "a", 1L), (1L, "b", 1L), (1L, "c", 1L)))
+    val r = run(Seq((1L, "x", 1L), (1L, "a", 2L), (1L, "y", 3L), (1L, "z", 4L), (1L, "b", 5L)))
+    assert(evalR(r, g, 5) == Map(1L ->
+      ((3L, 2L, Some(2L * 1000000L / 3L), 1000000L / 2L))))
+    // k=2: only the rank-2 hit counts; denominator caps at k=2
+    assert(evalR(r, g, 2) == Map(1L -> ((3L, 1L, Some(500000L), 500000L))))
+  }
+
+  test("recall@k: perfect run reaches 1e6 even when n_rel exceeds k") {
+    val g = rels((1 to 8).map(i => (1L, s"d$i", 1L)))
+    val r = run((1 to 3).map(i => (1L, s"d$i", i.toLong)))
+    assert(evalR(r, g, 3)(1L) == ((8L, 3L, Some(1000000L), 1000000L)))
+  }
+
+  test("recall@k: no hits and no relevant docs") {
+    val g = rels(Seq((1L, "a", 1L)))
+    // query 1: relevant exists but run misses it; query 2: nothing relevant
+    val r = run(Seq((1L, "x", 1L), (2L, "y", 1L)))
+    val m = evalR(r, g, 10)
+    assert(m(1L) == ((1L, 0L, Some(0L), 0L)))
+    assert(m(2L) == ((0L, 0L, None, 0L)))
+  }
+
   test("k outside the literal weight table is rejected") {
     intercept[IllegalArgumentException] {
       RetrievalEval.ndcgAtK(run(Nil), "qid", "doc_id", "rank",
