@@ -2566,6 +2566,36 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Schema-evolution read (SURVEY.md §2B scans): two parquet generations
+    * of the same table — an early one WITHOUT the `value` column and a
+    * later one with it — read together under `mergeSchema`, the
+    * append-only ingest reality at 100 TB (schemas drift; rewriting old
+    * files is off the table). Old-generation rows surface the added
+    * column as NULL; the readout pins exactly that (null counts + the
+    * new-generation value sum). Schema union happens at PLAN time from
+    * footers — no data pass.
+    */
+  private def qSchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val base = oncePerDir(
+        s"/tmp/graft_schemamerge/${tmpKey(dir)}", "gen2/_SUCCESS") {
+      val b = s"/tmp/graft_schemamerge/${tmpKey(dir)}"
+      ev.filter(col("event_id") < 500)
+        .select("event_id", "event_type")
+        .write.mode("overwrite").parquet(s"$b/gen1")
+      ev.filter(col("event_id") >= 500 && col("event_id") < 1000)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$b/gen2") // gen2 last = sentinel
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_pre_schema"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_u"))
+      .orderBy("event_type")
+  }
+
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
       .groupBy(TF.langId(col("text")).as("pred_lang"))
@@ -3749,6 +3779,7 @@ object SparkEntry {
     "q_embed_ivfpq" -> (qEmbedIvfPq _),
     "q_ann_rerank" -> (qAnnRerank _),
     "q_multi_format" -> (qMultiFormat _),
+    "q_schema_merge" -> (qSchemaMerge _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -4793,6 +4824,15 @@ object SparkEntry {
     "q_multi_format" ->
       """SELECT event_type, count(*) AS n,
         |       floor(sum(value + value + value) * 100 + 0.5) / 100 AS sum3
+        |FROM events WHERE event_id < 1000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_schema_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN event_id < 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pre_schema,
+        |       CAST(sum(CASE WHEN event_id >= 500
+        |                     THEN CAST(floor("value" * 1000000) AS BIGINT) END)
+        |         AS BIGINT) AS sum_value_u
         |FROM events WHERE event_id < 1000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_lang_id" ->
