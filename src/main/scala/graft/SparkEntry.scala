@@ -2535,6 +2535,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** PCA whitening of the embedding corpus ([[graft.ops.Whitening]]):
+    * train = two distributed reductions (mean + d x d scatter, primitive
+    * per-partition accumulators) and a driver-side 64x64 Jacobi
+    * eigensolve; apply = one broadcast d² kernel per row. Not
+    * SQL-expressible (eigendecomposition), so the query GRADES ITSELF:
+    * the readout counts components whose post-whitening mean is 0 and
+    * variance is 1 — the whitening contract — plus WhiteningSpec's
+    * closed-form gates.
+    */
+  private def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = graft.ops.Whitening.train(emb, "embedding")
+    val w = graft.ops.Whitening.whiten(emb, "embedding", "wvec", model)
+    val comp = w.select(posexplode(col("wvec")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("pos"), col("n"), (col("sx") / col("n")).as("m"),
+        (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("v"))
+    comp.agg(
+        max("n").as("n_vecs"),
+        count(lit(1)).as("n_components"),
+        sum(when(abs(col("m")) < 1e-6, 1L).otherwise(0L)).as("n_zero_mean"),
+        sum(when(abs(col("v") - 1.0) < 0.01, 1L).otherwise(0L)).as("n_unit_var"))
+  }
+
   /** Multi-format scan/sink round-trip (SURVEY.md §2B "scans: other
     * formats / sinks"): the same event subset written as CSV and JSON,
     * read back, joined, and aggregated — oracle reproduces from the
@@ -3780,6 +3805,7 @@ object SparkEntry {
     "q_ann_rerank" -> (qAnnRerank _),
     "q_multi_format" -> (qMultiFormat _),
     "q_schema_merge" -> (qSchemaMerge _),
+    "q_embed_whiten" -> (qEmbedWhiten _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),
