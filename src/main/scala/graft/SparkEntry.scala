@@ -767,6 +767,64 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Per-group closed-form least squares (trend detection): the slope of
+    * each event type's hourly count over time, computed as the exact
+    * integer numerator/denominator pair of the OLS closed form —
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — with x the hour index
+    * RELATIVE to the type's first hour (small integers, so every moment
+    * is an exact long both engines agree on). ONE aggregation pass over
+    * the hourly counts; the ppm readout is integer division. The
+    * map-side-combinable moment sums are the only state — the same shape
+    * at 100 TB.
+    */
+  private def qTrend(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("y"))
+    val h0 = hourly.groupBy("event_type").agg(min("hour").as("h0"))
+    val xy = hourly.join(broadcast(h0), "event_type")
+      .withColumn("x", expr("(unix_micros(hour) - unix_micros(h0)) div 3600000000"))
+    xy.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_ppm",
+        when(col("slope_den") > 0,
+          expr("slope_num * 1000000 div slope_den")))
+      .orderBy("event_type")
+  }
+
+  /** Chi-squared association between event type and hour-of-day — the
+    * data-profiling independence probe ("is activity shape uniform
+    * across types?"). Observed and marginal counts are exact integers;
+    * each cell's statistic is the IDENTICAL IEEE sequence on both
+    * engines — `d = O·T − R·C` (exact in double below 2^53),
+    * `floor(1e6 · d·d / (R·C·T))` — then integer-summed, so the scaled
+    * chi² is bit-exact. One count aggregate + two bounded marginal
+    * frames joined back by broadcast.
+    */
+  private def qChi2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+    val obs = ev.groupBy("event_type", "hod").agg(count(lit(1)).as("o"))
+    val rowM = obs.groupBy("event_type").agg(sum("o").as("r"))
+    val colM = obs.groupBy("hod").agg(sum("o").as("c"))
+    val tot = obs.agg(sum("o").as("t"))
+    val cells = obs
+      .join(broadcast(rowM), "event_type")
+      .join(broadcast(colM), "hod")
+      .crossJoin(broadcast(tot))
+      .withColumn("d", (col("o") * col("t") - col("r") * col("c")).cast("double"))
+      .withColumn("cell_u",
+        floor(lit(1e6) * col("d") * col("d") /
+          (col("r") * col("c") * col("t")).cast("double")).cast("long"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"), sum("cell_u").as("chi2_u"))
+      .orderBy("event_type")
+  }
+
   /** Relational PIVOT: the hour-of-day x event-type count matrix with an
     * EXPLICIT pivot domain — at 100 TB the value list is configuration,
     * not a driver-side distinct-discovery pass (which `pivot(col)` without
@@ -3744,6 +3802,8 @@ object SparkEntry {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_interval_coverage" -> (qIntervalCoverage _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_trend" -> (qTrend _),
+    "q_chi2" -> (qChi2 _),
     "q_pivot" -> (qPivot _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -4453,6 +4513,44 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
         |         AS sum_value_u
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_trend" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour) AS h0 FROM h GROUP BY 1),
+        |xy AS (
+        |  SELECT h.event_type,
+        |         (epoch_us(h.hour) - epoch_us(b.h0)) // 3600000000 AS x, y
+        |  FROM h JOIN b USING (event_type)),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM xy GROUP BY 1)
+        |SELECT event_type, n,
+        |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |       CASE WHEN n * sxx - sx * sx > 0
+        |            THEN CAST((n * sxy - sx * sy) * 1000000
+        |                      // (n * sxx - sx * sx) AS BIGINT) END AS slope_ppm
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_chi2" ->
+      """WITH ev AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod FROM events),
+        |o AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS o
+        |      FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+        |c AS (SELECT hod, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM o),
+        |cells AS (
+        |  SELECT o.event_type,
+        |         CAST(o.o * t.t - r.r * c.c AS DOUBLE) AS d,
+        |         CAST(r.r * c.c * t.t AS DOUBLE) AS den
+        |  FROM o JOIN r USING (event_type) JOIN c USING (hod) CROSS JOIN t)
+        |SELECT event_type, count(*) AS n_cells,
+        |       CAST(sum(CAST(floor(1000000.0 * d * d / den) AS BIGINT)) AS BIGINT)
+        |         AS chi2_u
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(hour(ts) AS BIGINT) AS hod,
         |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
