@@ -2679,6 +2679,50 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Tokenizer vocabulary coverage (OOV rate): vocabulary = every token
+    * with corpus frequency >= 50 (THRESHOLD-based, not top-k — a top-k
+    * boundary tie would be broken by token identity, which the two
+    * engines don't share: Spark sees hashes, the oracle sees strings);
+    * readout = per-language token totals and the ppm share of
+    * out-of-vocabulary occurrences. One tokenize pass → token counts
+    * (map-side combine), one join of per-doc token counts against the
+    * vocab — both plain shuffled hash joins, nothing driver-sized.
+    */
+  private def qOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(TF.tokenHashes(col("text"))).as("th"))
+    val tf = tok.groupBy("lang", "th").agg(count(lit(1)).as("cnt"))
+    val vocab = tf.groupBy("th").agg(sum("cnt").as("total"))
+      .filter(col("total") >= 50).select("th")
+    tf.join(vocab.withColumn("__in", lit(1L)), Seq("th"), "left")
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(when(col("__in").isNull, col("cnt")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Join-key skew report — the profiling pass that decides whether a
+    * join needs salting ([[graft.ops.SkewJoin]]): per-key frequencies of
+    * the orders⋈customer key, the 5 heaviest keys (deterministic
+    * tie-break on the key), and the skew factor
+    * `max·n_keys·1e6 div total` (1e6 = perfectly uniform). The top-5 is
+    * `orderBy.limit` — TakeOrdered's per-partition partial top-k, never
+    * a global sort.
+    */
+  private def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val summary = cnt.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+      max("cnt").as("max_cnt"))
+    cnt.orderBy(col("cnt").desc, col("o_custkey")).limit(5)
+      .crossJoin(broadcast(summary))
+      .select(col("o_custkey"), col("cnt"), col("n_keys"),
+        expr("max_cnt * n_keys * 1000000 div total").as("skew_ppm"))
+      .orderBy(col("cnt").desc, col("o_custkey"))
+  }
+
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
       .groupBy(TF.langId(col("text")).as("pred_lang"))
@@ -3866,6 +3910,8 @@ object SparkEntry {
     "q_multi_format" -> (qMultiFormat _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_embed_whiten" -> (qEmbedWhiten _),
+    "q_oov_rate" -> (qOovRate _),
+    "q_skew_report" -> (qSkewReport _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -4959,6 +5005,34 @@ object SparkEntry {
         |         AS BIGINT) AS sum_value_u
         |FROM events WHERE event_id < 1000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |tok AS (SELECT lang, unnest(t) AS tok FROM tk),
+         |tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM tok GROUP BY 1, 2),
+         |v AS (SELECT tok FROM (
+         |        SELECT tok, CAST(sum(cnt) AS BIGINT) AS total
+         |        FROM tf GROUP BY 1) WHERE total >= 50),
+         |agg AS (
+         |  SELECT tf.lang, CAST(sum(tf.cnt) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN v.tok IS NULL THEN tf.cnt ELSE 0 END)
+         |           AS BIGINT) AS n_oov
+         |  FROM tf LEFT JOIN v ON tf.tok = v.tok GROUP BY 1)
+         |SELECT lang, n_tokens, n_oov,
+         |       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+         |FROM agg ORDER BY lang""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+        |top5 AS (SELECT o_custkey, cnt FROM c
+        |         ORDER BY cnt DESC, o_custkey LIMIT 5)
+        |SELECT t.o_custkey, t.cnt, s.n_keys,
+        |       CAST(s.max_cnt * s.n_keys * 1000000 // s.total AS BIGINT)
+        |         AS skew_ppm
+        |FROM top5 t CROSS JOIN s ORDER BY t.cnt DESC, t.o_custkey""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (
         |  SELECT ' ' || trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) || ' ' AS p
