@@ -2723,6 +2723,39 @@ object SparkEntry {
       .orderBy(col("cnt").desc, col("o_custkey"))
   }
 
+  /** Unigram-LM KL divergence between two corpus slices — the drift /
+    * domain-shift measurement next to [[Dsir]]'s importance weights.
+    * Add-1 smoothing over the JOINT vocabulary; every term is the exact
+    * integer `(cₐ+1)·(sln((cₐ+1)·(N_b+V)) − sln((c_b+1)·(Nₐ+V)))` with
+    * the repo's [[graft.functions.ScaledLn]] formula, long-summed — so
+    * the scaled KL (units: 1e-6 nat · (Nₐ+V)) is bit-exact
+    * cross-engine. One tokenize + one hash aggregate + a 1-row totals
+    * broadcast; both directions reported.
+    */
+  private def qKlSources(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScaledLn
+    val tok = spread(t(spark, dir, "documents"))
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(TF.tokenHashes(col("text"))).as("th"))
+    val byTok = tok.groupBy("th").agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+    val totals = byTok.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    byTok.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"), col("v"),
+        ((col("ca") + 1) *
+          (ScaledLn.column((col("ca") + 1) * (col("nb") + col("v"))) -
+           ScaledLn.column((col("cb") + 1) * (col("na") + col("v")))))
+          .as("t_ab"),
+        ((col("cb") + 1) *
+          (ScaledLn.column((col("cb") + 1) * (col("na") + col("v"))) -
+           ScaledLn.column((col("ca") + 1) * (col("nb") + col("v")))))
+          .as("t_ba"))
+      .groupBy("na", "nb", "v")
+      .agg(sum("t_ab").as("kl_ab_u"), sum("t_ba").as("kl_ba_u"))
+  }
+
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
       .groupBy(TF.langId(col("text")).as("pred_lang"))
@@ -3911,6 +3944,7 @@ object SparkEntry {
     "q_schema_merge" -> (qSchemaMerge _),
     "q_embed_whiten" -> (qEmbedWhiten _),
     "q_oov_rate" -> (qOovRate _),
+    "q_kl_sources" -> (qKlSources _),
     "q_skew_report" -> (qSkewReport _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -5021,6 +5055,26 @@ object SparkEntry {
          |SELECT lang, n_tokens, n_oov,
          |       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
          |FROM agg ORDER BY lang""".stripMargin,
+    "q_kl_sources" ->
+      s"""WITH tk AS (SELECT source, $ToksSql AS t FROM documents
+         |            WHERE source IN ('src0', 'src1')),
+         |tok AS (SELECT source, unnest(t) AS tok FROM tk),
+         |bt AS (SELECT tok,
+         |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |       FROM tok GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         |              CAST(count(*) AS BIGINT) AS v FROM bt),
+         |terms AS (
+         |  SELECT tt.na, tt.nb, tt.v,
+         |    (ca + 1) * (CAST(floor(ln((ca + 1) * (nb + v)) * 1e6 + 0.5) AS BIGINT)
+         |              - CAST(floor(ln((cb + 1) * (na + v)) * 1e6 + 0.5) AS BIGINT)) AS t_ab,
+         |    (cb + 1) * (CAST(floor(ln((cb + 1) * (na + v)) * 1e6 + 0.5) AS BIGINT)
+         |              - CAST(floor(ln((ca + 1) * (nb + v)) * 1e6 + 0.5) AS BIGINT)) AS t_ba
+         |  FROM bt CROSS JOIN tt)
+         |SELECT na, nb, v, CAST(sum(t_ab) AS BIGINT) AS kl_ab_u,
+         |       CAST(sum(t_ba) AS BIGINT) AS kl_ba_u
+         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
         |           FROM orders GROUP BY 1),
