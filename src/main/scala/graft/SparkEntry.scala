@@ -2140,6 +2140,23 @@ object SparkEntry {
       .orderBy("lang", "split")
   }
 
+  /** Length-weighted Bernoulli sampling ([[Sampling.weightedSample]]):
+    * keep probability proportional to `n_chars` (p = w / 4·max) — the
+    * importance-sampling counterpart of the flat rate sampler, pure
+    * integer predicate, shuffle-free. The max weight is one scalar
+    * aggregate; the readout pins the kept SET per language.
+    */
+  private def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val maxW = docs.agg(max("n_chars")).head.getLong(0)
+    Sampling.weightedSample(docs, col("doc_id"), col("n_chars"),
+        num = 1L, den = 4L * maxW, seed = 31)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("w_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   /** Leakage-free grouped split ([[Sampling.groupedSplit]]): the split
     * key is the near-dup COMPONENT (shared [[shingleTruthPairs]] graph →
     * [[DupGroups.connectedComponents]]), so near-copies can never
@@ -3923,6 +3940,7 @@ object SparkEntry {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_group_split" -> (qGroupSplit _),
     "q_domain_mix" -> (qDomainMix _),
     "q_text_normalize" -> (qTextNormalize _),
@@ -5254,6 +5272,17 @@ object SparkEntry {
         |  WHERE bkt < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END)
         |SELECT lang, split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // weighted membership: bucket·den < w·10000·num, division-free — the
+    // Lehmer bucket identical to q_sample_hash's
+    "q_weighted_sample" ->
+      """WITH mx AS (SELECT CAST(max(n_chars) AS BIGINT) AS m FROM documents)
+        |SELECT lang, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS w_sum,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents CROSS JOIN mx
+        |WHERE ((doc_id + 31) % 2147483647 * 48271) % 2147483647 % 10000
+        |        * (4 * m) < n_chars * 10000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // keep-rate thresholds recomputed with the IDENTICAL IEEE op order
     // (share * total / count, then min, then floor(x*10000 + 0.5) ==
     // Scala's math.round for positives); membership = the Lehmer bucket

@@ -42,6 +42,31 @@ object Sampling {
     df.filter(bucket(key, seed) < lit(math.round(rate * 10000)))
   }
 
+  /** WEIGHTED Bernoulli (Poisson) sampling: keep a row with probability
+    * `min(1, weight * num / den)` — quality- or length-proportional
+    * corpus downsampling, the importance-sampling counterpart of the
+    * flat [[hashSample]]. Pure integer arithmetic end to end: membership
+    * is `bucket(key) * den < weight * 10000 * num` (the same Lehmer
+    * [[bucket]], resolution 1/10000; the division is avoided entirely so
+    * there is no rounding decision to keep in sync cross-engine) —
+    * deterministic per (seed, key), retry-stable, and NESTED in the
+    * rate: the kept set at num/den is a subset of the kept set at any
+    * higher num'/den'. Shuffle-free: the whole predicate is scan-side.
+    * Caller bounds: `weight * 10000 * num` and `9999 * den` must fit a
+    * long.
+    */
+  def weightedSample(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      num: Long,
+      den: Long,
+      seed: Long): DataFrame = {
+    require(num >= 0 && den > 0, s"need num >= 0, den > 0; got $num/$den")
+    df.filter(bucket(key, seed) * lit(den) <
+      weight.cast("long") * lit(10000L * num))
+  }
+
   /** Per-stratum rates: `rates(stratumValue) -> rate`, rows of unlisted
     * strata get `defaultRate`. The rate lookup folds to a CASE expression —
     * still scan-side, still shuffle-free.

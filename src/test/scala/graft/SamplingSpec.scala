@@ -237,6 +237,32 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("split"))
   }
 
+  test("weightedSample: zero weight never kept, saturated weight always kept, nested in rate") {
+    val rows = Seq.tabulate(2000)(i => (i.toLong, (i % 5).toLong * 25)).toDF("id", "w")
+    // weight 0 rows can never pass; weight >= den/num/10000 always passes
+    val kept = Sampling.weightedSample(rows, col("id"), col("w"), 1L, 400L, 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.forall(_._2 > 0))
+    val saturated = Sampling.weightedSample(
+      rows.withColumn("w", col("w") + 10000L), col("id"), col("w"), 1L, 1L, 9L)
+    assert(saturated.count() == 2000)
+    // nesting: kept set at p is a subset of kept set at 2p
+    val lo = Sampling.weightedSample(rows, col("id"), col("w"), 1L, 800L, 9L)
+      .collect().map(_.getLong(0)).toSet
+    val hi = Sampling.weightedSample(rows, col("id"), col("w"), 2L, 800L, 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+    // realized rate tracks expectation: E[kept] = sum(w)/(den/num) buckets
+    val expected = rows.collect().map(r => math.min(10000L, r.getLong(1) * 10000L / 400L)).sum / 10000.0
+    assert(math.abs(kept.length - expected) < expected * 0.2 + 10)
+  }
+
+  test("weightedSample rejects non-positive denominators") {
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(Seq((1L, 1L)).toDF("id", "w"), col("id"), col("w"), 1L, 0L, 1L)
+    }
+  }
+
   test("sampling filter reaches the parquet scan as a pushed/partial predicate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = Sampling.hashSample(docs, col("doc_id"), 0.5, seed = 7)
