@@ -1198,6 +1198,76 @@ object SparkEntry {
     }
   }
 
+  /** Partitioned fact + filtered dim for [[qDpp]]: the fact side is the
+    * events table written hive-partitioned BY event_type (the layout a
+    * 100 TB fact table actually has), the dim side a tiny parquet lookup.
+    * Both parquet-backed so the optimizer sees prunable file scans.
+    */
+  private[graft] def dppInput(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val base = oncePerDir(s"/tmp/graft_dpp/${tmpKey(dir)}", "dim/_SUCCESS") {
+      val b = s"/tmp/graft_dpp/${tmpKey(dir)}"
+      events(spark, dir)
+        .withColumn("value_u", floor(col("value") * 1000000).cast("long"))
+        .select("event_id", "user_id", "value_u", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$b/fact")
+      Seq(("click", 1L), ("purchase", 2L), ("view", 3L), ("signup", 4L),
+        ("error", 5L)).toDF("event_type", "wgt")
+        .write.mode("overwrite").parquet(s"$b/dim") // dim last = sentinel
+    }
+    (spark.read.parquet(s"$base/fact"), spark.read.parquet(s"$base/dim"))
+  }
+
+  /** Dynamic partition pruning (SURVEY.md §4 optimizer surface): joining
+    * a hive-partitioned fact table on its PARTITION column against a
+    * selectively-filtered dim makes Catalyst inject a runtime
+    * `dynamicpruning` subquery into the fact scan — only the partitions
+    * whose keys survive the dim filter are ever listed or read, the
+    * partition-level sibling of [[qRuntimeBloom]]'s row-level filter and
+    * THE mechanism that turns a 100 TB fact scan into a 2-partition
+    * read. On by default; `PlanSpec` asserts the pruning subquery is in
+    * the scan. The oracle reproduces the surviving-partition aggregate.
+    */
+  private def qDpp(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = dppInput(spark, dir)
+    fact.join(dim.filter(col("wgt") <= 2), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_u").as("sum_value_u"))
+      .orderBy("event_type")
+  }
+
+  /** The scan for [[qMetaCount]] — caller must have routed parquet to
+    * DSv2 and enabled `spark.sql.parquet.aggregatePushdown`. */
+  private[graft] def metaCountFrame(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+
+  /** Metadata-only aggregation (parquet aggregate pushdown): COUNT/MIN/
+    * MAX with no filter are answered from parquet FOOTER statistics —
+    * zero data pages decompressed, the ANALYZE-speed path for 100 TB
+    * freshness checks. Needs the DSv2 parquet reader
+    * (`useV1SourceList=""`) plus `parquet.aggregatePushdown`; both
+    * scoped set→execute→restore (the [[qRuntimeBloom]] discipline).
+    * `PlanSpec` asserts `PushedAggregation` lands in the scan.
+    */
+  private def qMetaCount(spark: SparkSession, dir: String): DataFrame = {
+    val tuned = Map(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = metaCountFrame(spark, dir)
+      val rows = agg.collect() // exactly one row
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Small-file compaction ([[graft.ops.Compaction]]) end-to-end: the
     * documents table fragmented into 64 tiny files (the accreted-sink
     * state), compacted shuffle-free (`coalesce` over target-sized input
@@ -3915,6 +3985,8 @@ object SparkEntry {
     "q_skew_join" -> (qSkewJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_runtime_bloom" -> (qRuntimeBloom _),
+    "q_dpp" -> (qDpp _),
+    "q_meta_count" -> (qMetaCount _),
     "q_compaction" -> (qCompaction _),
     "q_zorder_scan" -> (qZorderScan _),
     "q_scd2" -> (qScd2 _),
@@ -4804,6 +4876,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dpp" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor("value" * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_u
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_meta_count" ->
+      """SELECT count(*) AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |       min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        |FROM lineitem""".stripMargin,
     "q_compaction" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,

@@ -232,6 +232,34 @@ class PlanSpec extends SparkSpec {
       "q_incremental_dedup plan must contain the broadcast-handle bloom expression")
   }
 
+  test("q_dpp: the fact scan carries a dynamic partition pruning subquery") {
+    val (fact, dim) = SparkEntry.dppInput(spark, sf)
+    val out = fact.join(dim.filter(org.apache.spark.sql.functions.col("wgt") <= 2), "event_type")
+      .groupBy("event_type").count()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruning in fact scan:\n${p.take(1500)}")
+  }
+
+  test("q_meta_count: COUNT/MIN/MAX are answered from parquet footers (PushedAggregation)") {
+    val tuned = Map(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = SparkEntry.metaCountFrame(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"expected footer-stat aggregation pushdown in:\n${p.take(1500)}")
+      assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_partkey)"),
+        "min/max must ride the pushed aggregation too")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_group_sample: exact-k rank filter gets WindowGroupLimit pushdown") {
     val p = planStr(SparkEntry.queries("q_group_sample")(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
