@@ -825,6 +825,66 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** STREAMING CDC materialization ([[graft.ops.CdcApply]] inside
+    * `foreachBatch`): the time-chunked event stream applied batch-by-batch
+    * onto a keyed parquet snapshot — upserts replace, `error` tombstones
+    * delete, each micro-batch runs one compact + a temp-write-and-swap of
+    * the snapshot (the BandPostings save-back pattern; at real scale the
+    * swap narrows to touched partitions via [[PartitionedSink]]).
+    * Because batches arrive in time order and [[CdcApply.compact]] is
+    * last-writer-wins by (ts, event_id) WITHIN a batch, the sequential
+    * fold equals the one-shot batch compaction — so the oracle is
+    * q_cdc_apply's, reproduced on the same readout.
+    */
+  private def qStreamingCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = streamChunksDir(spark, dir)
+    val snapBase = s"/tmp/graft_streamcdc/${tmpKey(dir)}"
+    deleteRec(new java.io.File(snapBase)) // rebuild per run: the drain IS the query
+    val snapDir = s"$snapBase/snap"
+    val ev = events(spark, dir)
+    ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("__first"))
+      .select(col("user_id"), col("__first.event_type").as("event_type"),
+        col("__first.value").as("value"))
+      .write.mode("overwrite").parquet(snapDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamcdc_ckpt").toString
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .filter(col("event_type") =!= "signup")
+      .withColumn("op",
+        when(col("event_type") === "error", "delete").otherwise("upsert"))
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cur = spark.read.parquet(snapDir)
+        val next = graft.ops.CdcApply.compact(
+          cur, batch.toDF(), Seq("user_id"), Seq("ts", "event_id"),
+          "op", "delete", Seq("event_type", "value"))
+        val tmp = s"$snapBase/snap_next"
+        next.write.mode("overwrite").parquet(tmp)
+        deleteRec(new java.io.File(snapDir))
+        if (!new java.io.File(tmp).renameTo(new java.io.File(snapDir)))
+          throw new IllegalStateException("snapshot swap failed")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("[graft] q_streaming_cdc drain timed out")
+    }
+    deleteRec(new java.io.File(ckpt))
+    spark.read.parquet(snapDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_u"))
+      .orderBy("event_type")
+  }
+
   /** Relational PIVOT: the hour-of-day x event-type count matrix with an
     * EXPLICIT pivot domain — at 100 TB the value list is configuration,
     * not a driver-side distinct-discovery pass (which `pivot(col)` without
@@ -3966,6 +4026,7 @@ object SparkEntry {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_interval_coverage" -> (qIntervalCoverage _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_streaming_cdc" -> (qStreamingCdc _),
     "q_trend" -> (qTrend _),
     "q_chi2" -> (qChi2 _),
     "q_pivot" -> (qPivot _),
@@ -4656,6 +4717,37 @@ object SparkEntry {
         |         AS covered_us
         |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, "value" FROM (
+        |    SELECT user_id, event_type, "value",
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+        |lg AS (
+        |  SELECT user_id, ts, event_id, event_type, "value",
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END AS op
+        |  FROM events WHERE event_type <> 'signup'),
+        |last AS (
+        |  SELECT user_id, op, event_type, "value" FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM lg) WHERE rn = 1),
+        |fin AS (
+        |  SELECT coalesce(l.user_id, b.user_id) AS user_id,
+        |         CASE WHEN l.user_id IS NULL THEN b.event_type
+        |              ELSE l.event_type END AS event_type,
+        |         CASE WHEN l.user_id IS NULL THEN b."value"
+        |              ELSE l."value" END AS v
+        |  FROM base b FULL JOIN last l ON b.user_id = l.user_id
+        |  WHERE l.user_id IS NULL OR l.op <> 'delete')
+        |SELECT event_type, count(*) AS n_users,
+        |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_u
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical content to q_cdc_apply's oracle BY DESIGN: the sequential
+    // per-batch fold must land on the same final snapshot as the one-shot
+    // batch compaction
+    "q_streaming_cdc" ->
       """WITH base AS (
         |  SELECT user_id, event_type, "value" FROM (
         |    SELECT user_id, event_type, "value",
