@@ -885,6 +885,39 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Islands-and-gaps (longest streak): each user's longest run of
+    * consecutive same-type events in time order — the classic gaps/
+    * islands decomposition, `rn_global − rn_per_type` as the island key,
+    * with BOTH window passes partitioned by user (no global sort; a
+    * user's history is the bounded unit of work, the same contract as
+    * sessionization). Readout compacted per event type: users whose
+    * longest streak is that type, max/total streak stats — all integers.
+    */
+  private def qStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val islands = events(spark, dir)
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("rnt", row_number().over(byUserType))
+      .withColumn("island", col("rn") - col("rnt"))
+      .groupBy("user_id", "event_type", "island")
+      .agg(count(lit(1)).as("len"))
+    // per user: the longest island — deterministic tie-break on
+    // (event_type, island); rank-1 filter compiles to WindowGroupLimit
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("event_type").asc, col("island").asc)
+    val best = islands
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("user_id"), col("len").as("best_len"),
+        col("event_type").as("best_type"))
+    best.groupBy(col("best_type").as("event_type"))
+      .agg(count(lit(1)).as("n_users"), max("best_len").as("max_streak"),
+        sum("best_len").as("sum_streak"))
+      .orderBy("event_type")
+  }
+
   /** Relational PIVOT: the hour-of-day x event-type count matrix with an
     * EXPLICIT pivot domain — at 100 TB the value list is configuration,
     * not a driver-side distinct-discovery pass (which `pivot(col)` without
@@ -4027,6 +4060,7 @@ object SparkEntry {
     "q_interval_coverage" -> (qIntervalCoverage _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_streaming_cdc" -> (qStreamingCdc _),
+    "q_streaks" -> (qStreaks _),
     "q_trend" -> (qTrend _),
     "q_chi2" -> (qChi2 _),
     "q_pivot" -> (qPivot _),
@@ -4775,6 +4809,25 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
         |         AS sum_value_u
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_streaks" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS rnt
+        |  FROM events),
+        |isl AS (SELECT user_id, event_type, rn - rnt AS island,
+        |               CAST(count(*) AS BIGINT) AS len
+        |        FROM r GROUP BY 1, 2, 3),
+        |best AS (SELECT user_id, len AS best_len, event_type AS best_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, event_type ASC, island ASC) AS rk
+        |  FROM isl) WHERE rk = 1)
+        |SELECT best_type AS event_type, count(*) AS n_users,
+        |       max(best_len) AS max_streak,
+        |       CAST(sum(best_len) AS BIGINT) AS sum_streak
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_trend" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
