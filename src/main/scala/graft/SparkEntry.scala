@@ -3732,13 +3732,13 @@ object SparkEntry {
     val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
       (3L, "stream window batch")).toDF("qid", "qtext")
     val docs = spread(t(spark, dir, "documents"))
-    val (run, release) = graft.ops.Bm25.bm25TopK(
+    // WithTf: the run's persisted tf doubles as the per-doc term-set
+    // source for relevance grading — one corpus tokenize, not two
+    val (run, tf, release) = graft.ops.Bm25.bm25TopKWithTf(
       docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
     val qt = queries.select(col("qid"),
       explode(array_distinct(TF.tokenHashes(col("qtext")))).as("th"))
-    val dt = docs.select(col("doc_id"),
-      explode(array_distinct(TF.tokenHashes(col("text")))).as("th"))
-    val rels = dt.join(broadcast(qt), "th")
+    val rels = tf.join(broadcast(qt), "th")
       .groupBy("qid", "doc_id").agg(count(lit(1)).as("rel"))
     val out = graft.ops.RetrievalEval.ndcgAtK(
         run, "qid", "doc_id", "rank", rels, "qid", "doc_id", "rel", k = 10)
@@ -3757,13 +3757,11 @@ object SparkEntry {
     val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
       (3L, "stream window batch")).toDF("qid", "qtext")
     val docs = spread(t(spark, dir, "documents"))
-    val (run, release) = graft.ops.Bm25.bm25TopK(
+    val (run, tf, release) = graft.ops.Bm25.bm25TopKWithTf(
       docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
     val qt = queries.select(col("qid"),
       explode(array_distinct(TF.tokenHashes(col("qtext")))).as("th"))
-    val dt = docs.select(col("doc_id"),
-      explode(array_distinct(TF.tokenHashes(col("text")))).as("th"))
-    val rels = dt.join(broadcast(qt), "th")
+    val rels = tf.join(broadcast(qt), "th")
       .groupBy("qid", "doc_id").agg(count(lit(1)).as("rel"))
       .filter(col("rel") >= 2)
     val out = graft.ops.RetrievalEval.recallAtK(

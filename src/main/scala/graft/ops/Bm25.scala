@@ -60,6 +60,26 @@ object Bm25 {
       qidCol: String,
       qTextCol: String,
       k: Int): (DataFrame, () => Unit) = {
+    val (out, _, release) =
+      bm25TopKWithTf(corpus, idCol, textCol, queries, qidCol, qTextCol, k)
+    (out, release)
+  }
+
+  /** [[bm25TopK]] that ALSO exposes the persisted per-(doc, token-hash)
+    * tf aggregate — the widest intermediate — for downstream reuse: the
+    * retrieval-eval queries ([[RetrievalEval]]) need per-doc term sets
+    * for relevance grading, and reusing tf means the corpus is tokenized
+    * ONCE for both the run and its evaluation. Hold the release handle
+    * until every reader of BOTH frames has executed.
+    */
+  def bm25TopKWithTf(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qTextCol: String,
+      k: Int): (DataFrame, DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val tf = corpus
       .select(col(idCol), explode(tokenHashArray(col(textCol))).as("th"))
@@ -104,6 +124,6 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank").cast("long").as("rank"),
         col(idCol), col("scaled_score"))
-    (out, () => { tf.unpersist(blocking = false); () })
+    (out, tf, () => { tf.unpersist(blocking = false); () })
   }
 }
