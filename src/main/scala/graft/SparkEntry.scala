@@ -1114,6 +1114,31 @@ object SparkEntry {
         concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("cc"))
       .orderBy("o_orderkey")
 
+  /** Higher-order array functions (§2B scalar surface beyond strings/
+    * dates): each user's history collected to an ORDERED array
+    * (`sort_array` of (ts, event_id) structs — per-user state, the
+    * sessionization boundedness contract), consecutive gaps via
+    * `zip_with` over two `slice`s, folded with `aggregate` — the whole
+    * chain is one codegen'd projection after one grouping, no second
+    * shuffle, no UDF. Readout: users histogrammed by max-gap hours. The
+    * oracle reproduces relationally (lag window), pinning the array
+    * semantics against an independent formulation.
+    */
+  private def qArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id")))).as("evs"))
+      .withColumn("n", size(col("evs")))
+      .filter(col("n") >= 2)
+      .withColumn("gaps", expr(
+        "zip_with(slice(evs, 1, n - 1), slice(evs, 2, n - 1)," +
+          " (a, b) -> unix_micros(b.ts) - unix_micros(a.ts))"))
+      .withColumn("max_gap_us", expr("aggregate(gaps, -1L, (acc, g) -> greatest(acc, g))"))
+      .withColumn("sum_gap_us", expr("aggregate(gaps, 0L, (acc, g) -> acc + g)"))
+      .groupBy(expr("max_gap_us div 3600000000").as("gap_h"))
+      .agg(count(lit(1)).as("n_users"), sum("sum_gap_us").as("sum_gap_us"))
+      .orderBy("gap_h")
+
   private def qRegexExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
@@ -4068,6 +4093,7 @@ object SparkEntry {
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
@@ -4942,6 +4968,19 @@ object SparkEntry {
         |       floor(sqrt(o_totalprice) * 10000 + 0.5) / 10000 AS sq,
         |       concat(o_orderstatus, '-', o_orderpriority) AS cc
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, CAST(max(gap) AS BIGINT) AS maxg,
+        |         CAST(sum(gap) AS BIGINT) AS sumg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT maxg // 3600000000 AS gap_h, count(*) AS n_users,
+        |       CAST(sum(sumg) AS BIGINT) AS sum_gap_us
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_regex_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
         |       count(*) AS n, max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
