@@ -2908,6 +2908,26 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Join-size estimation WITHOUT running the join — the planning probe
+    * next to [[qSkewReport]]: `|A ⋈ B| = Σ_k cntA(k)·cntB(k)` from the
+    * two per-key count aggregates, whose join is keys-sized (≪ the
+    * join's row output, and never materializes a single joined row).
+    * Also reports both input sizes and the max single-key contribution —
+    * the row that tells you whether ONE hot key dominates the output.
+    */
+  private def qJoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val b = t(spark, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    a.join(b, "k")
+      .select((col("ca") * col("cb")).as("contrib"), col("ca"), col("cb"))
+      .agg(sum("contrib").as("est_rows"),
+        count(lit(1)).as("n_shared_keys"),
+        max("contrib").as("max_key_rows"),
+        sum("ca").as("a_rows_on_shared"), sum("cb").as("b_rows_on_shared"))
+  }
+
   /** Join-key skew report — the profiling pass that decides whether a
     * join needs salting ([[graft.ops.SkewJoin]]): per-key frequencies of
     * the orders⋈customer key, the 5 heaviest keys (deterministic
@@ -4155,6 +4175,7 @@ object SparkEntry {
     "q_oov_rate" -> (qOovRate _),
     "q_kl_sources" -> (qKlSources _),
     "q_skew_report" -> (qSkewReport _),
+    "q_join_size_est" -> (qJoinSizeEst _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -5358,6 +5379,17 @@ object SparkEntry {
          |SELECT na, nb, v, CAST(sum(t_ab) AS BIGINT) AS kl_ab_u,
          |       CAST(sum(t_ba) AS BIGINT) AS kl_ba_u
          |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+    "q_join_size_est" ->
+      """WITH a AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |      FROM orders GROUP BY 1)
+        |SELECT CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+        |       count(*) AS n_shared_keys,
+        |       CAST(max(ca * cb) AS BIGINT) AS max_key_rows,
+        |       CAST(sum(ca) AS BIGINT) AS a_rows_on_shared,
+        |       CAST(sum(cb) AS BIGINT) AS b_rows_on_shared
+        |FROM a JOIN b USING (k)""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
         |           FROM orders GROUP BY 1),
