@@ -800,10 +800,13 @@ object SparkEntry {
     * data-profiling independence probe ("is activity shape uniform
     * across types?"). Observed and marginal counts are exact integers;
     * each cell's statistic is the IDENTICAL IEEE sequence on both
-    * engines — `d = O·T − R·C` (exact in double below 2^53),
-    * `floor(1e6 · d·d / (R·C·T))` — then integer-summed, so the scaled
-    * chi² is bit-exact. One count aggregate + two bounded marginal
-    * frames joined back by broadcast.
+    * engines — every product is computed DOUBLE-FIRST
+    * (`O_d·T − R_d·C`, `(R_d·C)·T`) so no intermediate can overflow a
+    * long at any corpus size (a long product would wrap in Spark and
+    * raise in DuckDB two orders of magnitude before the double-rounding
+    * envelope matters), then `floor(1e6·d·d/den)` is integer-summed —
+    * the scaled chi² is bit-exact cross-engine. One count aggregate +
+    * two bounded marginal frames joined back by broadcast.
     */
   private def qChi2(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
@@ -816,10 +819,11 @@ object SparkEntry {
       .join(broadcast(rowM), "event_type")
       .join(broadcast(colM), "hod")
       .crossJoin(broadcast(tot))
-      .withColumn("d", (col("o") * col("t") - col("r") * col("c")).cast("double"))
+      .withColumn("d",
+        col("o").cast("double") * col("t") - col("r").cast("double") * col("c"))
       .withColumn("cell_u",
         floor(lit(1e6) * col("d") * col("d") /
-          (col("r") * col("c") * col("t")).cast("double")).cast("long"))
+          (col("r").cast("double") * col("c") * col("t"))).cast("long"))
     cells.groupBy("event_type")
       .agg(count(lit(1)).as("n_cells"), sum("cell_u").as("chi2_u"))
       .orderBy("event_type")
@@ -873,11 +877,12 @@ object SparkEntry {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("[graft] q_streaming_cdc drain timed out")
-    }
-    deleteRec(new java.io.File(ckpt))
+    try {
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("[graft] q_streaming_cdc drain timed out")
+      }
+    } finally deleteRec(new java.io.File(ckpt)) // one-shot either way
     spark.read.parquet(snapDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"),
@@ -1593,7 +1598,13 @@ object SparkEntry {
     * streaming semantics, but not what these queries measure).
     */
   private def streamChunksDir(spark: SparkSession, dir: String): String = {
-    val key = tmpKey(dir)
+    // _v2: chunk order pinned OUTSIDE spark (sequenced names + strictly
+    // increasing forced mtimes, the nearDupStreamSrcDir discipline).
+    // Back-to-back writes can produce ms-tied part-file mtimes whose
+    // UUID-name tie-break would let FileStreamSource swap two chunks —
+    // harmless to order-insensitive aggregations, fatal to watermark
+    // late-drops and to the order-sensitive q_streaming_cdc fold.
+    val key = tmpKey(dir) + "_v2"
     oncePerDir(s"/tmp/graft_stream_src/$key", "_OK") {
       val out = s"/tmp/graft_stream_src/$key"
       deleteRec(new java.io.File(out))
@@ -1602,10 +1613,20 @@ object SparkEntry {
       val r0 = ev.agg(min("__us"), max("__us")).head()
       val (lo, hi) = (r0.getLong(0), r0.getLong(1))
       val step = math.max(1L, (hi - lo) / 8 + 1)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val t0 = System.currentTimeMillis()
       for (i <- 0 until 8) {
+        val stage = s"$out/.stage"
         ev.filter(col("__us") >= lo + i * step && col("__us") < lo + (i + 1) * step)
-          .drop("__us").coalesce(1).write.mode("append").parquet(out)
+          .drop("__us").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new org.apache.hadoop.fs.Path(f"$out/chunk-$i%02d.parquet")
+        fs.rename(new org.apache.hadoop.fs.Path(part.getPath), dst)
+        fs.setTimes(dst, t0 + i * 60000L, -1)
       }
+      deleteRec(new java.io.File(s"$out/.stage"))
       new java.io.File(s"$out/_OK").createNewFile()
     }
   }
@@ -3772,19 +3793,29 @@ object SparkEntry {
     * (literal micro-discount weights, `2^rel-1` gains, ppm division), so
     * both engines produce identical rows.
     */
-  private def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by [[qNdcg]] and [[qRetrievalRecall]] (whose oracles assume
+    * identical runs and relevance): the three fixed queries' BM25 top-10
+    * run plus graded relevance (rel = #distinct query terms in the doc)
+    * computed off the run's OWN persisted postings — one corpus
+    * tokenize for run and grading together.
+    */
+  private def bm25EvalRunAndRels(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, () => Unit) = {
     import spark.implicits._
     val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
       (3L, "stream window batch")).toDF("qid", "qtext")
     val docs = spread(t(spark, dir, "documents"))
-    // WithTf: the run's persisted tf doubles as the per-doc term-set
-    // source for relevance grading — one corpus tokenize, not two
     val (run, tf, release) = graft.ops.Bm25.bm25TopKWithTf(
       docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
     val qt = queries.select(col("qid"),
       explode(array_distinct(TF.tokenHashes(col("qtext")))).as("th"))
     val rels = tf.join(broadcast(qt), "th")
       .groupBy("qid", "doc_id").agg(count(lit(1)).as("rel"))
+    (run, rels, release)
+  }
+
+  private def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val (run, rels, release) = bm25EvalRunAndRels(spark, dir)
     val out = graft.ops.RetrievalEval.ndcgAtK(
         run, "qid", "doc_id", "rank", rels, "qid", "doc_id", "rel", k = 10)
       .orderBy("qid").localCheckpoint(true)
@@ -3798,19 +3829,10 @@ object SparkEntry {
     * readouts (averaging rr_ppm across queries is MRR).
     */
   private def qRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
-      (3L, "stream window batch")).toDF("qid", "qtext")
-    val docs = spread(t(spark, dir, "documents"))
-    val (run, tf, release) = graft.ops.Bm25.bm25TopKWithTf(
-      docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
-    val qt = queries.select(col("qid"),
-      explode(array_distinct(TF.tokenHashes(col("qtext")))).as("th"))
-    val rels = tf.join(broadcast(qt), "th")
-      .groupBy("qid", "doc_id").agg(count(lit(1)).as("rel"))
-      .filter(col("rel") >= 2)
+    val (run, rels, release) = bm25EvalRunAndRels(spark, dir)
     val out = graft.ops.RetrievalEval.recallAtK(
-        run, "qid", "doc_id", "rank", rels, "qid", "doc_id", k = 10)
+        run, "qid", "doc_id", "rank", rels.filter(col("rel") >= 2),
+        "qid", "doc_id", k = 10)
       .orderBy("qid").localCheckpoint(true)
     release()
     out
@@ -4782,10 +4804,12 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_interval_coverage" ->
       """WITH iv AS (
-        |  SELECT event_type, epoch_us(ts) AS s,
-        |         epoch_us(ts) + 1000000
-        |           + CAST(floor("value" * 100000) AS BIGINT) AS e
-        |  FROM events),
+        |  SELECT event_type, s, e FROM (
+        |    SELECT event_type, epoch_us(ts) AS s,
+        |           epoch_us(ts) + 1000000
+        |             + CAST(floor("value" * 100000) AS BIGINT) AS e
+        |    FROM events)
+        |  WHERE s < e),
         |sw AS (
         |  SELECT event_type, s, e,
         |         max(e) OVER (PARTITION BY event_type ORDER BY s, e
@@ -4904,8 +4928,8 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM o),
         |cells AS (
         |  SELECT o.event_type,
-        |         CAST(o.o * t.t - r.r * c.c AS DOUBLE) AS d,
-        |         CAST(r.r * c.c * t.t AS DOUBLE) AS den
+        |         CAST(o.o AS DOUBLE) * t.t - CAST(r.r AS DOUBLE) * c.c AS d,
+        |         CAST(r.r AS DOUBLE) * c.c * t.t AS den
         |  FROM o JOIN r USING (event_type) JOIN c USING (hod) CROSS JOIN t)
         |SELECT event_type, count(*) AS n_cells,
         |       CAST(sum(CAST(floor(1000000.0 * d * d / den) AS BIGINT)) AS BIGINT)

@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is 64-bit integer microseconds (`unix_micros`), so the
   * result is bit-exact and engine-portable. Inverted or empty intervals
-  * (`end <= start`) contribute nothing and are dropped up front. The same
+  * (`end <= start`) are dropped up front — a group with NO valid
+  * interval is therefore ABSENT from the result, not a zero row (left
+  * join a group frame downstream if zero rows are wanted; scanning the
+  * input a second time just for that default is not this operator's
+  * job). The same
   * `maxBucketsPerRow` guard as [[RangeJoin.overlapJoin]] bounds the
   * explode factor of open-ended sentinel rows (opt-in, dropped rows are an
   * explicit coverage bound).

@@ -53,7 +53,10 @@ object Sampling {
     * rate: the kept set at num/den is a subset of the kept set at any
     * higher num'/den'. Shuffle-free: the whole predicate is scan-side.
     * Caller bounds: `weight * 10000 * num` and `9999 * den` must fit a
-    * long.
+    * long. Weights are TRUNCATED to integers (a double quality score in
+    * (0,1) would keep nothing) — pre-scale fractional scores to an
+    * integer grid (e.g. `floor(score * 1000)`) and fold the grid into
+    * `den`.
     */
   def weightedSample(
       df: DataFrame,

@@ -38,13 +38,19 @@ object Whitening {
     def dim: Int = mean.length
   }
 
-  /** Train on `vecCol` (array<float|double>). One pass: per-partition
-    * (n, Σx, Σxxᵀ) accumulators, associative combine, driver-side
-    * Jacobi. Rows with null/odd-length vectors are skipped. */
+  /** Train on `vecCol` (array<float|double>). One pass for moments:
+    * per-partition (n, Σx, Σxxᵀ) accumulators, associative combine,
+    * driver-side Jacobi. The model dimension is the MODAL vector length
+    * (one cheap count aggregate, deterministic tie-break) — a stray
+    * corrupt short/long vector can never flip which rows count,
+    * regardless of partition/file layout; rows of any other length are
+    * skipped. */
   def train(df: DataFrame, vecCol: String, eps: Double = 1e-9): Model = {
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-    val d = vecs.select(size(col("v")).as("d")).filter(col("d") > 0)
+    val d = vecs.filter(size(col("v")) > 0)
+      .groupBy(size(col("v")).as("d")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("d").desc)
       .head(1).headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException("no non-empty vectors"))
     // per-partition primitive accumulation; combine is element-wise add
