@@ -21,4 +21,13 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  test("streaming CDC fold lands on exactly the batch compaction snapshot") {
+    // the documented equality-by-construction (time-ordered batches +
+    // within-batch LWW): q_streaming_cdc's readout must be row-identical
+    // to q_cdc_apply's, not merely oracle-green in isolation
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(rows("q_streaming_cdc") == rows("q_cdc_apply"))
+  }
 }
