@@ -890,6 +890,36 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Time-weighted average (irregular-sample metric aggregation): each
+    * event's value holds until the user's NEXT event (`lead` window,
+    * partitioned per user — bounded state, no global sort), weighted by
+    * that holding duration. All integer arithmetic at a precision chosen
+    * to bound the sums: value in centi-units (×100) times duration in
+    * SECONDS keeps the corpus numerator orders of magnitude inside a
+    * long; the ppm readout splits the scaled division as
+    * `q·1e6 + (r·1e6 div den)` (with `num = q·den + r`) — exactly
+    * `floor(num·1e6/den)` but with no overflowable `num·1e6`
+    * intermediate.
+    */
+  private def qTimeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_s",
+        expr("(next_us - unix_micros(ts)) div 1000000"))
+      .withColumn("vc", floor(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("vc") * col("gap_s")).as("num_cs"),
+        sum("gap_s").as("den_s"))
+      .withColumn("twa_cppm",
+        when(col("den_s") > 0,
+          expr("(num_cs div den_s) * 1000000 + (num_cs % den_s) * 1000000 div den_s")))
+      .orderBy("event_type")
+  }
+
   /** Islands-and-gaps (longest streak): each user's longest run of
     * consecutive same-type events in time order — the classic gaps/
     * islands decomposition, `rn_global − rn_per_type` as the island key,
@@ -4126,6 +4156,7 @@ object SparkEntry {
     "q_cdc_apply" -> (qCdcApply _),
     "q_streaming_cdc" -> (qStreamingCdc _),
     "q_streaks" -> (qStreaks _),
+    "q_time_weighted" -> (qTimeWeighted _),
     "q_trend" -> (qTrend _),
     "q_chi2" -> (qChi2 _),
     "q_pivot" -> (qPivot _),
@@ -4878,6 +4909,24 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
         |         AS sum_value_u
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_weighted" ->
+      """WITH h AS (
+        |  SELECT event_type, "value",
+        |         (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) - epoch_us(ts)) // 1000000 AS gap_s
+        |  FROM events),
+        |v AS (SELECT event_type, CAST(floor("value" * 100) AS BIGINT) AS vc, gap_s
+        |      FROM h WHERE gap_s IS NOT NULL),
+        |m AS (SELECT event_type, count(*) AS n_held,
+        |             CAST(sum(vc * gap_s) AS BIGINT) AS num_cs,
+        |             CAST(sum(gap_s) AS BIGINT) AS den_s
+        |      FROM v GROUP BY 1)
+        |SELECT event_type, n_held, num_cs, den_s,
+        |       CASE WHEN den_s > 0 THEN
+        |         CAST((num_cs // den_s) * 1000000
+        |              + (num_cs % den_s) * 1000000 // den_s AS BIGINT) END
+        |         AS twa_cppm
+        |FROM m ORDER BY 1""".stripMargin,
     "q_streaks" ->
       """WITH r AS (
         |  SELECT user_id, event_type,

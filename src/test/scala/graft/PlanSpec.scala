@@ -260,6 +260,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_streaks: the per-user best-island rank filter gets WindowGroupLimit pushdown") {
+    val p = planStr(SparkEntry.queries("q_streaks")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
+  }
+
+  test("q_skew_report: global top-5 plans as TakeOrdered partial top-k, not a global sort") {
+    val p = planStr(SparkEntry.queries("q_skew_report")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n${p.take(1500)}")
+  }
+
   test("q_group_sample: exact-k rank filter gets WindowGroupLimit pushdown") {
     val p = planStr(SparkEntry.queries("q_group_sample")(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
