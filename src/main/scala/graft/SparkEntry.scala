@@ -4039,6 +4039,21 @@ object SparkEntry {
       .orderBy("hop")
   }
 
+  /** k-core peeling ([[graft.ops.KCore]]): 3 synchronous peel rounds at
+    * k=2 over the 20-host link graph — the dense-cohesion filter
+    * (degree-1 tendrils peel, the cycle-rich core survives). A fixed
+    * round count makes the result a pure function of (graph, k, rounds),
+    * so the oracle unrolls the identical recurrence; KCoreSpec owns the
+    * fixpoint/cascade semantics.
+    */
+  private def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val (core, _) = graft.ops.KCore.peel(
+      docLinkEdges(spark, dir), "src", "dst", k = 2, rounds = 3)
+    core.agg(count(lit(1)).as("n_core_nodes"),
+      coalesce(sum("degree"), lit(0L)).as("sum_core_degree"),
+      min("node").as("min_node"))
+  }
+
   /** The deterministic 20-host link graph both rank queries run on. */
   private def docLinkEdges(spark: SparkSession, dir: String): DataFrame = {
     val h = t(spark, dir, "documents")
@@ -4283,6 +4298,7 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_label_prop" -> (qLabelProp _),
     "q_bfs_hops" -> (qBfsHops _),
+    "q_kcore" -> (qKcore _),
     "q_trustrank" -> (qTrustrank _),
     "q_upsample" -> (qUpsample _),
     "q_shard_assign" -> (qShardAssign _),
@@ -6569,6 +6585,34 @@ object SparkEntry {
         |d AS (SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY 1)
         |SELECT hop, count(*) AS n_nodes, min(node) AS min_node
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kcore" ->
+      """WITH raw AS (
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |         'site-' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION ALL
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR),
+        |         'site-' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |a0 AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+        |k1 AS (SELECT u FROM a0 GROUP BY u HAVING count(*) >= 2),
+        |a1 AS (SELECT a.u, a.v FROM a0 a JOIN k1 x ON a.u = x.u
+        |       JOIN k1 y ON a.v = y.u),
+        |k2 AS (SELECT u FROM a1 GROUP BY u HAVING count(*) >= 2),
+        |a2 AS (SELECT a.u, a.v FROM a1 a JOIN k2 x ON a.u = x.u
+        |       JOIN k2 y ON a.v = y.u),
+        |k3 AS (SELECT u FROM a2 GROUP BY u HAVING count(*) >= 2),
+        |a3 AS (SELECT a.u, a.v FROM a2 a JOIN k3 x ON a.u = x.u
+        |       JOIN k3 y ON a.v = y.u),
+        |core AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        |         FROM a3 GROUP BY 1)
+        |SELECT count(*) AS n_core_nodes,
+        |       CAST(coalesce(sum(degree), 0) AS BIGINT) AS sum_core_degree,
+        |       min(node) AS min_node
+        |FROM core""".stripMargin,
     "q_label_prop" ->
       """WITH raw AS (
         |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
