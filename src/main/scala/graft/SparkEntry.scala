@@ -2190,6 +2190,27 @@ object SparkEntry {
         countDistinct(TF.contentFingerprint(col("text"))).as("n_distinct"))
       .orderBy("lang")
 
+  /** Three-corpus content Venn (multi-way [[qCorpusDiff]]): distinct
+    * content fingerprints of three source slices reduced to a presence
+    * BITMASK (one hash aggregate over (fp, source), one over fp — never
+    * a pairwise join per corpus pair), counted per Venn region. The
+    * 2^n-region readout is how corpus-overlap dashboards are actually
+    * fed at scale; n corpora stay ONE pass regardless of n.
+    */
+  private def qVenn3(spark: SparkSession, dir: String): DataFrame = {
+    val fp = t(spark, dir, "documents")
+      .filter(col("source").isin("src0", "src1", "src2"))
+      .select(col("source"), TF.contentFingerprint(col("text")).as("fp"))
+      .distinct()
+    fp.groupBy("fp")
+      .agg(max(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+        max(when(col("source") === "src1", 1L).otherwise(0L)).as("b"),
+        max(when(col("source") === "src2", 1L).otherwise(0L)).as("c"))
+      .groupBy((col("a") * 4 + col("b") * 2 + col("c")).as("region"))
+      .agg(count(lit(1)).as("n_contents"))
+      .orderBy("region")
+  }
+
   private def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .groupBy(TF.contentFingerprint(col("text")).as("fp"))
@@ -4210,6 +4231,7 @@ object SparkEntry {
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_venn3" -> (qVenn3 _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_containment" -> (qContainment _),
@@ -5374,6 +5396,18 @@ object SparkEntry {
     "q_dedup_exact" ->
       s"""SELECT lang, count(*) AS n_docs, count(DISTINCT $FpSql) AS n_distinct
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_venn3" ->
+      s"""WITH fp AS (
+         |  SELECT DISTINCT source, $FpSql AS fp FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2')),
+         |mask AS (
+         |  SELECT fp,
+         |    CAST(max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(max(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM fp GROUP BY 1)
+         |SELECT a * 4 + b * 2 + c AS region, count(*) AS n_contents
+         |FROM mask GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_groups" ->
       s"""SELECT count(*) AS n_dup_groups, CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_dup_docs FROM (
          |  SELECT $FpSql AS fp, count(*) AS sz FROM documents GROUP BY 1 HAVING count(*) > 1)""".stripMargin,
