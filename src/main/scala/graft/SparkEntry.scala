@@ -920,6 +920,48 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Spark 4.x `transformWithState` arbitrary stateful streaming
+    * ([[graft.streaming.RunningTotals]] — the StatefulProcessor
+    * successor to the legacy `flatMapGroupsWithState` that
+    * [[qSessionizeCustom]] covers): per-user running (count, Σvalue_u)
+    * emitting one cumulative row per key per touched micro-batch, state
+    * in the REQUIRED RocksDB store (conf scoped set→drain→restore).
+    * Emissions carry cumulative totals, so the per-key MAX over all
+    * emissions equals the batch aggregate no matter how the stream was
+    * chunked — the identity the oracle pins.
+    */
+  private def qTransformState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = streamChunksDir(spark, dir)
+    val base = s"/tmp/graft_tws/${tmpKey(dir)}"
+    deleteRec(new java.io.File(base)) // the drain is the query
+    val sink = s"$base/sink"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("user_id").as("k"),
+          floor(col("value") * 1000000).cast("long").as("inc"))
+        .as[graft.streaming.RunningTotals.In]
+      drainAppendToParquet(graft.streaming.RunningTotals(stream).toDF(),
+        sink, "q_transform_state", statePartitionCap = Some(8))
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+    spark.read.parquet(sink)
+      .groupBy("k")
+      .agg(max("n").as("n_events"), max("total").as("total_u"))
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_users"), sum("total_u").as("sum_total_u"))
+      .orderBy("n_events")
+  }
+
   /** Islands-and-gaps (longest streak): each user's longest run of
     * consecutive same-type events in time order — the classic gaps/
     * islands decomposition, `rn_global − rn_per_type` as the island key,
@@ -4193,6 +4235,7 @@ object SparkEntry {
     "q_streaming_cdc" -> (qStreamingCdc _),
     "q_streaks" -> (qStreaks _),
     "q_time_weighted" -> (qTimeWeighted _),
+    "q_transform_state" -> (qTransformState _),
     "q_trend" -> (qTrend _),
     "q_chi2" -> (qChi2 _),
     "q_pivot" -> (qPivot _),
@@ -4947,6 +4990,15 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
         |         AS sum_value_u
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_transform_state" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         CAST(sum(CAST(floor("value" * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS total_u
+        |  FROM events GROUP BY 1)
+        |SELECT n_events, count(*) AS n_users,
+        |       CAST(sum(total_u) AS BIGINT) AS sum_total_u
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_time_weighted" ->
       """WITH h AS (
         |  SELECT event_type, "value",
