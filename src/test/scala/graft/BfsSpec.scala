@@ -48,4 +48,23 @@ class BfsSpec extends SparkSpec {
   test("empty seed set yields empty result") {
     assert(run(Seq(("a", "b")), Nil, 5) == Map.empty[String, Long])
   }
+
+  test("scale probe: 50k-edge random graph matches a sequential BFS reference") {
+    val rnd = new scala.util.Random(11)
+    val nNodes = 8000
+    val edges = Seq.fill(50000)((s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}"))
+    val seeds = Seq("n0", "n1", "n2")
+    val maxHops = 5
+    // plain-Scala reference BFS
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(run(edges, seeds, maxHops) == dist)
+  }
 }

@@ -81,6 +81,30 @@ class IntervalCoverageSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSeq == Seq(10000000L))
   }
 
+  test("scale probe: 200k dense intervals match the single-sweep window result") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic congruential offsets: heavy overlap, many buckets
+    val n = 200000
+    val df = spark.range(n).select(
+        (col("id") * 48271 % 997013).as("s0"),
+        (col("id") * 16807 % 4001 + 1).as("len"))
+      .select(lit("g").as("k"),
+        timestamp_micros(col("s0") * 1000000L).as("ts0"),
+        timestamp_micros((col("s0") + col("len")) * 1000000L).as("ts1"))
+    val bucketized = IntervalCoverage.coverage(df, Seq("k"), "ts0", "ts1", 3600000000L)
+      .head().getLong(1)
+    // reference: textbook sweep as ONE window over the whole group (fine
+    // at test scale; the operator exists to avoid exactly this at 100 TB)
+    val w = Window.partitionBy("k").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sweep = df.select(col("k"), unix_micros(col("ts0")).as("s"), unix_micros(col("ts1")).as("e"))
+      .withColumn("cov", greatest(lit(0L),
+        col("e") - greatest(col("s"), coalesce(max(col("e")).over(w), col("s")))))
+      .agg(sum("cov")).head().getLong(0)
+    assert(bucketized == sweep)
+  }
+
   test("empty input yields empty result under auto-bucket") {
     val d = df(Seq.empty[(Long, Long)])
     assert(IntervalCoverage.coverageAutoBucket(d, Seq("k"), "ts0", "ts1").count() == 0L)
