@@ -962,6 +962,29 @@ object SparkEntry {
       .orderBy("n_events")
   }
 
+  /** Deterministic pseudonymization (PII-safe export, the tokenization
+    * sibling of [[qPiiRedact]]'s destructive redaction): identities are
+    * replaced by `md5(salt ':' id)` prefixes — the cross-engine
+    * pseudo-random contract [[Sampling]] already pins — and the readout
+    * PROVES referential integrity survives: events joined to the order
+    * side ON THE PSEUDONYM reproduce exactly the raw-key join. Pure
+    * scan-side projection (no shuffle added beyond the join being
+    * audited); salt rotation = new pseudonym universe.
+    */
+  private def qPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    def pseudo(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("s9:"), c.cast("string")).cast("binary")), 1, 16)
+    val ev = events(spark, dir)
+      .select(pseudo(col("user_id")).as("p"), col("event_type"))
+    val cust = t(spark, dir, "orders")
+      .select(pseudo(col("o_custkey")).as("p")).distinct()
+    ev.join(cust, "p")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_matched"),
+        countDistinct(col("p")).as("n_pseudonyms"))
+      .orderBy("event_type")
+  }
+
   /** Islands-and-gaps (longest streak): each user's longest run of
     * consecutive same-type events in time order — the classic gaps/
     * islands decomposition, `rn_global − rn_per_type` as the island key,
@@ -4236,6 +4259,7 @@ object SparkEntry {
     "q_streaks" -> (qStreaks _),
     "q_time_weighted" -> (qTimeWeighted _),
     "q_transform_state" -> (qTransformState _),
+    "q_pseudonymize" -> (qPseudonymize _),
     "q_trend" -> (qTrend _),
     "q_chi2" -> (qChi2 _),
     "q_pivot" -> (qPivot _),
@@ -4990,6 +5014,18 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
         |         AS sum_value_u
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pseudonymize" ->
+      """WITH ev AS (
+        |  SELECT substr(md5('s9:' || CAST(user_id AS VARCHAR)), 1, 16) AS p,
+        |         event_type
+        |  FROM events),
+        |cust AS (
+        |  SELECT DISTINCT substr(md5('s9:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS p
+        |  FROM orders)
+        |SELECT event_type, count(*) AS n_matched,
+        |       count(DISTINCT ev.p) AS n_pseudonyms
+        |FROM ev JOIN cust ON ev.p = cust.p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_transform_state" ->
       """WITH per AS (
         |  SELECT user_id, count(*) AS n_events,
