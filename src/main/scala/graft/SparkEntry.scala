@@ -150,6 +150,18 @@ object SparkEntry {
         ev.select(format_string("%d %s user=%d\n  seq=%d\n  tail value=%.2f",
           col("event_id"), col("event_type"), col("user_id"),
           col("event_id"), col("value")).as("value"))
+      case "apache" =>
+        // apache_combined lines; every 10th request has bytes "-" (the
+        // dialect's "no body" marker — INT parse of it must null, not die)
+        ev.select(format_string(
+          "10.0.0.%d - - [%s +0000] \"GET /%s HTTP/1.1\" %d %s \"-\" \"graft-bench\"",
+          pmod(col("user_id"), lit(200)),
+          date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+          col("event_type"),
+          when(col("event_type") === "error", 500).otherwise(200),
+          when(col("event_id") % 10 === 0, lit("-"))
+            .otherwise(floor(col("value") * 100).cast("long").cast("string")))
+          .as("value"))
     }
     if (flavor.endsWith("_gz"))
       lines.write.mode("overwrite").option("compression", "gzip").text(out)
@@ -185,6 +197,29 @@ object SparkEntry {
         r(sum("value"), 2).as("sum_value"),
         max("event_id").cast("long").as("max_event_id"))
       .orderBy("event_type")
+  }
+
+  /** Named-preset dialect parsing (`format=apache_combined`,
+    * [[graft.log.LogOptions.Presets]]): real apache lines — including the
+    * dialect's `-` "no body" marker, which must land as a NULL bytes
+    * column under tolerant mode, not kill the scan — parsed with a
+    * one-line config instead of hand-written pattern/fieldNames/
+    * dataTypes. The TIMESTAMP column round-trips the bracketed
+    * `dd/MMM/yyyy:HH:mm:ss Z` stamp; `max_hour` pins it.
+    */
+  private def qLogApache(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "apache")
+    spark.read.format("log")
+      .option("format", "apache_combined")
+      .option("extensions", "txt")
+      .load(path)
+      .groupBy(col("status").cast("long").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bytes").isNull, 1L).otherwise(0L)).as("n_bytes_null"),
+        sum(col("bytes").cast("long")).as("sum_bytes"),
+        countDistinct(col("host")).as("n_hosts"),
+        max(hour(col("ts"))).cast("long").as("max_hour"))
+      .orderBy("status")
   }
 
   private def qLogUnmatched(spark: SparkSession, dir: String): DataFrame = {
@@ -4214,6 +4249,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_parse_agg" -> (qLogParseAgg _),
+    "q_log_apache" -> (qLogApache _),
     "q_log_pushdown" -> (qLogPushdown _),
     "q_log_dropmalformed" -> (qLogDropMalformed _),
     "q_log_multiline" -> (qLogMultiline _),
@@ -4684,6 +4720,18 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value,
         |       max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_log_apache" ->
+      """SELECT CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS BIGINT)
+        |         AS status,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bytes_null,
+        |       CAST(sum(CASE WHEN event_id % 10 <> 0
+        |                     THEN CAST(floor("value" * 100) AS BIGINT) END)
+        |         AS BIGINT) AS sum_bytes,
+        |       count(DISTINCT user_id % 200) AS n_hosts,
+        |       CAST(max(hour(ts)) AS BIGINT) AS max_hour
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_log_pushdown" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS n,
         |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value

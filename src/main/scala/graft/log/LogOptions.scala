@@ -90,12 +90,56 @@ object LogOptions {
   val KnownTypes: Set[String] =
     Set("INT", "INTEGER", "DOUBLE", "FLOAT8", "FLOAT", "FLOAT4", "DATE", "TIMESTAMP", "TIME", "VARCHAR")
 
+  /** Named format presets (`format` option): the configs a user of the
+    * reference plugin writes by hand for the common log dialects, shipped
+    * as one-liners. A preset supplies DEFAULTS — any explicitly-passed
+    * option overrides the preset's value, so `format=apache_combined`
+    * plus a custom `dataTypes` works. Beyond-reference convenience; the
+    * parse pipeline is unchanged (same pattern/fieldNames/dataTypes
+    * machinery, LogFormatPlugin.java:86-94).
+    *
+    * Timestamp semantics: the bracketed Apache timestamp parses with its
+    * numeric offset, but TIMESTAMP conversion keeps the WALL-CLOCK under
+    * pinned UTC (the source's documented TIMESTAMP divergence) — exact
+    * round-trip for +0000 logs, which is what synthetic fixtures and the
+    * overwhelming majority of server configs emit.
+    */
+  val Presets: Map[String, Map[String, String]] = Map(
+    "apache_common" -> Map(
+      "pattern" -> "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d{3}) (\\S+)",
+      "fieldnames" -> "host, ident, authuser, ts, request, status, bytes",
+      "datatypes" -> "VARCHAR, VARCHAR, VARCHAR, TIMESTAMP, VARCHAR, INT, INT",
+      "dateformat" -> "dd/MMM/yyyy:HH:mm:ss Z"),
+    "apache_combined" -> Map(
+      "pattern" -> ("^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d{3}) (\\S+)" +
+        " \"([^\"]*)\" \"([^\"]*)\""),
+      "fieldnames" -> "host, ident, authuser, ts, request, status, bytes, referer, user_agent",
+      "datatypes" -> "VARCHAR, VARCHAR, VARCHAR, TIMESTAMP, VARCHAR, INT, INT, VARCHAR, VARCHAR",
+      "dateformat" -> "dd/MMM/yyyy:HH:mm:ss Z"),
+    // the reference README's own MySQL general-log example (README.md of
+    // cgivre/drill-logfile-plugin), as a named preset
+    "mysql_general" -> Map(
+      "pattern" -> "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)",
+      "fieldnames" -> "date, time, pid, action, query",
+      "datatypes" -> "DATE, TIME, INT, VARCHAR, VARCHAR",
+      "dateformat" -> "yyMMdd"))
+
   def fromMap(options: CaseInsensitiveStringMap): LogOptions =
     fromMap(options.asCaseSensitiveMap().asScala.toMap)
 
   /** Validation order mirrors `LogRecordReader.java:155-199`. */
   def fromMap(options: Map[String, String]): LogOptions = {
-    val opts = options.map { case (k, v) => k.toLowerCase -> v }
+    val explicit = options.map { case (k, v) => k.toLowerCase -> v }
+    // `format` preset resolution FIRST: the preset supplies defaults,
+    // explicit options win key-by-key
+    val opts = explicit.get("format").map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+      case Some(name) =>
+        val preset = Presets.getOrElse(name, throw new IllegalArgumentException(
+          s"[log] unknown format preset '$name'; known presets: " +
+            Presets.keys.toSeq.sorted.mkString(", ")))
+        preset ++ explicit
+      case None => explicit
+    }
     def get(k: String): Option[String] = opts.get(k.toLowerCase).map(_.trim).filter(_.nonEmpty)
 
     val pattern = get("pattern").getOrElse(DefaultPattern)

@@ -403,6 +403,49 @@ class LogSourceSpec extends SparkSpec {
     assert(df.agg(org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0) == 19900L)
   }
 
+  test("format presets: apache_combined parses real lines, '-' bytes nulls, overrides win") {
+    val dir = java.nio.file.Files.createTempDirectory("apache").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "access.log").toPath,
+      """10.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://ref/" "Mozilla"
+        |10.0.0.2 - - [10/Oct/2000:13:55:37 -0700] "HEAD / HTTP/1.0" 304 - "-" "curl"
+        |""".stripMargin)
+    val df = spark.read.format("log")
+      .option("format", "apache_combined")
+      .load(dir.getAbsolutePath)
+    val rows = df.orderBy("host").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("host") == "10.0.0.1")
+    assert(rows(0).getAs[Int]("status") == 200 && rows(0).getAs[Int]("bytes") == 2326)
+    assert(rows(1).getAs[Int]("status") == 304 && rows(1).isNullAt(rows(1).fieldIndex("bytes")))
+    assert(rows(0).getAs[String]("user_agent") == "Mozilla")
+    // explicit option overrides the preset's field
+    val over = spark.read.format("log")
+      .option("format", "apache_combined")
+      .option("dataTypes",
+        "VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR")
+      .load(dir.getAbsolutePath)
+    assert(over.schema("status").dataType == org.apache.spark.sql.types.StringType)
+    // unknown preset is a config error naming the known ones
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("log").option("format", "nginx").load(dir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("apache_combined"))
+  }
+
+  test("format presets: mysql_general equals the hand-written README config") {
+    val byHand = spark.read.format("log")
+      .option("pattern", "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)")
+      .option("fieldNames", "date, time, pid, action, query")
+      .option("dataTypes", "DATE, TIME, INT, VARCHAR, VARCHAR")
+      .option("dateFormat", "yyMMdd")
+      .load(fixture("mysql.log"))
+    val preset = spark.read.format("log")
+      .option("format", "mysql_general")
+      .load(fixture("mysql.log"))
+    assert(preset.schema == byHand.schema)
+    assert(preset.collect().toSeq == byHand.collect().toSeq)
+  }
+
   test("directory load filters by extensions option") {
     val dir = new java.io.File(getClass.getResource("/fixtures").toURI).getAbsolutePath
     val df = spark.read.format("log")
