@@ -3080,6 +3080,53 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** ANSI SQL entry point (the `spark.sql` surface next to the DataFrame
+    * API every other query uses): the TPC-H Q3 shipping-priority shape —
+    * 3-way join, selective date filters both sides, grouped revenue,
+    * global top-10. Revenue is exact integer CENTS (`floor(price·(1−disc)
+    * ·100)` — the identical IEEE sequence both engines run), so the
+    * ranking is deterministic; ties break on the key. The plan is the
+    * classic broadcast(customer-filter) + shuffled lineitem join +
+    * TakeOrdered.
+    */
+  private def qTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderkey,
+        |       sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+        |         AS revenue_c,
+        |       cast(cast(o_orderdate as date) as string) AS order_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp '1998-06-01 00:00:00'
+        |  AND l_shipdate > timestamp '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_c DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelation): orders priced
+    * at their customer's maximum, written AS the correlated form — the
+    * optimizer rewrites it into an aggregate + join (no per-row
+    * re-execution), which is the only shape that survives 100 TB. The
+    * oracle runs the IDENTICAL correlated SQL text in DuckDB.
+    */
+  private def qCorrelatedSubq(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o.o_orderpriority AS pri, count(*) AS n_max_orders,
+        |       cast(sum(cast(floor(o.o_totalprice * 100) as bigint)) as bigint)
+        |         AS sum_price_c
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Join-size estimation WITHOUT running the join — the planning probe
     * next to [[qSkewReport]]: `|A ⋈ B| = Σ_k cntA(k)·cntB(k)` from the
     * two per-key count aggregates, whose join is keys-sized (≪ the
@@ -4369,6 +4416,8 @@ object SparkEntry {
     "q_kl_sources" -> (qKlSources _),
     "q_skew_report" -> (qSkewReport _),
     "q_join_size_est" -> (qJoinSizeEst _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_correlated_subq" -> (qCorrelatedSubq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_stats" -> (qTokenStats _),
@@ -5649,6 +5698,28 @@ object SparkEntry {
         |       CAST(sum(ca) AS BIGINT) AS a_rows_on_shared,
         |       CAST(sum(cb) AS BIGINT) AS b_rows_on_shared
         |FROM a JOIN b USING (k)""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT o_orderkey,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_c,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_c DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_correlated_subq" ->
+      """SELECT o.o_orderpriority AS pri, count(*) AS n_max_orders,
+        |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
         |           FROM orders GROUP BY 1),
