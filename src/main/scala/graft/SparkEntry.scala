@@ -3080,6 +3080,56 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Ranking-window suite (§2B window functions beyond topk/lag):
+    * `ntile`, `percent_rank`, `cume_dist` over a UNIQUE total order
+    * (price, key — ties would make ntile membership engine-dependent).
+    * Readout keeps only order-independent per-bucket extremes (an AVG of
+    * doubles would inherit partition summation order).
+    */
+  private def qWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("q4", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("o_orderpriority", "q4")
+      .agg(count(lit(1)).as("n"),
+        r(min("pr"), 6).as("min_pr"), r(max("pr"), 6).as("max_pr"),
+        r(max("cd"), 6).as("max_cd"))
+      .orderBy("o_orderpriority", "q4")
+  }
+
+  /** String-function suite (§2B scalars beyond the basics): levenshtein
+    * (identical DP algorithm in both engines — exact integers), translate,
+    * lpad, initcap-style casing on the dialect-free customer names, one
+    * scan, no shuffle beyond the final bounded aggregate.
+    */
+  private def qStringSuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev"),
+        length(translate(col("c_name"), "0", "")).cast("long").as("len_no_zero"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"))
+      .groupBy((col("lev") % 4).as("lev_bucket"))
+      .agg(count(lit(1)).as("n"), sum("len_no_zero").as("sum_len"),
+        max("padded").as("max_padded"))
+      .orderBy("lev_bucket")
+
+  /** Conditional/boolean aggregate suite: `count_if`, `bool_and`,
+    * `bool_or`, plus filtered aggregation — the audit-flag readouts every
+    * constraint system compiles to, one pass, map-side combinable.
+    */
+  private def qCondAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("count_if(o_totalprice > 150000)").as("n_big"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        max(when(col("o_orderstatus") === "O", col("o_orderkey"))).as("max_open_key"))
+      .orderBy("o_orderpriority")
+
   /** ANSI SQL entry point (the `spark.sql` surface next to the DataFrame
     * API every other query uses): the TPC-H Q3 shipping-priority shape —
     * 3-way join, selective date filters both sides, grouped revenue,
@@ -4417,6 +4467,9 @@ object SparkEntry {
     "q_skew_report" -> (qSkewReport _),
     "q_join_size_est" -> (qJoinSizeEst _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_window_suite" -> (qWindowSuite _),
+    "q_string_suite" -> (qStringSuite _),
+    "q_cond_agg" -> (qCondAgg _),
     "q_correlated_subq" -> (qCorrelatedSubq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -5698,6 +5751,37 @@ object SparkEntry {
         |       CAST(sum(ca) AS BIGINT) AS a_rows_on_shared,
         |       CAST(sum(cb) AS BIGINT) AS b_rows_on_shared
         |FROM a JOIN b USING (k)""".stripMargin,
+    "q_window_suite" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |         CAST(ntile(4) OVER ord AS BIGINT) AS q4,
+        |         percent_rank() OVER ord AS pr,
+        |         cume_dist() OVER ord AS cd
+        |  FROM orders
+        |  WINDOW ord AS (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderpriority, q4, count(*) AS n,
+        |       floor(min(pr) * 1000000 + 0.5) / 1000000 AS min_pr,
+        |       floor(max(pr) * 1000000 + 0.5) / 1000000 AS max_pr,
+        |       floor(max(cd) * 1000000 + 0.5) / 1000000 AS max_cd
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_string_suite" ->
+      """WITH s AS (
+        |  SELECT CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev,
+        |         CAST(length(replace(c_name, '0', '')) AS BIGINT) AS len_no_zero,
+        |         lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded
+        |  FROM customer)
+        |SELECT lev % 4 AS lev_bucket, count(*) AS n,
+        |       CAST(sum(len_no_zero) AS BIGINT) AS sum_len,
+        |       max(padded) AS max_padded
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+        |       bool_or(o_orderstatus = 'F') AS any_f,
+        |       bool_and(o_totalprice > 0) AS all_positive,
+        |       max(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS max_open_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q3" ->
       """SELECT o_orderkey,
         |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
