@@ -3130,6 +3130,39 @@ object SparkEntry {
         max(when(col("o_orderstatus") === "O", col("o_orderkey"))).as("max_open_key"))
       .orderBy("o_orderpriority")
 
+  /** Null-semantics suite: null-safe equality (`<=>` / IS NOT DISTINCT
+    * FROM), `nullif`, `nvl2`-style branching, and coalesce chains over a
+    * column with SYNTHESIZED nulls — the exact corner where engines
+    * diverge silently; every readout is an integer count.
+    */
+  private def qNullSuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      // every 7th order loses its status (deterministic null planting)
+      .withColumn("st", when(col("o_orderkey") % 7 =!= 0, col("o_orderstatus")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(col("st")).as("n_status"),
+        sum(when(col("st") <=> lit("F"), 1L).otherwise(0L)).as("n_f_nullsafe"),
+        sum(when(col("st") <=> lit(null), 1L).otherwise(0L)).as("n_null_nullsafe"),
+        sum(when(expr("nullif(st, 'O')").isNull, 1L).otherwise(0L)).as("n_nullif_o"),
+        sum(coalesce(length(col("st")).cast("long"), lit(-1L))).as("sum_coalesced"))
+      .orderBy("o_orderpriority")
+
+  /** Decimal (money) arithmetic: prices cast to DECIMAL(18,2) and summed
+    * EXACTLY — the no-float-drift contract double summation can't give;
+    * sums are emitted as canonical strings so the parity check is on the
+    * exact decimal value, not a dtype representation.
+    */
+  private def qDecimal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("p").cast("decimal(28,2)").cast("string").as("sum_price"),
+        max("p").cast("string").as("max_price"),
+        min("p").cast("string").as("min_price"))
+      .orderBy("o_orderstatus")
+
   /** ANSI SQL entry point (the `spark.sql` surface next to the DataFrame
     * API every other query uses): the TPC-H Q3 shipping-priority shape —
     * 3-way join, selective date filters both sides, grouped revenue,
@@ -4470,6 +4503,8 @@ object SparkEntry {
     "q_window_suite" -> (qWindowSuite _),
     "q_string_suite" -> (qStringSuite _),
     "q_cond_agg" -> (qCondAgg _),
+    "q_null_suite" -> (qNullSuite _),
+    "q_decimal" -> (qDecimal _),
     "q_correlated_subq" -> (qCorrelatedSubq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -5751,6 +5786,29 @@ object SparkEntry {
         |       CAST(sum(ca) AS BIGINT) AS a_rows_on_shared,
         |       CAST(sum(cb) AS BIGINT) AS b_rows_on_shared
         |FROM a JOIN b USING (k)""".stripMargin,
+    "q_null_suite" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 7 <> 0 THEN o_orderstatus END AS st
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       count(st) AS n_status,
+        |       CAST(sum(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_f_nullsafe,
+        |       CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null_nullsafe,
+        |       CAST(sum(CASE WHEN nullif(st, 'O') IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_nullif_o,
+        |       CAST(sum(coalesce(CAST(length(st) AS BIGINT), -1)) AS BIGINT)
+        |         AS sum_coalesced
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decimal" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |         AS VARCHAR) AS sum_price,
+        |       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+        |       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_suite" ->
       """WITH w AS (
         |  SELECT o_orderpriority,

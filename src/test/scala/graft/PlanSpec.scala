@@ -271,6 +271,12 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n${p.take(1500)}")
   }
 
+  test("q_array_funcs: collect_list runs as ObjectHashAggregate, not a sort-based fallback") {
+    val p = planStr(SparkEntry.queries("q_array_funcs")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate for collect_list in:\n${p.take(1500)}")
+  }
+
   test("q_group_sample: exact-k rank filter gets WindowGroupLimit pushdown") {
     val p = planStr(SparkEntry.queries("q_group_sample")(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n${p.take(1500)}")
