@@ -3130,6 +3130,62 @@ object SparkEntry {
         max(when(col("o_orderstatus") === "O", col("o_orderkey"))).as("max_open_key"))
       .orderBy("o_orderpriority")
 
+  /** Incremental aggregate maintenance (the nightly-rollup pattern):
+    * yesterday's per-type rollup is COMBINED with the delta batch's
+    * rollup — `union → re-aggregate` over two already-tiny partial
+    * frames, the base data is never rescanned. count/sum/min/max are the
+    * mergeable-state aggregates (the same algebra the [[qHllSketchUnion]]
+    * / [[qValueHistogram]] sketches extend to distincts/quantiles); the
+    * oracle computes the full-scan answer, certifying merge ≡ rescan.
+    */
+  private def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("vu", floor(col("value") * 1000000).cast("long"))
+    def rollup(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vu").as("sum_vu"),
+        min("vu").as("min_vu"), max("vu").as("max_vu"))
+    val base = rollup(ev.filter(col("event_id") < 8000))   // "yesterday"
+    val delta = rollup(ev.filter(col("event_id") >= 8000)) // tonight's batch
+    base.union(delta)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("sum_vu").as("sum_vu"),
+        min("min_vu").as("min_vu"), max("max_vu").as("max_vu"))
+      .orderBy("event_type")
+  }
+
+  /** Date/time function suite (§2A's DATE semantics widened):
+    * add_months, last_day, quarter, dayofweek, date_trunc to quarter —
+    * calendar arithmetic both engines must agree on exactly.
+    */
+  private def qDateSuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .groupBy(quarter(col("d")).cast("long").as("q"))
+      .agg(count(lit(1)).as("n"),
+        max(add_months(col("d"), 3)).cast("string").as("max_plus3m"),
+        max(last_day(col("d"))).cast("string").as("max_month_end"),
+        sum(dayofweek(col("d")).cast("long")).as("sum_dow"),
+        min(date_trunc("quarter", col("d")).cast("date")).cast("string").as("min_q_start"))
+      .orderBy("q")
+
+  /** Bag-semantics set operations (UNION/INTERSECT/EXCEPT **ALL** — the
+    * multiplicity-preserving corner [[qSetops]]'s DISTINCT forms don't
+    * touch): row multisets built from two order slices, counted after
+    * each ALL operator.
+    */
+  private def qSetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderpriority").as("p"))
+    val b = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderpriority").as("p"))
+    val u = a.unionAll(b).groupBy("p").agg(count(lit(1)).as("n_union_all"))
+    val i = a.intersectAll(b).groupBy("p").agg(count(lit(1)).as("n_intersect_all"))
+    val e = a.exceptAll(b).groupBy("p").agg(count(lit(1)).as("n_except_all"))
+    u.join(i, Seq("p"), "left").join(e, Seq("p"), "left")
+      .na.fill(0L, Seq("n_intersect_all", "n_except_all"))
+      .orderBy("p")
+  }
+
   /** Null-semantics suite: null-safe equality (`<=>` / IS NOT DISTINCT
     * FROM), `nullif`, `nvl2`-style branching, and coalesce chains over a
     * column with SYNTHESIZED nulls — the exact corner where engines
@@ -4504,6 +4560,9 @@ object SparkEntry {
     "q_string_suite" -> (qStringSuite _),
     "q_cond_agg" -> (qCondAgg _),
     "q_null_suite" -> (qNullSuite _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_date_suite" -> (qDateSuite _),
+    "q_setops_all" -> (qSetopsAll _),
     "q_decimal" -> (qDecimal _),
     "q_correlated_subq" -> (qCorrelatedSubq _),
     "q_lang_id" -> (qLangId _),
@@ -5786,6 +5845,38 @@ object SparkEntry {
         |       CAST(sum(ca) AS BIGINT) AS a_rows_on_shared,
         |       CAST(sum(cb) AS BIGINT) AS b_rows_on_shared
         |FROM a JOIN b USING (k)""".stripMargin,
+    // full-scan answer: certifies the partial-aggregate MERGE ≡ rescan
+    "q_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor("value" * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_vu,
+        |       min(CAST(floor("value" * 1000000) AS BIGINT)) AS min_vu,
+        |       max(CAST(floor("value" * 1000000) AS BIGINT)) AS max_vu
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — aligned with +1
+    "q_date_suite" ->
+      """WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(quarter(d) AS BIGINT) AS q, count(*) AS n,
+        |       CAST(CAST(max(d + INTERVAL 3 MONTH) AS DATE) AS VARCHAR) AS max_plus3m,
+        |       CAST(max(last_day(d)) AS VARCHAR) AS max_month_end,
+        |       CAST(sum(dayofweek(d) + 1) AS BIGINT) AS sum_dow,
+        |       CAST(CAST(min(date_trunc('quarter', d)) AS DATE) AS VARCHAR)
+        |         AS min_q_start
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0),
+        |u AS (SELECT p, count(*) AS n_union_all FROM (
+        |        SELECT p FROM a UNION ALL SELECT p FROM b) GROUP BY 1),
+        |i AS (SELECT p, count(*) AS n_intersect_all FROM (
+        |        SELECT p FROM a INTERSECT ALL SELECT p FROM b) GROUP BY 1),
+        |e AS (SELECT p, count(*) AS n_except_all FROM (
+        |        SELECT p FROM a EXCEPT ALL SELECT p FROM b) GROUP BY 1)
+        |SELECT u.p, u.n_union_all,
+        |       coalesce(i.n_intersect_all, 0) AS n_intersect_all,
+        |       coalesce(e.n_except_all, 0) AS n_except_all
+        |FROM u LEFT JOIN i ON u.p = i.p LEFT JOIN e ON u.p = e.p
+        |ORDER BY 1""".stripMargin,
     "q_null_suite" ->
       """WITH s AS (
         |  SELECT o_orderpriority,
