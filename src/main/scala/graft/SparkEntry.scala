@@ -1067,6 +1067,45 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy("hod")
 
+  /** UNPIVOT (melt) — the inverse of [[qPivot]]'s explicit-domain pivot:
+    * the hour x type count matrix melted back to long form and
+    * re-aggregated per type. Spark's `unpivot` plans as a single Expand
+    * (no join, no shuffle beyond the final aggregate); ids/values/names
+    * are explicit — nothing is inferred at plan time from data.
+    */
+  private def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = events(spark, dir)
+      .withColumn("hod", hour(col("ts")).cast("long"))
+      .groupBy("hod")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+    wide.unpivot(Array(col("hod")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"),
+        sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_empty_hours"),
+        max("n").as("max_hourly"))
+      .orderBy("event_type")
+  }
+
+  /** Typed JSON extraction via `from_json` with a DECLARED schema (the
+    * plan-time-typed sibling of [[qJsonExtract]]'s path extraction):
+    * props parsed to a struct column once, fields projected as native
+    * ints — codegen'd JacksonParser, no per-field re-parse.
+    */
+  private def qJsonStruct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("j", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("j.k").cast("long")).as("sum_k"),
+        max(col("j.k")).cast("long").as("max_k"),
+        sum(when(col("j.k").isNull, 1L).otherwise(0L)).as("n_null_k"))
+      .orderBy("event_type")
+
   /** Conversion funnel: each user's FIRST click, converted if a purchase
     * follows within 7 days, cohorted by first-click day. Two bounded
     * aggregates (one row per user) + one equi-join; the gap readout is
@@ -4563,6 +4602,8 @@ object SparkEntry {
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_date_suite" -> (qDateSuite _),
     "q_setops_all" -> (qSetopsAll _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_json_struct" -> (qJsonStruct _),
     "q_decimal" -> (qDecimal _),
     "q_correlated_subq" -> (qCorrelatedSubq _),
     "q_lang_id" -> (qLangId _),
@@ -5877,6 +5918,29 @@ object SparkEntry {
         |       coalesce(e.n_except_all, 0) AS n_except_all
         |FROM u LEFT JOIN i ON u.p = i.p LEFT JOIN e ON u.p = e.p
         |ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS hod,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |  FROM events GROUP BY 1),
+        |long AS (
+        |  SELECT hod, event_type, n
+        |  FROM wide UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view)))
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_hours,
+        |       max(n) AS max_hourly
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_json_struct" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_null_suite" ->
       """WITH s AS (
         |  SELECT o_orderpriority,
