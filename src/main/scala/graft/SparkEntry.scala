@@ -3305,6 +3305,68 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** TPC-H Q5 shape (local-supplier revenue by nation): the 6-way
+    * snowflake join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
+    * with the local-supplier condition `c_nationkey = s_nationkey` — in
+    * exact integer cents. The dims broadcast, the two fact joins
+    * shuffle once each; the classic plan AQE should pick unaided.
+    */
+  private def qTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT n_name,
+        |       sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+        |         AS revenue_c
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue_c DESC, n_name""".stripMargin)
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-filter-
+    * aggregate — no join at all; the whole query is one codegen'd stage
+    * whose filters push to the parquet scan. Integer-cents readout.
+    */
+  private def qTpchQ6(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+        .as("revenue_c"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 shape (returned-item losses by customer): top 20
+    * customers by revenue lost to returns — fact joins + one bounded
+    * TakeOrdered, nation broadcast.
+    */
+  private def qTpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT c_custkey, c_name, n_name,
+        |       sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+        |         AS revenue_c
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  AND o_orderdate <  timestamp '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_c DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Join-size estimation WITHOUT running the join — the planning probe
     * next to [[qSkewReport]]: `|A ⋈ B| = Σ_k cntA(k)·cntB(k)` from the
     * two per-key count aggregates, whose join is keys-sized (≪ the
@@ -4595,6 +4657,9 @@ object SparkEntry {
     "q_skew_report" -> (qSkewReport _),
     "q_join_size_est" -> (qJoinSizeEst _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
     "q_window_suite" -> (qWindowSuite _),
     "q_string_suite" -> (qStringSuite _),
     "q_cond_agg" -> (qCondAgg _),
@@ -6009,6 +6074,43 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue_c DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_c
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue_c DESC, n_name""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_c,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_c
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_c DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q_correlated_subq" ->
       """SELECT o.o_orderpriority AS pri, count(*) AS n_max_orders,
         |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
