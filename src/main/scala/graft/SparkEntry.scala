@@ -3367,6 +3367,71 @@ object SparkEntry {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q1 (pricing summary) in full: per (returnflag, linestatus)
+    * sums/counts with the derived charge expression — every money column
+    * an exact integer-cents sum, the averages integer divisions of those
+    * sums (a float `avg()` would inherit partition summation order).
+    */
+  private def qTpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+        |       sum(cast(floor(l_extendedprice * 100) as bigint)) AS sum_base_c,
+        |       sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+        |         AS sum_disc_c,
+        |       sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+        |           as bigint)) AS sum_charge_c,
+        |       count(*) AS n,
+        |       sum(cast(floor(l_extendedprice * 100) as bigint)) div count(*)
+        |         AS avg_price_c,
+        |       sum(cast(floor(l_discount * 10000) as bigint)) div count(*)
+        |         AS avg_disc_bp
+        |FROM lineitem
+        |WHERE l_shipdate <= timestamp '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** EXISTS / NOT EXISTS subqueries (the SQL spelling of semi/anti —
+    * Catalyst plans them as LeftSemi/LeftAnti, the only scalable shape):
+    * customers with an urgent order but no 1996 order, counted per
+    * segment. Identical text runs in DuckDB.
+    */
+  private def qExistsSubq(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |                    AND o2.o_orderdate <  timestamp '1997-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** RANGE-frame windows (value-based frames, not row-counted ones): each
+    * order's trailing-30-day spend per customer — frame bounds in exact
+    * integer MICROSECONDS over the epoch so both engines cut the frame
+    * identically. Readout keeps order-independent per-priority extremes.
+    */
+  private def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("us"))
+      .rangeBetween(-2592000000000L, 0L) // 30 days of microseconds
+    t(spark, dir, "orders")
+      .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .withColumn("pc", floor(col("o_totalprice") * 100).cast("long"))
+      .withColumn("trail30", sum("pc").over(w))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("trail30").as("max_trail30_c"),
+        min("trail30").as("min_trail30_c"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Join-size estimation WITHOUT running the join — the planning probe
     * next to [[qSkewReport]]: `|A ⋈ B| = Σ_k cntA(k)·cntB(k)` from the
     * two per-key count aggregates, whose join is keys-sized (≪ the
@@ -4657,7 +4722,10 @@ object SparkEntry {
     "q_skew_report" -> (qSkewReport _),
     "q_join_size_est" -> (qJoinSizeEst _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_exists_subq" -> (qExistsSubq _),
+    "q_window_range" -> (qWindowRange _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_window_suite" -> (qWindowSuite _),
@@ -6074,6 +6142,47 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue_c DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_base_c,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS sum_disc_c,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+        |           AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |       count(*) AS n,
+        |       CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         // count(*) AS BIGINT) AS avg_price_c,
+        |       CAST(CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS BIGINT)
+        |         // count(*) AS BIGINT) AS avg_disc_bp
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_exists_subq" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                    AND o2.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_range" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |           PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |           RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |           AS trail30
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       CAST(max(trail30) AS BIGINT) AS max_trail30_c,
+        |       CAST(min(trail30) AS BIGINT) AS min_trail30_c
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
