@@ -3393,6 +3393,28 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** TPC-H Q18 shape (large-volume customers): `IN` over a HAVING-
+    * filtered aggregate subquery — Catalyst plans the IN as a semi-join
+    * against the aggregated subquery, never a per-row probe. Quantities
+    * are integral doubles, so the sums are exact.
+    */
+  private def qTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       cast(sum(cast(l_quantity as bigint)) as bigint) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   /** EXISTS / NOT EXISTS subqueries (the SQL spelling of semi/anti —
     * Catalyst plans them as LeftSemi/LeftAnti, the only scalable shape):
     * customers with an urgent order but no 1996 order, counted per
@@ -4725,6 +4747,7 @@ object SparkEntry {
     "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_exists_subq" -> (qExistsSubq _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_window_range" -> (qWindowRange _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -6160,6 +6183,18 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q_exists_subq" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer c
