@@ -3415,6 +3415,32 @@ object SparkEntry {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q14 shape (promotion effect): lineitem⋈part with a
+    * conditional revenue share — promo share in exact ppm (integer-cents
+    * numerator and denominator, split-free integer division since the
+    * numerator is bounded by the denominator × 1e6 ≪ 2^63 at any
+    * realistic month's revenue... in cents × ppm terms the product stays
+    * inside a long for monthly slices; the month filter is what bounds
+    * it, exactly as in the official query).
+    */
+  private def qTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT sum(case when p_type = 'PROMO'
+        |               then cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)
+        |               else 0L end) AS promo_c,
+        |       sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+        |         AS total_c,
+        |       sum(case when p_type = 'PROMO'
+        |               then cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)
+        |               else 0L end) * 1000000
+        |         div sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint))
+        |         AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= timestamp '1996-03-01 00:00:00'
+        |  AND l_shipdate <  timestamp '1996-04-01 00:00:00'""".stripMargin)
+  }
+
   /** EXISTS / NOT EXISTS subqueries (the SQL spelling of semi/anti —
     * Catalyst plans them as LeftSemi/LeftAnti, the only scalable shape):
     * customers with an urgent order but no 1996 order, counted per
@@ -4748,6 +4774,7 @@ object SparkEntry {
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_exists_subq" -> (qExistsSubq _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
     "q_window_range" -> (qWindowRange _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -6183,6 +6210,20 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |               THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |               ELSE 0 END) AS BIGINT) AS promo_c,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS total_c,
+        |       CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |               THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |               ELSE 0 END) AS BIGINT) * 1000000
+        |         // CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |              AS BIGINT) AS BIGINT) AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "q_tpch_q18" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
