@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHashFingerprint, TextFunctions => TF}
-import graft.ops.{AsOfJoin, Bfs, Boilerplate, Chunking, Dedup, Dsir, DupGroups, Multimodal, NgramLm, Packing, PageRank, PartitionedSink, QualityClassifier, Sampling, Similarity}
+import graft.ops.{Anonymize, AsOfJoin, Bfs, Boilerplate, Chunking, Dedup, Dsir, DupGroups, Multimodal, NgramLm, Packing, PageRank, PartitionedSink, QualityClassifier, Sampling, Similarity}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
   * the north-star LLM-pipeline operators; `oracleSql` gives the equivalent
@@ -3793,6 +3793,80 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4.x `WITH RECURSIVE`): SQL-level iteration —
+    * ancestor depths over the implicit binary supplier hierarchy
+    * (`parent = suppkey div 2`), a transitive closure neither joins nor
+    * window functions can express in one statement. Spark executes the
+    * recursion as iterated union-all steps (each step one distributed
+    * join against the previous frontier — the same shape as
+    * [[graft.ops.Bfs]]); depth is bounded by log2(|supplier|), so the
+    * iteration count grows logarithmically with data size. DuckDB runs
+    * the identical text with `//` for integer division.
+    */
+  private def qRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT cast(0 as bigint) AS k, cast(0 as bigint) AS depth
+        |  UNION ALL
+        |  SELECT s_suppkey, depth + 1
+        |  FROM supplier JOIN anc ON s_suppkey div 2 = anc.k
+        |  WHERE s_suppkey > 0)
+        |SELECT depth, count(*) AS n, cast(sum(k) as bigint) AS sum_k
+        |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** LATERAL VIEW posexplode (ordinality-preserving explode): the first
+    * 10 tokens of each document with their positions — the generator runs
+    * scan-side inside whole-stage codegen (a Generate node, no shuffle
+    * before the aggregate), and the per-(lang, pos) readout is bounded.
+    * The DuckDB oracle reproduces ordinality with zip-unnest of
+    * `range(...)` against the sliced token array.
+    */
+  private def qPosexplode(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT lang, cast(pos as bigint) AS pos, count(*) AS n,
+        |       cast(sum(length(tok)) as bigint) AS sum_len
+        |FROM documents
+        |LATERAL VIEW posexplode(slice(split(text, ' '), 1, 10)) AS pos, tok
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** k-anonymity release gate ([[graft.ops.Anonymize]]): quasi-identifier
+    * tuples (lang, source, length bucket) shared by fewer than k=5
+    * documents are suppressed (quasi columns nulled); the readout counts
+    * surviving rows per language with suppressed rows pooled under one
+    * label — exactly the aggregate a privacy review reads. The oracle
+    * recomputes the suppression from group sizes directly.
+    */
+  private def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("len_bucket", expr("n_chars div 500"))
+    Anonymize.kAnonymize(docs, Seq("lang", "source", "len_bucket"), 5L)
+      .groupBy(coalesce(col("lang"), lit("(suppressed)")).as("lang_out"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("lang_out")
+  }
+
+  /** Deterministic epoch shuffle: the global training order for epoch 0 is
+    * `ORDER BY md5('epoch0:' || doc_id)` — reproducible across engines and
+    * runs, re-keyable per epoch by changing the salt (the repo's
+    * established md5 contract, see qPseudonymize). The readout takes the
+    * first 20 positions via TakeOrdered (never a global window): LIMIT
+    * first, then rank within the bounded result.
+    */
+  private def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """WITH top AS (
+        |  SELECT doc_id, md5(concat('epoch0:', cast(doc_id as string))) AS h
+        |  FROM documents ORDER BY h, doc_id LIMIT 20)
+        |SELECT cast(row_number() OVER (ORDER BY h, doc_id) as bigint) AS rank,
+        |       doc_id, h
+        |FROM top ORDER BY rank""".stripMargin)
+  }
+
   /** EXISTS / NOT EXISTS subqueries (the SQL spelling of semi/anti —
     * Catalyst plans them as LeftSemi/LeftAnti, the only scalable shape):
     * customers with an urgent order but no 1996 order, counted per
@@ -5142,6 +5216,10 @@ object SparkEntry {
     "q_tpch_q20" -> (qTpchQ20 _),
     "q_tpch_q21" -> (qTpchQ21 _),
     "q_tpch_q22" -> (qTpchQ22 _),
+    "q_recursive_cte" -> (qRecursiveCte _),
+    "q_posexplode" -> (qPosexplode _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_window_range" -> (qWindowRange _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -6793,6 +6871,38 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT s_suppkey, depth + 1
+        |  FROM supplier JOIN anc ON s_suppkey // 2 = anc.k
+        |  WHERE s_suppkey > 0)
+        |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 500 AS len_bucket, count(*) AS group_n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CASE WHEN group_n < 5 THEN '(suppressed)' ELSE lang END AS lang_out,
+        |       CAST(sum(group_n) AS BIGINT) AS n_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH top AS (
+        |  SELECT doc_id, md5(concat('epoch0:', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents ORDER BY h, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank,
+        |       doc_id, h
+        |FROM top ORDER BY rank""".stripMargin,
+    "q_posexplode" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         unnest(range(0, least(10, len(string_split(text, ' '))))) AS pos,
+        |         unnest(string_split(text, ' ')[:10]) AS tok
+        |  FROM documents)
+        |SELECT lang, CAST(pos AS BIGINT) AS pos, count(*) AS n,
+        |       CAST(sum(length(tok)) AS BIGINT) AS sum_len
+        |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_tpch_q18" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty

@@ -352,4 +352,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("mapPartitions"),
       "chunking must be pure codegen builtins")
   }
+
+  test("q_tpch_q21: quantifier pair plans as semi/anti hash joins, never a nested loop") {
+    val p = planStr(SparkEntry.queries("q_tpch_q21")(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS should plan LeftSemi:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan LeftAnti:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlated quantifiers must hash-join on the orderkey")
+  }
+
+  test("q_tpch_q2: correlated MIN decorrelates — no cartesian, offer min as aggregate+join") {
+    val p = planStr(SparkEntry.queries("q_tpch_q2")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Q2's correlated subquery must decorrelate to joins:\n${p.take(1500)}")
+  }
+
+  test("q_tpch_q19: disjunctive predicate stays a single broadcast join pass") {
+    val p = planStr(SparkEntry.queries("q_tpch_q19")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "part side should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_posexplode: generator runs scan-side as a Generate node, no UDF") {
+    val p = planStr(SparkEntry.queries("q_posexplode")(spark, sf))
+    assert(p.contains("Generate"), "expected Generate (posexplode)")
+    assert(!p.contains("BatchEvalPython"))
+  }
 }
