@@ -3867,6 +3867,84 @@ object SparkEntry {
         |FROM top ORDER BY rank""".stripMargin)
   }
 
+  /** VARIANT semi-structured round-trip (Spark 4.x `parse_json` →
+    * `variant_get`): deterministic JSON synthesized from orders, parsed
+    * ONCE into the binary VARIANT encoding, then typed extractions
+    * aggregate exactly back to the source — certifying parse + path
+    * extraction + cast against the relational oracle (which reads the
+    * same source directly, the established round-trip trick). VARIANT
+    * keeps extraction scan-side and codegen'd; no per-row re-parse per
+    * path the way repeated `get_json_object` calls would.
+    */
+  private def qVariant(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH j AS (
+        |  SELECT parse_json(concat('{"k":', cast(o_orderkey as string),
+        |           ',"p":"', o_orderpriority, '","t":',
+        |           cast(cast(floor(o_totalprice * 100) as bigint) as string),
+        |           '}')) AS v
+        |  FROM orders)
+        |SELECT cast(variant_get(v, '$.p') as string) AS pri, count(*) AS n,
+        |       sum(cast(variant_get(v, '$.t') as bigint)) AS sum_c,
+        |       max(cast(variant_get(v, '$.k') as bigint)) AS max_k
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** XML extraction (Spark 4.x built-in `from_xml` with a DECLARED
+    * schema): deterministic XML synthesized from orders, parsed back to a
+    * typed struct and aggregated to the source values — the same
+    * round-trip certification as qVariant/the log source. Parse once to
+    * a struct, project native fields; never per-field xpath calls.
+    */
+  private def qXmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH x AS (
+        |  SELECT from_xml(concat('<o><k>', cast(o_orderkey as string),
+        |           '</k><s>', o_orderstatus, '</s><c>',
+        |           cast(cast(floor(o_totalprice * 100) as bigint) as string),
+        |           '</c></o>'), 'k BIGINT, s STRING, c BIGINT') AS r
+        |  FROM orders)
+        |SELECT r.s AS status, count(*) AS n, cast(sum(r.c) as bigint) AS sum_c
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** LISTAGG ordered string aggregation (Spark 4.x `WITHIN GROUP`): the
+    * first three orderkeys per priority concatenated in declared order —
+    * deterministic because the WITHIN GROUP order is total and the input
+    * is pre-limited per group by a rank filter (compiled to
+    * WindowGroupLimit, so no group ever aggregates more than 3 strings).
+    */
+  private def qListagg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH top3 AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority AS pri,
+        |       listagg(cast(o_orderkey as string), ',')
+        |         WITHIN GROUP (ORDER BY o_orderkey) AS first_keys
+        |FROM top3 WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Bitwise aggregates (bit_or / bit_and / bit_xor): exact integer bit
+    * accumulation per group — the compact-bitmap building block (presence
+    * masks, feature flags) that stays a one-pass map-side-combinable
+    * hash aggregate at any scale.
+    */
+  private def qBitAgg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus AS status,
+        |       cast(bit_or(o_orderkey % 4096) as bigint) AS b_or,
+        |       cast(bit_and(o_orderkey % 4096 + 4096) as bigint) AS b_and,
+        |       cast(bit_xor(o_orderkey) as bigint) AS b_xor
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** EXISTS / NOT EXISTS subqueries (the SQL spelling of semi/anti —
     * Catalyst plans them as LeftSemi/LeftAnti, the only scalable shape):
     * customers with an urgent order but no 1996 order, counted per
@@ -5220,6 +5298,10 @@ object SparkEntry {
     "q_posexplode" -> (qPosexplode _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
+    "q_variant" -> (qVariant _),
+    "q_xml_extract" -> (qXmlExtract _),
+    "q_listagg" -> (qListagg _),
+    "q_bit_agg" -> (qBitAgg _),
     "q_window_range" -> (qWindowRange _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -6880,6 +6962,33 @@ object SparkEntry {
         |  WHERE s_suppkey > 0)
         |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_listagg" ->
+      """WITH top3 AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority AS pri,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |                  ORDER BY o_orderkey) AS first_keys
+        |FROM top3 WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bit_agg" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(bit_or(o_orderkey % 4096) AS BIGINT) AS b_or,
+        |       CAST(bit_and(o_orderkey % 4096 + 4096) AS BIGINT) AS b_and,
+        |       CAST(bit_xor(o_orderkey) AS BIGINT) AS b_xor
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_variant" ->
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_c,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_k
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_xml_extract" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_k_anonymity" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 500 AS len_bucket, count(*) AS group_n
