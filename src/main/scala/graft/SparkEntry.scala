@@ -3945,6 +3945,25 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Curriculum-mixing schedule ([[Sampling.curriculumOrder]]): a
+    * deterministic virtual-time order that interleaves sources
+    * proportionally to weight at every prefix — the data-mixture schedule
+    * a trainer consumes, with nothing sampled away. Weight here derives
+    * from the source id (`suffix % 3 + 1`) so both engines compute it;
+    * readout takes the schedule head via TakeOrdered and aggregates per
+    * source, making the 3:1 interleave a hash-checked fact.
+    */
+  private def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "source")
+    val w = expr("cast(substring(source, 4) as int) % 3 + 1").cast("long")
+    Sampling.curriculumOrder(docs, "doc_id", w, 17L)
+      .orderBy(col("__vtime"), col("doc_id")).limit(300)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("__vtime").as("min_v"),
+        max("__vtime").as("max_v"))
+      .orderBy("source")
+  }
+
   /** EXISTS / NOT EXISTS subqueries (the SQL spelling of semi/anti —
     * Catalyst plans them as LeftSemi/LeftAnti, the only scalable shape):
     * customers with an urgent order but no 1996 order, counted per
@@ -5302,6 +5321,7 @@ object SparkEntry {
     "q_xml_extract" -> (qXmlExtract _),
     "q_listagg" -> (qListagg _),
     "q_bit_agg" -> (qBitAgg _),
+    "q_curriculum" -> (qCurriculum _),
     "q_window_range" -> (qWindowRange _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -6962,6 +6982,16 @@ object SparkEntry {
         |  WHERE s_suppkey > 0)
         |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_curriculum" ->
+      """WITH v AS (
+        |  SELECT doc_id, source,
+        |         ((doc_id + 17) % 2147483647 * 48271) % 2147483647 % 10000 * 1000000
+        |           // (CAST(substring(source, 4) AS INT) % 3 + 1) AS vtime
+        |  FROM documents),
+        |head AS (SELECT * FROM v ORDER BY vtime, doc_id LIMIT 300)
+        |SELECT source, count(*) AS n, CAST(min(vtime) AS BIGINT) AS min_v,
+        |       CAST(max(vtime) AS BIGINT) AS max_v
+        |FROM head GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_listagg" ->
       """WITH top3 AS (
         |  SELECT o_orderpriority, o_orderkey,

@@ -299,4 +299,41 @@ object Sampling {
         .drop("__one", "__rank")
     (out, release)
   }
+
+  /** Deterministic curriculum-mixing order: every row gets a virtual time
+    * `vtime = bucket(id, seed) * 1e6 div weight`, and reading rows in
+    * `(vtime, id)` order interleaves sources proportionally to their
+    * weights at EVERY prefix — the data-mixture schedule shape (heavier
+    * weight → denser early positions), without sampling anything away.
+    *
+    * Why this works: `bucket` is uniform on [0, 10000), so the fraction
+    * of a weight-w source at vtime ≤ V is `min(1, V·w/1e10)` — prefix
+    * share proportional to w until a source exhausts. Pure scan-side
+    * integer arithmetic (the same Lehmer [[bucket]] contract, portable
+    * to any engine); the global order itself is whatever the consumer
+    * does with `__vtime` — a distributed sort for a full shuffle-write,
+    * a TakeOrdered for a bounded head. Non-positive weights are a data
+    * error surfaced per-row (a silent weight-0 row would sort last and
+    * quietly starve its source).
+    *
+    * Resolution: 10 000 distinct buckets per weight — schedule ties are
+    * broken by id, so the order is total and reproducible; per-epoch
+    * re-keying = a new seed.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      seed: Long): DataFrame = {
+    for (c <- Seq("__vtime", "__b", "__w"))
+      require(!df.columns.contains(c),
+        s"curriculumOrder: input already has a $c column — rename it first")
+    df.withColumn("__b", bucket(col(idCol), seed) * lit(1000000L))
+      .withColumn("__w",
+        when(weight <= 0, raise_error(concat(
+          lit("curriculumOrder: non-positive weight for id="), col(idCol))))
+          .otherwise(weight.cast("long")))
+      .withColumn("__vtime", expr("__b div __w"))
+      .drop("__b", "__w")
+  }
 }

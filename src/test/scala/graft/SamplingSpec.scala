@@ -271,4 +271,45 @@ class SamplingSpec extends SparkSpec {
     // scan-adjacent Filter (no Exchange between scan and filter)
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("curriculumOrder: closed-form vtime, determinism, and total order") {
+    val d = Seq((7L, 3L), (8L, 1L)).toDF("id", "w")
+    val out = Sampling.curriculumOrder(d, "id", col("w"), seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // hand-computed: bucket(id,17) = ((id+17) % P * 48271) % P % 10000
+    def b(id: Long) = ((id + 17) % 2147483647L * 48271L) % 2147483647L % 10000L
+    assert(out(7L) == b(7L) * 1000000L / 3L)
+    assert(out(8L) == b(8L) * 1000000L / 1L)
+    val again = Sampling.curriculumOrder(d, "id", col("w"), seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out == again)
+  }
+
+  test("curriculumOrder: every prefix interleaves sources proportionally to weight") {
+    // even ids weight 3, odd ids weight 1 → early prefixes ~3:1 even-heavy
+    val d = keys.withColumn("w", when(col("id") % 2 === 0, 3L).otherwise(1L))
+    val ordered = Sampling.curriculumOrder(d, "id", col("w"), seed = 5L)
+      .orderBy(col("__vtime"), col("id")).limit(4000)
+      .collect().map(_.getLong(0))
+    val evens = ordered.count(_ % 2 == 0)
+    val share = evens.toDouble / ordered.length
+    assert(share > 0.70 && share < 0.80, s"even share $share should track 3/(3+1)")
+    // and the weight-1 source is not starved
+    assert(ordered.length - evens > 500)
+  }
+
+  test("curriculumOrder: non-positive weight is a per-row data error") {
+    val d = Seq((1L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.curriculumOrder(d, "id", col("w"), seed = 1L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("curriculumOrder: reserved output column collision is a config error") {
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(
+        Seq((1L, 1L)).toDF("id", "__vtime"), "id", col("__vtime"), 1L)
+    }
+  }
 }
