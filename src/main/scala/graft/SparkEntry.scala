@@ -2428,35 +2428,59 @@ object SparkEntry {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]())
 
-  private def shingleTruthPairs(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = truthCache.synchronized {
-      // weak keying alone cannot reclaim entries (the cached DataFrames
-      // strongly reference their session through QueryExecution — the
-      // self-reference the WeakHashMap javadoc warns about), so purge
-      // stopped sessions explicitly
-      val it = truthCache.keySet().iterator()
+  /** The one per-(session, dir) memoization scheme behind [[truthCache]]
+    * and [[bm25TfCache]]. Weak keying alone cannot reclaim entries (the
+    * cached DataFrames strongly reference their session through
+    * QueryExecution — the self-reference the WeakHashMap javadoc warns
+    * about), so stopped sessions are purged explicitly on every access.
+    */
+  private def cachedPerDir(
+      cache: java.util.Map[SparkSession, scala.collection.mutable.Map[String, DataFrame]],
+      spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      val it = cache.keySet().iterator()
       while (it.hasNext) {
         val s = it.next()
         if (s != null && s.sparkContext.isStopped) it.remove()
       }
-      var m = truthCache.get(spark)
+      var m = cache.get(spark)
       if (m == null) {
         m = scala.collection.mutable.Map.empty[String, DataFrame]
-        truthCache.put(spark, m)
+        cache.put(spark, m)
       }
       m
     }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(dir, {
-        val docs = t(spark, dir, "documents")
-        val (truth, posts) =
-          Dedup.shingleJaccardPairsWithPostings(docs, "doc_id", "text", 3, 0.8)
-        val out = truth.localCheckpoint(true)
-        posts.unpersist(blocking = false)
-        out
-      })
-    }
+    perSession.synchronized { perSession.getOrElseUpdate(dir, build) }
   }
+
+  private def shingleTruthPairs(spark: SparkSession, dir: String): DataFrame =
+    cachedPerDir(truthCache, spark, dir) {
+      val docs = t(spark, dir, "documents")
+      val (truth, posts) =
+        Dedup.shingleJaccardPairsWithPostings(docs, "doc_id", "text", 3, 0.8)
+      val out = truth.localCheckpoint(true)
+      posts.unpersist(blocking = false)
+      out
+    }
+
+  /** BM25 tf postings (the inverted-index core, [[graft.ops.Bm25
+    * .tfPostings]]) built ONCE per (session, dir) and served to every
+    * retrieval query (q_bm25, q_ndcg, q_retrieval_recall, q_hybrid_rrf —
+    * each previously re-tokenized the identical corpus). Persisted and
+    * deliberately NOT released per query: the index outliving the query
+    * batch IS the retrieval-engine feature (build once, query many); the
+    * cache is session-scoped so `spark.stop()` reclaims the blocks.
+    */
+  private val bm25TfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+
+  private def bm25Tf(spark: SparkSession, dir: String): DataFrame =
+    cachedPerDir(bm25TfCache, spark, dir) {
+      graft.ops.Bm25.tfPostings(
+          spread(t(spark, dir, "documents")), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** SimHash blocking graded against the exact near-dup set. The oracle
     * reproduces the EXACT shingle-Jaccard>=0.8 pair set (count + avg J);
@@ -4851,12 +4875,9 @@ object SparkEntry {
     import spark.implicits._
     val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
       (3L, "stream window batch")).toDF("qid", "qtext")
-    val (out, release) = graft.ops.Bm25.bm25TopK(
-      spread(t(spark, dir, "documents")), "doc_id", "text",
-      queries, "qid", "qtext", k = 10)
-    val res = out.orderBy("qid", "rank").localCheckpoint(true)
-    release()
-    res
+    graft.ops.Bm25.bm25TopKFromTf(bm25Tf(spark, dir), "doc_id",
+        queries, "qid", "qtext", k = 10)
+      .orderBy("qid", "rank")
   }
 
   /** NDCG@10 retrieval evaluation ([[graft.ops.RetrievalEval]]): the
@@ -4874,27 +4895,25 @@ object SparkEntry {
     * tokenize for run and grading together.
     */
   private def bm25EvalRunAndRels(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame, () => Unit) = {
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
       (3L, "stream window batch")).toDF("qid", "qtext")
-    val docs = spread(t(spark, dir, "documents"))
-    val (run, tf, release) = graft.ops.Bm25.bm25TopKWithTf(
-      docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
+    val tf = bm25Tf(spark, dir)
+    val run = graft.ops.Bm25.bm25TopKFromTf(
+      tf, "doc_id", queries, "qid", "qtext", k = 10)
     val qt = queries.select(col("qid"),
       explode(array_distinct(TF.tokenHashes(col("qtext")))).as("th"))
     val rels = tf.join(broadcast(qt), "th")
       .groupBy("qid", "doc_id").agg(count(lit(1)).as("rel"))
-    (run, rels, release)
+    (run, rels)
   }
 
   private def qNdcg(spark: SparkSession, dir: String): DataFrame = {
-    val (run, rels, release) = bm25EvalRunAndRels(spark, dir)
-    val out = graft.ops.RetrievalEval.ndcgAtK(
+    val (run, rels) = bm25EvalRunAndRels(spark, dir)
+    graft.ops.RetrievalEval.ndcgAtK(
         run, "qid", "doc_id", "rank", rels, "qid", "doc_id", "rel", k = 10)
-      .orderBy("qid").localCheckpoint(true)
-    release()
-    out
+      .orderBy("qid")
   }
 
   /** Recall@10 + reciprocal rank ([[RetrievalEval.recallAtK]]) for the
@@ -4903,13 +4922,11 @@ object SparkEntry {
     * readouts (averaging rr_ppm across queries is MRR).
     */
   private def qRetrievalRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (run, rels, release) = bm25EvalRunAndRels(spark, dir)
-    val out = graft.ops.RetrievalEval.recallAtK(
+    val (run, rels) = bm25EvalRunAndRels(spark, dir)
+    graft.ops.RetrievalEval.recallAtK(
         run, "qid", "doc_id", "rank", rels.filter(col("rel") >= 2),
         "qid", "doc_id", k = 10)
-      .orderBy("qid").localCheckpoint(true)
-    release()
-    out
+      .orderBy("qid")
   }
 
   /** Hybrid retrieval via reciprocal-rank fusion ([[graft.ops.Rrf]]):
@@ -4923,21 +4940,19 @@ object SparkEntry {
   private def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = spread(t(spark, dir, "documents"))
     val emb = t(spark, dir, "embeddings")
-    val (lex, release) = graft.ops.Bm25.bm25TopK(
-      docs, "doc_id", "text",
+    val lex = graft.ops.Bm25.bm25TopKFromTf(
+      bm25Tf(spark, dir), "doc_id",
       docs.filter(col("doc_id") < 10)
         .select(col("doc_id").as("qid"), col("text").as("qtext")),
       "qid", "qtext", k = 20)
     val sem = Similarity.bruteForceTopK(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 20)
-    val fused = graft.ops.Rrf.fuse(Seq(
+    graft.ops.Rrf.fuse(Seq(
         lex.select(col("qid"), col("doc_id").as("id"), col("rank")),
         sem.select(col("query_id").as("qid"), col("neighbor_id").as("id"),
           col("rank"))),
       "qid", "id", topK = 10)
-    val res = fused.orderBy("qid", "rank").localCheckpoint(true)
-    release()
-    res
+      .orderBy("qid", "rank")
   }
 
   /** Hard-negative mining ([[Similarity.hardNegatives]]): for each

@@ -80,12 +80,38 @@ object Bm25 {
       qidCol: String,
       qTextCol: String,
       k: Int): (DataFrame, DataFrame, () => Unit) = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val tf = corpus
+    val tf = tfPostings(corpus, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = bm25TopKFromTf(tf, idCol, queries, qidCol, qTextCol, k)
+    (out, tf, () => { tf.unpersist(blocking = false); () })
+  }
+
+  /** The inverted-index core: the per-(doc, token-hash) tf aggregate every
+    * other BM25 statistic (dl, df, avgdl) derives from. Build ONCE per
+    * corpus, persist, and serve any number of query batches through
+    * [[bm25TopKFromTf]] — the index-persistence shape of a real retrieval
+    * engine (tokenizing 100 TB per query batch is the bug; the index is
+    * ~tokens-count narrow rows of three longs, the cheapest durable form
+    * of the corpus).
+    */
+  def tfPostings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
       .select(col(idCol), explode(tokenHashArray(col(textCol))).as("th"))
       .groupBy(idCol, "th")
       .agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** [[bm25TopK]] over a PREBUILT tf postings frame (from [[tfPostings]],
+    * ideally persisted/stored by the caller): scores a query batch without
+    * touching the corpus text at all. Caller owns the tf lifecycle.
+    */
+  def bm25TopKFromTf(
+      tf: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qTextCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
     val (nDocs, totTokens) = (stats.getLong(0), stats.getLong(1))
@@ -124,6 +150,6 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank").cast("long").as("rank"),
         col(idCol), col("scaled_score"))
-    (out, tf, () => { tf.unpersist(blocking = false); () })
+    out
   }
 }

@@ -100,4 +100,18 @@ class Bm25Spec extends SparkSpec {
     assert(got == Set(
       (2L, 1L, contrib(3, 9, 2, 3, 2)), (2L, 2L, contrib(3, 9, 1, 2, 2))))
   }
+
+  test("bm25TopKFromTf over a prebuilt index equals the one-shot path") {
+    val queries = Seq((1L, "apple banana"), (2L, "cherry")).toDF("qid", "qtext")
+    val (oneShot, release) = Bm25.bm25TopK(corpus, "doc_id", "text",
+      queries, "qid", "qtext", k = 10)
+    val expected = oneShot.collect().map(_.toSeq).toSet
+    release()
+    // build once, query twice — second batch sees the same index
+    val tf = Bm25.tfPostings(corpus, "doc_id", "text")
+    val fromTf = Bm25.bm25TopKFromTf(tf, "doc_id", queries, "qid", "qtext", 10)
+    assert(fromTf.collect().map(_.toSeq).toSet == expected)
+    val again = Bm25.bm25TopKFromTf(tf, "doc_id", queries, "qid", "qtext", 10)
+    assert(again.collect().map(_.toSeq).toSet == expected)
+  }
 }
