@@ -4181,6 +4181,40 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** The full pretraining-data chain as ONE oracle-verified plan —
+    * quality gate → exact dedup (keep min id per content fingerprint) →
+    * eval-set decontamination ([[graft.ops.Decontaminate]], 8-gram
+    * overlap, eval = doc_id < 20 of the raw corpus, eval ids excluded
+    * from train) → deterministic curriculum schedule
+    * ([[Sampling.curriculumOrder]]) → schedule-head readout. Every stage
+    * is the same operator the standalone queries certify; chaining them
+    * proves the composition (filters feeding window dedup feeding an
+    * anti-join feeding the schedule) stays one declarative plan the
+    * optimizer can see through — no materialization boundaries except
+    * the broadcast eval side. DuckDB reproduces the whole chain.
+    */
+  private def qPipelinePretrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(spark, dir, "documents"))
+    val quality = docs.filter(TF.qualityScore(col("text")) >= 0.75)
+    val w = Window.partitionBy(TF.contentFingerprint(col("text")))
+      .orderBy(col("doc_id").asc)
+    val deduped = quality.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val contam = graft.ops.Decontaminate.contaminated(
+      deduped, t(spark, dir, "documents").filter(col("doc_id") < 20),
+      "doc_id", "text", 8)
+    val train = deduped.filter(col("doc_id") >= 20)
+      .join(contam, Seq("doc_id"), "left_anti")
+    Sampling.curriculumOrder(
+        train.select("doc_id", "source", "lang", "text"), "doc_id",
+        expr("cast(substring(source, 4) as int) % 3 + 1").cast("long"), 29L)
+      .orderBy(col("__vtime"), col("doc_id")).limit(200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Gopher-style repetition filter stats per source. */
   private def qRepetition(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
@@ -5337,6 +5371,7 @@ object SparkEntry {
     "q_listagg" -> (qListagg _),
     "q_bit_agg" -> (qBitAgg _),
     "q_curriculum" -> (qCurriculum _),
+    "q_pipeline_pretrain" -> (qPipelinePretrain _),
     "q_window_range" -> (qWindowRange _),
     "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q10" -> (qTpchQ10 _),
@@ -6997,6 +7032,50 @@ object SparkEntry {
         |  WHERE s_suppkey > 0)
         |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pipeline_pretrain" ->
+      s"""WITH scored AS (
+         |  SELECT *, round((
+         |    (CASE WHEN len($ToksSql) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]]', '', 'g'))) * 1.0
+         |           / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN list_sum(list_transform($ToksSql, t -> length(t))) * 1.0
+         |           / greatest(len($ToksSql), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN len(list_filter($ToksSql, t -> list_contains(
+         |        ['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0
+         |           / greatest(len($ToksSql), 1) > 0.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 2) AS q
+         |  FROM documents),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY $FpSql ORDER BY doc_id) AS rn
+         |  FROM scored WHERE q >= 0.75),
+         |surv AS (SELECT * FROM dd WHERE rn = 1),
+         |tkc AS (SELECT doc_id, $ToksSql AS t FROM surv),
+         |shc AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(range(len(t)-7),
+         |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         |                     || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]) END)) AS s
+         |  FROM tkc),
+         |tke AS (SELECT doc_id, $ToksSql AS t FROM documents WHERE doc_id < 20),
+         |she AS (
+         |  SELECT doc_id AS eid, unnest(list_distinct(
+         |    CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(range(len(t)-7),
+         |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         |                     || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]) END)) AS s
+         |  FROM tke),
+         |contam AS (SELECT DISTINCT shc.doc_id FROM shc JOIN she
+         |           ON shc.s = she.s AND shc.doc_id <> she.eid),
+         |train AS (SELECT * FROM surv WHERE doc_id >= 20
+         |          AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |v AS (
+         |  SELECT doc_id, lang, len($ToksSql) AS ntok,
+         |         ((doc_id + 29) % 2147483647 * 48271) % 2147483647 % 10000 * 1000000
+         |           // (CAST(substring(source, 4) AS INT) % 3 + 1) AS vtime
+         |  FROM train),
+         |head AS (SELECT * FROM v ORDER BY vtime, doc_id LIMIT 200)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM head GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_curriculum" ->
       """WITH v AS (
         |  SELECT doc_id, source,
