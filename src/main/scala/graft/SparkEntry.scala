@@ -4215,6 +4215,48 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Gap sessionization on the `transformWithState` TIMER surface
+    * ([[graft.streaming.TimedSessions]]): same 30-minute-gap semantics as
+    * q_sessionize_custom's legacy-API implementation, so the two share
+    * one oracle — the strongest statement that the timer rewrite changed
+    * the API, not the sessions. Requires the RocksDB state store
+    * (transformWithState contract), swapped in scoped like
+    * q_transform_state.
+    */
+  private def qTimedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val srcDir = streamChunksDir(spark, dir)
+    val sinkDir = s"/tmp/graft_timed_sessions_sink/${tmpKey(dir)}"
+    deleteRec(new java.io.File(sinkDir))
+    val schema = spark.read.parquet(srcDir).schema
+    import spark.implicits._
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4") // sessions span batches
+        .parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("userId"), col("ts"))
+        .as[graft.streaming.TimedSessions.Event]
+      val sessions =
+        graft.streaming.TimedSessions(ev, gapMillis = 30 * 60 * 1000L)
+      drainAppendToParquet(sessions.toDF(), sinkDir, "q_timed_sessions",
+        statePartitionCap = Some(8))
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+    readSinkOrEmpty(spark, sinkDir,
+      "userId BIGINT, start TIMESTAMP, end TIMESTAMP, nEvents INT")
+      .groupBy(col("userId").as("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("nEvents").cast("long")).as("n_events"),
+        max(col("nEvents").cast("long")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** Gopher-style repetition filter stats per source. */
   private def qRepetition(spark: SparkSession, dir: String): DataFrame =
     spread(t(spark, dir, "documents"))
@@ -5300,6 +5342,7 @@ object SparkEntry {
     "q_streaming_chunk" -> (qStreamingChunk _),
     "q_streaming_join" -> (qStreamingJoin _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
+    "q_timed_sessions" -> (qTimedSessions _),
     "q_streaming_left_join" -> (qStreamingLeftJoin _),
     "q_streaming_hll" -> (qStreamingHll _),
     "q_streaming_dedup" -> (qStreamingDedup _),
@@ -6474,6 +6517,30 @@ object SparkEntry {
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_sessionize_custom" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+        |marked AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |                OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sid, max(ms) AS s_end, count(*) AS n_ev
+        |  FROM sess GROUP BY user_id, sid),
+        |emitted AS (
+        |  SELECT a.user_id, a.n_ev FROM agg a
+        |  WHERE a.sid < (SELECT max(b.sid) FROM agg b WHERE b.user_id = a.user_id)
+        |     OR a.s_end + 1800000 <
+        |        (SELECT max(ms) FROM ev) - 3600000)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |       CAST(max(n_ev) AS BIGINT) AS max_session_events
+        |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_timed_sessions" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
         |marked AS (

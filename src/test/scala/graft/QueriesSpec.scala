@@ -22,6 +22,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("timer-API sessionization emits exactly the legacy-API sessions") {
+    // TimedSessions (transformWithState + event-time timers) and
+    // Sessionize (flatMapGroupsWithState + timeout) implement the same
+    // 30-min-gap spec — their per-user readouts must be row-identical,
+    // not merely each oracle-green
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(rows("q_timed_sessions") == rows("q_sessionize_custom"))
+  }
+
   test("streaming CDC fold lands on exactly the batch compaction snapshot") {
     // the documented equality-by-construction (time-ordered batches +
     // within-batch LWW): q_streaming_cdc's readout must be row-identical
