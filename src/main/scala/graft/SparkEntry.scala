@@ -997,6 +997,43 @@ object SparkEntry {
       .orderBy("n_events")
   }
 
+  /** MapState running counts ([[graft.streaming.TypeCounts]]): per-user
+    * event-type map maintained sub-key-at-a-time on the transformWithState
+    * MapState primitive — cumulative emissions, so MAX per (user, type)
+    * over all emissions equals the batch aggregate regardless of
+    * chunking (the q_transform_state identity, now for keyed maps).
+    */
+  private def qMapState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = streamChunksDir(spark, dir)
+    val base = s"/tmp/graft_mapstate/${tmpKey(dir)}"
+    deleteRec(new java.io.File(base))
+    val sink = s"$base/sink"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("user_id").as("userId"), col("event_type").as("eventType"))
+        .as[graft.streaming.TypeCounts.In]
+      drainAppendToParquet(graft.streaming.TypeCounts(stream).toDF(),
+        sink, "q_map_state", statePartitionCap = Some(8))
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+    spark.read.parquet(sink)
+      .groupBy("userId", "eventType")
+      .agg(max("n").as("n"))
+      .groupBy(col("eventType").as("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum("n").as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Deterministic pseudonymization (PII-safe export, the tokenization
     * sibling of [[qPiiRedact]]'s destructive redaction): identities are
     * replaced by `md5(salt ':' id)` prefixes — the cross-engine
@@ -5343,6 +5380,7 @@ object SparkEntry {
     "q_streaming_join" -> (qStreamingJoin _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
     "q_timed_sessions" -> (qTimedSessions _),
+    "q_map_state" -> (qMapState _),
     "q_streaming_left_join" -> (qStreamingLeftJoin _),
     "q_streaming_hll" -> (qStreamingHll _),
     "q_streaming_dedup" -> (qStreamingDedup _),
@@ -7099,6 +7137,11 @@ object SparkEntry {
         |  WHERE s_suppkey > 0)
         |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_map_state" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_pairs, CAST(sum(n) AS BIGINT) AS n_events
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pipeline_pretrain" ->
       s"""WITH scored AS (
          |  SELECT *, round((
