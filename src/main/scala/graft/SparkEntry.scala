@@ -4252,6 +4252,44 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** ListState sliding window ([[graft.streaming.RecentValues]]): each
+    * user's last-3 event values by (ts, event_id) maintained in LIST
+    * state; the final window per user is selected by max cumulative
+    * count (`max_by` — monotonic per touched batch), which the oracle
+    * reproduces as a plain rank-3 window over the batch table.
+    */
+  private def qListState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = streamChunksDir(spark, dir)
+    val base = s"/tmp/graft_liststate/${tmpKey(dir)}"
+    deleteRec(new java.io.File(base))
+    val sink = s"$base/sink"
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          unix_micros(col("ts")).as("tsUs"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .as[graft.streaming.RecentValues.In]
+      drainAppendToParquet(graft.streaming.RecentValues(stream).toDF(),
+        sink, "q_list_state", statePartitionCap = Some(8))
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+    spark.read.parquet(sink)
+      .groupBy(col("userId").as("user_id"))
+      .agg(max_by(col("sum3"), col("nSeen")).as("sum3_cents"),
+        max_by(col("n3"), col("nSeen")).cast("long").as("n3"))
+      .orderBy("user_id")
+  }
+
   /** Gap sessionization on the `transformWithState` TIMER surface
     * ([[graft.streaming.TimedSessions]]): same 30-minute-gap semantics as
     * q_sessionize_custom's legacy-API implementation, so the two share
@@ -5381,6 +5419,7 @@ object SparkEntry {
     "q_sessionize_custom" -> (qSessionizeCustom _),
     "q_timed_sessions" -> (qTimedSessions _),
     "q_map_state" -> (qMapState _),
+    "q_list_state" -> (qListState _),
     "q_streaming_left_join" -> (qStreamingLeftJoin _),
     "q_streaming_hll" -> (qStreamingHll _),
     "q_streaming_dedup" -> (qStreamingDedup _),
@@ -7137,6 +7176,17 @@ object SparkEntry {
         |  WHERE s_suppkey > 0)
         |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_list_state" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, CAST(sum(cents) AS BIGINT) AS sum3_cents,
+        |       count(*) AS n3
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_map_state" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2)
