@@ -4025,6 +4025,51 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Array set operations (array_union / array_intersect / array_except)
+    * over per-group collected sets — readout is SIZES only, so the result
+    * is element-order-insensitive and the DuckDB oracle can rebuild the
+    * same sets with list functions. Per-group arrays are bounded (≤100
+    * distinct residues), the collect is an ObjectHashAggregate.
+    */
+  private def qArraySetops(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH a AS (
+        |  SELECT o_orderpriority AS pri,
+        |         sort_array(collect_set(o_orderkey % 100)) AS sa
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderpriority AS pri,
+        |         sort_array(collect_set(o_orderkey % 100)) AS sb
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT a.pri,
+        |       cast(size(array_union(sa, sb)) as bigint) AS n_union,
+        |       cast(size(array_intersect(sa, sb)) as bigint) AS n_intersect,
+        |       cast(size(array_except(sa, sb)) as bigint) AS n_except
+        |FROM a JOIN b ON a.pri = b.pri ORDER BY a.pri""".stripMargin)
+  }
+
+  /** Map construction round-trip (map_from_entries → size / element_at /
+    * map_keys): per-priority status→count map built from a sorted entry
+    * list (deterministic key order), read back and certified against the
+    * relational source the same way qVariant/qXmlExtract round-trip.
+    */
+  private def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH c AS (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT pri,
+        |         map_from_entries(sort_array(collect_list(struct(st, cnt)))) AS mp
+        |  FROM c GROUP BY 1)
+        |SELECT pri, cast(size(mp) as bigint) AS n_keys,
+        |       cast(element_at(mp, 'F') as bigint) AS n_f,
+        |       map_keys(mp)[0] AS first_key
+        |FROM m ORDER BY pri""".stripMargin)
+  }
+
   /** EXISTS / NOT EXISTS subqueries (the SQL spelling of semi/anti —
     * Catalyst plans them as LeftSemi/LeftAnti, the only scalable shape):
     * customers with an urgent order but no 1996 order, counted per
@@ -5420,6 +5465,8 @@ object SparkEntry {
     "q_timed_sessions" -> (qTimedSessions _),
     "q_map_state" -> (qMapState _),
     "q_list_state" -> (qListState _),
+    "q_array_setops" -> (qArraySetops _),
+    "q_map_funcs" -> (qMapFuncs _),
     "q_streaming_left_join" -> (qStreamingLeftJoin _),
     "q_streaming_hll" -> (qStreamingHll _),
     "q_streaming_dedup" -> (qStreamingDedup _),
@@ -7176,6 +7223,28 @@ object SparkEntry {
         |  WHERE s_suppkey > 0)
         |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_array_setops" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS pri,
+        |         list_distinct(list(o_orderkey % 100)) AS sa
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderpriority AS pri,
+        |         list_distinct(list(o_orderkey % 100)) AS sb
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT a.pri,
+        |       CAST(len(list_distinct(list_concat(sa, sb))) AS BIGINT) AS n_union,
+        |       CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS BIGINT)
+        |         AS n_intersect,
+        |       CAST(len(list_filter(sa, x -> NOT list_contains(sb, x))) AS BIGINT)
+        |         AS n_except
+        |FROM a JOIN b ON a.pri = b.pri ORDER BY a.pri""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT o_orderpriority AS pri,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_keys,
+        |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |       min(o_orderstatus) AS first_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_list_state" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
