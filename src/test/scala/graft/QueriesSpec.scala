@@ -22,6 +22,21 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("every Spark output column is named in its oracle SQL (alias-drift guard)") {
+    // the driver's compare sorts columns BY NAME before hashing values, so
+    // a Spark alias the oracle doesn't produce is an automatic mismatch —
+    // catch it textually here instead of one driver round later
+    val drift = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      sql <- SparkEntry.oracleSql.get(name).toSeq
+      colName <- fn(spark, sf).columns
+      // word-boundary match; SQL is case-preserving for aliases here
+      if !s"(?i)(^|[^A-Za-z0-9_])${java.util.regex.Pattern.quote(colName)}($$|[^A-Za-z0-9_])".r
+        .findFirstIn(sql).isDefined
+    } yield s"$name.$colName"
+    assert(drift.isEmpty, s"columns missing from oracle SQL: $drift")
+  }
+
   test("timer-API sessionization emits exactly the legacy-API sessions") {
     // TimedSessions (transformWithState + event-time timers) and
     // Sessionize (flatMapGroupsWithState + timeout) implement the same
