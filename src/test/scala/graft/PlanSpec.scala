@@ -373,6 +373,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_pipeline_pretrain: one visible plan — broadcast decontamination, no nested loop") {
+    val p = planStr(SparkEntry.queries("q_pipeline_pretrain")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "eval side must broadcast into the anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chain must stay equi-joins:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "schedule head must be TakeOrdered, not a global sort")
+  }
+
   test("q_posexplode: generator runs scan-side as a Generate node, no UDF") {
     val p = planStr(SparkEntry.queries("q_posexplode")(spark, sf))
     assert(p.contains("Generate"), "expected Generate (posexplode)")
