@@ -2080,6 +2080,46 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** Stream-stream FULL OUTER interval join — both unmatched sides
+    * surface: clicks with no purchase in their forward hour emit
+    * null-extended when the left state expires (`cts + window <
+    * watermark`, the q_streaming_left_join rule), purchases with no
+    * click in their trailing hour when the right state expires
+    * (`pts < watermark` — the condition's click range is
+    * [pts-1h, pts], all below the watermark exactly when pts is).
+    * State on both sides is watermark-bounded; the readout buckets by
+    * the hour of whichever side exists.
+    */
+  private def qStreamingFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val srcDir = streamChunksDir(spark, dir)
+    val sinkDir = s"/tmp/graft_stream_fjoin_sink/${tmpKey(dir)}"
+    deleteRec(new java.io.File(sinkDir))
+    val schema = spark.read.parquet(srcDir).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(srcDir)
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    drainAppendToParquet(joined, sinkDir, "q_streaming_full_join",
+      statePartitionCap = Some(8))
+    readSinkOrEmpty(spark, sinkDir, "cu BIGINT, cts TIMESTAMP, pu BIGINT, pts TIMESTAMP")
+      .groupBy(date_format(coalesce(col("cts"), col("pts")), "yyyy-MM-dd HH").as("hour"))
+      .agg(
+        sum(when(col("cts").isNotNull && col("pts").isNotNull, 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("pts").isNull, 1L).otherwise(0L)).as("n_click_only"),
+        sum(when(col("cts").isNull, 1L).otherwise(0L)).as("n_purchase_only"),
+        countDistinct(coalesce(col("cu"), col("pu"))).as("n_users"))
+      .orderBy("hour")
+  }
+
   /** The CUSTOM stateful operator ([[graft.streaming.Sessionize]],
     * `flatMapGroupsWithState`) end-to-end: event-time sessions with a
     * 30-minute gap over the chunked event stream, emitted on close (by a
@@ -5467,6 +5507,7 @@ object SparkEntry {
     "q_list_state" -> (qListState _),
     "q_array_setops" -> (qArraySetops _),
     "q_map_funcs" -> (qMapFuncs _),
+    "q_streaming_full_join" -> (qStreamingFullJoin _),
     "q_streaming_left_join" -> (qStreamingLeftJoin _),
     "q_streaming_hll" -> (qStreamingHll _),
     "q_streaming_dedup" -> (qStreamingDedup _),
@@ -7223,6 +7264,37 @@ object SparkEntry {
         |  WHERE s_suppkey > 0)
         |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_streaming_full_join" ->
+      """WITH c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.cu, c.cts, p.pu, p.pts
+        |      FROM c JOIN p ON c.cu = p.pu
+        |        AND epoch_us(p.pts) >= epoch_us(c.cts)
+        |        AND epoch_us(p.pts) <= epoch_us(c.cts) + 3600000000),
+        |wm AS (
+        |  SELECT least((SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'click'),
+        |               (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase'))
+        |         - 3600000 AS w),
+        |co AS (SELECT cu, cts, CAST(NULL AS BIGINT) AS pu, CAST(NULL AS TIMESTAMP) AS pts
+        |       FROM c WHERE NOT EXISTS (
+        |           SELECT 1 FROM p WHERE p.pu = c.cu
+        |             AND epoch_us(p.pts) >= epoch_us(c.cts)
+        |             AND epoch_us(p.pts) <= epoch_us(c.cts) + 3600000000)
+        |         AND epoch_us(cts) // 1000 + 3600000 < (SELECT w FROM wm)),
+        |po AS (SELECT CAST(NULL AS BIGINT) AS cu, CAST(NULL AS TIMESTAMP) AS cts, pu, pts
+        |       FROM p WHERE NOT EXISTS (
+        |           SELECT 1 FROM c WHERE c.cu = p.pu
+        |             AND epoch_us(p.pts) >= epoch_us(c.cts)
+        |             AND epoch_us(p.pts) <= epoch_us(c.cts) + 3600000000)
+        |         AND epoch_us(pts) // 1000 < (SELECT w FROM wm)),
+        |e AS (SELECT * FROM m UNION ALL SELECT * FROM co UNION ALL SELECT * FROM po)
+        |SELECT strftime(date_trunc('hour', coalesce(cts, pts)), '%Y-%m-%d %H') AS hour,
+        |       CAST(sum(CASE WHEN cts IS NOT NULL AND pts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_matched,
+        |       CAST(sum(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only,
+        |       CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+        |       count(DISTINCT coalesce(cu, pu)) AS n_users
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_array_setops" ->
       """WITH a AS (
         |  SELECT o_orderpriority AS pri,
