@@ -1185,6 +1185,122 @@ object SparkEntry {
       .orderBy("cohort_week")
   }
 
+  /** Frequent-itemset pairs (market-basket) over order baskets with the
+    * A-priori prune: only brands whose single-item basket support clears
+    * `minSupport` enter the pairing at all, so the within-basket self-join
+    * explodes over surviving items only — the classic guard that keeps
+    * pairwise mining from blowing up on a 100 TB basket table. The
+    * frequent-item set is a bounded dimension (≤ distinct brands) and
+    * broadcast; the pair join is a within-basket equi-join on the basket
+    * key (never a cross join); lift is integer-exact ppm so both engines
+    * hash identically.
+    */
+  private def qItemsets(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (basket, brand): basket = order, item = part brand
+    val bi = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+    // RELATIVE support (0.5% of baskets): the threshold scales with the
+    // data, so the same query is meaningful at sf0.001 and at 100 TB
+    val nBaskets = bi.select(countDistinct("basket").as("n_baskets"))
+    val itemSupp = bi.groupBy("item").agg(count(lit(1)).as("supp"))
+    val frequent = itemSupp.crossJoin(broadcast(nBaskets)) // A-priori prune
+      .filter(col("supp") * 200 >= col("n_baskets")).drop("n_baskets")
+    val fbi = bi.join(broadcast(frequent.select("item")), "item")
+    val pairs = fbi.as("a").join(fbi.as("b"), Seq("basket"))
+      .filter(col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("pair_supp"))
+      .crossJoin(broadcast(nBaskets))
+      .filter(col("pair_supp") * 200 >= col("n_baskets")).drop("n_baskets")
+    val sa = frequent.select(col("item").as("item_a"), col("supp").as("supp_a"))
+    val sb = frequent.select(col("item").as("item_b"), col("supp").as("supp_b"))
+    pairs.join(broadcast(sa), "item_a").join(broadcast(sb), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      // lift = N*supp(ab)/(supp(a)*supp(b)); floor ppm = bit-exact readout
+      .withColumn("lift_ppm",
+        expr("(1000000 * n_baskets * pair_supp) div (supp_a * supp_b)"))
+      .withColumn("conf_ppm", expr("(1000000 * pair_supp) div supp_a"))
+      .select("item_a", "item_b", "pair_supp", "supp_a", "supp_b",
+        "conf_ppm", "lift_ppm")
+      .orderBy(col("pair_supp").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** First-order Markov transition matrix over each user's time-ordered
+    * event stream: lag-1 pairs → transition counts → row-normalized
+    * probabilities in integer ppm. One window pass (partitioned by user,
+    * so state never exceeds a user's history) and one bounded aggregate
+    * (|types|² rows) — the transition model of a 100 TB event log is a
+    * 25-row readout.
+    */
+  private def qMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("prev", lag("event_type", 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = trans.groupBy("prev").agg(sum("n").as("tot"))
+    trans.join(broadcast(rowTot), "prev")
+      .withColumn("p_ppm", expr("(1000000 * n) div tot"))
+      .select("prev", "cur", "n", "tot", "p_ppm")
+      .orderBy("prev", "cur")
+  }
+
+  /** Blocked fuzzy matching (entity-resolution candidate pairs): distinct
+    * part names paired ONLY within a shared-token block (last word), then
+    * verified with exact Levenshtein ≤ 3. The block key turns an O(n²)
+    * all-pairs into an equi-join — the standard blocking discipline; a
+    * production run would add a per-block size cap exactly like
+    * [[graft.ops.Dedup]]'s `maxBucketSize` (the vocabulary here is
+    * bounded, so the cap would never fire). Levenshtein is integer-exact
+    * and identically defined in Spark and DuckDB.
+    */
+  private def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    names.as("a").join(names.as("b"), "block")
+      .filter(col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= 3)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Winsorization (percentile clipping) of document lengths per language
+    * with EXPLICIT rank arithmetic: the p05/p95 bounds are the
+    * ceil(q·n)-th smallest values by (n_chars, doc_id) rank — a definition
+    * both engines reproduce bit-for-bit, sidestepping percentile
+    * interpolation conventions entirely. Bounds are data values, so every
+    * clipped sum stays integer-exact. The rank pass is one window sort per
+    * language (bounded partitions); at 100 TB the same readout would ride
+    * approx_percentile (envelope-graded in [[qApproxPercentile]]) — this
+    * query pins the exact semantics.
+    */
+  private def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val bounds = ranked
+      .groupBy("lang")
+      .agg(
+        max(when(col("rn") === expr("cast(ceil(0.05 * n) as bigint)"), col("n_chars")))
+          .as("lo"),
+        max(when(col("rn") === expr("cast(ceil(0.95 * n) as bigint)"), col("n_chars")))
+          .as("hi"))
+    docs.join(broadcast(bounds), "lang")
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("n_chars"))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), min("lo").as("lo"), min("hi").as("hi"),
+        sum("n_chars").as("sum_raw"), sum("clipped").as("sum_clipped"),
+        sum(when(col("n_chars") =!= col("clipped"), 1L).otherwise(0L)).as("n_clipped"))
+      .orderBy("lang")
+  }
+
   /** Mergeable histogram quantiles — the percentile-monitoring analogue
     * of [[qHllSketchUnion]]: integer log2 buckets (floor(log2(cents)) =
     * bit length - 1, exact in any engine) are counted PER INGEST SHARD,
@@ -5475,6 +5591,10 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
+    "q_itemsets" -> (qItemsets _),
+    "q_markov" -> (qMarkov _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_winsorize" -> (qWinsorize _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
@@ -6420,6 +6540,71 @@ object SparkEntry {
         |       count(DISTINCT CASE WHEN off = 2 THEN user_id END) AS w2,
         |       count(DISTINCT CASE WHEN off = 3 THEN user_id END) AS w3
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_itemsets" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+        |s AS (SELECT item, count(*) AS supp FROM bi GROUP BY 1),
+        |f AS (SELECT s.item, s.supp FROM s CROSS JOIN nb
+        |      WHERE s.supp * 200 >= nb.n_baskets),
+        |fbi AS (SELECT bi.basket, bi.item FROM bi JOIN f USING (item)),
+        |pr AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_supp
+        |  FROM fbi a JOIN fbi b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |pf AS (SELECT pr.* FROM pr CROSS JOIN nb
+        |       WHERE pr.pair_supp * 200 >= nb.n_baskets)
+        |SELECT pf.item_a, pf.item_b, pf.pair_supp,
+        |       sa.supp AS supp_a, sb.supp AS supp_b,
+        |       (1000000 * pf.pair_supp) // sa.supp AS conf_ppm,
+        |       (1000000 * nb.n_baskets * pf.pair_supp) // (sa.supp * sb.supp)
+        |         AS lift_ppm
+        |FROM pf JOIN f sa ON pf.item_a = sa.item
+        |        JOIN f sb ON pf.item_b = sb.item
+        |        CROSS JOIN nb
+        |ORDER BY pf.pair_supp DESC, pf.item_a, pf.item_b LIMIT 20""".stripMargin,
+    "q_markov" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS cur,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, cur, count(*) AS n
+        |      FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.cur, c.n, rt.tot, (1000000 * c.n) // rt.tot AS p_ppm
+        |FROM c JOIN rt ON c.prev = rt.prev
+        |ORDER BY 1, 2""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name, str_split(p_name, ' ')[-1] AS block FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+    "q_winsorize" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY n_chars, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |      FROM d),
+        |b AS (SELECT lang,
+        |             max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |                 THEN n_chars END) AS lo,
+        |             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |                 THEN n_chars END) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_docs, min(b.lo) AS lo, min(b.hi) AS hi,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS sum_raw,
+        |       CAST(sum(greatest(b.lo, least(b.hi, d.n_chars))) AS BIGINT)
+        |         AS sum_clipped,
+        |       CAST(sum(CASE WHEN d.n_chars <> greatest(b.lo, least(b.hi, d.n_chars))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM d JOIN b ON d.lang = b.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_value_histogram" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
