@@ -1301,6 +1301,35 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Entity-resolution capstone: [[qFuzzyMatch]]'s blocked candidate pairs
+    * fed through [[graft.ops.DupGroups.connectedComponents]] (alternating
+    * large-star/small-star, lineage-cut rounds) into entity clusters with
+    * a deterministic canonical representative (min part key per name).
+    * Names with no fuzzy neighbor self-cluster via the left-join
+    * `coalesce`. The same discipline that resolves duplicate metadata
+    * records at 100 TB: block, verify, cluster, pick a survivor — no
+    * stage is all-pairs and the cluster step is the audited CC operator.
+    */
+  private def qEntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "part").groupBy("p_name")
+      .agg(min("p_partkey").cast("long").as("nid"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    val pairs = names.as("a").join(names.as("b"), "block")
+      .filter(col("a.p_name") < col("b.p_name") &&
+        levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+      .select(col("a.nid").as("u"), col("b.nid").as("v"))
+    val comp = graft.ops.DupGroups.connectedComponents(pairs, "u", "v")
+    val allc = names
+      .join(comp.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+      .withColumn("component", coalesce(col("component"), col("nid")))
+    val cl = allc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cl.join(names.select(col("nid").as("component"), col("p_name").as("rep_name")),
+        "component")
+      .select(col("rep_name"), col("cluster_size"),
+        col("component").cast("long").as("component"))
+      .orderBy("rep_name")
+  }
+
   /** Mergeable histogram quantiles — the percentile-monitoring analogue
     * of [[qHllSketchUnion]]: integer log2 buckets (floor(log2(cents)) =
     * bit length - 1, exact in any engine) are counted PER INGEST SHARD,
@@ -5594,6 +5623,7 @@ object SparkEntry {
     "q_itemsets" -> (qItemsets _),
     "q_markov" -> (qMarkov _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_entity_clusters" -> (qEntityClusters _),
     "q_winsorize" -> (qWinsorize _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
@@ -6584,6 +6614,31 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY 1, 2""".stripMargin,
+    "q_entity_clusters" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS nid
+        |  FROM part GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.nid AS ida, b.nid AS idb
+        |  FROM names a JOIN names b
+        |    ON str_split(a.p_name, ' ')[-1] = str_split(b.p_name, ' ')[-1]
+        |   AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (SELECT ida AS u, idb AS v FROM p0 UNION SELECT idb, ida FROM p0),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+        |  WHERE r.lab < e.v),
+        |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1),
+        |allc AS (
+        |  SELECT n.nid AS node, coalesce(c.component, n.nid) AS component
+        |  FROM names n LEFT JOIN comp c ON n.nid = c.node),
+        |cl AS (SELECT component, count(*) AS cluster_size FROM allc GROUP BY 1)
+        |SELECT r.p_name AS rep_name, cl.cluster_size,
+        |       CAST(cl.component AS BIGINT) AS component
+        |FROM cl JOIN names r ON cl.component = r.nid
+        |ORDER BY 1""".stripMargin,
     "q_winsorize" ->
       """WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
         |r AS (SELECT lang, doc_id, n_chars,
