@@ -307,6 +307,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n${p.take(2000)}")
   }
 
+  test("fuzzy blocking: pair generation is an equi-join on the block key, never all-pairs") {
+    // the entity-resolution discipline as plan shape — the Levenshtein
+    // verify must run as a post-join filter on block-equal pairs, not as
+    // a join condition that degrades to a nested loop
+    for (q <- Seq("q_fuzzy_match", "q_entity_clusters")) {
+      val p = planStr(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$q pairing must stay a hash/equi-join plan:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_itemsets: A-priori dims broadcast; basket self-join never a cartesian") {
+    // the 1-row n_baskets scalar rides a broadcast nested loop by design;
+    // the row-producing joins (frequent-item prune, support readback,
+    // within-basket pairing) must all be hash equi-joins
+    val p = planStr(SparkEntry.queries("q_itemsets")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"frequent-item prune should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n${p.take(2000)}")
+  }
+
+  test("q_winsorize: clip bounds broadcast back to the fact side") {
+    val p = planStr(SparkEntry.queries("q_winsorize")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-language bounds should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_semantic_keepbest: never a nested loop or cartesian") {
     val p = planStr(SparkEntry.queries("q_semantic_keepbest")(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
