@@ -5094,6 +5094,17 @@ object SparkEntry {
     graft.ops.Bpe.pairCounts(docs, "text", k = 20)
   }
 
+  /** The FULL BPE training loop ([[graft.ops.Bpe.trainMerges]]): 3
+    * count-merge-apply cycles over the vocabulary frame; the readout is
+    * the merge table itself — the trained tokenizer. The oracle unrolls
+    * the identical cycle in SQL: because merge candidates are restricted
+    * to a != b (overlap-free, documented in the op), the Spark side's
+    * left-fold application and the oracle's lag-based simultaneous
+    * rewrite are provably the same function.
+    */
+  private def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainMerges(t(spark, dir, "documents"), "text", rounds = 3)
+
   /** PMI collocations ([[graft.ops.Collocations.topPmi]]): top-20
     * adjacent word pairs by pointwise mutual information with min support
     * 5 — counting runs on 8-byte hashes, strings join back only for the
@@ -5770,6 +5781,7 @@ object SparkEntry {
     "q_quality_calibration" -> (qQualityCalibration _),
     "q_collocations" -> (qCollocations _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_url_blocklist" -> (qUrlBlocklist _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_substring_dedup" -> (qSubstringDedup _),
@@ -5809,6 +5821,48 @@ object SparkEntry {
   private val FpSql = s"substr(md5($NormSql), 1, 16)"
   private val ToksSql =
     s"list_filter(string_split_regex($NormSql, '\\s+'), x -> x <> '')"
+
+  /** The BPE oracle: `rounds` count-merge-apply cycles unrolled as CTE
+    * chains. Per round k: x/c = weighted adjacent-pair counts over the
+    * previous vocab (a != b only — overlap-free by construction), t = the
+    * argmax pair with deterministic tiebreak, e/f/g/v = the simultaneous
+    * rewrite (a position is consumed iff its left neighbor matched; no
+    * two matches can be adjacent because a != b). The last round skips
+    * the rewrite — only its chosen pair is read out.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH tok AS (SELECT unnest($ToksSql) AS w FROM documents),
+         |v0 AS (SELECT w, count(*) AS cnt, regexp_split_to_array(w, '') AS syms
+         |       FROM tok GROUP BY w),""".stripMargin
+    val perRound = (1 to rounds).map { k =>
+      val p = k - 1
+      val count =
+        s"""x$k AS (SELECT w, cnt, syms, unnest(range(1, list_count(syms))) AS i
+           |        FROM v$p),
+           |c$k AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+           |        FROM x$k WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+           |t$k AS (SELECT a, b, n FROM c$k
+           |        QUALIFY row_number() OVER (ORDER BY n DESC, a, b) = 1)""".stripMargin
+      val apply =
+        s"""e$k AS (SELECT v.w, v.cnt, t.a, t.b, t.a || t.b AS ab, v.syms,
+           |               unnest(range(1, list_count(v.syms) + 1)) AS i
+           |        FROM v$p v CROSS JOIN t$k t),
+           |f$k AS (SELECT w, cnt, ab, i, syms[i] AS s,
+           |               (i < list_count(syms) AND syms[i] = a AND syms[i+1] = b) AS m
+           |        FROM e$k),
+           |g$k AS (SELECT *, coalesce(lag(m) OVER (PARTITION BY w ORDER BY i), false)
+           |               AS consumed FROM f$k),
+           |v$k AS (SELECT w, min(cnt) AS cnt,
+           |               list(CASE WHEN m THEN ab ELSE s END ORDER BY i) AS syms
+           |        FROM g$k WHERE NOT consumed GROUP BY w)""".stripMargin
+      if (k < rounds) count + ",\n" + apply else count
+    }.mkString(",\n")
+    val readout = (1 to rounds)
+      .map(k => s"SELECT $k AS round, a AS tok_a, b AS tok_b, n FROM t$k")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    head + "\n" + perRound + readout
+  }
 
   /** C4 oracle shared by the batch and streaming queries: pages
     * rebuilt from tokens identically in SQL, same rule predicates.
@@ -8459,6 +8513,7 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
         |       CAST(min(CASE WHEN blocked THEN doc_id END) AS BIGINT) AS min_blocked
         |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q_bpe_train" -> bpeOracleSql(3),
     "q_bpe_pairs" ->
       s"""WITH tok AS (SELECT unnest($ToksSql) AS w FROM documents),
          |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),

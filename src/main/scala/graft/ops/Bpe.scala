@@ -45,4 +45,75 @@ object Bpe {
       .orderBy(desc("n_occurrences"), col("pair"))
       .limit(k)
   }
+
+  /** The full BPE training loop: `rounds` count-merge cycles over the
+    * vocabulary frame. Each round counts adjacent symbol pairs weighted by
+    * word frequency (one hash aggregate over the vocab — NEVER the
+    * corpus), picks the most frequent pair (deterministic tiebreak on the
+    * pair itself), and rewrites every word's symbol sequence with the
+    * merge applied.
+    *
+    * Two deliberate, documented exactness choices:
+    *   - only pairs with `a != b` are merge candidates, so occurrences can
+    *     never overlap and "replace every occurrence simultaneously" is
+    *     well-defined — the left-fold application below IS greedy
+    *     left-to-right replacement, bit-identical to the SQL oracle's
+    *     lag-based simultaneous rewrite (standard BPE admits `aa` merges
+    *     and resolves overlap by scan order, an order a declarative
+    *     cross-engine oracle cannot pin);
+    *   - the merged symbol is strictly longer than either side, so a
+    *     round's output can never re-trigger its own merge.
+    *
+    * Scale shape: the corpus collapses to (word, cnt) once; every round is
+    * a vocab-bounded aggregate + a 1-row `collect()` (the chosen pair — the
+    * same bounded-model pattern as [[IvfIndex]] centroids) + a map over
+    * vocab rows. `localCheckpoint` per round truncates the iterative
+    * lineage exactly like [[PageRank]].
+    *
+    * @return one row per executed round: (round INT, tok_a, tok_b, n LONG)
+    *         — the merge table, i.e. the trained tokenizer.
+    */
+  def trainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .filter(col("p.a") =!= col("p.b")) // overlap-free candidates only
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        val next = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            // get() is 0-based and NULL on empty acc (never an ANSI
+            // out-of-bounds error), and null === a is null -> otherwise
+            when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+        vocab = next
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "tok_a", "tok_b", "n")
+  }
 }

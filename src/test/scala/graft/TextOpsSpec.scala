@@ -32,6 +32,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(("aa", 2L, 4L), ("ab", 1L, 1L)))
   }
 
+  test("bpe trainMerges: hand-computed 3-round merge sequence") {
+    import graft.ops.Bpe
+    // vocab: cat x2 [c,a,t], hat x1 [h,a,t]
+    // r1 pairs: (c,a):2 (a,t):3 (h,a):1 -> merge (a,t) n=3
+    // r2 over [c,at] x2, [h,at]: (c,at):2 (h,at):1 -> merge (c,at) n=2
+    // r3 over [cat] x2, [h,at]: (h,at):1 -> merge (h,at) n=1
+    val docs = Seq("cat cat hat").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a", "t", 3L), (2, "c", "at", 2L), (3, "h", "at", 1L)))
+  }
+
+  test("bpe trainMerges: greedy fold = simultaneous replace; a=b pairs never merge") {
+    import graft.ops.Bpe
+    // vocab: zxy x1, xyxy x1. r1: (x,y):3 wins; xyxy rewrites to [xy,xy]
+    // in ONE round (non-overlapping, both occurrences). r2: the only
+    // adjacent pair (xy,xy) has a = b -> excluded; (z,xy):1 wins. r3:
+    // nothing left with a != b -> training exhausts at 2 rows.
+    val docs = Seq("zxy xyxy").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "x", "y", 3L), (2, "z", "xy", 1L)))
+  }
+
+  test("bpe trainMerges: frequency ties break on the pair, deterministically") {
+    import graft.ops.Bpe
+    val docs = Seq("ab cd").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 1L)))
+  }
+
   test("topPmi: integer PMI matches the closed form, min support filters") {
     import graft.ops.Collocations
     // pairs: (a,b)x2, (b,a)x1, (c,d)x1 -> N=4; prefixes a:2,b:1,c:1;
