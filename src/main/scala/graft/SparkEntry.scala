@@ -1301,6 +1301,57 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** CUSUM change-point detection over each event type's hourly count
+    * series, in EXACT integer arithmetic: with S = total and n = #hours,
+    * the scaled deviation `dev_k = n·cum_k − k·S` equals `n·(cum_k − k·μ)`
+    * without ever forming the rational mean — so the argmax hour (the
+    * detected change point) and the max |deviation| are bit-exact in any
+    * engine. One bounded aggregate (hours × types) + one window pass per
+    * type; a 100 TB event log still reduces to this tiny series first.
+    */
+  private def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val tot = Window.partitionBy("event_type")
+    val dev = hourly
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("y").over(w))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("s", sum("y").over(tot))
+      .withColumn("dev", col("n") * col("cum") - col("k") * col("s"))
+    dev.withColumn("mx", max(abs(col("dev"))).over(tot))
+      .groupBy("event_type")
+      .agg(max("n").as("n_hours"), max("s").as("n_events"),
+        max("mx").as("max_abs_dev"),
+        date_format(min(when(abs(col("dev")) === col("mx"), col("h"))),
+          "yyyy-MM-dd HH:mm:ss").as("change_hour"))
+      .orderBy("event_type")
+  }
+
+  /** Gini concentration of document length per language — the inequality
+    * readout a curation pipeline uses to spot sources dominated by a few
+    * giant documents. Closed form on the sorted series:
+    * `G = (2·Σ i·x_i − (n+1)·S) / (n·S)` with rank i by (n_chars, doc_id)
+    * — every term an exact integer, emitted as num/den plus a floor-ppm.
+    * One window rank per language + one aggregate.
+    */
+  private def qSourceGini(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"),
+        sum(col("i") * col("n_chars")).as("ix"))
+      .withColumn("gini_num", lit(2) * col("ix") - (col("n") + 1) * col("s"))
+      .withColumn("gini_den", col("n") * col("s"))
+      .withColumn("gini_ppm", expr("(1000000 * gini_num) div gini_den"))
+      .select("lang", "n", "s", "gini_num", "gini_den", "gini_ppm")
+      .orderBy("lang")
+  }
+
   /** Entity-resolution capstone: [[qFuzzyMatch]]'s blocked candidate pairs
     * fed through [[graft.ops.DupGroups.connectedComponents]] (alternating
     * large-star/small-star, lineage-cut rounds) into entity clusters with
@@ -5636,6 +5687,8 @@ object SparkEntry {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_entity_clusters" -> (qEntityClusters _),
     "q_winsorize" -> (qWinsorize _),
+    "q_cusum" -> (qCusum _),
+    "q_source_gini" -> (qSourceGini _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
@@ -6714,6 +6767,42 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
         |FROM d JOIN b ON d.lang = b.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cusum" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, h, y,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS BIGINT) AS k,
+        |         CAST(sum(y) OVER (PARTITION BY event_type ORDER BY h)
+        |           AS BIGINT) AS cum,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |  FROM h),
+        |v AS (SELECT event_type, h, n, s, n * cum - k * s AS dev FROM d),
+        |m AS (SELECT event_type, max(abs(dev)) AS mx FROM v GROUP BY 1)
+        |SELECT v.event_type, max(v.n) AS n_hours, max(v.s) AS n_events,
+        |       max(m.mx) AS max_abs_dev,
+        |       strftime(min(CASE WHEN abs(v.dev) = m.mx THEN v.h END),
+        |                '%Y-%m-%d %H:%M:%S') AS change_hour
+        |FROM v JOIN m ON v.event_type = m.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_source_gini" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM documents),
+        |a AS (SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        |             CAST(sum(i * n_chars) AS BIGINT) AS ix
+        |      FROM r GROUP BY 1)
+        |SELECT lang, n, s,
+        |       2 * ix - (n + 1) * s AS gini_num,
+        |       n * s AS gini_den,
+        |       (1000000 * (2 * ix - (n + 1) * s)) // (n * s) AS gini_ppm
+        |FROM a ORDER BY 1""".stripMargin,
     "q_value_histogram" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
