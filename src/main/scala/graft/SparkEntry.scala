@@ -1352,6 +1352,38 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Cross-source quantile normalization — the score-calibration step
+    * that makes per-source quality scores comparable before mixing: each
+    * source's value at within-source rank r maps to the GLOBAL value at
+    * rank ceil(r·n_g/n_s), all in exact integer arithmetic
+    * (`(r·n_g + n_s − 1) div n_s` is ceiling division for positive ints).
+    * The mapping join is an equi-join on the target rank. The exact
+    * global rank is a full sort at 100 TB — production would swap in
+    * approx_percentile bin edges (envelope-graded in
+    * [[qApproxPercentile]]); this query pins the exact semantics.
+    */
+  private def qQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val bySource = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs
+      .withColumn("r", row_number().over(bySource).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+    val global = docs
+      .withColumn("j", row_number().over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .select(col("j"), col("n_chars").as("gval"))
+    val ng = global.select(count(lit(1)).as("ng"))
+    ranked.crossJoin(broadcast(ng))
+      .withColumn("j", expr("(r * ng + ns - 1) div ns"))
+      .join(global, "j")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_raw"),
+        sum("gval").as("sum_norm"), min("gval").as("min_norm"),
+        max("gval").as("max_norm"))
+      .orderBy("source")
+  }
+
   /** Entity-resolution capstone: [[qFuzzyMatch]]'s blocked candidate pairs
     * fed through [[graft.ops.DupGroups.connectedComponents]] (alternating
     * large-star/small-star, lineage-cut rounds) into entity clusters with
@@ -5689,6 +5721,7 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
+    "q_quantile_norm" -> (qQuantileNorm _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
@@ -6803,6 +6836,26 @@ object SparkEntry {
         |       n * s AS gini_den,
         |       (1000000 * (2 * ix - (n + 1) * s)) // (n * s) AS gini_ppm
         |FROM a ORDER BY 1""".stripMargin,
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        |      FROM d),
+        |g AS (SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |               AS BIGINT) AS j,
+        |             n_chars AS gval
+        |      FROM d),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM d),
+        |m AS (SELECT r.source, r.n_chars, g.gval
+        |      FROM r CROSS JOIN ng
+        |      JOIN g ON g.j = (r.r * ng.ng + r.ns - 1) // r.ns)
+        |SELECT source, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_raw,
+        |       CAST(sum(gval) AS BIGINT) AS sum_norm,
+        |       min(gval) AS min_norm, max(gval) AS max_norm
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_value_histogram" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
