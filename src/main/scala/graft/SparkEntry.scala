@@ -1352,6 +1352,35 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** CEP pattern with NEGATION — "purchase preceded by a click within 7
+    * days with NO error in between", the match-recognize shape funnels
+    * can't express. ONE window pass per user (running last-click /
+    * last-error timestamps over the (ts, event_id) total order) answers
+    * both the positive and the negative condition — no self-join, no
+    * range join; the only shuffle is the per-user partition. The
+    * error-free predicate is `last_error <= last_click` (an error BEFORE
+    * the click doesn't break the pattern; one between does).
+    */
+  private def qPatternNegation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = events(spark, dir)
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("last_error",
+        max(when(col("event_type") === "error", col("ts"))).over(w))
+    ev.filter(col("event_type") === "purchase" && col("last_click").isNotNull &&
+        col("ts") <= col("last_click") + expr("INTERVAL 7 DAYS"))
+      .withColumn("clean",
+        col("last_error").isNull || col("last_error") <= col("last_click"))
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("clean"),
+          expr("(unix_micros(ts) - unix_micros(last_click)) div 60000000"))
+          .otherwise(0L)).as("sum_gap_min"))
+      .orderBy("day")
+  }
+
   /** Cross-source quantile normalization — the score-calibration step
     * that makes per-source quality scores comparable before mixing: each
     * source's value at within-source rank r maps to the GLOBAL value at
@@ -5722,6 +5751,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
     "q_quantile_norm" -> (qQuantileNorm _),
+    "q_pattern_negation" -> (qPatternNegation _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
@@ -6856,6 +6886,25 @@ object SparkEntry {
         |       CAST(sum(gval) AS BIGINT) AS sum_norm,
         |       min(gval) AS min_norm, max(gval) AS max_norm
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pattern_negation" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         max(CASE WHEN event_type = 'click' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_click,
+        |         max(CASE WHEN event_type = 'error' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_error
+        |  FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |       count(*) AS n_matched,
+        |       CAST(sum(CASE WHEN last_error IS NULL OR last_error <= last_click
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |       CAST(sum(CASE WHEN last_error IS NULL OR last_error <= last_click
+        |                THEN (epoch_us(ts) - epoch_us(last_click)) // 60000000
+        |                ELSE 0 END) AS BIGINT) AS sum_gap_min
+        |FROM x
+        |WHERE event_type = 'purchase' AND last_click IS NOT NULL
+        |  AND ts <= last_click + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_value_histogram" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
