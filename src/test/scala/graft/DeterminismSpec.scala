@@ -24,7 +24,13 @@ class DeterminismSpec extends SparkSpec {
   private val covered = SparkEntry.queries.keys.filter(_.startsWith("q_tpch_")).toSeq.sorted ++
     Seq("q_curriculum", "q_epoch_shuffle", "q_posexplode", "q_recursive_cte",
       "q_listagg", "q_bit_agg", "q_array_setops", "q_map_funcs",
-      "q_k_anonymity", "q_variant", "q_xml_extract")
+      "q_k_anonymity", "q_variant", "q_xml_extract",
+      // round-12 mining/statistics additions — all carry explicit total
+      // orders; the iterative ones (BPE, CC) must converge identically
+      // at any partitioning
+      "q_itemsets", "q_markov", "q_fuzzy_match", "q_winsorize",
+      "q_entity_clusters", "q_bpe_train", "q_cusum", "q_source_gini",
+      "q_quantile_norm", "q_pattern_negation")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
