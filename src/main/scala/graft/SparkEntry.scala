@@ -1352,6 +1352,37 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Peak concurrency (max simultaneous intervals) per event type — the
+    * +1/−1 sweep with a running sum, the operational twin of
+    * [[qIntervalCoverage]]'s union length. Each event carries a service
+    * interval [ts, ts + k seconds) (k from its JSON props; END EXCLUSIVE,
+    * pinned by ordering end markers BEFORE start markers at equal
+    * timestamps). The sweep is one window pass per type over 2 rows per
+    * interval; the readout is the peak and the first instant it is
+    * reached — all integer microseconds. At 100 TB the same sweep runs
+    * after the bucketized decomposition [[graft.ops.IntervalCoverage]]
+    * documents (per-bucket maxima + boundary carry-in), so no global
+    * per-type sort is required; this query pins the exact semantics.
+    */
+  private def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .select(col("event_type"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + col("k") * 1000000L).as("e"))
+      .filter(col("k").isNotNull && col("k") > 0)
+    val marks = iv.select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
+      .unionByName(iv.select(col("event_type"), col("e").as("t"), lit(-1L).as("d")))
+    // ends sort before starts at equal t (d = -1 < 1): end-exclusive
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+    val swept = marks
+      .withColumn("cur", sum("d").over(w))
+      .withColumn("peak", max(col("cur")).over(Window.partitionBy("event_type")))
+    swept.filter(col("cur") === col("peak"))
+      .groupBy("event_type")
+      .agg(max("peak").as("peak"), min("t").as("peak_at_us"))
+      .orderBy("event_type")
+  }
+
   /** CEP pattern with NEGATION — "purchase preceded by a click within 7
     * days with NO error in between", the match-recognize shape funnels
     * can't express. ONE window pass per user (running last-click /
@@ -5752,6 +5783,7 @@ object SparkEntry {
     "q_source_gini" -> (qSourceGini _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_pattern_negation" -> (qPatternNegation _),
+    "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
@@ -6904,6 +6936,26 @@ object SparkEntry {
         |FROM x
         |WHERE event_type = 'purchase' AND last_click IS NOT NULL
         |  AND ts <= last_click + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |           * 1000000 AS e
+        |  FROM events
+        |  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0),
+        |marks AS (
+        |  SELECT event_type, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+        |sw AS (
+        |  SELECT event_type, t,
+        |         CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d)
+        |           AS BIGINT) AS cur
+        |  FROM marks),
+        |pk AS (SELECT event_type, max(cur) AS peak FROM sw GROUP BY 1)
+        |SELECT sw.event_type, max(pk.peak) AS peak, min(sw.t) AS peak_at_us
+        |FROM sw JOIN pk ON sw.event_type = pk.event_type AND sw.cur = pk.peak
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_value_histogram" ->
       """WITH ev AS (
