@@ -1352,6 +1352,56 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Boolean conjunctive retrieval (AND of all query terms) — the
+    * filter-mode sibling of [[qBm25]]'s ranked retrieval, sharing the same
+    * fixed query set. Distinct (doc, term) postings join the broadcast
+    * query-term dim; a doc matches when its distinct matched-term count
+    * equals the query's term count. One corpus explode + hash aggregates;
+    * the query side stays a bounded broadcast at any corpus size.
+    */
+  private def qBooleanRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
+      (3L, "stream window batch")).toDF("qid", "qtext")
+    val qterms = queries
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("t")).distinct()
+    val nq = qterms.groupBy("qid").agg(count(lit(1)).as("nt"))
+    val postings = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t")).distinct()
+    postings.join(broadcast(qterms), "t")
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("m"))
+      .join(broadcast(nq), "qid").filter(col("m") === col("nt"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_ids"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("qid")
+  }
+
+  /** Phrase search over a POSITIONAL index: candidate positions for each
+    * phrase word are cut down by a broadcast word-dim join FIRST, then the
+    * two (already small) position sets meet in an equi-join on
+    * (phrase, doc, position+1) — the scale shape of positional-postings
+    * intersection; the corpus-sized position list is never self-joined
+    * whole. The oracle checks adjacency directly on the token arrays.
+    */
+  private def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phrases = Seq((1L, "sort", "merge"), (2L, "hash", "table"),
+      (3L, "window", "batch")).toDF("pid", "w1", "w2")
+    val pos = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+    val w1s = pos.join(broadcast(phrases.select("pid", "w1")), col("t") === col("w1"))
+      .select("pid", "doc_id", "pos")
+    val w2s = pos.join(broadcast(phrases.select("pid", "w2")), col("t") === col("w2"))
+      .select(col("pid"), col("doc_id"), (col("pos") - 1).as("pos"))
+    w1s.join(w2s, Seq("pid", "doc_id", "pos"))
+      .select("pid", "doc_id").distinct()
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_ids"))
+      .orderBy("pid")
+  }
+
   /** Peak concurrency (max simultaneous intervals) per event type — the
     * +1/−1 sweep with a running sum, the operational twin of
     * [[qIntervalCoverage]]'s union length. Each event carries a service
@@ -5784,6 +5834,8 @@ object SparkEntry {
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_pattern_negation" -> (qPatternNegation _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_boolean_retrieval" -> (qBooleanRetrieval _),
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_value_histogram" -> (qValueHistogram _),
     "q_lsh_bucket_audit" -> (qLshBucketAudit _),
     "q_setops" -> (qSetOps _),
@@ -6957,6 +7009,30 @@ object SparkEntry {
         |SELECT sw.event_type, max(pk.peak) AS peak, min(sw.t) AS peak_at_us
         |FROM sw JOIN pk ON sw.event_type = pk.event_type AND sw.cur = pk.peak
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_boolean_retrieval" ->
+      s"""WITH q(qid, qtext) AS (VALUES (1, 'sort merge join'),
+         |  (2, 'hash table scan'), (3, 'stream window batch')),
+         |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS t FROM q),
+         |nq AS (SELECT qid, count(*) AS nt FROM qt GROUP BY 1),
+         |dt AS (SELECT DISTINCT doc_id, unnest($ToksSql) AS t FROM documents),
+         |m AS (SELECT qt.qid, dt.doc_id, count(*) AS mt
+         |      FROM dt JOIN qt USING (t) GROUP BY 1, 2)
+         |SELECT CAST(m.qid AS BIGINT) AS qid, count(*) AS n_docs,
+         |       CAST(sum(m.doc_id) AS BIGINT) AS sum_doc_ids,
+         |       min(m.doc_id) AS min_doc, max(m.doc_id) AS max_doc
+         |FROM m JOIN nq ON m.qid = nq.qid AND m.mt = nq.nt
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_phrase_search" ->
+      s"""WITH p(pid, w1, w2) AS (VALUES (1, 'sort', 'merge'),
+         |  (2, 'hash', 'table'), (3, 'window', 'batch')),
+         |tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks, unnest(range(1, list_count(toks))) AS i
+         |       FROM tk),
+         |m AS (SELECT DISTINCT p.pid, ix.doc_id
+         |      FROM ix JOIN p ON ix.toks[i] = p.w1 AND ix.toks[i+1] = p.w2)
+         |SELECT CAST(pid AS BIGINT) AS pid, count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_value_histogram" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
