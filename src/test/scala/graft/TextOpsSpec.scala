@@ -56,6 +56,19 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1, "x", "y", 3L), (2, "z", "xy", 1L)))
   }
 
+  test("bpe trainMerges: fewer rounds yield a strict prefix of more rounds") {
+    import graft.ops.Bpe
+    // the merge table must be history-independent per round count — a
+    // round accidentally leaking state (stale persist, wrong vocab frame)
+    // would break prefix stability on a real corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val m2 = Bpe.trainMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val m3 = Bpe.trainMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m3.take(2) == m2 && m3.size == 3)
+  }
+
   test("bpe trainMerges: frequency ties break on the pair, deterministically") {
     import graft.ops.Bpe
     val docs = Seq("ab cd").toDF("text")
