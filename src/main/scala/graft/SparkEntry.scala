@@ -1409,27 +1409,21 @@ object SparkEntry {
     * pinned by ordering end markers BEFORE start markers at equal
     * timestamps). The sweep is one window pass per type over 2 rows per
     * interval; the readout is the peak and the first instant it is
-    * reached — all integer microseconds. At 100 TB the same sweep runs
-    * after the bucketized decomposition [[graft.ops.IntervalCoverage]]
-    * documents (per-bucket maxima + boundary carry-in), so no global
-    * per-type sort is required; this query pins the exact semantics.
+    * reached — all integer microseconds. Runs the BUCKETIZED
+    * decomposition ([[graft.ops.IntervalCoverage.peakConcurrency]]:
+    * clipped pieces preserve every instant's active count, so per-bucket
+    * peaks max/min-combine exactly) — windows partition by
+    * (type, bucket), never a global per-type sort; the oracle runs the
+    * textbook single sweep, certifying the decomposition end-to-end.
     */
   private def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val iv = events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .select(col("event_type"), unix_micros(col("ts")).as("s"),
-        (unix_micros(col("ts")) + col("k") * 1000000L).as("e"))
       .filter(col("k").isNotNull && col("k") > 0)
-    val marks = iv.select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
-      .unionByName(iv.select(col("event_type"), col("e").as("t"), lit(-1L).as("d")))
-    // ends sort before starts at equal t (d = -1 < 1): end-exclusive
-    val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
-    val swept = marks
-      .withColumn("cur", sum("d").over(w))
-      .withColumn("peak", max(col("cur")).over(Window.partitionBy("event_type")))
-    swept.filter(col("cur") === col("peak"))
-      .groupBy("event_type")
-      .agg(max("peak").as("peak"), min("t").as("peak_at_us"))
+      .select(col("event_type"), col("ts").as("ts0"),
+        timestamp_micros(unix_micros(col("ts")) + col("k") * 1000000L).as("ts1"))
+    graft.ops.IntervalCoverage
+      .peakConcurrencyAutoBucket(iv, Seq("event_type"), "ts0", "ts1")
       .orderBy("event_type")
   }
 

@@ -99,6 +99,98 @@ object IntervalCoverage {
       .agg(sum(col("__cov")).as("covered_us"))
   }
 
+  /** Distributed PEAK CONCURRENCY (max simultaneous intervals) per group —
+    * the operational twin of [[coverage]], same clipping decomposition.
+    * Within any bucket, the active count at every instant computed from
+    * CLIPPED pieces equals the count from the original intervals (an
+    * interval spanning the bucket contributes a piece starting at the
+    * bucket boundary, so it is active from the first instant of the
+    * bucket either way). Hence
+    *
+    *   `peak(group) = MAX over buckets of peak(pieces in bucket)`
+    *
+    * exactly, and the first instant the global peak is reached is the MIN
+    * of the first-instant readouts over the buckets that attain it. The
+    * per-bucket sweep (+1 at piece start, −1 at piece end, ends ordered
+    * BEFORE starts at equal t — end-exclusive semantics) is a window
+    * partitioned by (group, bucket): bounded partitions, never a global
+    * per-group sort.
+    *
+    * @return one row per group: groupCols*, `peak` LONG,
+    *         `peak_at_us` LONG (first instant the peak is reached)
+    */
+  def peakConcurrency(
+      df: DataFrame,
+      groupCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      bucketUs: Long,
+      maxBucketsPerRow: Int = Int.MaxValue): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
+    require(groupCols.nonEmpty, "at least one group column")
+    val capped = maxBucketsPerRow != Int.MaxValue
+    if (capped) org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"IntervalCoverage: peak bound maxBucketsPerRow=$maxBucketsPerRow — " +
+        "rows whose interval spans more buckets are dropped")
+    def bucket(c: Column): Column = c - pmod(c, lit(bucketUs))
+    val boundUs: Long =
+      try Math.multiplyExact(bucketUs, (maxBucketsPerRow - 1).toLong)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    def spanOk(s: Column, e: Column): Column =
+      if (!capped) lit(true) else bucket(e) - bucket(s) <= lit(boundUs)
+
+    val pieces = df
+      .withColumn("__s", unix_micros(col(startCol)))
+      .withColumn("__e", unix_micros(col(endCol)))
+      .filter(col("__s") < col("__e") && spanOk(col("__s"), col("__e") - 1))
+      .withColumn("__bkt",
+        explode(sequence(bucket(col("__s")), bucket(col("__e") - 1), lit(bucketUs))))
+      .withColumn("__ps", greatest(col("__s"), col("__bkt")))
+      .withColumn("__pe", least(col("__e"), col("__bkt") + bucketUs))
+
+    val gb = groupCols.map(col) :+ col("__bkt")
+    val marks = pieces
+      .select((gb :+ col("__ps").as("__t") :+ lit(1L).as("__d")): _*)
+      .unionByName(pieces
+        .select((gb :+ col("__pe").as("__t") :+ lit(-1L).as("__d")): _*))
+    // default RANGE frame: peers at equal (t, d) aggregate together, so
+    // the running value after all simultaneous starts is what peaks
+    val w = Window.partitionBy(gb: _*).orderBy(col("__t"), col("__d"))
+    val swept = marks.withColumn("__cur", sum(col("__d")).over(w))
+    val perBucket = swept
+      .withColumn("__bpeak", max(col("__cur")).over(Window.partitionBy(gb: _*)))
+      .filter(col("__cur") === col("__bpeak"))
+      .groupBy(gb: _*)
+      .agg(max(col("__bpeak")).as("__bp"), min(col("__t")).as("__bt"))
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    perBucket
+      .withColumn("__gp", max(col("__bp")).over(gw))
+      .filter(col("__bp") === col("__gp"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__gp")).as("peak"), min(col("__bt")).as("peak_at_us"))
+  }
+
+  /** [[peakConcurrency]] with `bucketUs` derived from the p90 interval
+    * length, exactly like [[coverageAutoBucket]] (peak is bucket-invariant,
+    * so auto-tuning never changes the result — only the plan's balance).
+    */
+  def peakConcurrencyAutoBucket(
+      df: DataFrame,
+      groupCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      maxBucketsPerRow: Int = Int.MaxValue): DataFrame = {
+    val lens = df.select(
+      (unix_micros(col(endCol)) - unix_micros(col(startCol))).as("__len"))
+      .filter(col("__len") > 0)
+    val p90 = lens.select(expr("approx_percentile(__len, 0.9)")).head()
+    val bucketUs =
+      if (p90.isNullAt(0)) 1000000L
+      else math.max(p90.getLong(0), 1000000L)
+    peakConcurrency(df, groupCols, startCol, endCol, bucketUs, maxBucketsPerRow)
+  }
+
   /** [[coverage]] with `bucketUs` derived FROM THE DATA: the p90 interval
     * length via one `approx_percentile` sketch pass (mergeable partial
     * state, no sort), clamped to ≥ 1 s. Same rationale as

@@ -54,6 +54,76 @@ class IntervalCoverageSpec extends SparkSpec {
     assert(cov(d, 3000000L) == Map("a" -> 10000000L, "b" -> 6000000L))
   }
 
+  private def peak(d: DataFrame, bucketUs: Long): Map[String, (Long, Long)] =
+    IntervalCoverage.peakConcurrency(d, Seq("k"), "ts0", "ts1", bucketUs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  /** Brute-force peak: active counts change only at interval starts, so
+    * evaluating `count(s <= t < e)` at every distinct start covers all
+    * candidates; first-at is the earliest attaining start. */
+  private def naivePeak(iv: Seq[(Long, Long)]): (Long, Long) = {
+    val base = 1700000000000000L
+    val valid = iv.filter { case (s, e) => e > s }
+    val counts = valid.map(_._1).distinct.sorted
+      .map(t => t -> valid.count { case (s, e) => s <= t && t < e })
+    val p = counts.map(_._2).max
+    (p.toLong, base + counts.find(_._2 == p).get._1 * 1000000L)
+  }
+
+  test("peak concurrency: closed forms at every bucket width") {
+    val base = 1700000000000000L
+    for (b <- Seq(1000000L, 7000000L, 10000000L, 3600000000L)) {
+      // disjoint: never more than 1 active, first at t=0
+      assert(peak(df(Seq((0L, 10L), (20L, 30L))), b) ==
+        Map("g" -> ((1L, base))), s"b=$b")
+      // nested: 2 active from t=5
+      assert(peak(df(Seq((0L, 30L), (5L, 10L))), b) ==
+        Map("g" -> ((2L, base + 5000000L))), s"b=$b")
+      // triple overlap at t=4
+      assert(peak(df(Seq((0L, 10L), (2L, 8L), (4L, 6L))), b) ==
+        Map("g" -> ((3L, base + 4000000L))), s"b=$b")
+      // touching half-open: at t=10 the first interval is OVER (end
+      // exclusive) — peak stays 1, first reached at t=0
+      assert(peak(df(Seq((0L, 10L), (10L, 20L))), b) ==
+        Map("g" -> ((1L, base))), s"b=$b")
+    }
+  }
+
+  test("peak concurrency: boundary-spanning intervals neither double-count nor shift first-at") {
+    val base = 1700000000000000L
+    // both intervals span the 10 s bucket boundary; their bucket-1 pieces
+    // both start AT the boundary — active count there is still 2, and the
+    // global first-at must remain t=5 from bucket 0
+    assert(peak(df(Seq((0L, 20L), (5L, 25L))), 10000000L) ==
+      Map("g" -> ((2L, base + 5000000L))))
+    // one interval across three buckets: peak 1 at t=0, not at a boundary
+    assert(peak(df(Seq((0L, 30L))), 10000000L) == Map("g" -> ((1L, base))))
+  }
+
+  test("peak concurrency: bucketized equals brute force on random interval sets") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val iv = Seq.fill(60)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .map { case (a, b) => (a, a + (b % 23)) }
+      val want = naivePeak(iv)
+      for (b <- Seq(1000000L, 5000000L, 17000000L, 1000000000L)) {
+        assert(peak(df(iv), b) == Map("g" -> want), s"trial=$trial b=$b")
+      }
+    }
+  }
+
+  test("peak concurrency: groups independent; auto-bucket matches explicit") {
+    val base = 1700000000000000L
+    val d = df(Seq((0L, 10L)), "a").union(df(Seq((0L, 4L), (2L, 6L)), "b"))
+    assert(peak(d, 3000000L) ==
+      Map("a" -> ((1L, base)), "b" -> ((2L, base + 2000000L))))
+    val iv = Seq((0L, 7L), (3L, 20L), (40L, 41L), (100L, 160L), (150L, 155L))
+    val got = IntervalCoverage
+      .peakConcurrencyAutoBucket(df(iv), Seq("k"), "ts0", "ts1")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("g" -> naivePeak(iv)))
+  }
+
   test("bucketized coverage equals brute force on random interval sets") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
