@@ -1272,25 +1272,30 @@ object SparkEntry {
 
   /** Winsorization (percentile clipping) of document lengths per language
     * with EXPLICIT rank arithmetic: the p05/p95 bounds are the
-    * ceil(q·n)-th smallest values by (n_chars, doc_id) rank — a definition
-    * both engines reproduce bit-for-bit, sidestepping percentile
-    * interpolation conventions entirely. Bounds are data values, so every
-    * clipped sum stays integer-exact. The rank pass is one window sort per
-    * language (bounded partitions); at 100 TB the same readout would ride
-    * approx_percentile (envelope-graded in [[qApproxPercentile]]) — this
-    * query pins the exact semantics.
+    * ceil(q·n)-th smallest values — a definition both engines reproduce
+    * bit-for-bit, sidestepping percentile interpolation conventions
+    * entirely. Bounds are data values, so every clipped sum stays
+    * integer-exact.
+    *
+    * Scale shape: the bound is located on the per-(lang, value) COUNT
+    * HISTOGRAM — `lo = min v with cumcount(v) ≥ ceil(0.05·n)`, provably
+    * the rank definition — so the only window runs over DISTINCT values
+    * per language (value-bounded partitions), never a per-row rank of the
+    * corpus. Exact at any scale; no approx fallback needed.
     */
   private def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("lang"), col("doc_id"), col("n_chars"))
-    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    val ranked = docs.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-    val bounds = ranked
+    val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy("lang").orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum", sum("m").over(wv))
+      .withColumn("n", sum("m").over(Window.partitionBy("lang")))
+    val bounds = cum
       .groupBy("lang")
       .agg(
-        max(when(col("rn") === expr("cast(ceil(0.05 * n) as bigint)"), col("n_chars")))
+        min(when(col("cum") >= expr("cast(ceil(0.05 * n) as bigint)"), col("n_chars")))
           .as("lo"),
-        max(when(col("rn") === expr("cast(ceil(0.95 * n) as bigint)"), col("n_chars")))
+        min(when(col("cum") >= expr("cast(ceil(0.95 * n) as bigint)"), col("n_chars")))
           .as("hi"))
     docs.join(broadcast(bounds), "lang")
       .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("n_chars"))))
@@ -1333,18 +1338,28 @@ object SparkEntry {
   /** Gini concentration of document length per language — the inequality
     * readout a curation pipeline uses to spot sources dominated by a few
     * giant documents. Closed form on the sorted series:
-    * `G = (2·Σ i·x_i − (n+1)·S) / (n·S)` with rank i by (n_chars, doc_id)
-    * — every term an exact integer, emitted as num/den plus a floor-ppm.
-    * One window rank per language + one aggregate.
+    * `G = (2·Σ i·x_i − (n+1)·S) / (n·S)` — every term an exact integer,
+    * emitted as num/den plus a floor-ppm.
+    *
+    * Scale shape: Σ i·x_i is computed from the per-(lang, value) COUNT
+    * HISTOGRAM, not per-row ranks — the m tied rows at value v occupy the
+    * contiguous rank block (c_<v, c_<v + m], whose rank-sum is
+    * `m·c_<v + m(m+1)/2` (tie order is irrelevant: tied values contribute
+    * identically), so `Σ i·x_i = Σ_v v·(m·c_<v + m(m+1)/2)`. The only
+    * window runs over DISTINCT values per language; the corpus itself is
+    * touched by one hash aggregate. Exact at any scale.
     */
   private def qSourceGini(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    t(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("n_chars"))
-      .withColumn("i", row_number().over(w).cast("long"))
+    val hist = t(spark, dir, "documents")
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy("lang").orderBy("n_chars")
+    hist
+      .withColumn("clt", sum("m").over(wv) - col("m")) // count strictly smaller
+      .withColumn("ix_v",
+        col("n_chars") * (col("m") * col("clt") + expr("(m * (m + 1)) div 2")))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"),
-        sum(col("i") * col("n_chars")).as("ix"))
+      .agg(sum("m").as("n"), sum(col("n_chars") * col("m")).as("s"),
+        sum("ix_v").as("ix"))
       .withColumn("gini_num", lit(2) * col("ix") - (col("n") + 1) * col("s"))
       .withColumn("gini_den", col("n") * col("s"))
       .withColumn("gini_ppm", expr("(1000000 * gini_num) div gini_den"))
