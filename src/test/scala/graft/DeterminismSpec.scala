@@ -30,7 +30,8 @@ class DeterminismSpec extends SparkSpec {
       // at any partitioning
       "q_itemsets", "q_markov", "q_fuzzy_match", "q_winsorize",
       "q_entity_clusters", "q_bpe_train", "q_cusum", "q_source_gini",
-      "q_quantile_norm", "q_pattern_negation")
+      "q_quantile_norm", "q_pattern_negation",
+      "q_peak_concurrency", "q_boolean_retrieval", "q_phrase_search")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
