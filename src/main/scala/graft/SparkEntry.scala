@@ -2385,6 +2385,57 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming heavy hitters: per-micro-batch Count–Min sketches folded
+    * into one running sketch (same width/depth/seed). CMS merge is
+    * counter ADDITION, so the fold over ANY batch partitioning equals the
+    * one-shot batch sketch counter-for-counter — the readout asserts that
+    * equality exactly per top-k key (`fold_exact`), alongside the
+    * deterministic one-sided `cms_ok` from [[graft.ops.HeavyHitters]].
+    * Driver state is two small sketch arrays; per-key state never exists
+    * anywhere — the streaming shape that survives an unbounded key space.
+    */
+  private def qStreamingHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = streamChunksDir(spark, dir)
+    val (eps, conf, seed) = (0.0001, 0.999, 42)
+    var folded: org.apache.spark.util.sketch.CountMinSketch = null
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamhh_ckpt").toFile
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 4)
+      .parquet(srcDir)
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // distributed per-batch sketch; sequential foreachBatch -> the
+        // driver-side fold needs no synchronization
+        val s = batch.filter(col("user_id").isNotNull)
+          .stat.countMinSketch("user_id", eps, conf, seed)
+        if (folded == null) folded = s else folded.mergeInPlace(s)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("[graft] q_streaming_heavy_hitters drain timed out")
+      }
+    } finally deleteRec(ckpt)
+    val ev = events(spark, dir).filter(col("user_id").isNotNull)
+    val batchSketch = ev.stat.countMinSketch("user_id", eps, conf, seed)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("user_id")).limit(10)
+    import spark.implicits._
+    exact.collect().toSeq.map { r =>
+      val k = r.getLong(0)
+      val n = r.getLong(1)
+      val fe = if (folded == null) -1L else folded.estimateCount(k)
+      (k, n, fe == batchSketch.estimateCount(k), fe >= n)
+    }.toDF("user_id", "n", "fold_exact", "cms_ok")
+      .orderBy(desc("n"), col("user_id"))
+  }
+
   /** Stream-stream LEFT OUTER join — inner matching plus the
     * state-EVICTION semantics outer joins add: an unmatched click emits
     * its null-extended row only when the watermark proves no purchase can
@@ -5880,6 +5931,7 @@ object SparkEntry {
     "q_streaming_full_join" -> (qStreamingFullJoin _),
     "q_streaming_left_join" -> (qStreamingLeftJoin _),
     "q_streaming_hll" -> (qStreamingHll _),
+    "q_streaming_heavy_hitters" -> (qStreamingHeavyHitters _),
     "q_streaming_dedup" -> (qStreamingDedup _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -7358,6 +7410,11 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |        <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_streaming_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n,
+        |       true AS fold_exact, true AS cms_ok
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "q_streaming_left_join" ->
       """WITH c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
