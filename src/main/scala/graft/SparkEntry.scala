@@ -1166,6 +1166,66 @@ object SparkEntry {
       .orderBy("cohort_day")
   }
 
+  /** Strict 3-step ordered funnel (click → view → purchase, each stage
+    * strictly after the previous, conversion bounded to 7 days from the
+    * first click) — the K-stage generalization of [[qFunnel]]. Each stage
+    * is one bounded per-user aggregate (min event time after the previous
+    * stage's time) chained by equi-joins on user — no window over the
+    * event stream, no range join; the chain extends to any K with K
+    * aggregates.
+    */
+  private def qFunnel3(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("c0"))
+    val v = ev.filter(col("event_type") === "view")
+      .join(c, "user_id").filter(col("ts") > col("c0"))
+      .groupBy("user_id").agg(min("ts").as("v0"), min("c0").as("c0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v0") && col("ts") <= col("c0") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("p0"))
+    c.join(v.select(col("user_id"), col("v0")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .groupBy(to_date(col("c0")).cast("string").as("cohort_day"))
+      .agg(count(lit(1)).as("n_clicked"),
+        sum(when(col("v0").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("p0").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+      .orderBy("cohort_day")
+  }
+
+  /** Pareto concentration ("how few documents hold 80% of the corpus") —
+    * the Lorenz-curve point next to [[qSourceGini]]'s Gini, and like it
+    * computed ENTIRELY from the per-(lang, value) count histogram: with
+    * values cumulated in DESCENDING order, the crossing value v* is the
+    * single row where the strictly-above mass is < 80% and the inclusive
+    * mass ≥ 80%; the docs needed inside the tied block are one exact
+    * ceiling division. `5·chars ≥ 4·S` keeps every comparison integer.
+    * One corpus hash aggregate + a distinct-value window — no per-row
+    * rank at any scale.
+    */
+  private def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "documents")
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy("lang").orderBy(col("n_chars").desc)
+    val tot = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("cumc", sum(col("m") * col("n_chars")).over(wv))
+      .withColumn("cumn", sum("m").over(wv))
+      .withColumn("s", sum(col("m") * col("n_chars")).over(tot))
+      .withColumn("n", sum("m").over(tot))
+      .withColumn("above", col("cumc") - col("m") * col("n_chars"))
+    cum
+      .filter(col("above") * 5 < col("s") * 4 && col("cumc") * 5 >= col("s") * 4)
+      .withColumn("j",
+        expr("(4 * s - 5 * above + 5 * n_chars - 1) div (5 * n_chars)"))
+      .withColumn("k80", col("cumn") - col("m") + col("j"))
+      .select(col("lang"), col("n"), col("s"), col("k80"),
+        expr("(1000000 * k80) div n").as("k80_ppm"),
+        expr("(1000000 * (above + j * n_chars)) div s").as("share_ppm"))
+      .orderBy("lang")
+  }
+
   /** Weekly cohort retention: users grouped by first-seen ISO week, the
     * classic wk+0..wk+3 active-user matrix. The distinct (user, week)
     * activity set is aggregated once; offsets are exact integer week
@@ -5891,6 +5951,8 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
+    "q_pareto" -> (qPareto _),
+    "q_funnel3" -> (qFunnel3 _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_pattern_negation" -> (qPatternNegation _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
@@ -7011,6 +7073,48 @@ object SparkEntry {
         |       n * s AS gini_den,
         |       (1000000 * (2 * ix - (n + 1) * s)) // (n * s) AS gini_ppm
         |FROM a ORDER BY 1""".stripMargin,
+    "q_pareto" ->
+      """WITH h AS (SELECT lang, n_chars, count(*) AS m
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, n_chars, m,
+        |        CAST(sum(m * n_chars) OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC) AS BIGINT) AS cumc,
+        |        CAST(sum(m) OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC) AS BIGINT) AS cumn,
+        |        CAST(sum(m * n_chars) OVER (PARTITION BY lang) AS BIGINT) AS s,
+        |        CAST(sum(m) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |      FROM h),
+        |x AS (SELECT *, cumc - m * n_chars AS above FROM c),
+        |y AS (SELECT *,
+        |        (4 * s - 5 * above + 5 * n_chars - 1) // (5 * n_chars) AS j
+        |      FROM x WHERE above * 5 < s * 4 AND cumc * 5 >= s * 4)
+        |SELECT lang, n, s, cumn - m + j AS k80,
+        |       (1000000 * (cumn - m + j)) // n AS k80_ppm,
+        |       (1000000 * (above + j * n_chars)) // s AS share_ppm
+        |FROM y ORDER BY 1""".stripMargin,
+    "q_funnel3" ->
+      """WITH c AS (
+        |  SELECT user_id, min(ts) AS c0 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS v0, min(c.c0) AS c0
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > c.c0 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p0
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v0
+        |    AND e.ts <= v.c0 + INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT CAST(CAST(c.c0 AS DATE) AS VARCHAR) AS cohort_day,
+        |       count(*) AS n_clicked,
+        |       CAST(sum(CASE WHEN v.v0 IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_viewed,
+        |       CAST(sum(CASE WHEN p.p0 IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_converted
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |       LEFT JOIN p ON c.user_id = p.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quantile_norm" ->
       """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
         |r AS (SELECT source, doc_id, n_chars,
