@@ -1194,6 +1194,33 @@ object SparkEntry {
       .orderBy("cohort_day")
   }
 
+  /** Mutual information between event type and hour-of-day — the
+    * information-theoretic association readout next to [[qChi2]], in the
+    * repo's exact integer-log arithmetic: each cell contributes
+    * `o · (L(o·T) − L(r·c))` micro-nats with the shared
+    * [[graft.functions.ScaledLn]] formula (floor(ln·1e6 + 0.5), identical
+    * IEEE ops both engines), long-summed — bit-exact at any scale. Cell
+    * counts are one hash aggregate; marginals broadcast back.
+    */
+  private def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScaledLn
+    val o = events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("o"))
+    val r = o.groupBy("event_type").agg(sum("o").as("r"))
+    val c = o.groupBy("hod").agg(sum("o").as("c"))
+    val tt = o.select(sum("o").as("t"))
+    o.join(broadcast(r), "event_type").join(broadcast(c), "hod")
+      .crossJoin(broadcast(tt))
+      .withColumn("cell_mi",
+        col("o") * (ScaledLn.column(col("o") * col("t")) -
+          ScaledLn.column(col("r") * col("c"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"), sum("o").as("n_events"),
+        sum("cell_mi").as("mi_contrib_micro"))
+      .orderBy("event_type")
+  }
+
   /** Pareto concentration ("how few documents hold 80% of the corpus") —
     * the Lorenz-curve point next to [[qSourceGini]]'s Gini, and like it
     * computed ENTIRELY from the per-(lang, value) count histogram: with
@@ -5953,6 +5980,7 @@ object SparkEntry {
     "q_source_gini" -> (qSourceGini _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_pattern_negation" -> (qPatternNegation _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
@@ -7092,6 +7120,24 @@ object SparkEntry {
         |       (1000000 * (cumn - m + j)) // n AS k80_ppm,
         |       (1000000 * (above + j * n_chars)) // s AS share_ppm
         |FROM y ORDER BY 1""".stripMargin,
+    "q_mutual_info" ->
+      """WITH o AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+        |c AS (SELECT hod, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM o),
+        |cells AS (
+        |  SELECT o.event_type, o.o,
+        |         o.o * (CAST(floor(ln(o.o * t.t) * 1000000 + 0.5) AS BIGINT) -
+        |                CAST(floor(ln(r.r * c.c) * 1000000 + 0.5) AS BIGINT))
+        |           AS cell_mi
+        |  FROM o JOIN r USING (event_type) JOIN c USING (hod) CROSS JOIN t)
+        |SELECT event_type, count(*) AS n_cells,
+        |       CAST(sum(o) AS BIGINT) AS n_events,
+        |       CAST(sum(cell_mi) AS BIGINT) AS mi_contrib_micro
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_funnel3" ->
       """WITH c AS (
         |  SELECT user_id, min(ts) AS c0 FROM events
