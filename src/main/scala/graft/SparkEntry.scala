@@ -1194,6 +1194,33 @@ object SparkEntry {
       .orderBy("cohort_day")
   }
 
+  /** Benford first-digit conformance — the classic fabricated-data /
+    * corruption screen over a monetary column. Expected shares are a
+    * LITERAL ppm table (`floor(log10(1+1/d)·1e6+0.5)`, the same
+    * literal-weights discipline as the NDCG discount table — runtime
+    * `log10` could flip a rounding between libms); observed shares are
+    * exact integer divisions; the readout is the per-digit signed
+    * deviation. First digit via decimal-string head of integer cents —
+    * identical in any engine. One hash aggregate.
+    */
+  private def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      .toDF("digit", "exp_ppm")
+    val o = t(spark, dir, "orders")
+      .withColumn("digit",
+        substring(expr("cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string)"), 1, 1)
+          .cast("int"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val n = o.select(sum("o").as("n"))
+    o.join(broadcast(expected), "digit").crossJoin(broadcast(n))
+      .withColumn("obs_ppm", expr("(1000000 * o) div n"))
+      .select(col("digit").cast("long").as("digit"), col("o"), col("obs_ppm"),
+        col("exp_ppm"), (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   /** Mutual information between event type and hour-of-day — the
     * information-theoretic association readout next to [[qChi2]], in the
     * repo's exact integer-log arithmetic: each cell contributes
@@ -5981,6 +6008,7 @@ object SparkEntry {
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
+    "q_benford" -> (qBenford _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_pattern_negation" -> (qPatternNegation _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
@@ -7138,6 +7166,22 @@ object SparkEntry {
         |       CAST(sum(o) AS BIGINT) AS n_events,
         |       CAST(sum(cell_mi) AS BIGINT) AS mi_contrib_micro
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_benford" ->
+      """WITH exp(digit, exp_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |o AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o)
+        |SELECT CAST(o.digit AS BIGINT) AS digit, o.o,
+        |       (1000000 * o.o) // n.n AS obs_ppm,
+        |       CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+        |       (1000000 * o.o) // n.n - exp.exp_ppm AS dev_ppm
+        |FROM o JOIN exp USING (digit) CROSS JOIN n
+        |ORDER BY 1""".stripMargin,
     "q_funnel3" ->
       """WITH c AS (
         |  SELECT user_id, min(ts) AS c0 FROM events
