@@ -5472,6 +5472,15 @@ object SparkEntry {
   private def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.trainMerges(t(spark, dir, "documents"), "text", rounds = 3)
 
+  /** The trained tokenizer APPLIED — corpus compression after 3 merges
+    * ([[graft.ops.Bpe.trainAndApplyStats]]): symbol counts before/after,
+    * frequency-weighted, plus the integer-ppm saving. Completes the
+    * train→apply lifecycle under one oracle chain (the oracle reads the
+    * same unrolled cycle's FINAL vocab frame).
+    */
+  private def qBpeApply(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainAndApplyStats(t(spark, dir, "documents"), "text", rounds = 3)
+
   /** PMI collocations ([[graft.ops.Collocations.topPmi]]): top-20
     * adjacent word pairs by pointwise mutual information with min support
     * 5 — counting runs on 8-byte hashes, strings join back only for the
@@ -6161,6 +6170,7 @@ object SparkEntry {
     "q_collocations" -> (qCollocations _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_url_blocklist" -> (qUrlBlocklist _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_substring_dedup" -> (qSubstringDedup _),
@@ -6235,12 +6245,29 @@ object SparkEntry {
            |v$k AS (SELECT w, min(cnt) AS cnt,
            |               list(CASE WHEN m THEN ab ELSE s END ORDER BY i) AS syms
            |        FROM g$k WHERE NOT consumed GROUP BY w)""".stripMargin
-      if (k < rounds) count + ",\n" + apply else count
+      count + ",\n" + apply
     }.mkString(",\n")
     val readout = (1 to rounds)
       .map(k => s"SELECT $k AS round, a AS tok_a, b AS tok_b, n FROM t$k")
       .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
     head + "\n" + perRound + readout
+  }
+
+  /** The apply-side BPE oracle: same unrolled cycle, readout = the
+    * corpus compression stats off the FINAL vocab frame v{rounds}
+    * (unreferenced CTEs of the chain are skipped by the engine).
+    */
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val full = bpeOracleSql(rounds)
+    val ctes = full.substring(0, full.lastIndexOf("\nSELECT 1 AS round"))
+    s"""$ctes
+       |SELECT count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |       CAST(sum(cnt * length(w)) AS BIGINT) AS syms_before,
+       |       CAST(sum(cnt * list_count(syms)) AS BIGINT) AS syms_after,
+       |       (1000000 * (CAST(sum(cnt * length(w)) AS BIGINT) -
+       |                   CAST(sum(cnt * list_count(syms)) AS BIGINT)))
+       |         // CAST(sum(cnt * length(w)) AS BIGINT) AS saved_ppm
+       |FROM v$rounds""".stripMargin
   }
 
   /** C4 oracle shared by the batch and streaming queries: pages
@@ -9093,6 +9120,7 @@ object SparkEntry {
         |       CAST(min(CASE WHEN blocked THEN doc_id END) AS BIGINT) AS min_blocked
         |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_bpe_train" -> bpeOracleSql(3),
+    "q_bpe_apply" -> bpeApplyOracleSql(3),
     "q_bpe_pairs" ->
       s"""WITH tok AS (SELECT unnest($ToksSql) AS w FROM documents),
          |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),

@@ -74,9 +74,35 @@ object Bpe {
     *         — the merge table, i.e. the trained tokenizer.
     */
   def trainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
+    trainWithVocab(df, textCol, rounds)._1.toDF("round", "tok_a", "tok_b", "n")
+  }
+
+  /** [[trainMerges]] plus the corpus-level compression readout: symbol
+    * counts before/after applying the learned merges, weighted by word
+    * frequency — "how much did k merges shrink the token stream". One
+    * row; every figure an exact integer (chars-before = word length,
+    * symbols-after = final vocab frame).
+    */
+  def trainAndApplyStats(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val (_, vocab) = trainWithVocab(df, textCol, rounds)
+    vocab
+      .agg(count(lit(1)).as("n_types"), sum("cnt").as("n_tokens"),
+        sum(col("cnt") * length(col("w"))).as("syms_before"),
+        sum(col("cnt") * size(col("syms"))).as("syms_after"))
+      .withColumn("saved_ppm",
+        expr("(1000000 * (syms_before - syms_after)) div syms_before"))
+  }
+
+  /** The shared training loop: returns the merge table AND the final
+    * vocabulary frame (w, cnt, syms — syms rewritten by every executed
+    * merge). */
+  private def trainWithVocab(
+      df: DataFrame,
+      textCol: String,
+      rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     var vocab = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -114,6 +140,6 @@ object Bpe {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "tok_a", "tok_b", "n")
+    (merges.toSeq, vocab)
   }
 }
