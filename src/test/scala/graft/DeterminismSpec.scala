@@ -31,7 +31,8 @@ class DeterminismSpec extends SparkSpec {
       "q_itemsets", "q_markov", "q_fuzzy_match", "q_winsorize",
       "q_entity_clusters", "q_bpe_train", "q_cusum", "q_source_gini",
       "q_quantile_norm", "q_pattern_negation",
-      "q_peak_concurrency", "q_boolean_retrieval", "q_phrase_search")
+      "q_peak_concurrency", "q_boolean_retrieval", "q_phrase_search",
+      "q_pareto", "q_funnel3", "q_mutual_info", "q_benford", "q_bpe_apply")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
