@@ -1481,6 +1481,190 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Cohen's kappa agreement between two deterministic labeling
+    * heuristics (char-length >= 500 vs alpha-word-count >= 80) — the
+    * annotator-agreement readout a curation pipeline uses to decide
+    * whether a cheap filter can stand in for an expensive one. The 2×2
+    * contingency table is ONE hash aggregate per language; kappa's
+    * `(n·po − pe) / (n² − pe)` is exact long arithmetic (n² fits a long
+    * through ~3e9 docs per language; beyond that the same counts feed the
+    * chi2-style double-first form), emitted ppm via `div` — Spark's `div`
+    * and DuckDB's `//` both truncate toward zero, so the signed quotient
+    * is bit-exact cross-engine.
+    */
+  private def qKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("a", (col("n_chars") >= 500).cast("long"))
+      .withColumn("b",
+        (size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))) >= 80)
+          .cast("long"))
+    d.groupBy("lang")
+      .agg(sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .withColumn("n", expr("n11 + n10 + n01 + n00"))
+      .withColumn("pe_num",
+        expr("(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+      .withColumn("kappa_ppm",
+        expr("(1000000 * (n * (n11 + n00) - pe_num)) div (n * n - pe_num)"))
+      .select("lang", "n11", "n10", "n01", "n00", "n", "kappa_ppm")
+      .orderBy("lang")
+  }
+
+  /** Lag-k autocorrelation (k = 1..3) of each event type's daily count
+    * series — the seasonality/persistence screen next to [[qTrend]]'s
+    * slope and [[qCusum]]'s change point. Exact integer form: with
+    * S = Σy and n = #days, `n·y_t − S = n·(y_t − μ)` never forms the
+    * rational mean, so numerator Σ(n·y_t−S)(n·y_{t+k}−S) over lag pairs
+    * and denominator Σ(n·y_t−S)² are exact longs and the signed ppm
+    * ratio is bit-exact cross-engine (both engines truncate). Scale
+    * shape: the 100 TB event log collapses to the (type × day) count
+    * series in ONE map-side-combinable aggregate; the lag self-join runs
+    * on that tiny series, keyed by integer day index so missing days
+    * never misalign pairs.
+    */
+  private def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("di"))
+      .agg(count(lit(1)).as("y"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val dev = daily.join(broadcast(stats), "event_type")
+      .withColumn("z", col("n") * col("y") - col("s"))
+    val den = dev.groupBy("event_type")
+      .agg(max("n").as("n_days"), sum(col("z") * col("z")).as("den"))
+    val lags = Seq(1L, 2L, 3L).toDF("lag")
+    // rename-disambiguated self-join (same lineage on both sides)
+    val shifted = dev.select(col("event_type").as("et2"), col("di").as("di2"),
+      col("z").as("z2"))
+    val num = dev.crossJoin(broadcast(lags))
+      .join(shifted,
+        col("event_type") === col("et2") && col("di") + col("lag") === col("di2"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("z") * col("z2")).as("num"))
+    num.join(broadcast(den), "event_type")
+      .withColumn("acf_ppm", expr("(1000000 * num) div den"))
+      .select("event_type", "lag", "n_days", "n_pairs", "acf_ppm")
+      .orderBy("event_type", "lag")
+  }
+
+  /** Mann–Whitney U between curation sources on document length — the
+    * nonparametric "are these two sources drawn from the same length
+    * distribution?" screen, read out as the exact rank-sum statistic and
+    * its AUC form U/(n1·n2) (the probability a random src-A doc outranks
+    * a random src-B doc). Everything stays integer by doubling: tied
+    * values at combined-rank block (c, c+m] share average rank
+    * (2c+m+1)/2, so 2·R1 = Σ m1·(2c+m+1) is an exact long and
+    * 2·U1 = 2·R1 − n1(n1+1) ≥ 0.
+    *
+    * Scale shape: ranks come from the per-(source, value) COUNT
+    * HISTOGRAM — the corpus is touched by one hash aggregate, the
+    * windows run over distinct values per pair, and the pair expansion
+    * is |pairs| × |distinct values|, never per-row. A fixed 5-source
+    * probe set keeps the readout bounded.
+    */
+  private def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val probe = (0 to 4).map(i => s"src$i")
+    val hist = t(spark, dir, "documents")
+      .filter(col("source").isin(probe: _*))
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("m"))
+    val srcs = hist.select("source").distinct()
+    val prs = srcs.select(col("source").as("s1"))
+      .crossJoin(srcs.select(col("source").as("s2")))
+      .filter(col("s1") < col("s2"))
+    val h1 = prs.join(hist, col("s1") === col("source"))
+      .select(col("s1"), col("s2"), col("n_chars"), col("m").as("m1"), lit(0L).as("m2"))
+    val h2 = prs.join(hist, col("s2") === col("source"))
+      .select(col("s1"), col("s2"), col("n_chars"), lit(0L).as("m1"), col("m").as("m2"))
+    val ph = h1.union(h2).groupBy("s1", "s2", "n_chars")
+      .agg(sum("m1").as("m1"), sum("m2").as("m2"))
+    val w = Window.partitionBy("s1", "s2").orderBy("n_chars")
+    val ranked = ph
+      .withColumn("m", col("m1") + col("m2"))
+      .withColumn("c", sum("m").over(w) - col("m"))
+      .withColumn("r2", lit(2L) * col("c") + col("m") + 1)
+    ranked.groupBy("s1", "s2")
+      .agg(sum("m1").as("n1"), sum("m2").as("n2"),
+        sum(col("m1") * col("r2")).as("r1x2"))
+      .withColumn("u1x2", expr("r1x2 - n1 * (n1 + 1)"))
+      .withColumn("auc_ppm", expr("(1000000 * u1x2) div (2 * n1 * n2)"))
+      .select("s1", "s2", "n1", "n2", "u1x2", "auc_ppm")
+      .orderBy("s1", "s2")
+  }
+
+  /** Link prediction on the [[docLinkEdges]] host graph: common-neighbor
+    * count and Adamic–Adar affinity for every NON-adjacent host pair —
+    * the "which sources probably belong together" prior next to
+    * [[qLabelProp]]'s communities. AA's 1/ln(deg z) weights use the one
+    * repo scaled-log ([[graft.functions.ScaledLn]]): each witness
+    * contributes `1e12 div s(deg z)` micro-units — exact long arithmetic
+    * (witnesses only arise from deg ≥ 2, so s ≥ s(2) > 0).
+    *
+    * Scale shape: wedges are generated from the adjacency list by one
+    * self-join per center node — fan-out bounded by degree (the same
+    * shape [[qTriangles]] bounds by orientation; here both sides are
+    * kept because the pair, not the count, is the output) — then
+    * anti-joined against the edge set. No all-pairs product anywhere.
+    */
+  private def qLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScaledLn
+    val raw = docLinkEdges(spark, dir)
+    val und = raw.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("z"), col("v").as("x"))
+      .union(und.select(col("v").as("z"), col("u").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("z"), col("x").as("a"))
+      .join(adj.select(col("z"), col("x").as("b")), "z")
+      .filter(col("a") < col("b"))
+      .join(deg, "z")
+      .withColumn("sln", ScaledLn.column(col("d")))
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000000 div sln")).as("aa_u"))
+    scored
+      .join(und, scored("a") === und("u") && scored("b") === und("v"), "left_anti")
+      .orderBy(col("cn").desc, col("aa_u").desc, col("a"), col("b"))
+      .limit(10)
+  }
+
+  /** Flesch reading ease per language — the readability screen of the
+    * text-quality family ([[qQuality]], [[qGopherRepetition]]): words as
+    * alpha runs, sentences as terminal-punctuation runs, syllables as
+    * vowel-group runs (the classic heuristic), each clamped to >= 1.
+    * `206.835 − 1.015·W/S − 84.6·Syl/W` is held in exact milli-units
+    * with per-document integer divisions (the deterministic spec both
+    * engines implement identically), then averaged per language by one
+    * more integer division. Pure per-row codegen + one hash aggregate —
+    * the 100 TB shape.
+    */
+  private def qFlesch(spark: SparkSession, dir: String): DataFrame = {
+    val counted = t(spark, dir, "documents")
+      .withColumn("w",
+        greatest(size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))), lit(1))
+          .cast("long"))
+      .withColumn("sents",
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long"))
+      .withColumn("syl",
+        greatest(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1))
+          .cast("long"))
+      .withColumn("score_milli",
+        expr("206835 - (1015 * w) div sents - (84600 * syl) div w"))
+    counted.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("syl").as("n_syllables"),
+        expr("sum(score_milli) div count(*)").as("avg_score_milli"),
+        min("score_milli").as("min_score_milli"),
+        max("score_milli").as("max_score_milli"))
+      .orderBy("lang")
+  }
+
   /** Boolean conjunctive retrieval (AND of all query terms) — the
     * filter-mode sibling of [[qBm25]]'s ranked retrieval, sharing the same
     * fixed query set. Distinct (doc, term) postings join the broadcast
@@ -6014,6 +6198,11 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
+    "q_kappa" -> (qKappa _),
+    "q_acf" -> (qAcf _),
+    "q_mann_whitney" -> (qMannWhitney _),
+    "q_link_predict" -> (qLinkPredict _),
+    "q_flesch" -> (qFlesch _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -7156,6 +7345,139 @@ object SparkEntry {
         |       n * s AS gini_den,
         |       (1000000 * (2 * ix - (n + 1) * s)) // (n * s) AS gini_ppm
         |FROM a ORDER BY 1""".stripMargin,
+    "q_kappa" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) >= 80
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |ct AS (
+        |  SELECT lang,
+        |         CAST(sum(a * b) AS BIGINT) AS n11,
+        |         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM d GROUP BY 1),
+        |k AS (
+        |  SELECT lang, n11, n10, n01, n00,
+        |         n11 + n10 + n01 + n00 AS n,
+        |         (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+        |  FROM ct)
+        |SELECT lang, n11, n10, n01, n00, n,
+        |       (1000000 * (n * (n11 + n00) - pe_num)) // (n * n - pe_num)
+        |         AS kappa_ppm
+        |FROM k ORDER BY lang""".stripMargin,
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('day', ts)) // 86400000000 AS di,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(y) AS BIGINT) AS s
+        |       FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.di, st.n * d.y - st.s AS z
+        |  FROM daily d JOIN st USING (event_type)),
+        |den AS (SELECT event_type, max(n) AS n_days, CAST(sum(z * z) AS BIGINT) AS den
+        |        FROM dev JOIN st USING (event_type) GROUP BY 1),
+        |num AS (
+        |  SELECT a.event_type, l.lag,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(a.z * b.z) AS BIGINT) AS num
+        |  FROM dev a
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+        |  JOIN dev b ON b.event_type = a.event_type AND b.di = a.di + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag, den.n_days,
+        |       num.n_pairs, (1000000 * num.num) // den.den AS acf_ppm
+        |FROM num JOIN den USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS m
+        |  FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4')
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM (SELECT DISTINCT source FROM hist) a,
+        |       (SELECT DISTINCT source FROM hist) b
+        |  WHERE a.source < b.source),
+        |ph AS (
+        |  SELECT s1, s2, n_chars, CAST(sum(m1) AS BIGINT) AS m1,
+        |         CAST(sum(m2) AS BIGINT) AS m2
+        |  FROM (
+        |    SELECT p.s1, p.s2, h.n_chars, h.m AS m1, 0 AS m2
+        |    FROM prs p JOIN hist h ON h.source = p.s1
+        |    UNION ALL
+        |    SELECT p.s1, p.s2, h.n_chars, 0, h.m
+        |    FROM prs p JOIN hist h ON h.source = p.s2)
+        |  GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT s1, s2, m1, m2,
+        |         2 * (sum(m1 + m2) OVER (PARTITION BY s1, s2 ORDER BY n_chars)
+        |              - (m1 + m2)) + (m1 + m2) + 1 AS r2
+        |  FROM ph),
+        |ag AS (
+        |  SELECT s1, s2, CAST(sum(m1) AS BIGINT) AS n1,
+        |         CAST(sum(m2) AS BIGINT) AS n2,
+        |         CAST(sum(m1 * r2) AS BIGINT) AS r1x2
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT s1, s2, n1, n2, r1x2 - n1 * (n1 + 1) AS u1x2,
+        |       (1000000 * (r1x2 - n1 * (n1 + 1))) // (2 * n1 * n2) AS auc_ppm
+        |FROM ag ORDER BY s1, s2""".stripMargin,
+    "q_link_predict" ->
+      """WITH raw AS (
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |         'site-' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION ALL
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR),
+        |         'site-' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |adj AS (
+        |  SELECT u AS z, v AS x FROM und
+        |  UNION ALL SELECT v AS z, u AS x FROM und),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |wedges AS (
+        |  SELECT a.x AS a, b.x AS b,
+        |         CAST(floor(ln(deg.d) * 1000000 + 0.5) AS BIGINT) AS sln
+        |  FROM adj a JOIN adj b ON b.z = a.z AND a.x < b.x
+        |  JOIN deg ON deg.z = a.z),
+        |scored AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+        |         CAST(sum(1000000000000 // sln) AS BIGINT) AS aa_u
+        |  FROM wedges GROUP BY 1, 2)
+        |SELECT a, b, cn, aa_u FROM scored
+        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = scored.a
+        |                                      AND und.v = scored.b)
+        |ORDER BY cn DESC, aa_u DESC, a, b LIMIT 10""".stripMargin,
+    "q_flesch" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |         greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS w,
+        |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+        |         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+        |           AS syl
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, CAST(w AS BIGINT) AS w, CAST(sents AS BIGINT) AS sents,
+        |         CAST(syl AS BIGINT) AS syl,
+        |         206835 - (1015 * CAST(w AS BIGINT)) // CAST(sents AS BIGINT)
+        |                - (84600 * CAST(syl AS BIGINT)) // CAST(w AS BIGINT)
+        |           AS score_milli
+        |  FROM c)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+        |       CAST(sum(syl) AS BIGINT) AS n_syllables,
+        |       CAST(sum(score_milli) AS BIGINT) // count(*) AS avg_score_milli,
+        |       min(score_milli) AS min_score_milli,
+        |       max(score_milli) AS max_score_milli
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),
