@@ -1665,6 +1665,36 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** MMR diversified re-ranking ([[graft.ops.Mmr]]) of the brute-force
+    * top-8 shortlist for three probe queries, k = 3 picks at λ = 0.7 —
+    * the redundancy-suppressing second stage after ANN retrieval. The
+    * oracle unrolls the identical greedy recurrence as chained argmax
+    * CTEs (the [[qPagerank]] discipline), sharing the cosine kernel
+    * with q_embed_topk, so the pick sequence must match row-for-row.
+    */
+  private def qMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val shortlist = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 8)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        toDoubleArray(col("embedding")).as("__cv")), "neighbor_id")
+    graft.ops.Mmr
+      .diversify(shortlist, "query_id", "neighbor_id", "cosine", "__cv",
+        k = 3, lambda = 0.7)
+      .orderBy("query_id", "step")
+  }
+
+  /** RAKE keyword extraction ([[graft.ops.Rake]]): corpus-level top-10
+    * phrases by summed degree/frequency word scores — unsupervised
+    * topic profiling over the documents table. Micro-unit integer word
+    * scores make the ranking bit-exact cross-engine.
+    */
+  private def qRakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Rake.keywords(
+      spread(t(spark, dir, "documents")), "doc_id", "text", topK = 10)
+
   /** Boolean conjunctive retrieval (AND of all query terms) — the
     * filter-mode sibling of [[qBm25]]'s ranked retrieval, sharing the same
     * fixed query set. Distinct (doc, term) postings join the broadcast
@@ -6203,6 +6233,8 @@ object SparkEntry {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_link_predict" -> (qLinkPredict _),
     "q_flesch" -> (qFlesch _),
+    "q_mmr_diversify" -> (qMmrDiversify _),
+    "q_rake_keywords" -> (qRakeKeywords _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -6399,6 +6431,11 @@ object SparkEntry {
   private val FpSql = s"substr(md5($NormSql), 1, 16)"
   private val ToksSql =
     s"list_filter(string_split_regex($NormSql, '\\s+'), x -> x <> '')"
+
+  /** [[graft.ops.Rake.DefaultStopwords]] as a SQL IN-list — generated from
+    * the ONE list so the operator and its oracle cannot drift. */
+  private val RakeStopSql =
+    graft.ops.Rake.DefaultStopwords.map(w => s"'$w'").mkString(", ")
 
   /** The BPE oracle: `rounds` count-merge-apply cycles unrolled as CTE
     * chains. Per round k: x/c = weighted adjacent-pair counts over the
@@ -7478,6 +7515,85 @@ object SparkEntry {
         |       min(score_milli) AS min_score_milli,
         |       max(score_milli) AS max_score_milli
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_mmr_diversify" ->
+      """WITH cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS rel,
+        |         CAST(c.embedding AS DOUBLE[]) AS cv,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                           CAST(q.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id ASC) AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+        |c8 AS (SELECT query_id, neighbor_id, rel, cv FROM cand WHERE rk <= 8),
+        |s1 AS (SELECT query_id, neighbor_id, cv FROM (
+        |        SELECT query_id, neighbor_id, cv,
+        |               row_number() OVER (PARTITION BY query_id
+        |                 ORDER BY 0.7 * rel DESC, neighbor_id ASC) AS rn FROM c8)
+        |       WHERE rn = 1),
+        |r2 AS (SELECT c.query_id, c.neighbor_id, c.rel, c.cv,
+        |              0.7 * c.rel - 0.3 * list_cosine_similarity(c.cv, s.cv)
+        |                AS score
+        |       FROM c8 c JOIN s1 s ON s.query_id = c.query_id
+        |       WHERE c.neighbor_id <> s.neighbor_id),
+        |s2 AS (SELECT query_id, neighbor_id, cv FROM (
+        |        SELECT query_id, neighbor_id, cv,
+        |               row_number() OVER (PARTITION BY query_id
+        |                 ORDER BY score DESC, neighbor_id ASC) AS rn FROM r2)
+        |       WHERE rn = 1),
+        |r3 AS (SELECT c.query_id, c.neighbor_id,
+        |              0.7 * c.rel - 0.3 * greatest(
+        |                list_cosine_similarity(c.cv, a.cv),
+        |                list_cosine_similarity(c.cv, b.cv)) AS score
+        |       FROM c8 c JOIN s1 a ON a.query_id = c.query_id
+        |                 JOIN s2 b ON b.query_id = c.query_id
+        |       WHERE c.neighbor_id <> a.neighbor_id
+        |         AND c.neighbor_id <> b.neighbor_id),
+        |s3 AS (SELECT query_id, neighbor_id FROM (
+        |        SELECT query_id, neighbor_id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                 ORDER BY score DESC, neighbor_id ASC) AS rn FROM r3)
+        |       WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS BIGINT) AS step, neighbor_id FROM s1
+        |UNION ALL SELECT query_id, CAST(2 AS BIGINT), neighbor_id FROM s2
+        |UNION ALL SELECT query_id, CAST(3 AS BIGINT), neighbor_id FROM s3
+        |ORDER BY query_id, step""".stripMargin,
+    "q_rake_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(lower(text), '[a-z]+|[.,;:!?]'))
+         |           AS tok,
+         |         unnest(generate_series(1,
+         |           len(regexp_extract_all(lower(text), '[a-z]+|[.,;:!?]'))))
+         |           AS pos
+         |  FROM documents),
+         |m AS (SELECT doc_id, pos, tok,
+         |             (tok IN ($RakeStopSql)
+         |              OR regexp_matches(tok, '^[.,;:!?]$$')) AS stop
+         |      FROM toks),
+         |g AS (SELECT doc_id, pos, tok, stop,
+         |             sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM m),
+         |words AS (SELECT doc_id, grp, pos, tok FROM g WHERE NOT stop),
+         |plen AS (SELECT doc_id, grp, count(*) AS plen
+         |         FROM words GROUP BY 1, 2),
+         |ws AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         |              CAST(sum(plen) AS BIGINT) AS deg
+         |       FROM words JOIN plen USING (doc_id, grp) GROUP BY tok),
+         |wsc AS (SELECT tok, (1000000 * deg) // freq AS wscore FROM ws),
+         |ph AS (SELECT w.doc_id, w.grp,
+         |              string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         |              count(*) AS n_words,
+         |              CAST(sum(wsc.wscore) AS BIGINT) AS score_u
+         |       FROM words w JOIN wsc ON wsc.tok = w.tok
+         |       GROUP BY 1, 2)
+         |SELECT phrase, max(n_words) AS n_words, count(*) AS n_occurrences,
+         |       max(score_u) AS score_u
+         |FROM ph GROUP BY phrase
+         |ORDER BY score_u DESC, phrase LIMIT 10""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),
