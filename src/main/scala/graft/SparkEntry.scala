@@ -1695,6 +1695,70 @@ object SparkEntry {
     graft.ops.Rake.keywords(
       spread(t(spark, dir, "documents")), "doc_id", "text", topK = 10)
 
+  /** Range-partition boundary planning — the shard-boundary step of a
+    * sorted/range-partitioned 100 TB write (what `repartitionByRange`
+    * derives by sampling, made exact and auditable): 8 cut values at the
+    * k/8 quantiles of doc length, then per-shard row/char totals for the
+    * balance report. Entirely from the per-value COUNT HISTOGRAM — the
+    * corpus is touched by one hash aggregate; no global per-row sort
+    * anywhere (the [[qWinsorize]] bound pattern, generalized to a full
+    * boundary ladder). A value's block lands wholly in the first shard
+    * whose bound covers it, so boundaries are stable under re-sharding
+    * of the input itself.
+    */
+  private def qRangeShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = t(spark, dir, "documents")
+      .groupBy("n_chars").agg(count(lit(1)).as("m"))
+    val wv = Window.orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum", sum("m").over(wv))
+      .crossJoin(broadcast(hist.agg(sum("m").as("n"))))
+    val ks = (1 to 8).map(_.toLong).toDF("shard")
+    val bounds = cum.crossJoin(broadcast(ks))
+      .filter(col("cum") >= expr("(shard * n + 7) div 8"))
+      .groupBy("shard").agg(min("n_chars").as("hi_bound"))
+    val assigned = hist.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") <= col("hi_bound"))
+      .groupBy("n_chars", "m").agg(min("shard").as("shard"))
+    assigned.groupBy("shard")
+      .agg(sum("m").as("n_rows"), min("n_chars").as("lo"),
+        max("n_chars").as("hi"), sum(col("m") * col("n_chars")).as("sum_chars"))
+      .join(broadcast(bounds), "shard")
+      .select("shard", "hi_bound", "n_rows", "lo", "hi", "sum_chars")
+      .orderBy("shard")
+  }
+
+  /** Inter-arrival burstiness per event type: the squared coefficient of
+    * variation of whole-second gaps between consecutive events — CV² = 1
+    * is Poisson, above is bursty, below is regular (the dimensionless
+    * load-model readout next to [[qPeakConcurrency]]). Gaps come from one
+    * lead() window over (ts, event_id) — the [[qWindowLag]] shape, an
+    * external sort at scale — then CV² reads off the exact long moments
+    * (n, Σd, Σd²). The ppm readout follows the [[qChi2]] discipline:
+    * `n·Q` and `S²` are formed DOUBLE-FIRST (1e6·n²·var would wrap a
+    * long two orders of magnitude before the double envelope matters),
+    * identical multiply-subtract-multiply-divide-floor sequence on both
+    * engines — bit-exact at any scale.
+    */
+  private def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val gaps = events(spark, dir)
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("d", expr("(next_us - unix_micros(ts)) div 1000000"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("d").as("s"),
+        sum(col("d") * col("d")).as("q"))
+      .withColumn("cv2_ppm",
+        floor((col("n_gaps").cast("double") * col("q") -
+          col("s").cast("double") * col("s")) * lit(1000000.0) /
+          (col("s").cast("double") * col("s"))).cast("long"))
+      .withColumn("mean_gap_s", expr("s div n_gaps"))
+      .select("event_type", "n_gaps", "s", "mean_gap_s", "cv2_ppm")
+      .orderBy("event_type")
+  }
+
   /** Boolean conjunctive retrieval (AND of all query terms) — the
     * filter-mode sibling of [[qBm25]]'s ranked retrieval, sharing the same
     * fixed query set. Distinct (doc, term) postings join the broadcast
@@ -6235,6 +6299,8 @@ object SparkEntry {
     "q_flesch" -> (qFlesch _),
     "q_mmr_diversify" -> (qMmrDiversify _),
     "q_rake_keywords" -> (qRakeKeywords _),
+    "q_range_shards" -> (qRangeShards _),
+    "q_burstiness" -> (qBurstiness _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -7594,6 +7660,45 @@ object SparkEntry {
          |       max(score_u) AS score_u
          |FROM ph GROUP BY phrase
          |ORDER BY score_u DESC, phrase LIMIT 10""".stripMargin,
+    "q_range_shards" ->
+      """WITH hist AS (
+        |  SELECT n_chars, CAST(count(*) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT n_chars, m,
+        |         CAST(sum(m) OVER (ORDER BY n_chars) AS BIGINT) AS cum,
+        |         CAST((SELECT sum(m) FROM hist) AS BIGINT) AS n
+        |  FROM hist),
+        |bounds AS (
+        |  SELECT k.shard, min(c.n_chars) AS hi_bound
+        |  FROM cum c CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS shard) k
+        |  WHERE c.cum >= (k.shard * c.n + 7) // 8
+        |  GROUP BY 1),
+        |assigned AS (
+        |  SELECT h.n_chars, h.m, min(b.shard) AS shard
+        |  FROM hist h JOIN bounds b ON h.n_chars <= b.hi_bound
+        |  GROUP BY 1, 2)
+        |SELECT a.shard, b.hi_bound, CAST(sum(a.m) AS BIGINT) AS n_rows,
+        |       min(a.n_chars) AS lo, max(a.n_chars) AS hi,
+        |       CAST(sum(a.m * a.n_chars) AS BIGINT) AS sum_chars
+        |FROM assigned a JOIN bounds b USING (shard)
+        |GROUP BY 1, 2 ORDER BY shard""".stripMargin,
+    "q_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |           ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |d AS (SELECT event_type, (next_us - us) // 1000000 AS d
+        |      FROM g WHERE next_us IS NOT NULL),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |             CAST(sum(d) AS BIGINT) AS s, CAST(sum(d * d) AS BIGINT) AS q
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n_gaps, s, s // n_gaps AS mean_gap_s,
+        |       CAST(floor((CAST(n_gaps AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+        |                  * 1000000.0 / (CAST(s AS DOUBLE) * s)) AS BIGINT)
+        |         AS cv2_ppm
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),
