@@ -1729,6 +1729,40 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Nearest-class-mean classifier evaluation over the labeled embedding
+    * table — the cheap "are these labels linearly separable by centroid?"
+    * probe run before training anything, read out as the full confusion
+    * matrix. Exactness: vectors quantize per-position to milli-units
+    * (floor(x·1e3 + ½) — one deterministic rounding per element), class
+    * centroids are INTEGER divisions of integer sums (order-independent,
+    * unlike a float mean), and distances are exact long Σ(xq−c)² — so
+    * argmin and every matrix cell are bit-exact cross-engine.
+    *
+    * Scale shape: one posexplode + hash aggregate builds the (labels ×
+    * dim) centroid table (bounded, broadcast back); scoring is the
+    * standard n·k·d nearest-centroid work with the (vector, candidate)
+    * partial sums map-side-combined; the argmin is a k-row min_by per
+    * vector. (The float-path scale twin is [[graft.functions.NearestCentroids]],
+    * which keeps the centroid model inside one codegen expression.)
+    */
+  private def qCentroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val vecs = spread(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(transform(toDoubleArray(col("embedding")),
+          x => floor(x * 1000 + lit(0.5)).cast("long"))))
+      .toDF("vec_id", "label", "pos", "xq")
+    val cents = vecs.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(expr("sum(xq) div count(*)").as("c"))
+    val dists = vecs.join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((col("xq") - col("c")) * (col("xq") - col("c"))).as("d2"))
+    val preds = dists.groupBy("vec_id", "label")
+      .agg(min_by(col("clabel"), struct(col("d2"), col("clabel"))).as("pred"))
+    preds.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
   /** Inter-arrival burstiness per event type: the squared coefficient of
     * variation of whole-second gaps between consecutive events — CV² = 1
     * is Poisson, above is bursty, below is regular (the dimensionless
@@ -6301,6 +6335,7 @@ object SparkEntry {
     "q_rake_keywords" -> (qRakeKeywords _),
     "q_range_shards" -> (qRangeShards _),
     "q_burstiness" -> (qBurstiness _),
+    "q_centroid_classify" -> (qCentroidClassify _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -7699,6 +7734,31 @@ object SparkEntry {
         |                  * 1000000.0 / (CAST(s AS DOUBLE) * s)) AS BIGINT)
         |         AS cv2_ppm
         |FROM m ORDER BY event_type""".stripMargin,
+    "q_centroid_classify" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+        |              AS BIGINT) AS xq
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT label AS clabel, pos,
+        |         CAST(sum(xq) AS BIGINT) // count(*) AS c
+        |  FROM vecs GROUP BY 1, 2),
+        |dists AS (
+        |  SELECT v.vec_id, v.label, ct.clabel,
+        |         CAST(sum((v.xq - ct.c) * (v.xq - ct.c)) AS BIGINT) AS d2
+        |  FROM vecs v JOIN cents ct ON ct.pos = v.pos
+        |  GROUP BY 1, 2, 3),
+        |preds AS (
+        |  SELECT vec_id, label, clabel AS pred
+        |  FROM (SELECT vec_id, label, clabel,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY d2, clabel) AS rn
+        |        FROM dists)
+        |  WHERE rn = 1)
+        |SELECT label, pred, count(*) AS n
+        |FROM preds GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),
