@@ -1729,6 +1729,70 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Time-travel read over the CDC event log — the state-as-of-T
+    * snapshot a versioned table format serves (Delta/Iceberg "AS OF"),
+    * expressed as plain relational algebra: clamp the log at the cutoff,
+    * then the ONE [[graft.ops.CdcApply.compact]] hash aggregate + full
+    * outer join that [[qCdcApply]] certifies for the latest state. The
+    * cutoff is data-derived (min ts + 20 days) so the query stays a pure
+    * function of the table; the readout is the same per-type count +
+    * floor-scaled value sums. Scale shape identical to q_cdc_apply —
+    * time travel costs nothing extra beyond the timestamp filter (which
+    * pushes into the scan).
+    */
+  private def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cutoff = ev.agg((min(col("ts")) + expr("INTERVAL 20 DAYS")).as("cut"))
+    val asOf = ev.crossJoin(broadcast(cutoff)).filter(col("ts") <= col("cut"))
+    val base = asOf.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("__first"))
+      .select(col("user_id"), col("__first.event_type").as("event_type"),
+        col("__first.value").as("value"))
+    val log = asOf.filter(col("event_type") =!= "signup")
+      .withColumn("op",
+        when(col("event_type") === "error", "delete").otherwise("upsert"))
+    graft.ops.CdcApply.compact(
+      base, log, Seq("user_id"), Seq("ts", "event_id"),
+      "op", "delete", Seq("event_type", "value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_u"))
+      .orderBy("event_type")
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent
+    * click or view by the same user strictly before it (7-day lookback)
+    * — the event-analytics staple next to [[qFunnel]]. ONE per-user
+    * window pass carries running last-click/last-view timestamps (the
+    * [[qPatternNegation]] idiom — no self-join, no range join); the
+    * credited channel is pure timestamp arithmetic (later of the two
+    * running maxes; an exact tie credits the view — documented
+    * tie-break). Revenue rides along as exact micro-units.
+    */
+  private def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = events(spark, dir)
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("touch_ts", greatest(col("last_click"), col("last_view")))
+      .filter(col("touch_ts").isNotNull &&
+        col("ts") <= col("touch_ts") + expr("INTERVAL 7 DAYS"))
+      .withColumn("channel",
+        when(col("last_view").isNotNull &&
+          (col("last_click").isNull || col("last_view") >= col("last_click")),
+          "view").otherwise("click"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_u"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("channel")
+  }
+
   /** Nearest-class-mean classifier evaluation over the labeled embedding
     * table — the cheap "are these labels linearly separable by centroid?"
     * probe run before training anything, read out as the full confusion
@@ -6336,6 +6400,8 @@ object SparkEntry {
     "q_range_shards" -> (qRangeShards _),
     "q_burstiness" -> (qBurstiness _),
     "q_centroid_classify" -> (qCentroidClassify _),
+    "q_time_travel" -> (qTimeTravel _),
+    "q_attribution" -> (qAttribution _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -7759,6 +7825,57 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT label, pred, count(*) AS n
         |FROM preds GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
+    "q_time_travel" ->
+      """WITH cut AS (SELECT min(ts) + INTERVAL 20 DAY AS cut FROM events),
+        |ev AS (SELECT e.* FROM events e, cut WHERE e.ts <= cut.cut),
+        |base AS (
+        |  SELECT user_id, event_type, "value" FROM (
+        |    SELECT user_id, event_type, "value",
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM ev WHERE event_type = 'signup') WHERE rn = 1),
+        |lg AS (
+        |  SELECT user_id, ts, event_id, event_type, "value",
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END AS op
+        |  FROM ev WHERE event_type <> 'signup'),
+        |last AS (
+        |  SELECT user_id, op, event_type, "value" FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM lg) WHERE rn = 1),
+        |fin AS (
+        |  SELECT coalesce(l.user_id, b.user_id) AS user_id,
+        |         CASE WHEN l.user_id IS NULL THEN b.event_type
+        |              ELSE l.event_type END AS event_type,
+        |         CASE WHEN l.user_id IS NULL THEN b."value"
+        |              ELSE l."value" END AS v
+        |  FROM base b FULL JOIN last l ON b.user_id = l.user_id
+        |  WHERE l.user_id IS NULL OR l.op <> 'delete')
+        |SELECT event_type, count(*) AS n_users,
+        |       CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_u
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, ts, "value",
+        |         max(CASE WHEN event_type = 'click' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_click,
+        |         max(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_view
+        |  FROM events),
+        |p AS (
+        |  SELECT *, greatest(last_click, last_view) AS touch_ts,
+        |         CASE WHEN last_view IS NOT NULL AND
+        |                   (last_click IS NULL OR last_view >= last_click)
+        |              THEN 'view' ELSE 'click' END AS channel
+        |  FROM x WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_purchases,
+        |       CAST(sum(CAST(floor("value" * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_value_u,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM p
+        |WHERE touch_ts IS NOT NULL AND ts <= touch_ts + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),
