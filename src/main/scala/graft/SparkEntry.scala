@@ -1793,6 +1793,29 @@ object SparkEntry {
       .orderBy("channel")
   }
 
+  /** Clickstream path mining: the most-traveled 3-step event-type
+    * sequences (per-user, time-ordered) with traversal and distinct-user
+    * volume — the funnel-DISCOVERY complement to [[qFunnel3]]'s fixed
+    * funnel. Two lead()s in ONE per-user window pass build every
+    * consecutive triple (no self-joins, no per-user collects); the path
+    * space is |types|³-bounded so the count aggregate is tiny, and the
+    * top-k is a TakeOrdered with a path-string tie-break.
+    */
+  private def qClickPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .withColumn("path",
+        concat_ws(">", col("event_type"), col("e2"), col("e3")))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_traversals"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_traversals").desc, col("path").asc)
+      .limit(15)
+  }
+
   /** Nearest-class-mean classifier evaluation over the labeled embedding
     * table — the cheap "are these labels linearly separable by centroid?"
     * probe run before training anything, read out as the full confusion
@@ -6402,6 +6425,7 @@ object SparkEntry {
     "q_centroid_classify" -> (qCentroidClassify _),
     "q_time_travel" -> (qTimeTravel _),
     "q_attribution" -> (qAttribution _),
+    "q_click_paths" -> (qClickPaths _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -7876,6 +7900,19 @@ object SparkEntry {
         |FROM p
         |WHERE touch_ts IS NOT NULL AND ts <= touch_ts + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_click_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS e2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |       count(*) AS n_traversals,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_traversals DESC, path LIMIT 15""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),

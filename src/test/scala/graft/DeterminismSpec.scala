@@ -37,7 +37,8 @@ class DeterminismSpec extends SparkSpec {
       // sequence and RAKE's top-k cut are the partition-sensitive shapes
       "q_kappa", "q_acf", "q_mann_whitney", "q_link_predict", "q_flesch",
       "q_mmr_diversify", "q_rake_keywords", "q_range_shards", "q_burstiness",
-      "q_centroid_classify", "q_time_travel", "q_attribution")
+      "q_centroid_classify", "q_time_travel", "q_attribution",
+      "q_click_paths")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
