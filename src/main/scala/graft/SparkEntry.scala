@@ -1793,6 +1793,45 @@ object SparkEntry {
       .orderBy("channel")
   }
 
+  /** A/B experiment readout: user-level conversion (any purchase among
+    * users with any click) compared across two deterministic cohorts
+    * (user_id parity — the hash-split stand-in), with lift and the
+    * two-proportion chi-square statistic. Counts reduce to ONE per-user
+    * aggregate + one 4-cell rollup; the statistic follows the [[qChi2]]
+    * double-first discipline (n·(x1·n2 − x2·n1)² / (n1·n2·x·(n−x)) in
+    * milli-units — identical IEEE sequence both engines, no long wrap at
+    * any cohort size). The experimentation-analytics staple.
+    */
+  private def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = events(spark, dir)
+      .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).as("cohort"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+      .filter(col("clicked") === 1L)
+    val cells = users.groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum("purchased").as("x"))
+    val wide = cells.agg(
+      sum(when(col("cohort") === 0, col("n"))).as("n1"),
+      sum(when(col("cohort") === 0, col("x"))).as("x1"),
+      sum(when(col("cohort") === 1, col("n"))).as("n2"),
+      sum(when(col("cohort") === 1, col("x"))).as("x2"))
+    wide
+      .withColumn("conv1_ppm", expr("(1000000 * x1) div n1"))
+      .withColumn("conv2_ppm", expr("(1000000 * x2) div n2"))
+      .withColumn("lift_ppm",
+        when(col("x1") > 0,
+          expr("(1000000 * (x2 * n1 - x1 * n2)) div (x1 * n2)")))
+      .withColumn("chi2_milli",
+        when(col("x1") + col("x2") > 0 &&
+          col("n1") + col("n2") - col("x1") - col("x2") > 0,
+          floor(((col("n1") + col("n2")).cast("double") *
+            (col("x1").cast("double") * col("n2") - col("x2").cast("double") * col("n1")) *
+            (col("x1").cast("double") * col("n2") - col("x2").cast("double") * col("n1"))) *
+            lit(1000.0) /
+            (col("n1").cast("double") * col("n2") * (col("x1") + col("x2")) *
+              (col("n1") + col("n2") - col("x1") - col("x2")))).cast("long")))
+  }
+
   /** Clickstream path mining: the most-traveled 3-step event-type
     * sequences (per-user, time-ordered) with traversal and distinct-user
     * volume — the funnel-DISCOVERY complement to [[qFunnel3]]'s fixed
@@ -6426,6 +6465,7 @@ object SparkEntry {
     "q_time_travel" -> (qTimeTravel _),
     "q_attribution" -> (qAttribution _),
     "q_click_paths" -> (qClickPaths _),
+    "q_ab_test" -> (qAbTest _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -7913,6 +7953,38 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_users
         |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n_traversals DESC, path LIMIT 15""".stripMargin,
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS cohort,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS clicked,
+        |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS purchased
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(purchased) AS BIGINT) AS x
+        |      FROM u WHERE clicked = 1 GROUP BY 1),
+        |w AS (SELECT
+        |        CAST(sum(CASE WHEN cohort = 0 THEN n END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN cohort = 0 THEN x END) AS BIGINT) AS x1,
+        |        CAST(sum(CASE WHEN cohort = 1 THEN n END) AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN cohort = 1 THEN x END) AS BIGINT) AS x2
+        |      FROM c)
+        |SELECT n1, x1, n2, x2,
+        |       (1000000 * x1) // n1 AS conv1_ppm,
+        |       (1000000 * x2) // n2 AS conv2_ppm,
+        |       CASE WHEN x1 > 0
+        |            THEN (1000000 * (x2 * n1 - x1 * n2)) // (x1 * n2) END
+        |         AS lift_ppm,
+        |       CASE WHEN x1 + x2 > 0 AND n1 + n2 - x1 - x2 > 0
+        |            THEN CAST(floor(
+        |              (CAST(n1 + n2 AS DOUBLE) *
+        |               (CAST(x1 AS DOUBLE) * n2 - CAST(x2 AS DOUBLE) * n1) *
+        |               (CAST(x1 AS DOUBLE) * n2 - CAST(x2 AS DOUBLE) * n1))
+        |              * 1000.0 /
+        |              (CAST(n1 AS DOUBLE) * n2 * (x1 + x2)
+        |               * (n1 + n2 - x1 - x2))) AS BIGINT) END AS chi2_milli
+        |FROM w""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),

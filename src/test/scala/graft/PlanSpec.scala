@@ -414,4 +414,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "expected Generate (posexplode)")
     assert(!p.contains("BatchEvalPython"))
   }
+
+  test("q_centroid_classify: centroid table broadcasts; never a cartesian") {
+    val p = planStr(SparkEntry.queries("q_centroid_classify")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded (labels x dim) centroid table should broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_link_predict: wedge/degree/anti joins are all hash equi-joins") {
+    val p = planStr(SparkEntry.queries("q_link_predict")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"adjacency self-join must key on the center node:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"), "existing edges must anti-join out")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrdered, not a global sort")
+  }
+
+  test("q_rake_keywords: phrase rebuild is object-hash, score join equi, top-k TakeOrdered") {
+    val p = planStr(SparkEntry.queries("q_rake_keywords")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"collect_list must run as ObjectHashAggregate:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrdered, not a global sort")
+  }
+
+  test("q_attribution / q_click_paths: one window pass, no joins at all") {
+    for (q <- Seq("q_attribution", "q_click_paths")) {
+      val p = planStr(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Join"), s"$q must stay join-free:\n${p.take(1500)}")
+      assert(p.contains("Window"), s"$q should carry the window pass")
+    }
+  }
+
+  test("q_acf / q_mann_whitney: moment/histogram frames broadcast back") {
+    for (q <- Seq("q_acf", "q_mann_whitney")) {
+      val p = planStr(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q bounded side should broadcast:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
 }
