@@ -1793,6 +1793,111 @@ object SparkEntry {
       .orderBy("channel")
   }
 
+  /** Exact Lloyd's k-means (k = 4, 2 update rounds) over milli-unit
+    * quantized embeddings — clustering as a pure integer recurrence:
+    * centroids start as bit-exact copies of the k lowest-id vectors (the
+    * [[qSemanticDedup]] seeding), assignment is argmin of exact long
+    * Σ(xq−c)² with centroid-id tie-break, and each update divides integer
+    * sums by counts (an emptied cluster keeps its previous centroid —
+    * part of the spec, mirrored by the oracle's LEFT JOIN + coalesce).
+    * Deterministic at any partitioning, so the oracle unrolls the
+    * identical rounds as CTE chains (the BPE/PageRank discipline).
+    *
+    * Scale shape per round: one n·k·d scoring pass with map-side-combined
+    * partial sums + a (k × dim)-bounded centroid aggregate broadcast
+    * back; the centroid frame is checkpointed each round so plan depth
+    * stays constant. Readout: per-cluster size, exact inertia, min id.
+    */
+  private def qKmeansExact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val k = 4
+    val v = spread(t(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        posexplode(transform(toDoubleArray(col("embedding")),
+          x => floor(x * 1000 + lit(0.5)).cast("long"))))
+      .toDF("vec_id", "pos", "xq")
+    def assign(cent: DataFrame): DataFrame =
+      v.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("xq") - col("c")) * (col("xq") - col("c"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("d2")),
+          struct(col("d2"), col("cid"))).as("__s"))
+        .select(col("vec_id"), col("__s.cid").as("cid"), col("__s.d2").as("d2"))
+    var cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("pos"), col("xq").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val upd = v.join(assign(cent).select("vec_id", "cid"), Seq("vec_id"))
+        .groupBy("cid", "pos").agg(expr("sum(xq) div count(*)").as("cn"))
+      cent = cent.join(upd, Seq("cid", "pos"), "left")
+        .select(col("cid"), col("pos"), coalesce(col("cn"), col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    assign(cent).groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("d2").as("inertia"),
+        min("vec_id").as("min_vec"))
+      .orderBy("cid")
+  }
+
+  /** DBSCAN (ε² = 1.4e6 milli-units², minPts = 4 incl. self) over a
+    * bounded embedding subset — density clustering as relational
+    * algebra: the ε-neighbor graph (exact integer distances, the
+    * [[qEmbedNeardup]] bounded all-pairs; LSH/IVF blocking is the
+    * documented unbounded-scale path), core points by degree, clusters =
+    * [[graft.ops.DupGroups.connectedComponents]] over core-core edges
+    * (isolated cores self-cluster), borders attach to their min core
+    * neighbor's cluster, the rest is noise (reported as cluster −1).
+    * Every step is deterministic, so the oracle reproduces the full
+    * partition with a recursive min-label CTE (the q_entity_clusters
+    * discipline).
+    */
+  private def qDbscan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val eps2 = 1400000L
+    val minNb = 3 // core: >= 3 neighbors (minPts 4 incl. self)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") < 1500)
+      .select(col("vec_id"),
+        transform(toDoubleArray(col("embedding")),
+          x => floor(x * 1000 + lit(0.5)).cast("long")).as("q"))
+    val a = spread(q).select(col("vec_id").as("ida"), col("q").as("qa"))
+    val b = q.select(col("vec_id").as("idb"), col("q").as("qb"))
+    val und = a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("d2",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+      .filter(col("d2") <= eps2)
+      .select("ida", "idb")
+      .localCheckpoint(true) // reused by degree, core edges, and borders
+    val adj = und.select(col("ida").as("node"), col("idb").as("nb"))
+      .union(und.select(col("idb").as("node"), col("ida").as("nb")))
+    val core = adj.groupBy("node").agg(count(lit(1)).as("nnb"))
+      .filter(col("nnb") >= minNb).select("node")
+    val coreEdges = und
+      .join(core.select(col("node").as("ida")), Seq("ida"))
+      .join(core.select(col("node").as("idb")), Seq("idb"))
+    val comp = graft.ops.DupGroups.connectedComponents(coreEdges, "ida", "idb")
+    val coreLab = core.join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+    val borderLab = adj
+      .join(coreLab.select(col("node").as("nb"), col("cluster")), Seq("nb"))
+      .join(core, Seq("node"), "left_anti")
+      .groupBy("node").agg(min("cluster").as("cluster"))
+    val clusters = coreLab.groupBy("cluster").agg(count(lit(1)).as("n_core"))
+      .join(borderLab.groupBy("cluster").agg(count(lit(1)).as("n_border")),
+        Seq("cluster"), "left")
+      .select(col("cluster"), col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"))
+      .withColumn("n_pts", col("n_core") + col("n_border"))
+    val noise = q.agg(count(lit(1)).as("__t"))
+      .crossJoin(coreLab.agg(count(lit(1)).as("__c")))
+      .crossJoin(borderLab.agg(count(lit(1)).as("__b")))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"),
+        (col("__t") - col("__c") - col("__b")).as("n_pts"))
+    clusters.unionByName(noise).orderBy("cluster")
+  }
+
   /** A/B experiment readout: user-level conversion (any purchase among
     * users with any click) compared across two deterministic cohorts
     * (user_id parity — the hash-split stand-in), with lift and the
@@ -6466,6 +6571,8 @@ object SparkEntry {
     "q_attribution" -> (qAttribution _),
     "q_click_paths" -> (qClickPaths _),
     "q_ab_test" -> (qAbTest _),
+    "q_kmeans_exact" -> (qKmeansExact _),
+    "q_dbscan" -> (qDbscan _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -7985,6 +8092,96 @@ object SparkEntry {
         |              (CAST(n1 AS DOUBLE) * n2 * (x1 + x2)
         |               * (n1 + n2 - x1 - x2))) AS BIGINT) END AS chi2_milli
         |FROM w""".stripMargin,
+    "q_kmeans_exact" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+        |              AS BIGINT) AS xq
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, pos, xq AS c FROM v WHERE vec_id < 4),
+        |d1 AS (SELECT va.vec_id, c.cid,
+        |              CAST(sum((va.xq - c.c) * (va.xq - c.c)) AS BIGINT) AS d2
+        |       FROM v va JOIN c0 c ON c.pos = va.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+        |u1 AS (SELECT a.cid, va.pos,
+        |              CAST(sum(va.xq) AS BIGINT) // count(*) AS c
+        |       FROM v va JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cid, c0.pos, coalesce(u1.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.pos = c0.pos),
+        |d2s AS (SELECT va.vec_id, c.cid,
+        |               CAST(sum((va.xq - c.c) * (va.xq - c.c)) AS BIGINT) AS d2
+        |        FROM v va JOIN c1 c ON c.pos = va.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d2, cid) AS rn FROM d2s) WHERE rn = 1),
+        |u2 AS (SELECT a.cid, va.pos,
+        |              CAST(sum(va.xq) AS BIGINT) // count(*) AS c
+        |       FROM v va JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+        |c2 AS (SELECT c1.cid, c1.pos, coalesce(u2.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN u2 ON u2.cid = c1.cid AND u2.pos = c1.pos),
+        |d3 AS (SELECT va.vec_id, c.cid,
+        |              CAST(sum((va.xq - c.c) * (va.xq - c.c)) AS BIGINT) AS d2
+        |       FROM v va JOIN c2 c ON c.pos = va.pos GROUP BY 1, 2),
+        |fin AS (SELECT vec_id, cid, d2 FROM (
+        |         SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY d2, cid) AS rn FROM d3) WHERE rn = 1)
+        |SELECT cid, count(*) AS n, CAST(sum(d2) AS BIGINT) AS inertia,
+        |       min(vec_id) AS min_vec
+        |FROM fin GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_dbscan" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |           AS q
+        |  FROM embeddings WHERE vec_id < 1500),
+        |und AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM q a JOIN q b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.q, b.q),
+        |          t -> (t[1] - t[2]) * (t[1] - t[2]))) <= 1400000),
+        |adj AS (SELECT ida AS node, idb AS nb FROM und
+        |        UNION ALL SELECT idb, ida FROM und),
+        |core AS (SELECT node FROM adj GROUP BY node HAVING count(*) >= 3),
+        |ce AS (SELECT u.ida, u.idb FROM und u
+        |       JOIN core c1 ON c1.node = u.ida
+        |       JOIN core c2 ON c2.node = u.idb),
+        |cedges AS (SELECT ida AS u, idb AS v FROM ce
+        |           UNION SELECT idb, ida FROM ce),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT u, u FROM cedges
+        |  UNION
+        |  SELECT e.v, r.lab FROM reach r JOIN cedges e ON e.u = r.node
+        |  WHERE r.lab < e.v),
+        |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY 1),
+        |corelab AS (
+        |  SELECT c.node, coalesce(cp.component, c.node) AS cluster
+        |  FROM core c LEFT JOIN comp cp ON cp.node = c.node),
+        |borderlab AS (
+        |  SELECT a.node, min(cl.cluster) AS cluster
+        |  FROM adj a JOIN corelab cl ON cl.node = a.nb
+        |  WHERE a.node NOT IN (SELECT node FROM core)
+        |  GROUP BY 1),
+        |cl AS (
+        |  SELECT c.cluster, count(*) AS n_core,
+        |         coalesce(b.n_border, 0) AS n_border
+        |  FROM corelab c LEFT JOIN (
+        |    SELECT cluster, CAST(count(*) AS BIGINT) AS n_border
+        |    FROM borderlab GROUP BY 1) b USING (cluster)
+        |  GROUP BY 1, 3)
+        |SELECT cluster, CAST(n_core AS BIGINT) AS n_core,
+        |       CAST(n_border AS BIGINT) AS n_border,
+        |       CAST(n_core + n_border AS BIGINT) AS n_pts
+        |FROM cl
+        |UNION ALL
+        |SELECT -1, 0, 0,
+        |       (SELECT count(*) FROM q)
+        |       - (SELECT count(*) FROM corelab)
+        |       - (SELECT count(*) FROM borderlab)
+        |ORDER BY cluster""".stripMargin,
     "q_pareto" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS m
         |           FROM documents GROUP BY 1, 2),
