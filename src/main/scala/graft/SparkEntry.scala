@@ -1898,6 +1898,71 @@ object SparkEntry {
     clusters.unionByName(noise).orderBy("cluster")
   }
 
+  /** Simplified silhouette (centroid form) per label — the
+    * class-separability readout next to [[qCentroidClassify]]'s
+    * confusion matrix: for each vector, a = d² to its OWN class centroid,
+    * b = min d² to any other class centroid, s = (b−a)/max(a,b) in
+    * signed ppm (negative = the point sits closer to another class).
+    * Same milli-unit quantization and integer-division centroids as the
+    * classifier, so a, b, and every per-point ppm are exact longs.
+    * One n·k·d scoring pass against the broadcast centroid table.
+    */
+  private def qSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val vecs = spread(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(transform(toDoubleArray(col("embedding")),
+          x => floor(x * 1000 + lit(0.5)).cast("long"))))
+      .toDF("vec_id", "label", "pos", "xq")
+    val cents = vecs.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(expr("sum(xq) div count(*)").as("c"))
+    val d2 = vecs.join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((col("xq") - col("c")) * (col("xq") - col("c"))).as("d2"))
+    val ab = d2.groupBy("vec_id", "label")
+      .agg(max(when(col("clabel") === col("label"), col("d2"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
+      .withColumn("s_ppm",
+        when(greatest(col("a"), col("b")) > 0,
+          expr("(1000000 * (b - a)) div greatest(a, b)")).otherwise(0L))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s_ppm) div count(*)").as("mean_s_ppm"),
+        sum(when(col("s_ppm") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .orderBy("label")
+  }
+
+  /** 2-D skyline / Pareto front per language: the documents no other
+    * same-language document dominates on (length, alpha-word density) —
+    * the multi-objective curation shortlist ("longest AND densest
+    * frontier"). No all-pairs dominance join anywhere: within a length,
+    * only density == the length's max survives; across lengths, a
+    * length-group survives iff its max density strictly beats every
+    * STRICTLY-longer group's (one lag over the per-length max frame —
+    * the histogram decomposition again). Density is exact integer ppm;
+    * equal (length, density) points tie and all survive, by definition
+    * (no strict inequality).
+    */
+  private def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("density_ppm",
+        expr("(1000000 * cast(size(regexp_extract_all(text, '[A-Za-z]+', 0)) as bigint)) div n_chars"))
+    val perLen = docs.groupBy("lang", "n_chars")
+      .agg(max("density_ppm").as("vmax"))
+    val wl = Window.partitionBy("lang").orderBy(col("n_chars").desc)
+    val frontier = perLen
+      .withColumn("prevmax",
+        max("vmax").over(wl.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prevmax").isNull || col("vmax") > col("prevmax"))
+      .select(col("lang"), col("n_chars"), col("vmax"))
+    docs.join(frontier, Seq("lang", "n_chars"))
+      .filter(col("density_ppm") === col("vmax"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_skyline"), max("n_chars").as("max_len"),
+        max("density_ppm").as("max_density_ppm"), min("doc_id").as("min_doc"))
+      .orderBy("lang")
+  }
+
   /** A/B experiment readout: user-level conversion (any purchase among
     * users with any click) compared across two deterministic cohorts
     * (user_id parity — the hash-split stand-in), with lift and the
@@ -6573,6 +6638,8 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_kmeans_exact" -> (qKmeansExact _),
     "q_dbscan" -> (qDbscan _),
+    "q_silhouette" -> (qSilhouette _),
+    "q_skyline" -> (qSkyline _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -8131,6 +8198,60 @@ object SparkEntry {
         |SELECT cid, count(*) AS n, CAST(sum(d2) AS BIGINT) AS inertia,
         |       min(vec_id) AS min_vec
         |FROM fin GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_silhouette" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+        |              AS BIGINT) AS xq
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT label AS clabel, pos,
+        |         CAST(sum(xq) AS BIGINT) // count(*) AS c
+        |  FROM v GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT va.vec_id, va.label, ct.clabel,
+        |         CAST(sum((va.xq - ct.c) * (va.xq - ct.c)) AS BIGINT) AS d2
+        |  FROM v va JOIN cents ct ON ct.pos = va.pos
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |         max(CASE WHEN clabel = label THEN d2 END) AS a,
+        |         min(CASE WHEN clabel <> label THEN d2 END) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |s AS (
+        |  SELECT label,
+        |         CASE WHEN greatest(a, b) > 0
+        |              THEN (1000000 * (b - a)) // greatest(a, b)
+        |              ELSE 0 END AS s_ppm
+        |  FROM ab)
+        |SELECT label, count(*) AS n,
+        |       CAST(sum(s_ppm) AS BIGINT) // count(*) AS mean_s_ppm,
+        |       CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_neg
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "q_skyline" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         (1000000 * CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |                    AS BIGINT)) // n_chars AS density_ppm
+        |  FROM documents),
+        |pl AS (SELECT lang, n_chars, max(density_ppm) AS vmax
+        |       FROM d GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT lang, n_chars, vmax,
+        |         max(vmax) OVER (PARTITION BY lang ORDER BY n_chars DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prevmax
+        |  FROM pl),
+        |sky AS (
+        |  SELECT d.lang, d.doc_id, d.n_chars, d.density_ppm
+        |  FROM d JOIN fr ON fr.lang = d.lang AND fr.n_chars = d.n_chars
+        |  WHERE (fr.prevmax IS NULL OR fr.vmax > fr.prevmax)
+        |    AND d.density_ppm = fr.vmax)
+        |SELECT lang, count(*) AS n_skyline, max(n_chars) AS max_len,
+        |       max(density_ppm) AS max_density_ppm, min(doc_id) AS min_doc
+        |FROM sky GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE q AS (
         |  SELECT vec_id,

@@ -38,7 +38,8 @@ class DeterminismSpec extends SparkSpec {
       "q_kappa", "q_acf", "q_mann_whitney", "q_link_predict", "q_flesch",
       "q_mmr_diversify", "q_rake_keywords", "q_range_shards", "q_burstiness",
       "q_centroid_classify", "q_time_travel", "q_attribution",
-      "q_click_paths", "q_ab_test", "q_kmeans_exact", "q_dbscan")
+      "q_click_paths", "q_ab_test", "q_kmeans_exact", "q_dbscan",
+      "q_silhouette", "q_skyline")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
