@@ -1963,6 +1963,69 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the src0/src1
+    * document-length distributions — the distribution-drift screen next
+    * to [[qMannWhitney]]'s location test, from the same per-(source,
+    * value) COUNT HISTOGRAM: at each distinct value, the scaled ECDF gap
+    * `|cum1·n2 − cum2·n1|` is an exact long (D = max/( n1·n2)), so the
+    * statistic, its ppm form, and the argmin value attaining it are all
+    * bit-exact. One corpus hash aggregate; windows over distinct values
+    * only.
+    */
+  private def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy("n_chars")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("m1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("m2"))
+    val w = Window.orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum1", sum("m1").over(w))
+      .withColumn("cum2", sum("m2").over(w))
+      .crossJoin(broadcast(hist.agg(sum("m1").as("n1"), sum("m2").as("n2"))))
+      .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+    val mx = cum.agg(max("gap").as("d_scaled"))
+    cum.crossJoin(broadcast(mx))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max("d_scaled").as("d_scaled"),
+        min(when(col("gap") === col("d_scaled"), col("n_chars"))).as("at_value"))
+      .withColumn("d_ppm", expr("(1000000 * d_scaled) div (n1 * n2)"))
+      .select("n1", "n2", "d_scaled", "d_ppm", "at_value")
+  }
+
+  /** Degree assortativity of the link graph — "do hubs link to hubs?"
+    * (Newman's r over edge-endpoint degrees, both orientations). The
+    * five moments are exact longs off one degree join; the readout
+    * follows the [[qChi2]] double-first discipline with the one
+    * correctly-rounded sqrt both engines share. The graph-health scalar
+    * next to [[qTriangles]] / [[qLinkPredict]].
+    */
+  private def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val raw = docLinkEdges(spark, dir)
+    val und = raw.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy("a").agg(count(lit(1)).as("d"))
+    val pairs = adj
+      .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+    pairs.agg(count(lit(1)).as("m2"), sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+      .withColumn("num", expr("m2 * sxy - sx * sy"))
+      .withColumn("d1", expr("m2 * sxx - sx * sx"))
+      .withColumn("d2", expr("m2 * syy - sy * sy"))
+      .withColumn("r_milli",
+        when(col("d1") > 0 && col("d2") > 0,
+          floor(col("num").cast("double") * lit(1000.0) /
+            sqrt(col("d1").cast("double") * col("d2"))).cast("long")))
+      .select("m2", "num", "d1", "d2", "r_milli")
+  }
+
   /** A/B experiment readout: user-level conversion (any purchase among
     * users with any click) compared across two deterministic cohorts
     * (user_id parity — the hash-split stand-in), with lift and the
@@ -6640,6 +6703,8 @@ object SparkEntry {
     "q_dbscan" -> (qDbscan _),
     "q_silhouette" -> (qSilhouette _),
     "q_skyline" -> (qSkyline _),
+    "q_ks_test" -> (qKsTest _),
+    "q_assortativity" -> (qAssortativity _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -8252,6 +8317,64 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_skyline, max(n_chars) AS max_len,
         |       max(density_ppm) AS max_density_ppm, min(doc_id) AS min_doc
         |FROM sky GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_ks_test" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS m1,
+        |         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS m2
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT n_chars,
+        |         CAST(sum(m1) OVER (ORDER BY n_chars) AS BIGINT) AS cum1,
+        |         CAST(sum(m2) OVER (ORDER BY n_chars) AS BIGINT) AS cum2,
+        |         CAST((SELECT sum(m1) FROM h) AS BIGINT) AS n1,
+        |         CAST((SELECT sum(m2) FROM h) AS BIGINT) AS n2
+        |  FROM h),
+        |g AS (SELECT *, abs(cum1 * n2 - cum2 * n1) AS gap FROM c),
+        |mx AS (SELECT max(gap) AS d_scaled FROM g)
+        |SELECT max(g.n1) AS n1, max(g.n2) AS n2,
+        |       max(mx.d_scaled) AS d_scaled,
+        |       (1000000 * max(mx.d_scaled)) // (max(g.n1) * max(g.n2))
+        |         AS d_ppm,
+        |       min(CASE WHEN g.gap = mx.d_scaled THEN g.n_chars END)
+        |         AS at_value
+        |FROM g, mx""".stripMargin,
+    "q_assortativity" ->
+      """WITH raw AS (
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |         'site-' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION ALL
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR),
+        |         'site-' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |adj AS (SELECT u AS a, v AS b FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |p AS (
+        |  SELECT dx.d AS dx, dy.d AS dy
+        |  FROM adj JOIN deg dx ON dx.a = adj.a
+        |           JOIN deg dy ON dy.a = adj.b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |             CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |             CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |      FROM p)
+        |SELECT m2, m2 * sxy - sx * sy AS num,
+        |       m2 * sxx - sx * sx AS d1, m2 * syy - sy * sy AS d2,
+        |       CASE WHEN m2 * sxx - sx * sx > 0 AND m2 * syy - sy * sy > 0
+        |            THEN CAST(floor(CAST(m2 * sxy - sx * sy AS DOUBLE) * 1000.0
+        |                   / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+        |                          * (m2 * syy - sy * sy))) AS BIGINT) END
+        |         AS r_milli
+        |FROM m""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE q AS (
         |  SELECT vec_id,
