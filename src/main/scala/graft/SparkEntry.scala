@@ -1963,6 +1963,47 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** HITS hubs & authorities (Kleinberg) on the DIRECTED link graph —
+    * the query-independent endorsement scores next to [[qPagerank]]'s
+    * random-surfer mass: 2 mutual-reinforcement rounds in exact scaled
+    * integers (each phase sums the counterpart score over in-/out-
+    * neighbors, then renormalizes to max = 1e6 by integer division — the
+    * PageRank floor-scaling discipline), so the oracle unrolls the
+    * identical recurrence. Per phase: one edge join + hash aggregate +
+    * a 1-row max broadcast; sink/source nodes read 0 via left-join
+    * coalesce.
+    */
+  private def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = docLinkEdges(spark, dir)
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var auth = nodes.withColumn("a", lit(1000000L))
+    var hub = nodes.withColumn("h", lit(1000000L))
+    for (_ <- 1 to 2) {
+      val aRaw = nodes.join(
+        edges.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum("h").as("raw")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(max("raw").as("mx"))))
+        .select(col("node"), expr("(1000000 * raw) div mx").as("a"))
+        .localCheckpoint(true)
+      val hRaw = nodes.join(
+        edges.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum("a").as("raw")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      hub = hRaw.crossJoin(broadcast(hRaw.agg(max("raw").as("mx"))))
+        .select(col("node"), expr("(1000000 * raw) div mx").as("h"))
+        .localCheckpoint(true)
+    }
+    auth.join(hub, Seq("node"))
+      .select(col("node"), col("a").as("auth_u"), col("h").as("hub_u"))
+      .orderBy("node")
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the src0/src1
     * document-length distributions — the distribution-drift screen next
     * to [[qMannWhitney]]'s location test, from the same per-(source,
@@ -6705,6 +6746,7 @@ object SparkEntry {
     "q_skyline" -> (qSkyline _),
     "q_ks_test" -> (qKsTest _),
     "q_assortativity" -> (qAssortativity _),
+    "q_hits" -> (qHits _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -8375,6 +8417,48 @@ object SparkEntry {
         |                          * (m2 * syy - sy * sy))) AS BIGINT) END
         |         AS r_milli
         |FROM m""".stripMargin,
+    "q_hits" ->
+      """WITH raw AS (
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |         'site-' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 20 < 17
+        |  UNION ALL
+        |  SELECT 'site-' || CAST(doc_id % 20 AS VARCHAR),
+        |         'site-' || CAST((doc_id * 3 + 5) % 20 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 < 17 AND (doc_id % 20) % 3 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+        |a1r AS (
+        |  SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+        |  FROM n LEFT JOIN (SELECT e.dst AS node, sum(h0.h) AS raw
+        |                    FROM e JOIN h0 ON h0.node = e.src GROUP BY 1) s
+        |    ON s.node = n.node),
+        |a1 AS (SELECT node, (1000000 * raw) // (SELECT max(raw) FROM a1r) AS a
+        |       FROM a1r),
+        |h1r AS (
+        |  SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+        |  FROM n LEFT JOIN (SELECT e.src AS node, sum(a1.a) AS raw
+        |                    FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1) s
+        |    ON s.node = n.node),
+        |h1 AS (SELECT node, (1000000 * raw) // (SELECT max(raw) FROM h1r) AS h
+        |       FROM h1r),
+        |a2r AS (
+        |  SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+        |  FROM n LEFT JOIN (SELECT e.dst AS node, sum(h1.h) AS raw
+        |                    FROM e JOIN h1 ON h1.node = e.src GROUP BY 1) s
+        |    ON s.node = n.node),
+        |a2 AS (SELECT node, (1000000 * raw) // (SELECT max(raw) FROM a2r) AS a
+        |       FROM a2r),
+        |h2r AS (
+        |  SELECT n.node, CAST(coalesce(s.raw, 0) AS BIGINT) AS raw
+        |  FROM n LEFT JOIN (SELECT e.src AS node, sum(a2.a) AS raw
+        |                    FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1) s
+        |    ON s.node = n.node),
+        |h2 AS (SELECT node, (1000000 * raw) // (SELECT max(raw) FROM h2r) AS h
+        |       FROM h2r)
+        |SELECT a2.node, a2.a AS auth_u, h2.h AS hub_u
+        |FROM a2 JOIN h2 USING (node) ORDER BY node""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE q AS (
         |  SELECT vec_id,

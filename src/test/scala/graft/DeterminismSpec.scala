@@ -39,7 +39,8 @@ class DeterminismSpec extends SparkSpec {
       "q_mmr_diversify", "q_rake_keywords", "q_range_shards", "q_burstiness",
       "q_centroid_classify", "q_time_travel", "q_attribution",
       "q_click_paths", "q_ab_test", "q_kmeans_exact", "q_dbscan",
-      "q_silhouette", "q_skyline", "q_ks_test", "q_assortativity")
+      "q_silhouette", "q_skyline", "q_ks_test", "q_assortativity",
+      "q_hits")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
