@@ -2086,6 +2086,66 @@ object SparkEntry {
     * milli-units — identical IEEE sequence both engines, no long wrap at
     * any cohort size). The experimentation-analytics staple.
     */
+  /** Pipeline freshness report: how far each event type lags the
+    * corpus watermark (global max ts) — the staleness screen an ingest
+    * pipeline alarms on. Lags quantize to whole minutes (bounded
+    * distinct values), then p50/p95 are EXPLICIT ceil(q·n)-th ranks on
+    * the per-(type, lag) COUNT HISTOGRAM — the [[qWinsorize]] bound
+    * pattern; the corpus is touched by one hash aggregate and the
+    * windows run over distinct lag values per type.
+    */
+  private def qFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val gmax = ev.agg(max(unix_micros(col("ts"))).as("gm"))
+    val hist = ev.crossJoin(broadcast(gmax))
+      .withColumn("lag_min", expr("(gm - unix_micros(ts)) div 60000000"))
+      .groupBy("event_type", "lag_min").agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy("event_type").orderBy("lag_min")
+    val cum = hist
+      .withColumn("cum", sum("m").over(wv))
+      .withColumn("n", sum("m").over(Window.partitionBy("event_type")))
+    cum.groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= expr("cast(ceil(0.5 * n) as bigint)"),
+          col("lag_min"))).as("p50_lag_min"),
+        min(when(col("cum") >= expr("cast(ceil(0.95 * n) as bigint)"),
+          col("lag_min"))).as("p95_lag_min"),
+        max("lag_min").as("max_lag_min"))
+      .orderBy("event_type")
+  }
+
+  /** Pearson correlation matrix over the lineitem numerics — the
+    * column-profiling readout Spark's builtin `corr()` cannot serve
+    * deterministically (Welford accumulation is partition-order-
+    * dependent): quantize each column once (dollars / basis points —
+    * keeps every Σx² an exact long through ~1e10 rows), accumulate all
+    * nine moments in ONE map-side-combinable aggregate, then form each
+    * `r` double-first ([[qChi2]] discipline) with the one correctly-
+    * rounded sqrt. Wide single-row readout, milli-scaled.
+    */
+  private def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .withColumn("x", floor(col("l_quantity") + lit(0.5)).cast("long"))
+      .withColumn("y", floor(col("l_extendedprice") + lit(0.5)).cast("long"))
+      .withColumn("z", floor(col("l_discount") * 10000 + lit(0.5)).cast("long"))
+    val m = l.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+    def rMilli(sa: String, sb: String, sab: String, saa: String, sbb: String) =
+      floor((col("n").cast("double") * col(sab) -
+        col(sa).cast("double") * col(sb)) * lit(1000.0) /
+        sqrt((col("n").cast("double") * col(saa) -
+          col(sa).cast("double") * col(sa)) *
+          (col("n").cast("double") * col(sbb) -
+            col(sb).cast("double") * col(sb)))).cast("long")
+    m.select(col("n"),
+      rMilli("sx", "sy", "sxy", "sxx", "syy").as("r_qty_price_milli"),
+      rMilli("sx", "sz", "sxz", "sxx", "szz").as("r_qty_disc_milli"),
+      rMilli("sy", "sz", "syz", "syy", "szz").as("r_price_disc_milli"))
+  }
+
   private def qAbTest(spark: SparkSession, dir: String): DataFrame = {
     val users = events(spark, dir)
       .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).as("cohort"))
@@ -6757,6 +6817,8 @@ object SparkEntry {
     "q_ks_test" -> (qKsTest _),
     "q_assortativity" -> (qAssortativity _),
     "q_hits" -> (qHits _),
+    "q_corr_matrix" -> (qCorrMatrix _),
+    "q_freshness" -> (qFreshness _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -8469,6 +8531,61 @@ object SparkEntry {
         |       FROM h2r)
         |SELECT a2.node, a2.a AS auth_u, h2.h AS hub_u
         |FROM a2 JOIN h2 USING (node) ORDER BY node""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH l AS (
+        |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y,
+        |         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS z
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(z) AS BIGINT) AS sz,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy,
+        |             CAST(sum(z * z) AS BIGINT) AS szz,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * z) AS BIGINT) AS sxz,
+        |             CAST(sum(y * z) AS BIGINT) AS syz
+        |      FROM l)
+        |SELECT n,
+        |       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         * 1000.0 / sqrt((CAST(n AS DOUBLE) * sxx
+        |                          - CAST(sx AS DOUBLE) * sx)
+        |                       * (CAST(n AS DOUBLE) * syy
+        |                          - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+        |         AS r_qty_price_milli,
+        |       CAST(floor((CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+        |         * 1000.0 / sqrt((CAST(n AS DOUBLE) * sxx
+        |                          - CAST(sx AS DOUBLE) * sx)
+        |                       * (CAST(n AS DOUBLE) * szz
+        |                          - CAST(sz AS DOUBLE) * sz))) AS BIGINT)
+        |         AS r_qty_disc_milli,
+        |       CAST(floor((CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+        |         * 1000.0 / sqrt((CAST(n AS DOUBLE) * syy
+        |                          - CAST(sy AS DOUBLE) * sy)
+        |                       * (CAST(n AS DOUBLE) * szz
+        |                          - CAST(sz AS DOUBLE) * sz))) AS BIGINT)
+        |         AS r_price_disc_milli
+        |FROM m""".stripMargin,
+    "q_freshness" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gm FROM events),
+        |h AS (
+        |  SELECT event_type, (g.gm - epoch_us(ts)) // 60000000 AS lag_min,
+        |         CAST(count(*) AS BIGINT) AS m
+        |  FROM events, g GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, lag_min,
+        |         CAST(sum(m) OVER (PARTITION BY event_type
+        |           ORDER BY lag_min) AS BIGINT) AS cum,
+        |         CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT event_type, max(n) AS n,
+        |       min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |           THEN lag_min END) AS p50_lag_min,
+        |       min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT)
+        |           THEN lag_min END) AS p95_lag_min,
+        |       max(lag_min) AS max_lag_min
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE q AS (
         |  SELECT vec_id,
