@@ -2086,6 +2086,57 @@ object SparkEntry {
     * milli-units — identical IEEE sequence both engines, no long wrap at
     * any cohort size). The experimentation-analytics staple.
     */
+  /** Sequential-pattern support (the 2-sequence core of PrefixSpan-style
+    * mining): for every ordered type pair ⟨a, b⟩, how many users have
+    * SOME a-event strictly before SOME b-event — `min_ts(a) < max_ts(b)`
+    * per user, so the corpus collapses to one (user × type) aggregate of
+    * first/last timestamps and the pattern join runs on that bounded
+    * frame (|types|² combos per user, never the event log). The
+    * sequence-mining complement to [[qClickPaths]]' contiguous paths.
+    */
+  private def qSeqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .localCheckpoint(true) // read twice (both pattern sides)
+    val nUsers = per.select("user_id").distinct().count()
+    val a = per.select(col("user_id"), col("event_type").as("ta"), col("first_us"))
+    val b = per.select(col("user_id"), col("event_type").as("tb"), col("last_us"))
+    a.join(b, Seq("user_id"))
+      .filter(col("ta") =!= col("tb") && col("first_us") < col("last_us"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_users"))
+      .withColumn("supp_ppm", expr(s"(1000000 * n_users) div ${nUsers}L"))
+      .orderBy(col("n_users").desc, col("ta"), col("tb"))
+      .limit(15)
+  }
+
+  /** Conditional entropy of the next event type given the current one —
+    * the sequence-predictability readout over [[qMarkov]]'s transition
+    * matrix, in the repo's exact integer-log arithmetic: each transition
+    * cell contributes `c·(L(r) − L(c))` micro-nats with the shared
+    * [[graft.functions.ScaledLn]], long-summed per state and divided by
+    * the state's row total. One window pass builds transitions; the
+    * |types|²-bounded cell frame does the rest.
+    */
+  private def qEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScaledLn
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = events(spark, dir)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val row = tr.groupBy("cur").agg(sum("c").as("r"))
+    tr.join(broadcast(row), "cur")
+      .withColumn("contrib",
+        col("c") * (ScaledLn.column(col("r")) - ScaledLn.column(col("c"))))
+      .groupBy("cur")
+      .agg(max("r").as("n_transitions"), count(lit(1)).as("n_next_types"),
+        expr("sum(contrib) div max(r)").as("h_cond_micro"))
+      .orderBy("cur")
+  }
+
   /** Pipeline freshness report: how far each event type lags the
     * corpus watermark (global max ts) — the staleness screen an ingest
     * pipeline alarms on. Lags quantize to whole minutes (bounded
@@ -6819,6 +6870,8 @@ object SparkEntry {
     "q_hits" -> (qHits _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_freshness" -> (qFreshness _),
+    "q_seq_patterns" -> (qSeqPatterns _),
+    "q_entropy_rate" -> (qEntropyRate _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -8586,6 +8639,40 @@ object SparkEntry {
         |           THEN lag_min END) AS p95_lag_min,
         |       max(lag_min) AS max_lag_min
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_seq_patterns" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type,
+        |         min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM per),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |         CAST(count(*) AS BIGINT) AS n_users
+        |  FROM per a JOIN per b ON b.user_id = a.user_id
+        |  WHERE a.event_type <> b.event_type AND a.first_us < b.last_us
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, n_users, (1000000 * n_users) // n.nu AS supp_ppm
+        |FROM p, n
+        |ORDER BY n_users DESC, ta, tb LIMIT 15""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS c
+        |       FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT cur, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+        |cells AS (
+        |  SELECT tr.cur,
+        |         tr.c * (CAST(floor(ln(r.r) * 1000000 + 0.5) AS BIGINT)
+        |               - CAST(floor(ln(tr.c) * 1000000 + 0.5) AS BIGINT))
+        |           AS contrib,
+        |         r.r
+        |  FROM tr JOIN r ON r.cur = tr.cur)
+        |SELECT cur, max(r) AS n_transitions, count(*) AS n_next_types,
+        |       CAST(sum(contrib) AS BIGINT) // max(r) AS h_cond_micro
+        |FROM cells GROUP BY cur ORDER BY cur""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE q AS (
         |  SELECT vec_id,

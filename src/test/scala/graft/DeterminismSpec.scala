@@ -40,7 +40,8 @@ class DeterminismSpec extends SparkSpec {
       "q_centroid_classify", "q_time_travel", "q_attribution",
       "q_click_paths", "q_ab_test", "q_kmeans_exact", "q_dbscan",
       "q_silhouette", "q_skyline", "q_ks_test", "q_assortativity",
-      "q_hits", "q_corr_matrix", "q_freshness")
+      "q_hits", "q_corr_matrix", "q_freshness", "q_seq_patterns",
+      "q_entropy_rate")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
