@@ -2086,6 +2086,38 @@ object SparkEntry {
     * milli-units — identical IEEE sequence both engines, no long wrap at
     * any cohort size). The experimentation-analytics staple.
     */
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes of each
+    * event type's daily count series — the outlier-immune complement to
+    * [[qTrend]]'s least squares. Slopes quantize to exact integer
+    * micro-units (`1e6·Δy div Δx`, truncation — the deterministic spec
+    * both engines share), and the median is the explicit ceil(n/2)-th
+    * rank on the per-type slope COUNT HISTOGRAM (the winsorize cut —
+    * no per-row sort). Pair generation is the bounded (type × day)
+    * frame self-joined — days², never the event log.
+    */
+  private def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("di"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(true) // both sides of the pair join
+    val a = daily.select(col("event_type"), col("di").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("event_type").as("et2"), col("di").as("d2"),
+      col("y").as("y2"))
+    val slopes = a.join(b, col("event_type") === col("et2") && col("d1") < col("d2"))
+      .withColumn("s_u", expr("(1000000 * (y2 - y1)) div (d2 - d1)"))
+    val hist = slopes.groupBy("event_type", "s_u").agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy("event_type").orderBy("s_u")
+    hist
+      .withColumn("cum", sum("m").over(wv))
+      .withColumn("n", sum("m").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n_pairs"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("s_u")))
+          .as("median_slope_u"))
+      .orderBy("event_type")
+  }
+
   /** Sequential-pattern support (the 2-sequence core of PrefixSpan-style
     * mining): for every ordered type pair ⟨a, b⟩, how many users have
     * SOME a-event strictly before SOME b-event — `min_ts(a) < max_ts(b)`
@@ -6872,6 +6904,7 @@ object SparkEntry {
     "q_freshness" -> (qFreshness _),
     "q_seq_patterns" -> (qSeqPatterns _),
     "q_entropy_rate" -> (qEntropyRate _),
+    "q_theil_sen" -> (qTheilSen _),
     "q_pareto" -> (qPareto _),
     "q_funnel3" -> (qFunnel3 _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -8673,6 +8706,29 @@ object SparkEntry {
         |SELECT cur, max(r) AS n_transitions, count(*) AS n_next_types,
         |       CAST(sum(contrib) AS BIGINT) // max(r) AS h_cond_micro
         |FROM cells GROUP BY cur ORDER BY cur""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('day', ts)) // 86400000000 AS di,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type,
+        |         (1000000 * (b.y - a.y)) // (b.di - a.di) AS s_u
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.di < b.di),
+        |h AS (SELECT event_type, s_u, CAST(count(*) AS BIGINT) AS m
+        |      FROM sl GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, s_u,
+        |         CAST(sum(m) OVER (PARTITION BY event_type ORDER BY s_u)
+        |              AS BIGINT) AS cum,
+        |         CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT event_type, max(n) AS n_pairs,
+        |       min(CASE WHEN cum >= (n + 1) // 2 THEN s_u END)
+        |         AS median_slope_u
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE q AS (
         |  SELECT vec_id,

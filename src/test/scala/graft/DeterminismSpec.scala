@@ -41,7 +41,7 @@ class DeterminismSpec extends SparkSpec {
       "q_click_paths", "q_ab_test", "q_kmeans_exact", "q_dbscan",
       "q_silhouette", "q_skyline", "q_ks_test", "q_assortativity",
       "q_hits", "q_corr_matrix", "q_freshness", "q_seq_patterns",
-      "q_entropy_rate")
+      "q_entropy_rate", "q_theil_sen")
 
   for (name <- covered) {
     test(s"$name is invariant to shuffle/scan partitioning") {
