@@ -1518,7 +1518,14 @@ object SparkEntry {
     * S = Σy and n = #days, `n·y_t − S = n·(y_t − μ)` never forms the
     * rational mean, so numerator Σ(n·y_t−S)(n·y_{t+k}−S) over lag pairs
     * and denominator Σ(n·y_t−S)² are exact longs and the signed ppm
-    * ratio is bit-exact cross-engine (both engines truncate). Scale
+    * ratio is bit-exact cross-engine (both engines truncate). Magnitude
+    * bound (the [[qKappa]] discipline): the readout's `1e6·num` needs
+    * num ≲ 9.2e12, i.e. n·Σ(y−μ)(y'−μ) within long range — holds
+    * comfortably for daily counts ≤ ~1e4 over ≤ ~1e3 days per type
+    * (num ~ 1e3·1e3·1e8 = 1e14 worst-case is the wall; real
+    * deviation products are far smaller), but a corpus with ~1e6+
+    * daily counts needs the numerator rescaled before the ppm form.
+    * Scale
     * shape: the 100 TB event log collapses to the (type × day) count
     * series in ONE map-side-combinable aggregate; the lag self-join runs
     * on that tiny series, keyed by integer day index so missing days
@@ -1900,8 +1907,8 @@ object SparkEntry {
         coalesce(col("n_border"), lit(0L)).as("n_border"))
       .withColumn("n_pts", col("n_core") + col("n_border"))
     val noise = q.agg(count(lit(1)).as("__t"))
-      .crossJoin(coreLab.agg(count(lit(1)).as("__c")))
-      .crossJoin(borderLab.agg(count(lit(1)).as("__b")))
+      .crossJoin(broadcast(coreLab.agg(count(lit(1)).as("__c"))))
+      .crossJoin(broadcast(borderLab.agg(count(lit(1)).as("__b"))))
       .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
         lit(0L).as("n_border"),
         (col("__t") - col("__c") - col("__b")).as("n_pts"))
@@ -2077,15 +2084,6 @@ object SparkEntry {
       .select("m2", "num", "d1", "d2", "r_milli")
   }
 
-  /** A/B experiment readout: user-level conversion (any purchase among
-    * users with any click) compared across two deterministic cohorts
-    * (user_id parity — the hash-split stand-in), with lift and the
-    * two-proportion chi-square statistic. Counts reduce to ONE per-user
-    * aggregate + one 4-cell rollup; the statistic follows the [[qChi2]]
-    * double-first discipline (n·(x1·n2 − x2·n1)² / (n1·n2·x·(n−x)) in
-    * milli-units — identical IEEE sequence both engines, no long wrap at
-    * any cohort size). The experimentation-analytics staple.
-    */
   /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes of each
     * event type's daily count series — the outlier-immune complement to
     * [[qTrend]]'s least squares. Slopes quantize to exact integer
@@ -2201,7 +2199,9 @@ object SparkEntry {
     * column-profiling readout Spark's builtin `corr()` cannot serve
     * deterministically (Welford accumulation is partition-order-
     * dependent): quantize each column once (dollars / basis points —
-    * keeps every Σx² an exact long through ~1e10 rows), accumulate all
+    * the binding column is price at ~1e5 dollars, whose Σy² grows
+    * ~1e10 per row, so every moment stays an exact long through
+    * ~1e9 rows; quantize price more coarsely past that), accumulate all
     * nine moments in ONE map-side-combinable aggregate, then form each
     * `r` double-first ([[qChi2]] discipline) with the one correctly-
     * rounded sqrt. Wide single-row readout, milli-scaled.
@@ -2229,6 +2229,15 @@ object SparkEntry {
       rMilli("sy", "sz", "syz", "syy", "szz").as("r_price_disc_milli"))
   }
 
+  /** A/B experiment readout: user-level conversion (any purchase among
+    * users with any click) compared across two deterministic cohorts
+    * (user_id parity — the hash-split stand-in), with lift and the
+    * two-proportion chi-square statistic. Counts reduce to ONE per-user
+    * aggregate + one 4-cell rollup; the statistic follows the [[qChi2]]
+    * double-first discipline (n·(x1·n2 − x2·n1)² / (n1·n2·x·(n−x)) in
+    * milli-units — identical IEEE sequence both engines, no long wrap at
+    * any cohort size). The experimentation-analytics staple.
+    */
   private def qAbTest(spark: SparkSession, dir: String): DataFrame = {
     val users = events(spark, dir)
       .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).as("cohort"))
@@ -2634,8 +2643,8 @@ object SparkEntry {
     val h1 = o.filter(col("o_orderdate") < lit("1998-01-01")).select("o_custkey").distinct()
     val h2 = o.filter(col("o_orderdate") >= lit("1998-01-01")).select("o_custkey").distinct()
     h1.intersect(h2).agg(count(lit(1)).as("n_both"))
-      .crossJoin(h1.except(h2).agg(count(lit(1)).as("n_only_early")))
-      .crossJoin(h1.union(h2).distinct().agg(count(lit(1)).as("n_any")))
+      .crossJoin(broadcast(h1.except(h2).agg(count(lit(1)).as("n_only_early"))))
+      .crossJoin(broadcast(h1.union(h2).distinct().agg(count(lit(1)).as("n_any"))))
   }
 
   private def qScalarFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -5861,7 +5870,7 @@ object SparkEntry {
         col("a.__fp") === col("b.__fp") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.text") === col("b.text"))
       .agg(count(lit(1)).as("n_exact_dup_pairs"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
   }
 
   /** Sequence packing ([[graft.ops.Packing]]): documents laid end-to-end
@@ -8204,8 +8213,8 @@ object SparkEntry {
         |                 ORDER BY 0.7 * rel DESC, neighbor_id ASC) AS rn FROM c8)
         |       WHERE rn = 1),
         |r2 AS (SELECT c.query_id, c.neighbor_id, c.rel, c.cv,
-        |              0.7 * c.rel - 0.3 * list_cosine_similarity(c.cv, s.cv)
-        |                AS score
+        |              0.7 * c.rel - (1 - CAST(0.7 AS DOUBLE))
+        |                * list_cosine_similarity(c.cv, s.cv) AS score
         |       FROM c8 c JOIN s1 s ON s.query_id = c.query_id
         |       WHERE c.neighbor_id <> s.neighbor_id),
         |s2 AS (SELECT query_id, neighbor_id, cv FROM (
@@ -8214,7 +8223,7 @@ object SparkEntry {
         |                 ORDER BY score DESC, neighbor_id ASC) AS rn FROM r2)
         |       WHERE rn = 1),
         |r3 AS (SELECT c.query_id, c.neighbor_id,
-        |              0.7 * c.rel - 0.3 * greatest(
+        |              0.7 * c.rel - (1 - CAST(0.7 AS DOUBLE)) * greatest(
         |                list_cosine_similarity(c.cv, a.cv),
         |                list_cosine_similarity(c.cv, b.cv)) AS score
         |       FROM c8 c JOIN s1 a ON a.query_id = c.query_id

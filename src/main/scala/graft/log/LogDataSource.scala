@@ -122,9 +122,9 @@ final class LogScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val codecs = new CompressionCodecFactory(conf)
 
     val files = ArrayBuffer.empty[FileStatus]
+    val dirs = ArrayBuffer.empty[Path]
     paths.foreach { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -132,22 +132,22 @@ final class LogScan(
       if (matched.isEmpty) throw new SparkException(s"[log] path not found: $p")
       matched.foreach { st =>
         if (st.isFile) files += st // explicit file: read regardless of extension
-        else listRecursive(fs, st).foreach { f =>
-          if (matchesExtension(f.getPath.getName)) files += f
-        }
+        else dirs += st.getPath
       }
     }
+    files ++= LogScan
+      .listRecursiveParallel(conf, dirs.toSeq, LogScan.listingThreads(spark))
+      .filter(f => matchesExtension(f.getPath.getName))
+    // path-sorted: listing-order independence makes the chunk sequence
+    // (and therefore the packed partition set) deterministic
+    val sorted = files.sortBy(_.getPath.toString).toSeq
 
-    val maxSplit = LogScan.splitSize(spark, files.toSeq)
+    val maxSplit = LogScan.splitSize(spark, sorted)
     LogScan.pack(
-      LogScan.chunkFiles(files.toSeq, opts, conf, maxSplit),
+      LogScan.chunkFiles(sorted, opts, conf, maxSplit),
       maxSplit,
       org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
   }
-
-  private def listRecursive(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] =
-    if (st.isFile) Seq(st)
-    else fs.listStatus(st.getPath).toSeq.flatMap(listRecursive(fs, _))
 
   private def matchesExtension(name: String): Boolean =
     LogScan.matchesExtension(name, opts.extensions)
@@ -161,6 +161,57 @@ final class LogScan(
 
 object LogScan {
   val CodecSuffixes = Seq(".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst")
+
+  /** Listing fan-out: one thread per core up to a remote-store-friendly
+    * cap (matches Spark's own listing parallelism ceiling posture — the
+    * bound is the metadata service's tolerance, not CPU). */
+  val MaxListingThreads = 64
+  def listingThreads(spark: SparkSession): Int =
+    math.min(MaxListingThreads, math.max(1, spark.sparkContext.defaultParallelism))
+
+  /** Parallel recursive directory listing (the `InMemoryFileIndex`
+    * posture, replacing the serial recursive `listStatus` walk that was
+    * the last driver-side bottleneck at millions of files): BFS over the
+    * tree, each level's `listStatus` calls fanned across a bounded
+    * thread pool, so wall-clock scales with tree DEPTH plus
+    * (#dirs-per-level / threads) RPC rounds instead of total directory
+    * count. Returns FILES only (callers apply extension routing);
+    * deterministic regardless of pool scheduling because each
+    * directory's children are collected into that directory's own slot
+    * (`invokeAll` preserves task order) — and downstream sorts by path
+    * anyway. */
+  def listRecursiveParallel(
+      conf: Configuration,
+      roots: Seq[Path],
+      threads: Int): Seq[FileStatus] = {
+    import java.util.concurrent.{Callable, Executors}
+    if (roots.isEmpty) return Nil
+    val files = ArrayBuffer.empty[FileStatus]
+    val pool = Executors.newFixedThreadPool(math.max(1, threads))
+    try {
+      var frontier: Seq[Path] = roots
+      while (frontier.nonEmpty) {
+        val tasks: Seq[Callable[Array[FileStatus]]] = frontier.map { p =>
+          new Callable[Array[FileStatus]] {
+            override def call(): Array[FileStatus] = p.getFileSystem(conf).listStatus(p)
+          }
+        }
+        val next = ArrayBuffer.empty[Path]
+        pool.invokeAll(tasks.asJava).asScala.foreach { fut =>
+          // unwrap ExecutionException so callers see the I/O error itself
+          val children =
+            try fut.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          children.foreach { st => if (st.isFile) files += st else next += st.getPath }
+        }
+        frontier = next.toSeq
+      }
+    } finally pool.shutdown()
+    files.toSeq
+  }
 
   /** Split sizing: Spark's own `FilePartition.maxSplitBytes` formula —
     * bounded by `maxPartitionBytes`, floored at `openCostInBytes`,

@@ -250,13 +250,10 @@ final class LogMicroBatchStream(
   private def listFiles(): Seq[FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = ArrayBuffer.empty[FileStatus]
+    val dirs = ArrayBuffer.empty[Path]
     paths.foreach { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
-      def walk(st: FileStatus): Unit =
-        if (st.isFile) {
-          if (LogScan.matchesExtension(st.getPath.getName, opts.extensions)) out += st
-        } else fs.listStatus(st.getPath).foreach(walk) // recursive, matching the batch scan
       val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
       // A missing/misspelled CONCRETE path is a hard error (mirror the
       // batch scan), but a glob that currently expands to nothing is a
@@ -277,9 +274,15 @@ final class LogMicroBatchStream(
       }
       matched.foreach { st =>
         if (st.isFile) out += st // explicit file: read regardless of extension
-        else walk(st)
+        else dirs += st.getPath
       }
     }
+    // per-trigger parallel walk (shared with the batch scan): the driver
+    // polls this every trigger, so listing latency bounds end-to-end
+    // stream latency at high directory counts
+    out ++= LogScan
+      .listRecursiveParallel(conf, dirs.toSeq, LogScan.listingThreads(spark))
+      .filter(f => LogScan.matchesExtension(f.getPath.getName, opts.extensions))
     out.toSeq
   }
 }

@@ -33,7 +33,7 @@ class DeterminismSpec extends SparkSpec {
       "q_quantile_norm", "q_pattern_negation",
       "q_peak_concurrency", "q_boolean_retrieval", "q_phrase_search",
       "q_pareto", "q_funnel3", "q_mutual_info", "q_benford", "q_bpe_apply",
-      // round-9 statistics/text/retrieval additions — MMR's greedy pick
+      // round-13 (session 2) statistics/text/retrieval additions — MMR's greedy pick
       // sequence and RAKE's top-k cut are the partition-sensitive shapes
       "q_kappa", "q_acf", "q_mann_whitney", "q_link_predict", "q_flesch",
       "q_mmr_diversify", "q_rake_keywords", "q_range_shards", "q_burstiness",
