@@ -4499,11 +4499,13 @@ object SparkEntry {
   /** PCA whitening of the embedding corpus ([[graft.ops.Whitening]]):
     * train = two distributed reductions (mean + d x d scatter, primitive
     * per-partition accumulators) and a driver-side 64x64 Jacobi
-    * eigensolve; apply = one broadcast d² kernel per row. Not
-    * SQL-expressible (eigendecomposition), so the query GRADES ITSELF:
-    * the readout counts components whose post-whitening mean is 0 and
-    * variance is 1 — the whitening contract — plus WhiteningSpec's
-    * closed-form gates.
+    * eigensolve; apply = one broadcast d² kernel per row. The
+    * eigendecomposition is not SQL-expressible, but its CONTRACT is: the
+    * readout counts components whose post-whitening mean is 0 and
+    * variance is 1, and the oracle states the mathematically-forced
+    * answer (all d of them, over the modal-dimension corpus) — so the
+    * DuckDB hash-compare grades the whole train+apply path, with
+    * WhiteningSpec's closed-form gates covering the eigensolve itself.
     */
   private def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -10313,6 +10315,20 @@ object SparkEntry {
         |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
     "q_embed_lsh" -> AnnExactSideSql,
     "q_embed_ivf" -> AnnExactSideSql,
+    // the eigensolve itself is not SQL-expressible, but its CONTRACT is:
+    // whitening must leave every component with mean 0 and variance 1, so
+    // the oracle states the mathematically-forced readout — corpus size at
+    // the modal dimension, the dimension, and dim-many zero-mean/unit-var
+    // components. A broken Jacobi/basis/apply path shows up as a hash
+    // mismatch in the last two columns.
+    "q_embed_whiten" ->
+      """WITH d AS (
+        |  SELECT len(embedding) AS d, count(*) AS n
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |  GROUP BY 1 ORDER BY n DESC, d DESC LIMIT 1)
+        |SELECT CAST(n AS BIGINT) AS n_vecs, CAST(d AS BIGINT) AS n_components,
+        |       CAST(d AS BIGINT) AS n_zero_mean, CAST(d AS BIGINT) AS n_unit_var
+        |FROM d""".stripMargin,
     // cells re-derived exactly: centroids = the 8 lowest-id vectors
     // (iterations = 0), argmin over the sequential squared-L2 sum with
     // (dist, cell) tie-break — see qSemanticDedup's scaladoc
