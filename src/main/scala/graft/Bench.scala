@@ -10,8 +10,12 @@ import org.apache.spark.sql.SparkSession
   * `median_total` the sum of medians.
   *
   * Failure accounting: a run that crashes contributes NO time sample — a
-  * fast crash must never lower a query's reported min. A query with at
-  * least one failed run is flagged in `flaky`; one with NO successful run
+  * fast crash must never lower a query's reported min. Per-query MEDIANS
+  * are emitted alongside (`queries_median`) so spread is visible without
+  * re-deriving it, and streaming queries get a measured floor/work split
+  * (`floor_stateless_sec` / `floor_rocksdb_sec` / `streaming_breakdown`)
+  * separating fixed per-drain admission cost from data work. A query with
+  * at least one failed run is flagged in `flaky`; one with NO successful run
   * is flagged in `failed`, reported as -1 in `queries`, and charged
   * `max(slowest failure, 30 s penalty)` in the totals. The penalty floor is
   * what makes a fast crash (e.g. a 0.1 s analysis error) unable to LOWER
@@ -19,6 +23,72 @@ import org.apache.spark.sql.SparkSession
   * should still gate on `failed` being empty, not on the total alone.
   */
 object Bench {
+  /** Queries that drain a Structured Streaming pipeline in-query. Each
+    * pays a fixed per-drain "admission floor" (stream init, offset/commit
+    * log, state-store instantiation, sink commit) on top of the data
+    * work; the bench reports the floor separately so a real regression in
+    * these queries isn't masked by (or mistaken for) fixture cost. */
+  val StreamingQueries: Set[String] = Set(
+    "q_log_stream", "q_sessionize_custom", "q_timed_sessions",
+    "q_stream_static_join",
+    "q_streaming_cdc", "q_streaming_window", "q_streaming_sink",
+    "q_streaming_chunk", "q_streaming_join", "q_streaming_full_join",
+    "q_streaming_left_join", "q_streaming_hll", "q_streaming_heavy_hitters",
+    "q_streaming_dedup", "q_streaming_c4", "q_streaming_neardedup",
+    "q_streaming_classify",
+    // transformWithState surface — these REQUIRE the RocksDB store, whose
+    // open/close dominates their floor
+    "q_transform_state", "q_map_state", "q_list_state")
+
+  private val RocksDbQueries: Set[String] =
+    Set("q_transform_state", "q_map_state", "q_list_state", "q_timed_sessions")
+
+  /** Measure the per-drain admission floor: a 2-row file stream drained
+    * through a fresh checkpoint with Trigger.AvailableNow into the noop
+    * sink — zero data work by construction, so the elapsed time IS the
+    * floor. `stateful=true` adds a RocksDB-backed aggregation (store
+    * instantiation + one state commit), the floor the transformWithState
+    * queries pay. Min of `runs` attempts, mirroring per-query min.
+    */
+  def measureFloor(spark: SparkSession, stateful: Boolean, runs: Int = 3): Double = {
+    import org.apache.spark.sql.streaming.Trigger
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    if (stateful) spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      (0 until runs).map { _ =>
+        val base = java.nio.file.Files.createTempDirectory("graft_floor")
+        val src = base.resolve("src")
+        java.nio.file.Files.createDirectories(src)
+        java.nio.file.Files.write(src.resolve("a.txt"),
+          "alpha\nbeta\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val t0 = System.nanoTime()
+        val in = spark.readStream.format("text")
+          .schema("value STRING").load(src.toString)
+        val piped =
+          if (stateful) in.groupBy("value").count()
+          else in.select("value")
+        val q = piped.writeStream.format("noop")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .outputMode(if (stateful) "update" else "append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        deleteRec(base.toFile)
+        dt
+      }.min
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,6 +140,23 @@ object Bench {
     val qs = names.map { case (k, _) =>
       s"\"" + k + "\":" + (if (okTimes(k).isEmpty) -1.0 else okTimes(k).min)
     }.mkString("{", ",", "}")
+    // min AND median per query: min measures the query (warmup excluded),
+    // median carries the run-to-run spread — round-over-round comparisons
+    // need both in the same file to stop mixing them
+    val qsMedian = names.map { case (k, _) =>
+      s"\"" + k + "\":" + (if (okTimes(k).isEmpty) -1.0 else median(okTimes(k)))
+    }.mkString("{", ",", "}")
+    // streaming floor/work split: measured no-op drains (see measureFloor),
+    // subtracted per streaming query so their reported "work" tracks data
+    // processing, not state-store/offset-log fixed cost
+    val floorStateless = measureFloor(spark, stateful = false)
+    val floorRocksdb = measureFloor(spark, stateful = true)
+    val streamingBd = names.collect {
+      case (k, _) if StreamingQueries(k) && okTimes(k).nonEmpty =>
+        val f = if (RocksDbQueries(k)) floorRocksdb else floorStateless
+        val m = okTimes(k).min
+        s"""\"$k\":{"min":$m,"floor":$f,"work":${math.max(0.0, m - f)}}"""
+    }.mkString("{", ",", "}")
     val total = names.map { case (k, _) => charge(k) }.sum
     val medianTotal = names.map { case (k, _) => chargeMedian(k) }.sum
     def strList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -82,7 +169,7 @@ object Bench {
       case c => c.toString
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$n,"median_total":$medianTotal,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfEsc"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"runs":$n,"median_total":$medianTotal,"floor_stateless_sec":$floorStateless,"floor_rocksdb_sec":$floorRocksdb,"streaming_breakdown":$streamingBd,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfEsc"}"""
     // the metric both ways: sole stdout line AND a file, so a harness that
     // captures interleaved stdout (sbt banners, GC logs) still parses it
     try {

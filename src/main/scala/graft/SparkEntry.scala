@@ -1571,17 +1571,16 @@ object SparkEntry {
     * HISTOGRAM — the corpus is touched by one hash aggregate, the
     * windows run over distinct values per pair, and the pair expansion
     * is |pairs| × |distinct values|, never per-row. A fixed 5-source
-    * probe set keeps the readout bounded.
+    * probe set keeps the readout bounded; the pair frame comes from
+    * [[graft.ops.PairMatrix]], whose maxPairs guard turns an unbounded
+    * key set into a plan-time error instead of a quadratic job.
     */
   private def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val probe = (0 to 4).map(i => s"src$i")
     val hist = t(spark, dir, "documents")
       .filter(col("source").isin(probe: _*))
       .groupBy("source", "n_chars").agg(count(lit(1)).as("m"))
-    val srcs = hist.select("source").distinct()
-    val prs = srcs.select(col("source").as("s1"))
-      .crossJoin(srcs.select(col("source").as("s2")))
-      .filter(col("s1") < col("s2"))
+    val prs = graft.ops.PairMatrix.orderedPairs(hist, "source")
     val h1 = prs.join(hist, col("s1") === col("source"))
       .select(col("s1"), col("s2"), col("n_chars"), col("m").as("m1"), lit(0L).as("m2"))
     val h2 = prs.join(hist, col("s2") === col("source"))

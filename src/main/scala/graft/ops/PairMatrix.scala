@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded all-pairs matrix over a key column's distinct values — the
+  * shared shape under pairwise-comparison readouts (Mann–Whitney U,
+  * pairwise KL, inter-source Jaccard): expand k distinct keys into the
+  * k·(k−1)/2 ordered pairs, then join per-key histograms onto each side.
+  *
+  * Scale posture: the expansion is quadratic in DISTINCT KEYS, never in
+  * rows — safe for a curated probe set, catastrophic if pointed at an
+  * unbounded key column (10⁶ sources → 5·10¹¹ pairs). The guard makes
+  * that misuse a plan-time error with an actionable message instead of a
+  * cluster-melting job: the distinct-key count is ONE bounded aggregate
+  * (k values, driver cost O(1)), checked against `maxPairs` BEFORE any
+  * pair materializes. The pair frame itself broadcasts its right side —
+  * k rows by construction — so downstream joins never shuffle on it.
+  */
+object PairMatrix {
+
+  /** Ordered pairs `(outLeft < outRight)` of `keyCol`'s distinct values.
+    * Throws `IllegalArgumentException` when the pair count would exceed
+    * `maxPairs`. Key ordering uses the column's natural `<`, so any
+    * orderable key type works.
+    */
+  def orderedPairs(
+      df: DataFrame,
+      keyCol: String,
+      outLeft: String = "s1",
+      outRight: String = "s2",
+      maxPairs: Long = 100000L): DataFrame = {
+    require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
+    val keys = df.select(col(keyCol)).distinct()
+    val k = keys.count()
+    val pairs = k * (k - 1) / 2
+    require(pairs <= maxPairs,
+      s"[pairMatrix] $k distinct '$keyCol' keys expand to $pairs ordered pairs, " +
+        s"over maxPairs=$maxPairs — filter the key set to a probe subset or " +
+        "raise the cap explicitly")
+    keys.select(col(keyCol).as(outLeft))
+      .crossJoin(broadcast(keys.select(col(keyCol).as(outRight))))
+      .filter(col(outLeft) < col(outRight))
+  }
+}
