@@ -109,7 +109,8 @@ final class LogScan(
     opts: LogOptions,
     paths: Seq[String],
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -119,10 +120,14 @@ final class LogScan(
     s"LogScan(pattern=${opts.pattern}, required=${required.fieldNames.mkString(",")}, " +
       s"pushed=[${pushed.mkString(", ")}])"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One listing per Scan instance, shared by the optimizer's statistics
+    * probe and execution's partition planning (a second metadata sweep of
+    * a million-file directory would double the driver's listing cost).
+    * Located statuses (block hosts) ride along for free on filesystems
+    * that have them — they feed task locality below. */
+  private lazy val listedFiles: Seq[FileStatus] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-
     val files = ArrayBuffer.empty[FileStatus]
     val dirs = ArrayBuffer.empty[Path]
     paths.foreach { p =>
@@ -140,11 +145,34 @@ final class LogScan(
       .filter(f => matchesExtension(f.getPath.getName))
     // path-sorted: listing-order independence makes the chunk sequence
     // (and therefore the packed partition set) deterministic
-    val sorted = files.sortBy(_.getPath.toString).toSeq
+    files.sortBy(_.getPath.toString).toSeq
+  }
 
-    val maxSplit = LogScan.splitSize(spark, sorted)
+  /** Without this, a DSV2 relation falls back to
+    * `spark.sql.defaultSizeInBytes` (effectively infinite), so a 2 MB
+    * lookup log joined against a 100 TB fact table would NEVER be
+    * broadcast — the single worst silent plan for this source. Size =
+    * listed bytes, prorated by the projected column fraction so a pruned
+    * scan competes for broadcast on what it actually ships. Row count
+    * stays unknown (lines are not counted at plan time). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val total = listedFiles.map(_.getLen).sum
+    val declared = math.max(opts.schema.length, 1)
+    val frac = math.min(1.0, math.max(required.length, 1).toDouble / declared)
+    val size = math.max(1L, math.ceil(total * frac).toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val maxSplit = LogScan.splitSize(spark, listedFiles)
     LogScan.pack(
-      LogScan.chunkFiles(sorted, opts, conf, maxSplit),
+      LogScan.chunkFiles(listedFiles, opts, conf, maxSplit),
       maxSplit,
       org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
   }
@@ -193,7 +221,15 @@ object LogScan {
       while (frontier.nonEmpty) {
         val tasks: Seq[Callable[Array[FileStatus]]] = frontier.map { p =>
           new Callable[Array[FileStatus]] {
-            override def call(): Array[FileStatus] = p.getFileSystem(conf).listStatus(p)
+            // located listing: block hosts arrive in the same RPC on
+            // filesystems that track them (HDFS) — they drive task
+            // locality; object stores just return plain statuses
+            override def call(): Array[FileStatus] = {
+              val out = ArrayBuffer.empty[FileStatus]
+              val it = p.getFileSystem(conf).listLocatedStatus(p)
+              while (it.hasNext) out += it.next()
+              out.toArray
+            }
           }
         }
         val next = ArrayBuffer.empty[Path]
@@ -246,12 +282,14 @@ object LogScan {
       val splittable = codec == null ||
         (opts.recordStartPattern.isEmpty && codec.isInstanceOf[SplittableCompressionCodec])
       if (!splittable || f.getLen == 0) {
-        chunks += LogChunk(f.getPath.toString, 0, f.getLen, f.getLen)
+        chunks += LogChunk(f.getPath.toString, 0, f.getLen, f.getLen,
+          chunkHosts(f, 0, f.getLen))
       } else {
         var offset = 0L
         while (offset < f.getLen) {
           val len = math.min(maxSplit, f.getLen - offset)
-          chunks += LogChunk(f.getPath.toString, offset, len, f.getLen)
+          chunks += LogChunk(f.getPath.toString, offset, len, f.getLen,
+            chunkHosts(f, offset, len))
           offset += len
         }
       }
@@ -281,6 +319,27 @@ object LogScan {
     parts.toArray
   }
 
+  /** Block hosts overlapping a file's [start, start+len) byte range,
+    * best-first by overlapped bytes (top 3, the FilePartition cut) —
+    * only meaningful for `LocatedFileStatus` from a block-tracking
+    * filesystem; anything else gets no locality preference. */
+  def chunkHosts(f: FileStatus, start: Long, len: Long): Seq[String] = f match {
+    case lf: org.apache.hadoop.fs.LocatedFileStatus =>
+      topHostsByBytes(lf.getBlockLocations.iterator.flatMap { b =>
+        val overlap = math.min(b.getOffset + b.getLength, start + len) -
+          math.max(b.getOffset, start)
+        if (overlap > 0) b.getHosts.iterator.map(_ -> overlap) else Iterator.empty
+      }).toSeq
+    case _ => Nil
+  }
+
+  /** Top 3 hosts by summed bytes, host-name tie-break for determinism. */
+  def topHostsByBytes(weighted: Iterator[(String, Long)]): Array[String] = {
+    val bytes = scala.collection.mutable.HashMap.empty[String, Long]
+    weighted.foreach { case (h, n) => bytes.update(h, bytes.getOrElse(h, 0L) + n) }
+    bytes.toSeq.sortBy { case (h, n) => (-n, h) }.take(3).map(_._1).toArray
+  }
+
   /** Extension routing (`LogFormatPlugin.java:96-104`): a directory scan
     * includes `*.{ext}` plus compressed variants `*.{ext}.{codec}`.
     */
@@ -292,10 +351,24 @@ object LogScan {
   }
 }
 
-final case class LogChunk(path: String, start: Long, length: Long, fileLen: Long)
+final case class LogChunk(
+    path: String,
+    start: Long,
+    length: Long,
+    fileLen: Long,
+    hosts: Seq[String] = Nil)
 
-/** One task's work: one or more file chunks read sequentially. */
-final case class LogInputPartition(chunks: Array[LogChunk]) extends InputPartition
+/** One task's work: one or more file chunks read sequentially.
+  * `preferredLocations` feeds Spark's locality-aware scheduling: the top
+  * hosts by bytes across the partition's chunks (the FilePartition
+  * recipe), so on an HDFS-class store tasks land where their blocks
+  * live instead of pulling 100 TB across the fabric. Empty on object
+  * stores / local FS — Spark then schedules anywhere, unchanged.
+  */
+final case class LogInputPartition(chunks: Array[LogChunk]) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    LogScan.topHostsByBytes(chunks.iterator.flatMap(c => c.hosts.map(_ -> c.length)))
+}
 
 final class LogPartitionReaderFactory(
     opts: LogOptions,

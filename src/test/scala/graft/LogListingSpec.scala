@@ -72,8 +72,11 @@ class LogListingSpec extends SparkSpec {
           files.filter(f => LogScan.matchesExtension(f.getPath.getName, opts.extensions))
             .sortBy(_.getPath.toString),
           opts, conf, maxSplit = 1 << 20)
-      val serialChunks = chunksOf(listSerial(rootPath))
-      val parChunks = chunksOf(LogScan.listRecursiveParallel(conf, Seq(rootPath), 16))
+      // hosts are listing-API-dependent (located vs plain statuses) and
+      // advisory-only; the chunk GEOMETRY is the contract
+      def geom(cs: Seq[graft.log.LogChunk]) = cs.map(c => (c.path, c.start, c.length, c.fileLen))
+      val serialChunks = geom(chunksOf(listSerial(rootPath)))
+      val parChunks = geom(chunksOf(LogScan.listRecursiveParallel(conf, Seq(rootPath), 16)))
       assert(parChunks == serialChunks)
       assert(serialChunks.nonEmpty)
     } finally deleteTree(root)
