@@ -1568,9 +1568,12 @@ object SparkEntry {
     * 2·U1 = 2·R1 − n1(n1+1) ≥ 0.
     *
     * Scale shape: ranks come from the per-(source, value) COUNT
-    * HISTOGRAM — the corpus is touched by one hash aggregate, the
-    * windows run over distinct values per pair, and the pair expansion
-    * is |pairs| × |distinct values|, never per-row. A fixed 5-source
+    * HISTOGRAM — the corpus is touched by ONE hash aggregate (the
+    * histogram is lazily `localCheckpoint`ed, so the PairMatrix guard's
+    * key job materializes it and both per-side joins reuse the pinned
+    * result instead of re-scanning the corpus), the windows run over
+    * distinct values per pair, and the pair expansion is
+    * |pairs| × |distinct values|, never per-row. A fixed 5-source
     * probe set keeps the readout bounded; the pair frame comes from
     * [[graft.ops.PairMatrix]], whose maxPairs guard turns an unbounded
     * key set into a plan-time error instead of a quadratic job.
@@ -1580,6 +1583,7 @@ object SparkEntry {
     val hist = t(spark, dir, "documents")
       .filter(col("source").isin(probe: _*))
       .groupBy("source", "n_chars").agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false)
     val prs = graft.ops.PairMatrix.orderedPairs(hist, "source")
     val h1 = prs.join(hist, col("s1") === col("source"))
       .select(col("s1"), col("s2"), col("n_chars"), col("m").as("m1"), lit(0L).as("m2"))

@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * rows — safe for a curated probe set, catastrophic if pointed at an
   * unbounded key column (10⁶ sources → 5·10¹¹ pairs). The guard makes
   * that misuse a plan-time error with an actionable message instead of a
-  * cluster-melting job: the distinct-key count is ONE bounded aggregate
-  * (k values, driver cost O(1)), checked against `maxPairs` BEFORE any
-  * pair materializes. The pair frame itself broadcasts its right side —
-  * k rows by construction — so downstream joins never shuffle on it.
+  * cluster-melting job: the distinct key set is materialized ONCE via
+  * `localCheckpoint` (k rows by contract — tiny), so the guard count and
+  * BOTH sides of the pair join read the materialized keys instead of
+  * re-running `df`'s upstream lineage (which may be a full-corpus
+  * aggregate) three times. The pair count is computed in `BigInt`, so a
+  * pathological k (> 3·10⁹, where `k·(k−1)` overflows Long and would
+  * silently disarm a Long-arithmetic guard) still trips the check. The
+  * pair frame broadcasts its right side — k rows by construction — so
+  * downstream joins never shuffle on it.
   */
 object PairMatrix {
 
@@ -23,6 +28,10 @@ object PairMatrix {
     * Throws `IllegalArgumentException` when the pair count would exceed
     * `maxPairs`. Key ordering uses the column's natural `<`, so any
     * orderable key type works.
+    *
+    * Cost contract: exactly ONE job over `df`'s lineage (the distinct),
+    * run at call time; the returned frame's execution reads only the
+    * checkpointed k-row key set.
     */
   def orderedPairs(
       df: DataFrame,
@@ -31,10 +40,13 @@ object PairMatrix {
       outRight: String = "s2",
       maxPairs: Long = 100000L): DataFrame = {
     require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
-    val keys = df.select(col(keyCol)).distinct()
+    // Eager localCheckpoint: pays df's lineage once, pins the k-row key
+    // set on the executors; the count below is then a k-row local scan,
+    // not a second corpus aggregate.
+    val keys = df.select(col(keyCol)).distinct().localCheckpoint()
     val k = keys.count()
-    val pairs = k * (k - 1) / 2
-    require(pairs <= maxPairs,
+    val pairs = (BigInt(k) * BigInt(k - 1)) / 2
+    require(pairs <= BigInt(maxPairs),
       s"[pairMatrix] $k distinct '$keyCol' keys expand to $pairs ordered pairs, " +
         s"over maxPairs=$maxPairs — filter the key set to a probe subset or " +
         "raise the cap explicitly")
