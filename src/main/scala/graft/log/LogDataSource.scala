@@ -152,15 +152,37 @@ final class LogScan(
     * `spark.sql.defaultSizeInBytes` (effectively infinite), so a 2 MB
     * lookup log joined against a 100 TB fact table would NEVER be
     * broadcast — the single worst silent plan for this source. Size =
-    * listed bytes, prorated by the projected column fraction so a pruned
-    * scan competes for broadcast on what it actually ships. Row count
-    * stays unknown (lines are not counted at plan time). */
+    * listed bytes, adjusted three ways:
+    *
+    *  - codec-suffixed files are scaled UP by
+    *    `spark.sql.sources.fileCompressionFactor` (Spark's own file
+    *    sources do the same): gzip logs expand 10–20× in memory, and
+    *    broadcasting a "2 MB" .gz that inflates to 40 MB blows the
+    *    broadcast budget;
+    *  - prorated by the projected column fraction, so a pruned scan
+    *    competes for broadcast on what it actually ships;
+    *  - discounted by a crude bounded selectivity for PUSHED filters
+    *    (the reader really does drop non-matching rows before emitting,
+    *    so a selective scan ships far less than raw bytes). Equality-
+    *    shaped filters count 0.2 each, range/prefix 0.5, floored at 0.05
+    *    overall so stacked filters can never talk the optimizer into
+    *    broadcasting more than 5% of a giant input on faith.
+    *
+    * Row count stays unknown (lines are not counted at plan time). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val total = listedFiles.map(_.getLen).sum
+    val sqlConf = org.apache.spark.sql.GraftSql.sqlConf(SparkSession.active)
+    val compFactor = math.max(1.0, sqlConf.fileCompressionFactor)
+    val total = listedFiles.map { f =>
+      val name = f.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+      if (LogScan.CodecSuffixes.exists(name.endsWith))
+        math.ceil(f.getLen * compFactor).toLong
+      else f.getLen
+    }.sum
     val declared = math.max(opts.schema.length, 1)
     val frac = math.min(1.0, math.max(required.length, 1).toDouble / declared)
-    val size = math.max(1L, math.ceil(total * frac).toLong)
+    val sel = LogScan.filterSelectivity(pushed)
+    val size = math.max(1L, math.ceil(total * frac * sel).toLong)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -189,6 +211,31 @@ final class LogScan(
 
 object LogScan {
   val CodecSuffixes = Seq(".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst")
+
+  /** Crude, bounded selectivity for pushed filters, used only to size the
+    * scan for broadcast decisions (never for correctness). Without
+    * per-column stats the honest choice is a fixed prior per filter
+    * SHAPE: equality-like predicates (EqualTo/In/IsNull — expected to
+    * match few rows) 0.2 each, range/prefix/inequality 0.5 each,
+    * anything else 0.9. The product is floored at 0.05: stacked filters
+    * may be correlated (or all true), and under-reporting a 100 GB scan
+    * down to broadcast size on a faith-based estimate is the failure
+    * mode a floor makes impossible — 5% of anything genuinely large is
+    * still far over any broadcast threshold. */
+  def filterSelectivity(pushed: Array[org.apache.spark.sql.sources.Filter]): Double = {
+    import org.apache.spark.sql.sources._
+    if (pushed.isEmpty) 1.0
+    else {
+      val product = pushed.map {
+        case _: EqualTo | _: EqualNullSafe | _: In | _: IsNull => 0.2
+        case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+            _: LessThanOrEqual | _: StringStartsWith | _: StringEndsWith |
+            _: StringContains => 0.5
+        case _ => 0.9
+      }.product
+      math.max(0.05, product)
+    }
+  }
 
   /** Listing fan-out: one thread per core up to a remote-store-friendly
     * cap (matches Spark's own listing parallelism ceiling posture — the

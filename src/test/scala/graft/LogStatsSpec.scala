@@ -44,6 +44,64 @@ class LogStatsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("filterSelectivity: shape priors multiply, floored at 0.05") {
+    import org.apache.spark.sql.sources._
+    assert(LogScan.filterSelectivity(Array.empty) == 1.0)
+    assert(LogScan.filterSelectivity(Array(EqualTo("a", "x"))) == 0.2)
+    assert(LogScan.filterSelectivity(Array(GreaterThan("a", 1))) == 0.5)
+    assert(LogScan.filterSelectivity(
+      Array(EqualTo("a", "x"), GreaterThan("b", 1))) == 0.2 * 0.5)
+    // 4 equalities = 0.0016 raw -> floored: stacked filters can never
+    // talk the optimizer into broadcasting a giant scan on faith
+    assert(LogScan.filterSelectivity(
+      Array(EqualTo("a", "x"), EqualTo("b", "y"), EqualTo("c", "z"),
+        EqualTo("d", "w"))) == 0.05)
+  }
+
+  test("selective pushed filter flips a join side to broadcast") {
+    val df = spark.read.format("log").options(mysqlOpts).load(fixture("mysql.log"))
+    def logSide(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("pid").cast("long").as("pid"), col("action"))
+    val fullSize =
+      logSide(df).queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val filtered = df.filter(col("action") === "Query")
+    val filSize =
+      logSide(filtered).queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(filSize < fullSize, s"filtered=$filSize full=$fullSize")
+    // threshold strictly between the two estimates: the filtered scan
+    // qualifies for broadcast, the unfiltered one must not
+    val threshold = (filSize + fullSize) / 2
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      val fact = spark.range(0, 10000).select(col("id"), (col("id") % 30).as("pid"))
+      def planOf(d: org.apache.spark.sql.DataFrame): String =
+        fact.join(logSide(d), "pid").queryExecution.executedPlan.toString
+      val unfPlan = planOf(df)
+      val filPlan = planOf(filtered)
+      assert(filPlan.contains("BroadcastHashJoin"), filPlan)
+      assert(!unfPlan.contains("BroadcastHashJoin"), unfPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("codec-suffixed input scales by fileCompressionFactor") {
+    val gzLen = new java.io.File(new java.net.URI(fixture("mysql.log.gz"))).length()
+    def statsOf(): Long = spark.read.format("log").options(mysqlOpts)
+      .load(fixture("mysql.log.gz"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val base = statsOf()
+    val prev = spark.conf.get("spark.sql.sources.fileCompressionFactor")
+    spark.conf.set("spark.sql.sources.fileCompressionFactor", "10.0")
+    try {
+      val scaled = statsOf()
+      // expansion factor applies to the .gz bytes (>=9x leaves slack for
+      // the ceil): without it a 10-20x-expanding gzip could be "broadcast
+      // sized" on disk yet blow the broadcast memory budget in flight
+      assert(scaled >= gzLen * 9 && scaled >= base * 9,
+        s"scaled=$scaled base=$base gzLen=$gzLen")
+    } finally spark.conf.set("spark.sql.sources.fileCompressionFactor", prev)
+  }
+
   test("chunkHosts ranks overlapping block hosts by overlapped bytes") {
     val st = new FileStatus(300L, false, 1, 100L, 0L, new Path("file:/synthetic/a.log"))
     val blocks = Array(
