@@ -28,6 +28,15 @@ import java.time.LocalDate
   *     carry lands in the date; a bare time drops it), else invalid
   * Invalid input throws (any exception — the reader's error routing
   * catches all), matching the formatter's throw-on-invalid contract.
+  *
+  * DOCUMENTED DEVIATION (pinned in FastDateTimeSpec): the formatter's
+  * `yyyy` is `appendValue(YEAR_OF_ERA, 4, 19, SignStyle.EXCEEDS_PAD)`,
+  * which also accepts explicitly-signed wide years (`+12345-01-01`).
+  * The fast path is fixed-width: such inputs throw and the line
+  * error-routes. Log timestamps with five-digit signed years do not
+  * occur in practice; a user who needs them configures a pattern
+  * outside the compiled subset (e.g. with a zone or text token), which
+  * keeps the formatter path.
   */
 private[log] final class FastDateTime private (
     ops: Array[Int], // packed (kind << 16 | arg): LIT arg=char, field arg unused

@@ -114,4 +114,127 @@ class FastDateTimeSpec extends AnyFunSuite {
       assert(FastDateTime.compile(p).isEmpty, p)
     }
   }
+
+  test("documented divergence: signed wide years under yyyy error-route on the fast path") {
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd", Locale.US)
+    val fast = FastDateTime.compile("yyyy-MM-dd").get
+    // formatter: yyyy is appendValue(YEAR_OF_ERA, 4, 19, EXCEEDS_PAD) —
+    // an explicitly-signed wide year parses
+    assert(refEpochDay(fmt, "+12345-01-01") ==
+      LocalDate.of(12345, 1, 1).toEpochDay.toInt)
+    // fast path: fixed width — throws, so the line error-routes (the
+    // deviation FastDateTime's scaladoc documents)
+    intercept[Exception](fast.parseEpochDay("+12345-01-01"))
+    intercept[Exception](fast.parseMicros("+12345-01-01"))
+  }
+
+  // ---------------------------------------------------------------- fuzz
+  // ScalaCheck differential property: for random supported patterns ×
+  // random inputs (valid shapes, boundary fields like hour 24 / year
+  // 0000, width±1 mutations, sign injections, garbage), the fast path and
+  // the formatter agree on value-or-reject. The one allowed asymmetry is
+  // the documented signed/wide-year deviation above: formatter succeeds,
+  // fast rejects, and the input provably carries a sign or an over-wide
+  // digit run under a `yyyy` pattern.
+
+  private val datePats = Seq("yyyy-MM-dd", "yyyy/MM/dd", "yyyyMMdd",
+    "dd.MM.yyyy", "yyMMdd", "MM-dd-yyyy")
+  private val timePats = Seq("HH:mm:ss", "HH:mm", "HHmmss")
+  private val allPats: Seq[String] = datePats ++ timePats ++
+    (for (d <- datePats; t <- timePats) yield s"$d $t")
+
+  import org.scalacheck.{Gen, Prop}
+
+  /** Digits for one pattern token, biased toward the boundaries the SMART
+    * resolver treats specially. */
+  private def tokenGen(c: Char, width: Int): Gen[String] = {
+    val uniform = Gen.listOfN(width, Gen.numChar).map(_.mkString)
+    c match {
+      case 'H' => Gen.frequency(
+        6 -> uniform, 2 -> Gen.const("24"),
+        2 -> Gen.choose(0, 23).map(v => f"$v%02d"))
+      case 'y' if width == 4 => Gen.frequency(
+        6 -> uniform, 1 -> Gen.const("0000"),
+        3 -> Gen.choose(1, 9999).map(v => f"$v%04d"))
+      case 'd' => Gen.frequency(
+        5 -> uniform, 2 -> Gen.oneOf("29", "30", "31"),
+        3 -> Gen.choose(1, 28).map(v => f"$v%02d"))
+      case _ => uniform
+    }
+  }
+
+  /** An input shaped like `pattern` (per-token digits, literal separators
+    * copied), optionally mutated (insert/delete/replace — including '+'
+    * injection, the width±1 and sign classes). */
+  private def inputGen(pattern: String): Gen[String] = {
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[Gen[String]]
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c.isLetter) {
+        var j = i
+        while (j < pattern.length && pattern.charAt(j) == c) j += 1
+        tokens += tokenGen(c, j - i)
+        i = j
+      } else { tokens += Gen.const(c.toString); i += 1 }
+    }
+    val shaped = Gen.sequence[List[String], String](tokens.toList).map(_.mkString)
+    val mutated = for {
+      base <- shaped
+      pos <- Gen.choose(0, math.max(0, base.length - 1))
+      ch <- Gen.oneOf("0123456789+- :/.x".toSeq)
+      kind <- Gen.choose(0, 2)
+    } yield kind match {
+      case 0 => base.patch(pos, ch.toString, 0) // insert (width+1 / sign)
+      case 1 if base.nonEmpty => base.patch(pos, "", 1) // delete (width-1)
+      case _ => base.updated(pos, ch) // substitute
+    }
+    Gen.frequency(5 -> shaped, 4 -> mutated,
+      1 -> Gen.listOfN(12, Gen.asciiPrintableChar).map(_.mkString))
+  }
+
+  private def maxRun(s: String, p: Char => Boolean): Int = {
+    var best = 0; var run = 0
+    s.foreach { c =>
+      if (p(c)) { run += 1; best = math.max(best, run) } else run = 0
+    }
+    best
+  }
+
+  test("forAll differential fuzz: fast and formatter agree on value-or-reject") {
+    val fasts = allPats.map(p => p -> FastDateTime.compile(p).get).toMap
+    val fmts = allPats.map(p => p -> DateTimeFormatter.ofPattern(p, Locale.US)).toMap
+    val genCase = for {
+      p <- Gen.oneOf(allPats)
+      s <- inputGen(p)
+    } yield (p, s)
+    val prop = Prop.forAllNoShrink(genCase) { case (p, s) =>
+      val fast = fasts(p)
+      val fmt = fmts(p)
+      def sides[A](fa: => A, ra: => A): Either[Unit, (Option[A], Option[A])] = {
+        val f = try Some(fa) catch { case _: Exception => None }
+        val r = try Some(ra) catch { case _: Exception => None }
+        // allowed asymmetry: the documented signed/wide-year deviation —
+        // a '+' sign, or a digit run longer than the pattern's widest
+        // adjacent token run (i.e. an over-wide year; adjacent patterns
+        // like yyyyMMdd legitimately have 8-digit runs)
+        val allowedDivergence = f.isEmpty && r.isDefined && p.contains("yyyy") &&
+          (s.contains('+') || maxRun(s, _.isDigit) > maxRun(p, _.isLetter))
+        if (allowedDivergence) Left(()) else Right((f, r))
+      }
+      Seq(
+        sides(fast.parseEpochDay(s), refEpochDay(fmt, s)),
+        sides(fast.parseMicros(s), refMicros(fmt, s)),
+        sides(fast.parseMillisOfDay(s), refMillisOfDay(fmt, s))
+      ).forall {
+        case Left(())      => true
+        case Right((f, r)) => f == r // same value, or both rejected (None)
+      }
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(4000)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260814L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }
