@@ -34,6 +34,18 @@ import org.apache.spark.sql.types.StructType
   * semantics) so a discovery burst drains as bounded micro-batches, and
   * `SupportsTriggerAvailableNow` so `Trigger.AvailableNow` processes exactly
   * the files present at query start, respecting those limits per batch.
+  *
+  * RETENTION (Spark file-source option semantics): `maxFileAge` expires
+  * seen-file entries older than the newest file's mod-time minus the age,
+  * and ignores newly-listed files that old — so a months-long tail of a
+  * rotating directory keeps the driver's tracking state (and the compact
+  * log entries) bounded by the rotation window instead of growing with
+  * every file ever seen. Choose the age well above the trigger interval:
+  * a not-yet-admitted backlog file can lose eligibility if newer files
+  * push the cutoff past it (same dynamics as Spark's source).
+  * `cleanSource=delete|archive` (+ `sourceArchiveDir`) removes or moves a
+  * batch's source files once its offset is COMMITTED — rotation handled at
+  * the source instead of racing an external cleaner against the reader.
   */
 final class LogMicroBatchStream(
     opts: LogOptions,
@@ -49,13 +61,45 @@ final class LogMicroBatchStream(
   private val hadoopConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
   private val logDir = new Path(checkpointLocation, "graft-file-log")
 
-  // In-memory view rebuilt from the persistent log at (re)start: the seen
-  // set and the highest written index. The driver holds one entry per seen
-  // file — the same footprint Spark's FileStreamSource keeps; the OFFSET
+  // In-memory view rebuilt from the persistent log at (re)start: seen file
+  // -> mod-time (for maxFileAge expiry; UnknownTs for entries restored from
+  // a pre-retention log, which are never expired) and the highest written
+  // index. Without maxFileAge the driver holds one entry per seen file —
+  // the same footprint Spark's FileStreamSource keeps; WITH it, entries
+  // older than the newest file minus the age are purged each trigger, so a
+  // months-long tail of a rotating directory stays bounded. The OFFSET
   // stays a single long either way.
   private var maxIndex: Long = -1L
-  private val seen = mutable.HashSet.empty[String]
+  private val seen = mutable.HashMap.empty[String, Long]
+  // newest mod-time ever admitted; -1 until the first real file, so the
+  // expiry cutoff (latest - age) is negative and nothing is filtered
+  private var latestTimestamp: Long = -1L
   restoreFromLog()
+
+  // cleanSource=archive must not move files back under a watched path, or
+  // the stream would re-discover its own archive
+  for (archive <- opts.sourceArchiveDir if opts.cleanSource == "ARCHIVE") {
+    val archivePath = new Path(archive).toUri.getPath
+    paths.foreach { p =>
+      val src = new Path(p).toUri.getPath
+      val srcDir = if (src.exists("*?[]{}".contains(_))) {
+        var anc = new Path(src)
+        while (anc.getParent != null && anc.toString.exists("*?[]{}".contains(_)))
+          anc = anc.getParent
+        anc.toString
+      } else src
+      require(!(archivePath + "/").startsWith(srcDir.stripSuffix("/") + "/"),
+        s"[log] sourceArchiveDir '$archive' is inside watched path '$p' — " +
+          "archived files would be re-ingested")
+    }
+  }
+  // files cleaned through this log index (cleaning is per committed batch;
+  // after a restart re-cleaning already-cleaned entries is a no-op)
+  private var cleanedThrough: Long = -1L
+
+  // test-only visibility: retention specs assert the tracked set stays
+  // bounded across a rotation
+  private[graft] def trackedFiles: Map[String, Long] = seen.toMap
 
   // Trigger.AvailableNow contract: only files present at prepare time are
   // admitted, across however many limit-bounded batches that takes; files
@@ -90,26 +134,42 @@ final class LogMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // Legacy (round-1) checkpoint: no file log exists, but the offset
-    // ITSELF is the full seen list — seed from it, or every already-
-    // ingested file would be re-admitted through the limits (empty
-    // replay batches stalling new data for ceil(N/limit) triggers).
+    // ITSELF is the full seen list — seed from it (mod-time unknown ->
+    // never expired), or every already-ingested file would be re-admitted
+    // through the limits (empty replay batches stalling new data for
+    // ceil(N/limit) triggers).
     start match {
-      case LogStreamOffset(sf) => seen ++= sf
+      case LogStreamOffset(sf) => sf.foreach(p => seen.getOrElseUpdate(p, UnknownTs))
       case _                   => ()
     }
-    val unseen = listFiles().filter(st => !seen(st.getPath.toString))
-      .sortBy(_.getPath.toString)
+    // maxFileAge: a file older than (newest seen mod-time - age) is
+    // ignored — by the purge invariant below it may be a file whose seen
+    // entry was expired, and re-reading it would be a duplicate
+    val cutoff = opts.maxFileAgeMs.map(latestTimestamp - _)
+    val unseen = listFiles().filter { st =>
+      !seen.contains(st.getPath.toString) &&
+        cutoff.forall(st.getModificationTime >= _)
+    }.sortBy(_.getPath.toString)
     val eligible = availableNowCutoff match {
       case Some(cut) => unseen.filter(st => cut(st.getPath.toString))
       case None      => unseen
     }
-    val admitted = admit(eligible, limit).map(_.getPath.toString)
+    val admitted = admit(eligible, limit)
     if (admitted.nonEmpty) {
       maxIndex += 1
-      writeEntry(maxIndex, admitted)
-      seen ++= admitted
+      writeEntry(maxIndex, admitted.map(st => (st.getPath.toString, st.getModificationTime)))
+      admitted.foreach(st => seen(st.getPath.toString) = st.getModificationTime)
+      latestTimestamp = math.max(latestTimestamp, admitted.map(_.getModificationTime).max)
+      // purge AFTER the cutoff advanced: an expired entry's file is, by
+      // construction, older than the new cutoff, so the age filter above
+      // keeps it out even though tracking forgot it (Spark's SeenFilesMap
+      // invariant). Unknown-ts legacy entries never expire.
+      for (age <- opts.maxFileAgeMs) {
+        val cut = latestTimestamp - age
+        seen.filterInPlace((_, ts) => ts >= cut)
+      }
       if (maxIndex > 0 && maxIndex % CompactInterval == 0)
-        writeCompact(maxIndex, seen.toSeq.sorted)
+        writeCompact(maxIndex, seen.toSeq.sortBy(_._1))
     }
     LogStreamIndexOffset(maxIndex)
   }
@@ -144,7 +204,38 @@ final class LogMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     LogStreamIndexOffset.fromJson(json)
 
-  override def commit(end: Offset): Unit = ()
+  /** cleanSource: once a batch's offset is COMMITTED (its output is
+    * durable), its source files may be deleted or archived — Spark's
+    * file-source contract: best-effort (a file that is already gone is
+    * fine), never before the commit (so failure replay still finds its
+    * input). Archive preserves the file's absolute path under
+    * `sourceArchiveDir`.
+    */
+  override def commit(end: Offset): Unit = {
+    if (opts.cleanSource == "OFF") return
+    val endIdx = end match {
+      case LogStreamIndexOffset(i) => i
+      case _                       => return // legacy offsets: no entry log to clean from
+    }
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    for (i <- (cleanedThrough + 1) to endIdx; (p, _) <- readEntry(entryPath(i))) {
+      val hp = new Path(p)
+      val pfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        if (opts.cleanSource == "DELETE") pfs.delete(hp, false)
+        else for (archive <- opts.sourceArchiveDir) {
+          val dst = new Path(archive, hp.toUri.getPath.stripPrefix("/"))
+          pfs.mkdirs(dst.getParent)
+          if (!pfs.rename(hp, dst) && pfs.exists(hp))
+            log.warn(s"[log] cleanSource could not archive $p to $dst")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"[log] cleanSource failed for $p: ${e.getMessage}")
+      }
+    }
+    cleanedThrough = math.max(cleanedThrough, endIdx)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     // Replay-safe: the batch is defined by LOG ENTRIES (start, end], not by
@@ -184,18 +275,18 @@ final class LogMicroBatchStream(
   private def entryPath(i: Long) = new Path(logDir, f"$i%020d")
   private def compactPath(i: Long) = new Path(logDir, f"$i%020d$CompactSuffix")
 
-  private def writeEntry(i: Long, files: Seq[String]): Unit =
+  private def writeEntry(i: Long, files: Seq[(String, Long)]): Unit =
     atomicWrite(entryPath(i), files)
 
-  private def writeCompact(i: Long, files: Seq[String]): Unit =
+  private def writeCompact(i: Long, files: Seq[(String, Long)]): Unit =
     atomicWrite(compactPath(i), files)
 
   /** Temp-file + rename so a crashed driver never leaves a torn entry. */
-  private def atomicWrite(path: Path, files: Seq[String]): Unit = {
+  private def atomicWrite(path: Path, files: Seq[(String, Long)]): Unit = {
     fs.mkdirs(logDir)
     val tmp = new Path(logDir, s".${path.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(toJson(files).getBytes("UTF-8")) finally out.close()
+    try out.write(entriesToJson(files).getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, path)) {
       fs.delete(tmp, false)
       // a concurrent/previous attempt wrote the same deterministic content
@@ -204,18 +295,21 @@ final class LogMicroBatchStream(
     }
   }
 
-  private def readEntry(path: Path): Seq[String] = {
+  private def readEntry(path: Path): Seq[(String, Long)] = {
     val in = fs.open(path)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      fromJson(bytes.toString("UTF-8"))
+      entriesFromJson(bytes.toString("UTF-8"))
     } finally in.close()
   }
 
-  /** Rebuild (seen, maxIndex) from the latest compact entry + tail. */
+  /** Rebuild (seen, latestTimestamp, maxIndex) from the latest compact
+    * entry + tail. Entries from a pre-retention (round-≤10) log carry no
+    * mod-time — they restore as never-expiring [[UnknownTs]].
+    */
   private def restoreFromLog(): Unit = {
     if (!fs.exists(logDir)) return
     val names = fs.listStatus(logDir).map(_.getPath.getName)
@@ -228,15 +322,17 @@ final class LogMicroBatchStream(
       .filter(i => lastCompact.forall(_ < i))
     tail.foreach { i => seen ++= readEntry(entryPath(i)) }
     maxIndex = names.map(_.stripSuffix(CompactSuffix).toLong).max
+    val known = seen.valuesIterator.filter(_ != UnknownTs)
+    if (known.nonEmpty) latestTimestamp = known.max
   }
 
   /** Files added in (start, end], for index and (legacy path-list) offsets. */
   private def filesOf(start: Offset, end: Offset): Seq[String] = {
     def cumulative(i: Long): Set[String] =
-      (0L to i).flatMap(j => readEntry(entryPath(j))).toSet
+      (0L to i).flatMap(j => readEntry(entryPath(j)).map(_._1)).toSet
     (start, end) match {
       case (LogStreamIndexOffset(s), LogStreamIndexOffset(e)) =>
-        ((s + 1) to e).flatMap(i => readEntry(entryPath(i))).sorted
+        ((s + 1) to e).flatMap(i => readEntry(entryPath(i)).map(_._1)).sorted
       case (LogStreamOffset(sf), LogStreamIndexOffset(e)) => // legacy start
         (cumulative(e) -- sf).toSeq.sorted
       case (LogStreamIndexOffset(s), LogStreamOffset(ef)) => // legacy end
@@ -291,6 +387,12 @@ object LogMicroBatchStream {
   val CompactInterval = 10
   val CompactSuffix = ".compact"
 
+  /** Mod-time for entries restored from logs/offsets written before
+    * retention existed: unknown, therefore never expired by maxFileAge
+    * (bounded by the legacy entry count — strictly safer than guessing an
+    * age that could re-admit an already-read file). */
+  val UnknownTs: Long = Long.MaxValue
+
   // one shared mapper: ObjectMapper construction is expensive and the
   // instance is thread-safe for plain read/write use; restore paths call
   // fromJson once per log entry
@@ -301,6 +403,25 @@ object LogMicroBatchStream {
 
   private[log] def fromJson(json: String): Seq[String] =
     mapper.readValue(json, classOf[Array[String]]).toSeq
+
+  /** Entry format v2: `[[path, modTimeMs], ...]` — mod-times persist so a
+    * restart rebuilds the expiry clock. v1 entries (plain path arrays,
+    * round-≤10 checkpoints) read back with [[UnknownTs]].
+    */
+  private[log] def entriesToJson(files: Seq[(String, Long)]): String =
+    mapper.writeValueAsString(files.map { case (p, ts) =>
+      Array[AnyRef](p, java.lang.Long.valueOf(ts))
+    }.toArray)
+
+  private[graft] def entriesFromJson(json: String): Seq[(String, Long)] = {
+    val root = mapper.readTree(json)
+    require(root.isArray, s"[log] malformed stream log entry: $json")
+    (0 until root.size).map { i =>
+      val el = root.get(i)
+      if (el.isTextual) (el.asText(), UnknownTs)
+      else (el.get(0).asText(), el.get(1).asLong())
+    }
+  }
 }
 
 /** O(1) offset: an index into the persistent file log. */

@@ -42,6 +42,16 @@ final case class LogOptions(
     // stream source): cap on files / bytes admitted per micro-batch
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
+    // streaming retention (Spark file-source option semantics): files older
+    // than the newest seen file's mod-time minus this age are ignored AND
+    // expired from the driver's seen-files tracking, so a months-long tail
+    // of a rotating directory keeps bounded driver state
+    maxFileAgeMs: Option[Long] = None,
+    // post-commit handling of processed source files: OFF (default),
+    // DELETE, or ARCHIVE into `sourceArchiveDir` (best-effort, after the
+    // batch's offset is committed — Spark's cleanSource contract)
+    cleanSource: String = "OFF",
+    sourceArchiveDir: Option[String] = None,
     // multi-line records (beyond-reference; the reference is strictly
     // line-framed, LogRecordReader.java:212): a record BEGINS at any line
     // matching this regex (unanchored find(), like `pattern`); following
@@ -59,8 +69,14 @@ final case class LogOptions(
     recordMaxBytes: Long = 64L << 20) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
-    * represented as IntegerType millis-of-day, Drill's wire semantics —
-    * `LogRecordReader.java:271-273`).
+    * represented as IntegerType millis-of-day — FINAL, SURVEY §7.4#1:
+    * exactly Drill's wire semantics (`LogRecordReader.java:271-273`),
+    * losslessly round-tripped by parquet/DuckDB/pushed int filters,
+    * where Spark 4.1's new `TimeType` still has partial ecosystem
+    * support (no TIME literal in DSV2 `sources.Filter`, TIME_MICROS
+    * interop). A `TimeType` view is one expression away for users who
+    * want it; a future native type would be an additive alias, not a
+    * change to `TIME`.)
     */
   def sparkType(dt: String): DataType = dt match {
     case "INT" | "INTEGER"  => IntegerType
@@ -260,8 +276,34 @@ object LogOptions {
 
     val recordMaxBytes = positiveLong("recordmaxbytes").getOrElse(64L << 20)
 
+    // streaming retention: duration strings parse like Spark's own
+    // ("7d", "12h", "30m", bare number = seconds)
+    val maxFileAgeMs = get("maxfileage").map { s =>
+      val ms =
+        try org.apache.spark.network.util.JavaUtils.timeStringAsMs(s)
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"[log] maxFileAge must be a duration like '7d' or '1h', got '$s': ${e.getMessage}")
+        }
+      if (ms <= 0) throw new IllegalArgumentException(
+        s"[log] maxFileAge must be positive, got '$s'")
+      ms
+    }
+    val cleanSource = get("cleansource").map(_.toUpperCase).getOrElse("OFF")
+    if (!Set("OFF", "DELETE", "ARCHIVE").contains(cleanSource)) {
+      throw new IllegalArgumentException(
+        s"[log] cleanSource must be OFF, DELETE or ARCHIVE, got '$cleanSource'")
+    }
+    val sourceArchiveDir = get("sourcearchivedir")
+    if (cleanSource == "ARCHIVE" && sourceArchiveDir.isEmpty) {
+      throw new IllegalArgumentException(
+        "[log] cleanSource=archive requires sourceArchiveDir")
+    }
+
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
-      failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger, recordStartPattern,
+      failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger,
+      maxFileAgeMs, cleanSource, sourceArchiveDir, recordStartPattern,
       recordMaxBytes)
   }
 }

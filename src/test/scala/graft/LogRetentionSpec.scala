@@ -1,0 +1,226 @@
+package graft
+
+import java.io.File
+import java.nio.file.attribute.FileTime
+import java.nio.file.Files
+
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.log.{LogMicroBatchStream, LogOptions, LogStreamIndexOffset}
+
+/** Streaming file retention (round-11): `maxFileAge` bounds the driver's
+  * seen-files tracking across a rotating-directory tail, and
+  * `cleanSource=delete|archive` retires processed files after their batch
+  * commits — without either, a months-long tail grows driver state and
+  * directory listings without bound.
+  */
+class LogRetentionSpec extends SparkSpec {
+
+  private def writeLog(dir: File, name: String, lines: Seq[String], mtimeMs: Long): File = {
+    val f = new File(dir, name)
+    Files.writeString(f.toPath, lines.mkString("", "\n", "\n"))
+    Files.setLastModifiedTime(f.toPath, FileTime.fromMillis(mtimeMs))
+    f
+  }
+
+  private def mkStream(dir: File, extra: Map[String, String]): LogMicroBatchStream = {
+    spark // force session init: the stream constructor uses SparkSession.active
+    val opts = LogOptions.fromMap(Map(
+      "pattern" -> "(\\d+) (\\w+)", "fieldNames" -> "id, level",
+      "dataTypes" -> "INT, VARCHAR") ++ extra)
+    new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath),
+      Files.createTempDirectory("graft_retention_ckpt").toString)
+  }
+
+  test("maxFileAge: old files expire from tracking, are not re-read, none missed") {
+    val dir = Files.createTempDirectory("graft_retention").toFile
+    val t0 = 1700000000000L // fixed epoch: mod-times drive the expiry clock
+    writeLog(dir, "a.log", Seq("1 INFO"), t0)
+    writeLog(dir, "b.log", Seq("2 INFO"), t0)
+    val stream = mkStream(dir, Map("maxFileAge" -> "1h"))
+
+    val off0 = stream.initialOffset()
+    val off1 = stream.latestOffset(off0, ReadLimit.allAvailable())
+    assert(stream.trackedFiles.size == 2)
+
+    // 10h later a new file arrives: cutoff advances to t0+9h, a/b expire
+    writeLog(dir, "c.log", Seq("3 INFO"), t0 + 10L * 3600 * 1000)
+    val off2 = stream.latestOffset(off1, ReadLimit.allAvailable())
+    assert(stream.trackedFiles.keySet.map(new File(_).getName) == Set("c.log"),
+      stream.trackedFiles)
+
+    // a.log is no longer tracked but must NOT be re-admitted (too old);
+    // a late-arriving old file (e.g. moved in by an archiver) is ignored;
+    // a fresh file is admitted
+    writeLog(dir, "late_old.log", Seq("9 WARN"), t0)
+    writeLog(dir, "d.log", Seq("4 INFO"), t0 + 10L * 3600 * 1000 + 1)
+    val off3 = stream.latestOffset(off2, ReadLimit.allAvailable())
+    val batch3 = stream.planInputPartitions(off2, off3)
+    val names3 = batch3.flatMap(_.asInstanceOf[graft.log.LogInputPartition].chunks)
+      .map(c => new File(c.path).getName).toSet
+    assert(names3 == Set("d.log"), names3)
+
+    // no new files: offset stable, nothing re-admitted
+    val off4 = stream.latestOffset(off3, ReadLimit.allAvailable())
+    assert(off4.asInstanceOf[LogStreamIndexOffset].index ==
+      off3.asInstanceOf[LogStreamIndexOffset].index)
+  }
+
+  test("maxFileAge: expiry clock survives a restart (mod-times persist in the log)") {
+    val dir = Files.createTempDirectory("graft_retention_rs").toFile
+    val ckpt = Files.createTempDirectory("graft_retention_rs_ckpt").toString
+    val t0 = 1700000000000L
+    val opts = LogOptions.fromMap(Map(
+      "pattern" -> "(\\d+) (\\w+)", "fieldNames" -> "id, level",
+      "dataTypes" -> "INT, VARCHAR", "maxFileAge" -> "1h"))
+    writeLog(dir, "a.log", Seq("1 INFO"), t0)
+    writeLog(dir, "b.log", Seq("2 INFO"), t0 + 10L * 3600 * 1000)
+    val s1 = new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath), ckpt)
+    val off1 = s1.latestOffset(s1.initialOffset(), ReadLimit.allAvailable())
+
+    // fresh instance over the same checkpoint: restore must rebuild the
+    // newest-mod-time clock, so the old a.log still can't be re-admitted
+    // even though its tracking entry was purged
+    val s2 = new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath), ckpt)
+    assert(s2.trackedFiles.values.max == t0 + 10L * 3600 * 1000)
+    val off2 = s2.latestOffset(off1, ReadLimit.allAvailable())
+    assert(off2.asInstanceOf[LogStreamIndexOffset].index ==
+      off1.asInstanceOf[LogStreamIndexOffset].index)
+  }
+
+  test("soak: rotating tail keeps tracking and compact log bounded, every line once") {
+    val dir = Files.createTempDirectory("graft_retention_soak").toFile
+    val ckptDir = Files.createTempDirectory("graft_retention_soak_ckpt")
+    val t0 = 1700000000000L
+    val hour = 3600 * 1000L
+    // cycle 0 exists before start so the source has data at first trigger
+    writeLog(dir, "f000.log", Seq("0 INFO"), t0)
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("maxFileAge", "3h")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir.getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("retention_soak")
+      .option("checkpointLocation", ckptDir.toString)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val cycles = 30
+      for (i <- 1 to cycles) {
+        // one new file per "hour"; rotation deletes files older than 5h
+        // (only ones already outside the 3h tracking window)
+        writeLog(dir, f"f$i%03d.log", Seq(s"$i INFO"), t0 + i * hour)
+        dir.listFiles().filter { f =>
+          Files.getLastModifiedTime(f.toPath).toMillis < t0 + (i - 5) * hour
+        }.foreach(_.delete())
+        q.processAllAvailable()
+      }
+      val got = spark.table("retention_soak").select("id").collect().map(_.getInt(0)).sorted
+      assert(got.toSeq == (0 to cycles), // every line exactly once
+        s"got ${got.length} rows: ${got.take(50).mkString(",")}")
+      // bounded state: the newest compact entry tracks the rotation
+      // window (~4 files at 3h age + 1h cadence), not all 31 files
+      def findCompacts(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(findCompacts)
+        else if (f.getName.endsWith(LogMicroBatchStream.CompactSuffix)) Seq(f) else Nil
+      val compacts = findCompacts(ckptDir.toFile).sortBy(_.getName)
+      assert(compacts.nonEmpty, "no .compact entry written")
+      val last = Files.readString(compacts.last.toPath)
+      val n = LogMicroBatchStream.entriesFromJson(last).size
+      assert(n <= 6, s"compact entry tracks $n files — retention not bounding state: $last")
+    } finally q.stop()
+  }
+
+  test("cleanSource=delete removes source files after their batch commits") {
+    val dir = Files.createTempDirectory("graft_clean_del").toFile
+    writeLog(dir, "a.log", Seq("1 INFO", "2 WARN"), System.currentTimeMillis())
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("cleanSource", "delete")
+      .load(dir.getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("clean_delete")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("clean_delete").count() == 2)
+      // commit(N) fires when batch N+1 constructs (Spark's own file-source
+      // cleaning cadence) — drive one more batch, then a.log must be gone
+      writeLog(dir, "b.log", Seq("3 INFO"), System.currentTimeMillis())
+      q.processAllAvailable()
+      assert(spark.table("clean_delete").count() == 3)
+      assert(!new File(dir, "a.log").exists(), dir.listFiles().map(_.getName).toSeq)
+    } finally q.stop()
+  }
+
+  test("cleanSource=archive moves processed files; archive is not re-ingested") {
+    val dir = Files.createTempDirectory("graft_clean_arc").toFile
+    val archive = Files.createTempDirectory("graft_clean_arc_dst").toFile
+    writeLog(dir, "a.log", Seq("1 INFO"), System.currentTimeMillis())
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archive.getAbsolutePath)
+      .load(dir.getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("clean_archive")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      writeLog(dir, "b.log", Seq("2 INFO"), System.currentTimeMillis())
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("clean_archive")
+      assert(rows.count() == 2)
+      assert(rows.agg(sum("id")).collect().head.getLong(0) == 3L) // 1+2, no dupes
+      assert(!new File(dir, "a.log").exists())
+      // archived under the original absolute path
+      val archived = Files.walk(archive.toPath).filter(Files.isRegularFile(_))
+        .map[String](_.getFileName.toString).toArray
+      assert(archived.contains("a.log"), archived.mkString(","))
+    } finally q.stop()
+  }
+
+  test("cleanSource=archive into a watched path is rejected") {
+    val dir = Files.createTempDirectory("graft_clean_bad").toFile
+    writeLog(dir, "a.log", Seq("1 INFO"), System.currentTimeMillis())
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", new File(dir, "archived").getAbsolutePath)
+      .load(dir.getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("clean_bad")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val e = intercept[Exception] { q.processAllAvailable(); q.awaitTermination(10000) }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("sourceArchiveDir"))),
+      chain(e).map(_.getMessage).mkString(" | "))
+    q.stop()
+  }
+
+  test("option validation: bad maxFileAge / cleanSource values fail at load") {
+    def base = Map("pattern" -> "(\\d+)", "fieldNames" -> "id")
+    val e1 = intercept[IllegalArgumentException](
+      LogOptions.fromMap(base + ("maxFileAge" -> "soon")))
+    assert(e1.getMessage.contains("maxFileAge"))
+    val e2 = intercept[IllegalArgumentException](
+      LogOptions.fromMap(base + ("cleanSource" -> "shred")))
+    assert(e2.getMessage.contains("cleanSource"))
+    val e3 = intercept[IllegalArgumentException](
+      LogOptions.fromMap(base + ("cleanSource" -> "archive")))
+    assert(e3.getMessage.contains("sourceArchiveDir"))
+    // duration forms all parse
+    assert(LogOptions.fromMap(base + ("maxFileAge" -> "7d")).maxFileAgeMs
+      .contains(7L * 24 * 3600 * 1000))
+    assert(LogOptions.fromMap(base + ("maxFileAge" -> "30m")).maxFileAgeMs
+      .contains(30L * 60 * 1000))
+  }
+}
