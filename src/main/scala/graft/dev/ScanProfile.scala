@@ -95,6 +95,47 @@ object ScanProfile {
       sink
     }
 
+    // fast-reject stage (round-11): an unmatched-heavy corpus under a
+    // literal-prefixed pattern — the case LineParser.literalPrefix targets.
+    // `reject_regex_sec` is what Matcher.find alone pays over the corpus
+    // (the pre-optimization cost); `reject_parse_sec` is LineParser.parse
+    // WITH the startsWith pre-check. 90% of lines don't start with the
+    // literal, so find()'s every-position retry dominates the former.
+    val rejLines = new Array[String](nLines)
+    i = 0
+    while (i < nLines) {
+      rejLines(i) =
+        if (i % 10 == 0) s"ERROR ${i % 1000} disk failure on node $i"
+        else s"INFO request ${i} served in ${i % 90} ms by worker-${i % 7}"
+      i += 1
+    }
+    val rOpts = LogOptions.fromMap(Map(
+      "pattern" -> "^ERROR (\\d+) (.+)",
+      "fieldNames" -> "code, msg",
+      "dataTypes" -> "INT, VARCHAR"))
+    val rParser = new LineParser(rOpts, rOpts.schema, Nil)
+    val rCompiled = java.util.regex.Pattern.compile("^ERROR (\\d+) (.+)")
+    val rejectRegex = time(1, 3) {
+      var sink = 0L
+      var j = 0
+      while (j < nLines) {
+        val m = rCompiled.matcher(rejLines(j))
+        if (m.find()) sink += m.group(1).length
+        j += 1
+      }
+      sink
+    }
+    val rejectParse = time(1, 3) {
+      var sink = 0L
+      var j = 0
+      while (j < nLines) {
+        val row = rParser.parse(rejLines(j))
+        if (row != null) sink += row.numFields
+        j += 1
+      }
+      sink
+    }
+
     // end-to-end on a real file, through the DSV2 source vs text framing
     val dir = Files.createTempDirectory("graft_scanprofile")
     val file = dir.resolve("profile.log")
@@ -126,7 +167,7 @@ object ScanProfile {
     val e2eText = time(1, 3) { spark.read.text(file.toString).count() }
 
     val perLine = (s: Double) => s * 1e9 / nLines
-    println(f"""{"n_lines":$nLines,"regex_only_sec":$regexOnly%.3f,"parse_varchar_sec":$parseVarchar%.3f,"parse_full_sec":$parseFull%.3f,"materialize_sec":${parseVarchar - regexOnly}%.3f,"coerce_sec":${parseFull - parseVarchar}%.3f,"regex_pct_of_parse":${100 * regexOnly / parseFull}%.1f,"materialize_pct_of_parse":${100 * (parseVarchar - regexOnly) / parseFull}%.1f,"coerce_pct_of_parse":${100 * (parseFull - parseVarchar) / parseFull}%.1f,"e2e_log_count_sec":$e2eCount%.3f,"e2e_log_allcols_sec":$e2eAll%.3f,"e2e_text_sec":$e2eText%.3f,"regex_ns_per_line":${perLine(regexOnly)}%.0f,"parse_ns_per_line":${perLine(parseFull)}%.0f}""")
+    println(f"""{"n_lines":$nLines,"regex_only_sec":$regexOnly%.3f,"parse_varchar_sec":$parseVarchar%.3f,"parse_full_sec":$parseFull%.3f,"materialize_sec":${parseVarchar - regexOnly}%.3f,"coerce_sec":${parseFull - parseVarchar}%.3f,"regex_pct_of_parse":${100 * regexOnly / parseFull}%.1f,"materialize_pct_of_parse":${100 * (parseVarchar - regexOnly) / parseFull}%.1f,"coerce_pct_of_parse":${100 * (parseFull - parseVarchar) / parseFull}%.1f,"e2e_log_count_sec":$e2eCount%.3f,"e2e_log_allcols_sec":$e2eAll%.3f,"e2e_text_sec":$e2eText%.3f,"regex_ns_per_line":${perLine(regexOnly)}%.0f,"parse_ns_per_line":${perLine(parseFull)}%.0f,"reject_regex_sec":$rejectRegex%.3f,"reject_parse_sec":$rejectParse%.3f,"reject_regex_ns_per_line":${perLine(rejectRegex)}%.0f,"reject_parse_ns_per_line":${perLine(rejectParse)}%.0f}""")
 
     spark.stop()
     Files.deleteIfExists(file)

@@ -77,6 +77,12 @@ final class LineParser(
     unmatchedOrdinal >= 0 || opts.failFast || opts.dropMalformed || filters.nonEmpty
 
   @transient private lazy val matcher = opts.compiledPattern.matcher("")
+  // fast-reject literal (LineParser.literalPrefix): a line that can't
+  // contain the pattern's required leading literal skips Matcher.find
+  // entirely — the dominant cost on unmatched-heavy corpora
+  private val litPrefix: Option[(String, Boolean)] = LineParser.literalPrefix(opts.pattern)
+  private val lit: String = litPrefix.map(_._1).orNull
+  private val litAnchored: Boolean = litPrefix.exists(_._2)
   @transient private lazy val dateFmt: DateTimeFormatter =
     DateTimeFormatter.ofPattern(opts.dateFormat, Locale.US)
   @transient private lazy val timeFmt: DateTimeFormatter =
@@ -104,8 +110,9 @@ final class LineParser(
     if (!needsMatch) return row
     var s = 0
     while (s < fvals.length) { fvals(s) = null; s += 1 }
-    matcher.reset(line)
-    if (matcher.find()) { // unanchored find(), LRR:225 — do not anchor
+    val mightMatch = lit == null ||
+      (if (litAnchored) line.startsWith(lit) else line.contains(lit))
+    if (mightMatch && { matcher.reset(line); matcher.find() }) { // unanchored find(), LRR:225 — do not anchor
       var i = 0
       while (i < fieldSlots.length) {
         val (ord, group, dt, fslot) = fieldSlots(i)
@@ -234,6 +241,50 @@ object LineParser {
       case StringContains(a, p)     => strOk(a, p)
       case _                        => false // Or/Not/EqualNullSafe/...: residual
     }
+  }
+
+  /** Required literal prefix of a regex, for the scan's fast-reject
+    * pre-check (`dev/SCAN_PROFILE.md`: the typed scan is regex-bound, and
+    * `Matcher.find` on a NON-matching line is the worst case — the engine
+    * retries at every position). If the pattern begins (after an optional
+    * `^`) with plain literal characters, then every `find()` match must
+    * contain that literal (at position 0 when anchored), so
+    * `startsWith`/`indexOf` — JIT-intrinsic, allocation-free — can reject
+    * most unmatched lines without entering the regex machinery at all.
+    * `find()`'s substring semantics (LRR:225) are preserved: the check is
+    * a necessary condition only, never a replacement for the match.
+    *
+    * Returns `(literal, anchored)`; None when no safe literal exists.
+    * Conservative bails: a quantifier after the literal's last char (that
+    * char is optional/repeated), an escape class (`\d`, `\Q`, …), any
+    * `|` anywhere (top-level alternation would void the "required"
+    * property — not worth a bracket-depth parser to distinguish), or a
+    * leading `(` (flags/groups).
+    */
+  private[graft] def literalPrefix(pattern: String): Option[(String, Boolean)] = {
+    if (pattern.contains('|')) return None
+    val metas = "\\()[]{}.*+?^$|"
+    def isQuant(c: Char) = c == '*' || c == '+' || c == '?' || c == '{'
+    val anchored = pattern.startsWith("^")
+    var i = if (anchored) 1 else 0
+    val sb = new StringBuilder
+    var done = false
+    while (i < pattern.length && !done) {
+      val c = pattern.charAt(i)
+      if (c == '\\') {
+        if (i + 1 < pattern.length && metas.contains(pattern.charAt(i + 1))) {
+          if (i + 2 < pattern.length && isQuant(pattern.charAt(i + 2))) done = true
+          else { sb.append(pattern.charAt(i + 1)); i += 2 }
+        } else done = true // \d, \w, \s, \b, \Q, backrefs, ...
+      } else if (metas.contains(c)) {
+        done = true
+      } else {
+        if (i + 1 < pattern.length && isQuant(pattern.charAt(i + 1))) done = true
+        else { sb.append(c); i += 1 }
+      }
+    }
+    val s = sb.toString
+    if (s.isEmpty) None else Some((s, anchored))
   }
 
   /** Spark SQL equality/order semantics for the pushable types: -0.0 == 0.0

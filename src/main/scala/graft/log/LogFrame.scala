@@ -23,13 +23,22 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpression {
   @transient private lazy val compiled = Pattern.compile(pattern)
   private val groupCount = Pattern.compile(pattern).matcher("").groupCount()
+  // fast-reject literal (LineParser.literalPrefix, same soundness
+  // contract): skip the regex machinery when the line can't contain the
+  // pattern's required leading literal
+  private val litPrefix: Option[(String, Boolean)] = LineParser.literalPrefix(pattern)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "parse_log_line"
 
   override def nullSafeEval(input: Any): Any = {
-    val m = compiled.matcher(input.toString)
+    val s = input.toString
+    val mightMatch = litPrefix.forall { case (lit, anchored) =>
+      if (anchored) s.startsWith(lit) else s.contains(lit)
+    }
+    if (!mightMatch) return null
+    val m = compiled.matcher(s)
     if (!m.find()) null
     else {
       val arr = new Array[Any](groupCount)
@@ -51,9 +60,15 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
       val arr = ctx.freshName("arr")
       val i = ctx.freshName("i")
       val g = ctx.freshName("g")
+      val s = ctx.freshName("s")
+      val litCheck = litPrefix.map { case (lit, anchored) =>
+        val litRef = ctx.addReferenceObj("lit", lit, "java.lang.String")
+        if (anchored) s"$s.startsWith($litRef) && " else s"$s.contains($litRef) && "
+      }.getOrElse("")
       s"""
-         |java.util.regex.Matcher $m = $patternRef.matcher($c.toString());
-         |if ($m.find()) {
+         |String $s = $c.toString();
+         |java.util.regex.Matcher $m = $patternRef.matcher($s);
+         |if ($litCheck$m.find()) {
          |  Object[] $arr = new Object[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    String $g = $m.group($i + 1);
