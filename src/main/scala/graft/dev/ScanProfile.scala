@@ -105,16 +105,18 @@ object ScanProfile {
     i = 0
     while (i < nLines) {
       rejLines(i) =
-        if (i % 10 == 0) s"ERROR ${i % 1000} disk failure on node $i"
+        if (i % 10 == 0) s"ERROR: ${i % 1000} disk failure on node $i"
         else s"INFO request ${i} served in ${i % 90} ms by worker-${i % 7}"
       i += 1
     }
+    // UNANCHORED literal start — the case where Matcher.find pays a scan
+    // per position (the JDK short-circuits anchored '^' patterns itself)
     val rOpts = LogOptions.fromMap(Map(
-      "pattern" -> "^ERROR (\\d+) (.+)",
+      "pattern" -> "ERROR: (\\d+) (.+)",
       "fieldNames" -> "code, msg",
       "dataTypes" -> "INT, VARCHAR"))
     val rParser = new LineParser(rOpts, rOpts.schema, Nil)
-    val rCompiled = java.util.regex.Pattern.compile("^ERROR (\\d+) (.+)")
+    val rCompiled = java.util.regex.Pattern.compile("ERROR: (\\d+) (.+)")
     val rejectRegex = time(1, 3) {
       var sink = 0L
       var j = 0
