@@ -58,7 +58,10 @@ object Bench {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       (0 until runs).map { _ =>
-        val base = java.nio.file.Files.createTempDirectory("graft_floor")
+        // same checkpoint placement as the drains (Scratch.ephemeralCkptDir):
+        // floor and queries must pay the same fixed costs or the floor/work
+        // split misattributes the difference
+        val base = graft.Scratch.ephemeralCkptDir("graft_floor")
         val src = base.resolve("src")
         java.nio.file.Files.createDirectories(src)
         java.nio.file.Files.write(src.resolve("a.txt"),

@@ -889,7 +889,7 @@ object SparkEntry {
       .select(col("user_id"), col("__first.event_type").as("event_type"),
         col("__first.value").as("value"))
       .write.mode("overwrite").parquet(snapDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamcdc_ckpt").toString
+    val ckpt = graft.Scratch.ephemeralCkptDir("graft_streamcdc_ckpt").toString
     val stream = spark.readStream
       .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
       .option("maxFilesPerTrigger", 1)
@@ -3197,7 +3197,7 @@ object SparkEntry {
       exactlyOnce: Boolean = false): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = stream.sparkSession
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${qname}_ckpt").toString
+    val ckpt = graft.Scratch.ephemeralCkptDir(s"graft_${qname}_ckpt").toString
     def run(): Boolean = {
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -3319,20 +3319,23 @@ object SparkEntry {
     val schema = spark.read.parquet(srcDir).schema
     // 4 files/trigger -> 2 data batches: cross-batch matching is exercised
     // (click in batch 1, purchase in batch 2) without paying per-batch
-    // state-store commit overhead 4 more times. A stream-stream join keeps
-    // 4 state stores per partition, so cap state partitions at 8.
-    def src() = spark.readStream.schema(schema)
+    // state-store commit overhead 4 more times. ONE source, two filtered
+    // branches (a stream-stream SELF-join): both sides share a single
+    // admission stream, so the directory is listed and the offset log
+    // written once per trigger instead of twice — at real scale, half the
+    // driver-side listing of a two-source plan for identical rows.
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "4").parquet(srcDir)
-    val clicks = src().filter(col("event_type") === "click")
+    val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
-    val purchases = src().filter(col("event_type") === "purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
     val matches = clicks.join(purchases,
       col("cu") === col("pu") &&
         col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
-    drainAppendToParquet(matches, sinkDir, "q_streaming_join", statePartitionCap = Some(8))
+    drainAppendToParquet(matches, sinkDir, "q_streaming_join", statePartitionCap = Some(2))
     readSinkOrEmpty(spark, sinkDir,
       "cu BIGINT, cts TIMESTAMP, pu BIGINT, pts TIMESTAMP")
       .groupBy(date_format(col("cts"), "yyyy-MM-dd HH").as("hour"))
@@ -3390,7 +3393,7 @@ object SparkEntry {
     val srcDir = streamChunksDir(spark, dir)
     val (eps, conf, seed) = (0.0001, 0.999, 42)
     var folded: org.apache.spark.util.sketch.CountMinSketch = null
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamhh_ckpt").toFile
+    val ckpt = graft.Scratch.ephemeralCkptDir("graft_streamhh_ckpt").toFile
     val stream = spark.readStream
       .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
       .option("maxFilesPerTrigger", 4)
@@ -3445,14 +3448,14 @@ object SparkEntry {
     val sinkDir = s"/tmp/graft_stream_ljoin_sink/$key"
     deleteRec(new java.io.File(sinkDir))
     val schema = spark.read.parquet(srcDir).schema
-    // same 2-batch admission + state-partition cap rationale as
-    // q_streaming_join (4 state stores per partition)
-    def src() = spark.readStream.schema(schema)
+    // same 2-batch admission + single-source self-join + state-partition
+    // cap rationale as q_streaming_join
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "4").parquet(srcDir)
-    val clicks = src().filter(col("event_type") === "click")
+    val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
-    val purchases = src().filter(col("event_type") === "purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
     val joined = clicks.join(purchases,
@@ -3460,7 +3463,7 @@ object SparkEntry {
         col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
       "left_outer")
     drainAppendToParquet(joined, sinkDir, "q_streaming_left_join",
-      statePartitionCap = Some(8))
+      statePartitionCap = Some(2))
     readSinkOrEmpty(spark, sinkDir, "cu BIGINT, cts TIMESTAMP, pu BIGINT, pts TIMESTAMP")
       .groupBy(date_format(col("cts"), "yyyy-MM-dd HH").as("hour"))
       .agg(sum(when(col("pts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
@@ -3484,12 +3487,12 @@ object SparkEntry {
     val sinkDir = s"/tmp/graft_stream_fjoin_sink/${tmpKey(dir)}"
     deleteRec(new java.io.File(sinkDir))
     val schema = spark.read.parquet(srcDir).schema
-    def src() = spark.readStream.schema(schema)
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "4").parquet(srcDir)
-    val clicks = src().filter(col("event_type") === "click")
+    val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
-    val purchases = src().filter(col("event_type") === "purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
     val joined = clicks.join(purchases,
@@ -3497,7 +3500,7 @@ object SparkEntry {
         col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
       "full_outer")
     drainAppendToParquet(joined, sinkDir, "q_streaming_full_join",
-      statePartitionCap = Some(8))
+      statePartitionCap = Some(2))
     readSinkOrEmpty(spark, sinkDir, "cu BIGINT, cts TIMESTAMP, pu BIGINT, pts TIMESTAMP")
       .groupBy(date_format(coalesce(col("cts"), col("pts")), "yyyy-MM-dd HH").as("hour"))
       .agg(
@@ -3693,7 +3696,7 @@ object SparkEntry {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one source file per batch, in order
       .parquet(srcDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardup_ckpt").toString
+    val ckpt = graft.Scratch.ephemeralCkptDir("graft_neardup_ckpt").toString
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -3749,7 +3752,7 @@ object SparkEntry {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_classify_ckpt").toString
+    val ckpt = graft.Scratch.ephemeralCkptDir("graft_classify_ckpt").toString
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -6220,7 +6223,7 @@ object SparkEntry {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_c4_ckpt").toString
+    val ckpt = graft.Scratch.ephemeralCkptDir("graft_c4_ckpt").toString
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
