@@ -101,18 +101,32 @@ final class LineParser(
   // one parser per partition reader (single-threaded): reuse the buffer
   @transient private lazy val fvals = new Array[Any](filterSlotOf.size)
 
+  // per-task observability counters (single-threaded like `matcher`),
+  // surfaced as DSV2 custom metrics in the Spark UI / metrics API: the
+  // "is my pattern actually matching" question answered without a
+  // second count(unmatched_lines) pass over 100 TB
+  private var nMatched = 0L
+  private var nUnmatched = 0L
+  private var nDropped = 0L
+  def matchedCount: Long = nMatched
+  def unmatchedCount: Long = nUnmatched
+  def droppedCount: Long = nDropped
+
   /** Parse one non-blank line into the required row; `null` means the line
     * is not emitted (DROPMALFORMED or a pushed filter). Throws in FAILFAST
     * mode on unmatched lines or unconvertible values.
     */
   def parse(line: String): InternalRow = {
     val row = new GenericInternalRow(numFields)
+    // count(*) shortcut never evaluates the regex — matched/unmatched are
+    // honestly unmeasured (zero) on a fully-pruned scan
     if (!needsMatch) return row
     var s = 0
     while (s < fvals.length) { fvals(s) = null; s += 1 }
     val mightMatch = lit == null ||
       (if (litAnchored) line.startsWith(lit) else line.contains(lit))
     if (mightMatch && { matcher.reset(line); matcher.find() }) { // unanchored find(), LRR:225 — do not anchor
+      nMatched += 1
       var i = 0
       while (i < fieldSlots.length) {
         val (ord, group, dt, fslot) = fieldSlots(i)
@@ -129,7 +143,7 @@ final class LineParser(
             case e: Exception if opts.failFast =>
               throw new SparkException(
                 s"[log] FAILFAST: cannot convert '$raw' to $dt in line: $line", e)
-            case _: Exception if opts.dropMalformed => return null
+            case _: Exception if opts.dropMalformed => nDropped += 1; return null
             case _: Exception => () // tolerant: NULL, LRR:249-255 semantics
           }
         }
@@ -147,7 +161,7 @@ final class LineParser(
             case e: Exception if opts.failFast =>
               throw new SparkException(
                 s"[log] FAILFAST: cannot convert '$raw' to $dt in line: $line", e)
-            case _: Exception if opts.dropMalformed => return null
+            case _: Exception if opts.dropMalformed => nDropped += 1; return null
             case _: Exception => ()
           }
         }
@@ -156,8 +170,10 @@ final class LineParser(
     } else if (opts.failFast) {
       throw new SparkException(s"[log] FAILFAST: line does not match pattern '${opts.pattern}': $line") // LRR:284-285
     } else if (opts.dropMalformed) {
+      nUnmatched += 1; nDropped += 1
       return null
     } else {
+      nUnmatched += 1
       if (unmatchedOrdinal >= 0) {
         row.update(unmatchedOrdinal, UTF8String.fromString(line)) // LRR:287-290
       }
@@ -167,7 +183,7 @@ final class LineParser(
     // the rows Catalyst's own Filter above the scan would have seen
     var k = 0
     while (k < preds.length) {
-      if (!preds(k)(fvals)) return null
+      if (!preds(k)(fvals)) { nDropped += 1; return null }
       k += 1
     }
     row

@@ -207,6 +207,32 @@ final class LogScan(
     new LogPartitionReaderFactory(
       opts, required, pushed, new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
   }
+
+  /** Scan observability (Spark UI / metrics API, aggregated across tasks):
+    * matched vs unmatched vs dropped line counts answer "is my pattern
+    * actually matching" without a second `count(unmatched_lines)` pass
+    * over the corpus. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new MatchedLinesMetric, new UnmatchedLinesMetric, new DroppedLinesMetric)
+}
+
+final class MatchedLinesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "matchedLines"
+  override def description(): String = "lines matched by the pattern"
+}
+
+final class UnmatchedLinesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "unmatchedLines"
+  override def description(): String = "lines routed to unmatched_lines"
+}
+
+final class DroppedLinesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "droppedLines"
+  override def description(): String = "lines dropped (DROPMALFORMED or pushed filters)"
 }
 
 object LogScan {
@@ -458,6 +484,15 @@ final class LogPartitionReader(
   private val parser = new LineParser(opts, required, pushed)
   private val startPat: java.util.regex.Pattern =
     opts.recordStartPattern.map(java.util.regex.Pattern.compile).orNull
+  // same fast-reject as LineParser: a continuation-heavy block (stack
+  // traces) pays the start-regex on every line; a required literal
+  // prefix rejects most of them without the regex machinery
+  private val startLit: Option[(String, Boolean)] =
+    opts.recordStartPattern.flatMap(LineParser.literalPrefix)
+  private def mightStart(line: String): Boolean = startLit match {
+    case Some((l, anchored)) => if (anchored) line.startsWith(l) else line.contains(l)
+    case None                => true
+  }
   private var chunkIdx = -1
   private var reader: LineRecordReader = _
   private var current: InternalRow = _
@@ -508,7 +543,7 @@ final class LogPartitionReader(
     while (reader.nextKeyValue()) {
       val pos = reader.getCurrentKey.get()
       val line = reader.getCurrentValue.toString
-      if (startPat.matcher(line).find()) {
+      if (mightStart(line) && startPat.matcher(line).find()) {
         if (pos > chunkEnd) { // next chunk's record: finish ours and stop
           chunkDone = true
           return flushBuf()
@@ -574,6 +609,17 @@ final class LogPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) reader.close()
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    def m(n: String, v: Long) = new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+    Array(m("matchedLines", parser.matchedCount),
+      m("unmatchedLines", parser.unmatchedCount),
+      m("droppedLines", parser.droppedCount))
+  }
 }
 
 /** Hadoop `Configuration` is not `Serializable`; ship it via its own

@@ -144,16 +144,28 @@ final class LogMicroBatchStream(
     }
     // maxFileAge: a file older than (newest seen mod-time - age) is
     // ignored — by the purge invariant below it may be a file whose seen
-    // entry was expired, and re-reading it would be a duplicate
-    val cutoff = opts.maxFileAgeMs.map(latestTimestamp - _)
+    // entry was expired, and re-reading it would be a duplicate.
+    // latestFirst + a per-trigger cap disables the age (Spark's own
+    // file-source rule): admitting the newest first advances the cutoff,
+    // and the not-yet-admitted older backlog would expire mid-drain.
+    val capped = opts.maxFilesPerTrigger.nonEmpty || opts.maxBytesPerTrigger.nonEmpty
+    val effectiveMaxAge =
+      if (opts.latestFirst && capped) None else opts.maxFileAgeMs
+    val cutoff = effectiveMaxAge.map(latestTimestamp - _)
     val unseen = listFiles().filter { st =>
       !seen.contains(st.getPath.toString) &&
         cutoff.forall(st.getModificationTime >= _)
     }.sortBy(_.getPath.toString)
-    val eligible = availableNowCutoff match {
+    val eligible0 = availableNowCutoff match {
       case Some(cut) => unseen.filter(st => cut(st.getPath.toString))
       case None      => unseen
     }
+    // latestFirst: drain a backlog newest-first (path as deterministic
+    // tie-break); the seen-set still guarantees exactly-once
+    val eligible =
+      if (opts.latestFirst)
+        eligible0.sortBy(st => (-st.getModificationTime, st.getPath.toString))
+      else eligible0
     val admitted = admit(eligible, limit)
     if (admitted.nonEmpty) {
       maxIndex += 1
@@ -163,8 +175,10 @@ final class LogMicroBatchStream(
       // purge AFTER the cutoff advanced: an expired entry's file is, by
       // construction, older than the new cutoff, so the age filter above
       // keeps it out even though tracking forgot it (Spark's SeenFilesMap
-      // invariant). Unknown-ts legacy entries never expire.
-      for (age <- opts.maxFileAgeMs) {
+      // invariant). Unknown-ts legacy entries never expire. Must use the
+      // same EFFECTIVE age as the filter: purging while the filter is
+      // disabled (latestFirst+cap) would re-admit forgotten files.
+      for (age <- effectiveMaxAge) {
         val cut = latestTimestamp - age
         seen.filterInPlace((_, ts) => ts >= cut)
       }

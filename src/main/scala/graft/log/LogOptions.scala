@@ -47,6 +47,10 @@ final case class LogOptions(
     // expired from the driver's seen-files tracking, so a months-long tail
     // of a rotating directory keeps bounded driver state
     maxFileAgeMs: Option[Long] = None,
+    // process newest files first when draining a backlog (Spark file-source
+    // option; with a per-trigger cap this also disables maxFileAge, or the
+    // not-yet-admitted older backlog would expire mid-drain and be lost)
+    latestFirst: Boolean = false,
     // post-commit handling of processed source files: OFF (default),
     // DELETE, or ARCHIVE into `sourceArchiveDir` (best-effort, after the
     // batch's offset is committed — Spark's cleanSource contract)
@@ -290,6 +294,13 @@ object LogOptions {
         s"[log] maxFileAge must be positive, got '$s'")
       ms
     }
+    val latestFirst = get("latestfirst").exists { s =>
+      if (!Set("true", "false").contains(s.toLowerCase)) {
+        throw new IllegalArgumentException(
+          s"[log] latestFirst must be true or false, got '$s'")
+      }
+      s.toBoolean
+    }
     val cleanSource = get("cleansource").map(_.toUpperCase).getOrElse("OFF")
     if (!Set("OFF", "DELETE", "ARCHIVE").contains(cleanSource)) {
       throw new IllegalArgumentException(
@@ -303,7 +314,7 @@ object LogOptions {
 
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
       failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger,
-      maxFileAgeMs, cleanSource, sourceArchiveDir, recordStartPattern,
+      maxFileAgeMs, latestFirst, cleanSource, sourceArchiveDir, recordStartPattern,
       recordMaxBytes)
   }
 }

@@ -63,6 +63,22 @@ class LiteralPrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-line framing with a literal-start recordStartPattern") {
+    val spark = SparkTestBase.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_litprefix_ml")
+    java.nio.file.Files.writeString(dir.resolve("a.log"),
+      "ERROR 1 boom\n  at F.m(F.java:1)\nERROR 2 again\n")
+    val out = spark.read.format("log")
+      .option("pattern", "(?s)ERROR (\\d+) (.+)")
+      .option("recordStartPattern", "^ERROR ")
+      .option("fieldNames", "code, body").option("dataTypes", "INT, VARCHAR")
+      .load(dir.toString)
+      .orderBy("code").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("body") == "boom\n  at F.m(F.java:1)")
+    assert(out(1).getAs[String]("body") == "again")
+  }
+
   test("end-to-end: fast-reject routes unmatched lines identically (both parse paths)") {
     val spark = SparkTestBase.spark
     import spark.implicits._

@@ -206,6 +206,32 @@ class LogRetentionSpec extends SparkSpec {
     q.stop()
   }
 
+  test("latestFirst: backlog drains newest-first under a cap, exactly once") {
+    val dir = Files.createTempDirectory("graft_latest_first").toFile
+    val t0 = 1700000000000L
+    for (i <- 0 until 5)
+      writeLog(dir, s"f$i.log", Seq(s"$i INFO"), t0 + i * 1000)
+    val stream = mkStream(dir, Map(
+      "latestFirst" -> "true", "maxFilesPerTrigger" -> "2",
+      // age that would drop the backlog tail if the filter stayed active;
+      // latestFirst+cap must disable it (Spark's file-source rule)
+      "maxFileAge" -> "1s"))
+    def batchNames(s: LogMicroBatchStream, a: org.apache.spark.sql.connector.read.streaming.Offset,
+        b: org.apache.spark.sql.connector.read.streaming.Offset): Seq[String] =
+      s.planInputPartitions(a, b).flatMap(_.asInstanceOf[graft.log.LogInputPartition].chunks)
+        .map(c => new File(c.path).getName).toSeq.sorted
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.maxFiles(2))
+    assert(batchNames(stream, o0, o1) == Seq("f3.log", "f4.log")) // newest two
+    val o2 = stream.latestOffset(o1, ReadLimit.maxFiles(2))
+    assert(batchNames(stream, o1, o2) == Seq("f1.log", "f2.log"))
+    val o3 = stream.latestOffset(o2, ReadLimit.maxFiles(2))
+    assert(batchNames(stream, o2, o3) == Seq("f0.log")) // backlog tail NOT lost
+    val o4 = stream.latestOffset(o3, ReadLimit.maxFiles(2))
+    assert(o4.asInstanceOf[LogStreamIndexOffset].index ==
+      o3.asInstanceOf[LogStreamIndexOffset].index) // nothing re-admitted
+  }
+
   test("option validation: bad maxFileAge / cleanSource values fail at load") {
     def base = Map("pattern" -> "(\\d+)", "fieldNames" -> "id")
     val e1 = intercept[IllegalArgumentException](
@@ -222,5 +248,9 @@ class LogRetentionSpec extends SparkSpec {
       .contains(7L * 24 * 3600 * 1000))
     assert(LogOptions.fromMap(base + ("maxFileAge" -> "30m")).maxFileAgeMs
       .contains(30L * 60 * 1000))
+    val e4 = intercept[IllegalArgumentException](
+      LogOptions.fromMap(base + ("latestFirst" -> "yes")))
+    assert(e4.getMessage.contains("latestFirst"))
+    assert(LogOptions.fromMap(base + ("latestFirst" -> "true")).latestFirst)
   }
 }
