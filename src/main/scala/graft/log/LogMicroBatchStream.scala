@@ -24,10 +24,13 @@ import org.apache.spark.sql.types.StructType
   * seen-file list into every offset). Every `CompactInterval` entries a
   * cumulative `.compact` entry is also written, so a restart rebuilds the
   * seen-set from the latest compact + tail instead of replaying the whole
-  * log. Individual entries are retained (never deleted) so ANY
-  * checkpointed `(start, end]` range replays exactly — the same
-  * determinism contract as before: a batch is defined by its log entries,
-  * not by a fresh directory listing.
+  * log. Entries within the replay horizon
+  * (`max(spark.sql.streaming.minBatchesToRetain, CompactInterval)`
+  * batches) are retained so any REPLAYABLE checkpointed `(start, end]`
+  * range replays exactly — a batch is defined by its log entries, not by
+  * a fresh directory listing; older entries are GC'd at each compact
+  * (same horizon Spark's own offset/commit logs keep), so a year-long
+  * tail doesn't accumulate half a million entry files.
   *
   * ADMISSION CONTROL: implements `SupportsAdmissionControl`
   * (`maxFilesPerTrigger` / `maxBytesPerTrigger`, Spark file-source option
@@ -182,10 +185,36 @@ final class LogMicroBatchStream(
         val cut = latestTimestamp - age
         seen.filterInPlace((_, ts) => ts >= cut)
       }
-      if (maxIndex > 0 && maxIndex % CompactInterval == 0)
+      if (maxIndex > 0 && maxIndex % CompactInterval == 0) {
         writeCompact(maxIndex, seen.toSeq.sortBy(_._1))
+        gcEntries(maxIndex)
+      }
     }
     LogStreamIndexOffset(maxIndex)
+  }
+
+  /** Entry-log GC, run at each compact: a long-running tail otherwise
+    * accumulates one tiny entry file per batch forever (a year of
+    * 1-minute triggers ≈ 500k files in one checkpoint directory). Plain
+    * entries and superseded compacts older than
+    * `max(spark.sql.streaming.minBatchesToRetain, CompactInterval)`
+    * batches behind the newest compact are deleted — the same replay
+    * horizon Spark's own offset/commit logs keep, and restore only ever
+    * reads the newest compact + tail. The newest compact always
+    * survives (cutoff < compactAt).
+    */
+  private def gcEntries(compactAt: Long): Unit = {
+    val retain = math.max(
+      org.apache.spark.sql.GraftSql.sqlConf(spark).minBatchesToRetain.toLong,
+      CompactInterval.toLong)
+    val cutoffIdx = compactAt - retain
+    if (cutoffIdx <= 0) return
+    fs.listStatus(logDir).map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .foreach { n =>
+        val idx = n.stripSuffix(CompactSuffix).toLong
+        if (idx < cutoffIdx) fs.delete(new Path(logDir, n), false)
+      }
   }
 
   /** Longest admissible prefix of `fresh` under `limit`. ReadMaxBytes keeps
@@ -232,7 +261,10 @@ final class LogMicroBatchStream(
       case _                       => return // legacy offsets: no entry log to clean from
     }
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    for (i <- (cleanedThrough + 1) to endIdx; (p, _) <- readEntry(entryPath(i))) {
+    def entriesOrEmpty(i: Long): Seq[(String, Long)] =
+      try readEntry(entryPath(i))
+      catch { case _: java.io.FileNotFoundException => Nil } // GC'd: already cleaned
+    for (i <- (cleanedThrough + 1) to endIdx; (p, _) <- entriesOrEmpty(i)) {
       val hp = new Path(p)
       val pfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       try {

@@ -232,6 +232,47 @@ class LogRetentionSpec extends SparkSpec {
       o3.asInstanceOf[LogStreamIndexOffset].index) // nothing re-admitted
   }
 
+  test("entry-log GC: a long tail keeps a bounded number of checkpoint files") {
+    val dir = Files.createTempDirectory("graft_gc").toFile
+    val ckpt = Files.createTempDirectory("graft_gc_ckpt").toString
+    val t0 = 1700000000000L
+    val prev = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "5")
+    try {
+      val opts = LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+) (\\w+)", "fieldNames" -> "id, level",
+        "dataTypes" -> "INT, VARCHAR"))
+      val s = new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath), ckpt)
+      var off: org.apache.spark.sql.connector.read.streaming.Offset = s.initialOffset()
+      for (i <- 0 to 40) { // one entry per batch -> indices 0..40
+        writeLog(dir, f"f$i%03d.log", Seq(s"$i INFO"), t0 + i * 1000)
+        off = s.latestOffset(off, ReadLimit.allAvailable())
+      }
+      // compacts at 10/20/30/40; retain = max(5, CompactInterval)=10, so
+      // after the compact at 40 everything below index 30 is GC'd
+      val logDir = new File(ckpt, "graft-file-log")
+      val names = logDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
+      val idxs = names.map(_.stripSuffix(LogMicroBatchStream.CompactSuffix).toLong)
+      assert(idxs.min >= 30, names.mkString(","))
+      assert(names.count(_.endsWith(LogMicroBatchStream.CompactSuffix)) == 2,
+        names.mkString(",")) // compacts 30 and 40 survive
+      // restore from the GC'd log: seen-set intact, nothing re-admitted,
+      // recent ranges still replay exactly
+      val s2 = new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath), ckpt)
+      val off2 = s2.latestOffset(off, ReadLimit.allAvailable())
+      assert(off2.asInstanceOf[LogStreamIndexOffset].index ==
+        off.asInstanceOf[LogStreamIndexOffset].index)
+      val last = s2.planInputPartitions(
+        graft.log.LogStreamIndexOffset(39), graft.log.LogStreamIndexOffset(40))
+        .flatMap(_.asInstanceOf[graft.log.LogInputPartition].chunks)
+        .map(c => new File(c.path).getName).toSeq
+      assert(last == Seq("f040.log"), last)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+      case None => spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+    }
+  }
+
   test("option validation: bad maxFileAge / cleanSource values fail at load") {
     def base = Map("pattern" -> "(\\d+)", "fieldNames" -> "id")
     val e1 = intercept[IllegalArgumentException](
