@@ -44,6 +44,43 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(keptIds(sink) == Set(1L, 2L, 4L, 5L, 6L, 9L))
   }
 
+  test("band postings persist beside the sink and extend per batch") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_snd").toString + "/sink"
+    val b0 = Seq((1L, words("a", 12)), (2L, words("b", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b0, 0L, sink, "doc_id", "text")
+    val posts0 = graft.ops.BandPostings.load(spark, s"$sink/_postings")
+    assert(posts0.posts.select("__idH").distinct().count() == 2)
+    assert(posts0.bands == 16 && posts0.numHashes == 64)
+
+    val b1 = Seq((3L, words("a", 11)), (4L, words("c", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b1, 1L, sink, "doc_id", "text")
+    // 3 dropped (near-copy of 1): postings hold survivors only
+    val posts1 = graft.ops.BandPostings.load(spark, s"$sink/_postings")
+    assert(posts1.posts.select("__idH").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 4L))
+    // the postings dir must be invisible to the sink's own reads
+    assert(keptIds(sink) == Set(1L, 2L, 4L))
+  }
+
+  test("missing postings under an existing sink: fallback dedups, then repairs") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_snd").toString + "/sink"
+    val b0 = Seq((1L, words("a", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b0, 0L, sink, "doc_id", "text")
+    // simulate a pre-upgrade checkpoint / crash before the postings save
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(new java.io.File(s"$sink/_postings"))
+    val b1 = Seq((2L, words("a", 11)), (3L, words("d", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b1, 1L, sink, "doc_id", "text")
+    assert(keptIds(sink) == Set(1L, 3L)) // dedup still correct via re-banding
+    // and the postings were rebuilt for the WHOLE history
+    val repaired = graft.ops.BandPostings.load(spark, s"$sink/_postings")
+    assert(repaired.posts.select("__idH").distinct().as[Long].collect().toSet
+      == Set(1L, 3L))
+  }
+
   test("a replayed batch id is exactly-once and never self-dedups") {
     val sink = java.nio.file.Files.createTempDirectory("graft_snd").toString + "/sink"
     val b0 = Seq((1L, words("a", 12))).toDF("doc_id", "text")
