@@ -161,10 +161,7 @@ final case class BandPostings(
     val tmp = new org.apache.hadoop.fs.Path(
       dst.getParent, s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
     posts.write.mode("overwrite").parquet(tmp.toString)
-    val p = new org.apache.hadoop.fs.Path(tmp, BandPostings.ParamsFile)
-    val out = new java.io.DataOutputStream(fs.create(p, true))
-    try { out.writeInt(shingleN); out.writeInt(numHashes); out.writeInt(bands) }
-    finally out.close()
+    BandPostings.writeParams(fs, tmp.toString, shingleN, numHashes, bands)
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"[BandPostings] cannot rename $tmp to $dst")
@@ -172,17 +169,45 @@ final case class BandPostings(
 }
 
 object BandPostings {
-  private[ops] val ParamsFile = "_graft_band_params"
+  private[graft] val ParamsFile = "_graft_band_params"
 
-  /** Load postings written by [[BandPostings.save]]. */
-  def load(spark: SparkSession, dir: String): BandPostings = {
+  /** Partition column used by the per-batch postings layout
+    * ([[graft.streaming.StreamingNearDedup]]): `__pbatch=N` subdirs, one
+    * per accepted micro-batch, each overwritable in isolation.
+    */
+  private[graft] val BatchCol = "__pbatch"
+
+  private[graft] def writeParams(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      shingleN: Int, numHashes: Int, bands: Int): Unit = {
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(dir, ParamsFile), true))
+    try { out.writeInt(shingleN); out.writeInt(numHashes); out.writeInt(bands) }
+    finally out.close()
+  }
+
+  private[graft] def readParams(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[(Int, Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(dir, ParamsFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = new java.io.DataInputStream(fs.open(p))
-    val (s, n, b) =
-      try (in.readInt(), in.readInt(), in.readInt())
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try Some((in.readInt(), in.readInt(), in.readInt()))
       finally in.close()
-    BandPostings(spark.read.parquet(dir), s, n, b)
+    }
+  }
+
+  /** Load postings written by [[BandPostings.save]] (flat layout) or by
+    * the per-batch `__pbatch=N` partitioned layout — the discovered
+    * partition column, if any, is bookkeeping and dropped here.
+    */
+  def load(spark: SparkSession, dir: String): BandPostings = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (s, n, b) = readParams(fs, dir).getOrElse(
+      throw new java.io.FileNotFoundException(s"[BandPostings] no $ParamsFile under $dir"))
+    val df = spark.read.parquet(dir)
+    BandPostings(if (df.columns.contains(BatchCol)) df.drop(BatchCol) else df, s, n, b)
   }
 }
 

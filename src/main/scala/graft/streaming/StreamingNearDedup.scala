@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.functions.col
 
@@ -25,17 +25,26 @@ import graft.ops.{BandPostings, Dedup}
   *
   * HISTORY IS BANDED ONCE, not once per batch: survivors' LSH band
   * postings persist beside the sink (`_postings`, invisible to the sink's
-  * parquet reads) via [[graft.ops.BandPostings]], and each batch runs
-  * [[graft.ops.Dedup.crossCorpusNearDedupWithPostings]] — its own
-  * banding plus one join against the postings, instead of re-running the
+  * parquet reads), MIRRORING the sink's per-batch layout — one
+  * `__pbatch=K` partition per accepted batch. Each batch then runs
+  * [[graft.ops.Dedup.crossCorpusNearDedupWithPostings]]: its own banding
+  * plus one join against the postings, instead of re-running the
   * history's minhash pipeline every batch (O(total-history) CPU per
-  * batch, the round-10 shape). Postings compose by union (band keys are
-  * a pure per-row function); the replay path stays exactly-once because
-  * a replayed batch's own postings rows find no `batch_id < N` text at
-  * verification, and the per-(id, band, bkey) dedup makes the postings
-  * update idempotent. A sink without postings (pre-upgrade checkpoint, or
-  * a crash between sink write and postings save) falls back to re-banding
-  * that one batch, then repairs the postings.
+  * batch, the round-10 shape). The postings UPDATE is O(batch) too —
+  * the new batch's partition is written in isolation; nothing rewrites
+  * history (an O(history)-write-per-batch postings file would just move
+  * the bottleneck from CPU to I/O).
+  *
+  * The per-batch mirror makes recovery self-describing: before deduping,
+  * any sink batch `< N` with no matching postings partition is re-banded
+  * from its own sink partition alone. That one rule covers every hole at
+  * once — a pre-upgrade sink (all partitions missing), a crash between
+  * sink write and postings write (exactly one missing — a gap a single
+  * whole-postings file cannot even DETECT), and a legacy flat-layout
+  * postings dir (derived state; deleted and rebuilt). Replay is
+  * exactly-once: batch N reads only `__pbatch < N` postings and
+  * `batch_id < N` history, then overwrites its own sink and postings
+  * partitions.
   *
   * Batch-INTERNAL near-duplicates are deliberately kept (the
   * [[graft.ops.Dedup.nearDedup]] stage owns those — same contract as the
@@ -44,6 +53,7 @@ import graft.ops.{BandPostings, Dedup}
 object StreamingNearDedup {
 
   private val PostingsDirName = "_postings"
+  private val PartitionPrefix = BandPostings.BatchCol + "="
 
   /** The `foreachBatch` body. Usage:
     * {{{
@@ -66,49 +76,87 @@ object StreamingNearDedup {
     val spark = batch.sparkSession
     val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val postingsDir = s"$sinkDir/$PostingsDirName"
-    val sinkExists = fs.exists(new Path(sinkDir))
-    val postingsExist = fs.exists(new Path(postingsDir, "_graft_band_params"))
+
+    // band one accepted batch's sink rows into its own postings partition;
+    // overwrite makes both the replay path and gap repair idempotent
+    def writePostingsPartition(k: Long): Unit = {
+      BandPostings.readParams(fs, postingsDir) match {
+        case Some((s, n, b)) =>
+          require(s == shingleN && n == numHashes && b == bands,
+            s"[StreamingNearDedup] banding parameters changed mid-stream: " +
+              s"postings=($s,$n,$b) call=($shingleN,$numHashes,$bands)")
+        case None =>
+          fs.mkdirs(new Path(postingsDir))
+          BandPostings.writeParams(fs, postingsDir, shingleN, numHashes, bands)
+      }
+      // an all-duplicates batch can leave its sink partition with zero
+      // part files — nothing to infer a schema from; the stream's own
+      // batch schema is the sink row schema, so band an empty frame
+      val part = new Path(s"$sinkDir/batch_id=$k")
+      val hasData = fs.exists(part) && fs.listStatus(part).exists(e =>
+        e.isFile && !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      val rows =
+        if (hasData) spark.read.parquet(part.toString)
+        else batch.limit(0).toDF()
+      Dedup.bandPostings(rows, idCol, textCol, shingleN, numHashes, bands)
+        .posts.write.mode("overwrite").parquet(s"$postingsDir/$PartitionPrefix$k")
+    }
+
+    dropLegacyFlatLayout(fs, postingsDir)
     val kept =
-      if (!sinkExists || batchId == 0L) batch
+      if (!fs.exists(new Path(sinkDir)) || batchId == 0L) batch
       else {
-        val history = spark.read.parquet(sinkDir)
-          .filter(col("batch_id") < batchId)
-          .drop("batch_id")
-        if (postingsExist) {
-          val posts = BandPostings.load(spark, postingsDir)
+        val need = partitionIds(fs, sinkDir, "batch_id=").filter(_ < batchId)
+        val have = partitionIds(fs, postingsDir, PartitionPrefix)
+        (need -- have).toSeq.sorted.foreach(writePostingsPartition)
+        if (need.isEmpty) batch // dir exists but holds no committed batches
+        else {
+          val history = spark.read.parquet(sinkDir)
+            .filter(col("batch_id") < batchId)
+            .drop("batch_id")
+          // partition-prune away this batch's own previous attempt (replay)
+          val posts = BandPostings(
+            spark.read.parquet(postingsDir)
+              .filter(col(BandPostings.BatchCol) < batchId)
+              .drop(BandPostings.BatchCol),
+            shingleN, numHashes, bands)
           Dedup.crossCorpusNearDedupWithPostings(batch, history, posts,
             idCol, textCol, threshold, maxBucketSize)
-        } else {
-          Dedup.crossCorpusNearDedup(batch, history, idCol, textCol,
-            threshold, shingleN, numHashes, bands, maxBucketSize)
         }
       }
     IdempotentParquetSink.writeBatch(kept, batchId, sinkDir)
     // Extend the postings with THIS batch's survivors, read back from the
     // sink (recomputing `kept`'s lineage would re-run the dedup). Ordering
     // matters for the crash windows: sink first, postings second — a crash
-    // between the two leaves postings one batch behind, which the
-    // fallback above repairs on the next call.
-    val written = spark.read.parquet(sinkDir)
-      .filter(col("batch_id") === batchId).drop("batch_id")
-    val fresh = Dedup.bandPostings(written, idCol, textCol, shingleN, numHashes, bands)
-    val merged =
-      if (postingsExist) {
-        val prev = BandPostings.load(spark, postingsDir)
-        require(prev.shingleN == shingleN && prev.numHashes == numHashes &&
-          prev.bands == bands,
-          s"[StreamingNearDedup] banding parameters changed mid-stream: " +
-            s"postings=(${prev.shingleN},${prev.numHashes},${prev.bands}) " +
-            s"call=($shingleN,$numHashes,$bands)")
-        BandPostings(
-          prev.posts.union(fresh.posts).dropDuplicates("__idH", "__band", "__bkey"),
-          shingleN, numHashes, bands)
-      } else if (sinkExists && batchId > 0L) {
-        // postings missing under an existing multi-batch sink: rebuild
-        // from the WHOLE sink once, so the repair covers all history
-        val all = spark.read.parquet(sinkDir).drop("batch_id")
-        Dedup.bandPostings(all, idCol, textCol, shingleN, numHashes, bands)
-      } else fresh
-    merged.save(postingsDir)
+    // between the two leaves a postings gap, which the repair above closes
+    // on the next call.
+    writePostingsPartition(batchId)
+  }
+
+  /** Hive-style partition ids under `dir` (`<prefix>K` subdirs). */
+  private def partitionIds(fs: FileSystem, dir: String, prefix: String): Set[Long] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith(prefix) =>
+        st.getPath.getName.stripPrefix(prefix).toLong
+    }.toSet
+  }
+
+  /** A postings dir written by the pre-partitioned design (flat parquet
+    * at the root) cannot coexist with `__pbatch=K` dirs — partition
+    * discovery rejects the mixed depth. Postings are derived state, so
+    * the migration is: delete, let gap repair re-band from the sink.
+    */
+  private def dropLegacyFlatLayout(fs: FileSystem, postingsDir: String): Unit = {
+    val p = new Path(postingsDir)
+    if (fs.exists(p)) {
+      val entries = fs.listStatus(p).toSeq
+      val flatData = entries.exists(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      val partitioned = entries.exists(e =>
+        e.isDirectory && e.getPath.getName.startsWith(PartitionPrefix))
+      if (flatData && !partitioned) fs.delete(p, true)
+    }
   }
 }

@@ -81,6 +81,24 @@ class StreamingNearDedupSpec extends SparkSpec {
       == Set(1L, 3L))
   }
 
+  test("crash between sink write and postings write: gap is repaired, dedup still sees that batch") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_snd").toString + "/sink"
+    val b0 = Seq((1L, words("a", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b0, 0L, sink, "doc_id", "text")
+    // simulate the crash window: batch 1's SINK write landed but the
+    // postings update never ran (the design's documented ordering)
+    val b1 = Seq((2L, words("d", 12))).toDF("doc_id", "text")
+    graft.streaming.IdempotentParquetSink.writeBatch(b1, 1L, sink)
+    // batch 2 holds a near-copy of the postings-less batch 1 doc — a
+    // whole-postings design silently misses this; per-batch repair must not
+    val b2 = Seq((3L, words("d", 11)), (4L, words("f", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b2, 2L, sink, "doc_id", "text")
+    assert(keptIds(sink) == Set(1L, 2L, 4L))
+    val posts = graft.ops.BandPostings.load(spark, s"$sink/_postings")
+    assert(posts.posts.select("__idH").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 4L))
+  }
+
   test("a replayed batch id is exactly-once and never self-dedups") {
     val sink = java.nio.file.Files.createTempDirectory("graft_snd").toString + "/sink"
     val b0 = Seq((1L, words("a", 12))).toDF("doc_id", "text")
