@@ -984,7 +984,7 @@ object SparkEntry {
           floor(col("value") * 1000000).cast("long").as("inc"))
         .as[graft.streaming.RunningTotals.In]
       drainAppendToParquet(graft.streaming.RunningTotals(stream).toDF(),
-        sink, "q_transform_state", statePartitionCap = Some(8))
+        sink, "q_transform_state", statePartitionCap = Some(2))
     } finally prev match {
       case Some(v) => spark.conf.set(pk, v)
       case None => spark.conf.unset(pk)
@@ -1021,7 +1021,7 @@ object SparkEntry {
         .select(col("user_id").as("userId"), col("event_type").as("eventType"))
         .as[graft.streaming.TypeCounts.In]
       drainAppendToParquet(graft.streaming.TypeCounts(stream).toDF(),
-        sink, "q_map_state", statePartitionCap = Some(8))
+        sink, "q_map_state", statePartitionCap = Some(2))
     } finally prev match {
       case Some(v) => spark.conf.set(pk, v)
       case None => spark.conf.unset(pk)
@@ -5757,7 +5757,7 @@ object SparkEntry {
           floor(col("value") * 100).cast("long").as("cents"))
         .as[graft.streaming.RecentValues.In]
       drainAppendToParquet(graft.streaming.RecentValues(stream).toDF(),
-        sink, "q_list_state", statePartitionCap = Some(8))
+        sink, "q_list_state", statePartitionCap = Some(2))
     } finally prev match {
       case Some(v) => spark.conf.set(pk, v)
       case None => spark.conf.unset(pk)

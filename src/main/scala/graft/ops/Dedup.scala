@@ -458,14 +458,37 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame =
+    crossCorpusNearDedupPrebanded(batch,
+      bandPostings(batch, idCol, textCol,
+        postings.shingleN, postings.numHashes, postings.bands),
+      history, postings, idCol, textCol, threshold, maxBucketSize)
+
+  /** [[crossCorpusNearDedupWithPostings]] with the BATCH side's bandings
+    * supplied too — for callers that need the batch's postings anyway
+    * (the streaming sink persists its survivors' postings per batch:
+    * [[graft.streaming.StreamingNearDedup]]). Minhashing the text is the
+    * dominant per-batch cost at corpus scale; banding once and reusing
+    * halves it. Both sides must carry identical banding parameters or
+    * bucket keys are meaningless — enforced, not assumed.
+    */
+  def crossCorpusNearDedupPrebanded(
+      batch: DataFrame,
+      batchPosts: BandPostings,
+      history: DataFrame,
+      postings: BandPostings,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val rowsPerBand = postings.numHashes / postings.bands
-    val b = spreadDf(batch)
-      .select(col(idCol).as("__idB"),
-        minhashSignature(col(textCol), postings.shingleN, postings.numHashes).as("__sig"))
-      .select(col("__idB"),
-        posexplode(lshBandKeys(col("__sig"), postings.bands, rowsPerBand))
-          .as(Seq("__band", "__bkey")))
+    require(batchPosts.shingleN == postings.shingleN &&
+      batchPosts.numHashes == postings.numHashes &&
+      batchPosts.bands == postings.bands,
+      s"[Dedup] batch/history banding parameters differ: " +
+        s"batch=(${batchPosts.shingleN},${batchPosts.numHashes},${batchPosts.bands}) " +
+        s"history=(${postings.shingleN},${postings.numHashes},${postings.bands})")
+    val b = batchPosts.posts.select(col("__idH").as("__idB"),
+      col("__band"), col("__bkey"))
     // the postings feed the bucket-cap aggregate AND the candidate join;
     // persist so an in-memory postings lineage (a fresh bandPostings()
     // or a union-extended frame) never re-runs the history minhash

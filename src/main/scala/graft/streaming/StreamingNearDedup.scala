@@ -77,60 +77,74 @@ object StreamingNearDedup {
     val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val postingsDir = s"$sinkDir/$PostingsDirName"
 
-    // band one accepted batch's sink rows into its own postings partition;
-    // overwrite makes both the replay path and gap repair idempotent
-    def writePostingsPartition(k: Long): Unit = {
-      BandPostings.readParams(fs, postingsDir) match {
-        case Some((s, n, b)) =>
-          require(s == shingleN && n == numHashes && b == bands,
-            s"[StreamingNearDedup] banding parameters changed mid-stream: " +
-              s"postings=($s,$n,$b) call=($shingleN,$numHashes,$bands)")
-        case None =>
-          fs.mkdirs(new Path(postingsDir))
-          BandPostings.writeParams(fs, postingsDir, shingleN, numHashes, bands)
-      }
-      // an all-duplicates batch can leave its sink partition with zero
-      // part files — nothing to infer a schema from; the stream's own
-      // batch schema is the sink row schema, so band an empty frame
+    def ensureParams(): Unit = BandPostings.readParams(fs, postingsDir) match {
+      case Some((s, n, b)) =>
+        require(s == shingleN && n == numHashes && b == bands,
+          s"[StreamingNearDedup] banding parameters changed mid-stream: " +
+            s"postings=($s,$n,$b) call=($shingleN,$numHashes,$bands)")
+      case None =>
+        fs.mkdirs(new Path(postingsDir))
+        BandPostings.writeParams(fs, postingsDir, shingleN, numHashes, bands)
+    }
+
+    // sink rows of one prior batch; an all-duplicates batch can leave its
+    // partition with zero part files — nothing to infer a schema from,
+    // and the stream's own batch schema IS the sink row schema
+    def sinkPartition(k: Long): Dataset[Row] = {
       val part = new Path(s"$sinkDir/batch_id=$k")
       val hasData = fs.exists(part) && fs.listStatus(part).exists(e =>
         e.isFile && !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
-      val rows =
-        if (hasData) spark.read.parquet(part.toString)
-        else batch.limit(0).toDF()
-      Dedup.bandPostings(rows, idCol, textCol, shingleN, numHashes, bands)
+      if (hasData) spark.read.parquet(part.toString) else batch.limit(0).toDF()
+    }
+
+    // gap repair: re-band one prior accepted batch from its sink rows;
+    // overwrite makes it (and the replay path below) idempotent
+    def repairPostingsPartition(k: Long): Unit = {
+      ensureParams()
+      Dedup.bandPostings(sinkPartition(k), idCol, textCol, shingleN, numHashes, bands)
         .posts.write.mode("overwrite").parquet(s"$postingsDir/$PartitionPrefix$k")
     }
 
     dropLegacyFlatLayout(fs, postingsDir)
-    val kept =
-      if (!fs.exists(new Path(sinkDir)) || batchId == 0L) batch
-      else {
-        val need = partitionIds(fs, sinkDir, "batch_id=").filter(_ < batchId)
-        val have = partitionIds(fs, postingsDir, PartitionPrefix)
-        (need -- have).toSeq.sorted.foreach(writePostingsPartition)
-        if (need.isEmpty) batch // dir exists but holds no committed batches
+    // band THIS batch once — the dedup's candidate join and the survivors'
+    // postings partition both consume it; minhashing the text is the
+    // dominant per-batch cost at corpus scale, so it must not run twice
+    val batchPosts = Dedup.bandPostings(batch.toDF(), idCol, textCol,
+      shingleN, numHashes, bands)
+    batchPosts.posts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept =
+        if (!fs.exists(new Path(sinkDir)) || batchId == 0L) batch.toDF()
         else {
-          val history = spark.read.parquet(sinkDir)
-            .filter(col("batch_id") < batchId)
-            .drop("batch_id")
-          // partition-prune away this batch's own previous attempt (replay)
-          val posts = BandPostings(
-            spark.read.parquet(postingsDir)
-              .filter(col(BandPostings.BatchCol) < batchId)
-              .drop(BandPostings.BatchCol),
-            shingleN, numHashes, bands)
-          Dedup.crossCorpusNearDedupWithPostings(batch, history, posts,
-            idCol, textCol, threshold, maxBucketSize)
+          val need = partitionIds(fs, sinkDir, "batch_id=").filter(_ < batchId)
+          val have = partitionIds(fs, postingsDir, PartitionPrefix)
+          (need -- have).toSeq.sorted.foreach(repairPostingsPartition)
+          if (need.isEmpty) batch.toDF() // dir exists, no committed batches
+          else {
+            val history = spark.read.parquet(sinkDir)
+              .filter(col("batch_id") < batchId)
+              .drop("batch_id")
+            // partition-prune away this batch's own previous attempt (replay)
+            val posts = BandPostings(
+              spark.read.parquet(postingsDir)
+                .filter(col(BandPostings.BatchCol) < batchId)
+                .drop(BandPostings.BatchCol),
+              shingleN, numHashes, bands)
+            Dedup.crossCorpusNearDedupPrebanded(batch.toDF(), batchPosts,
+              history, posts, idCol, textCol, threshold, maxBucketSize)
+          }
         }
-      }
-    IdempotentParquetSink.writeBatch(kept, batchId, sinkDir)
-    // Extend the postings with THIS batch's survivors, read back from the
-    // sink (recomputing `kept`'s lineage would re-run the dedup). Ordering
-    // matters for the crash windows: sink first, postings second — a crash
-    // between the two leaves a postings gap, which the repair above closes
-    // on the next call.
-    writePostingsPartition(batchId)
+      IdempotentParquetSink.writeBatch(kept, batchId, sinkDir)
+      // THIS batch's postings partition: the already-computed bandings
+      // filtered to the survivors the sink just committed — no re-minhash,
+      // no recompute of `kept`'s dedup lineage. Ordering matters for the
+      // crash windows: sink first, postings second — a crash between the
+      // two leaves a postings gap, which the repair above closes next call.
+      ensureParams()
+      val survivorIds = sinkPartition(batchId).select(col(idCol).as("__idH"))
+      batchPosts.posts.join(survivorIds, Seq("__idH"), "left_semi")
+        .write.mode("overwrite").parquet(s"$postingsDir/$PartitionPrefix$batchId")
+    } finally batchPosts.posts.unpersist(blocking = false)
   }
 
   /** Hive-style partition ids under `dir` (`<prefix>K` subdirs). */
