@@ -15,9 +15,11 @@ import org.apache.spark.storage.StorageLevel
   * round, so nothing is broadcast) + ONE anti-join against the visited
   * set to keep only first discoveries. Rounds are bounded by `maxHops`
   * and terminate early when a frontier empties; per round exactly one
-  * driver scalar (the frontier count) is collected. Each generation is
-  * persisted and the previous released, so lineage stays one generation
-  * deep (the [[PageRank]] discipline).
+  * job runs and one driver scalar (the frontier count) is collected.
+  * Each round's generation is persisted once, and the visited set is the
+  * union of those persisted generations — re-unioning cached frames per
+  * round instead of re-materializing the whole visited set, with lineage
+  * depth bounded by `maxHops`.
   *
   * Distances are exact, not approximate: a node's hop is the FIRST round
   * that reached it (the anti-join guarantees min-hop), identical to the
@@ -43,35 +45,33 @@ object Bfs {
       .na.drop().distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var visited = seeds.select(col(seedCol).as("node")).distinct()
+    // visited is the union of per-round generations, each persisted once
+    // when it was the frontier — no per-round re-materialization of the
+    // whole visited set; lineage depth is bounded by maxHops (a small
+    // constant), and exactly ONE job runs per round (the frontier count)
+    val gens = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    gens += seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hop", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited
+    def visited: DataFrame = gens.reduce(_ union _)
     var h = 1
-    var exhausted = visited.count() == 0
+    var exhausted = gens.head.count() == 0
     while (h <= maxHops && !exhausted) {
-      val next = frontier
+      val next = gens.last
         .join(e, col("node") === col("__src"))
         .select(col("__dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .persist(StorageLevel.MEMORY_AND_DISK)
       exhausted = next.count() == 0
-      if (!exhausted) {
-        val gen = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
-        gen.count() // materialize before releasing the parents
-        if (h > 1) frontier.unpersist(blocking = false) // h=1: frontier IS visited
-        visited.unpersist(blocking = false)
-        visited = gen
-        frontier = next
-      } else next.unpersist(blocking = false)
+      if (!exhausted) gens += next
+      else next.unpersist(blocking = false)
       h += 1
     }
     // snapshot the node-sized result off the persisted lineage, then drop
-    // every intermediate generation
+    // every generation
     val out = visited.localCheckpoint(true)
-    visited.unpersist(blocking = false)
-    if (frontier ne visited) frontier.unpersist(blocking = false)
+    gens.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     out
   }
