@@ -3264,7 +3264,7 @@ object SparkEntry {
     // windowed aggregation is stateful: same state-partition cap as the
     // other stateful drains (one state store per partition)
     drainAppendToParquet(stream, sinkDir, "q_streaming_sink",
-      statePartitionCap = Some(8), exactlyOnce = true)
+      statePartitionCap = Some(2), exactlyOnce = true)
     readSinkOrEmpty(spark, sinkDir, "hour STRING, event_type STRING, n LONG")
       .orderBy("hour", "event_type")
   }
@@ -3367,7 +3367,7 @@ object SparkEntry {
       .agg(approx_count_distinct("user_id").as("est"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("est"))
-    drainAppendToParquet(stream, sinkDir, "q_streaming_hll", statePartitionCap = Some(8))
+    drainAppendToParquet(stream, sinkDir, "q_streaming_hll", statePartitionCap = Some(2))
     val est = readSinkOrEmpty(spark, sinkDir, "hour STRING, event_type STRING, est LONG")
     val exact = events(spark, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
@@ -3538,7 +3538,7 @@ object SparkEntry {
     val sessions = graft.streaming.Sessionize.sessionize(spark, ev, gapMillis = 30 * 60 * 1000L)
     // same state-partition cap rationale as q_streaming_join
     drainAppendToParquet(sessions.toDF(), sinkDir, "q_sessionize_custom",
-      statePartitionCap = Some(8))
+      statePartitionCap = Some(2))
     readSinkOrEmpty(spark, sinkDir,
       "userId BIGINT, start TIMESTAMP, end TIMESTAMP, nEvents INT, closed BOOLEAN")
       .groupBy(col("userId").as("user_id"))
@@ -3628,7 +3628,7 @@ object SparkEntry {
       .parquet(srcDir)
       .withWatermark("ts", "3 hours")
       .dropDuplicatesWithinWatermark("event_id")
-    drainAppendToParquet(deduped, sinkDir, "q_streaming_dedup", statePartitionCap = Some(8))
+    drainAppendToParquet(deduped, sinkDir, "q_streaming_dedup", statePartitionCap = Some(2))
     readSinkOrEmpty(spark, sinkDir,
       "event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
       .groupBy("event_type")
@@ -5797,7 +5797,7 @@ object SparkEntry {
       val sessions =
         graft.streaming.TimedSessions(ev, gapMillis = 30 * 60 * 1000L)
       drainAppendToParquet(sessions.toDF(), sinkDir, "q_timed_sessions",
-        statePartitionCap = Some(8))
+        statePartitionCap = Some(2))
     } finally prev match {
       case Some(v) => spark.conf.set(pk, v)
       case None => spark.conf.unset(pk)
