@@ -143,6 +143,12 @@ object SparkEntry {
         // 16 files (multi-batch streaming admission)
         ev.select(format_string("%d %s user=%d %.2f",
           col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
+      case "hive" =>
+        // hive-partitioned tree (dt=YYYY-MM-DD/part-*.txt via partitionBy):
+        // the partition-column + file-pruning fixture (q_log_partitioned)
+        ev.select(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+          format_string("%d %s user=%d %.2f",
+            col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
       case "multiline" =>
         // one 3-line record per event (value only on the tail line, so
         // extracting it REQUIRES record assembly); continuation lines are
@@ -169,6 +175,8 @@ object SparkEntry {
       lines.write.mode("overwrite").option("compression", "bzip2").text(out)
     else if (flavor.endsWith("_many"))
       lines.repartition(16).write.mode("overwrite").text(out)
+    else if (flavor == "hive")
+      lines.write.mode("overwrite").partitionBy("dt").text(out)
     else lines.write.mode("overwrite").text(out)
     out
   }
@@ -220,6 +228,35 @@ object SparkEntry {
         countDistinct(col("host")).as("n_hosts"),
         max(hour(col("ts"))).cast("long").as("max_hour"))
       .orderBy("status")
+  }
+
+  /** Partition-pruned scan ([[graft.log.PartitionValues]], the Spark-shaped
+    * rebuild of Drill's `dir0`-style directory columns): a hive tree
+    * `dt=YYYY-MM-DD/part-*.txt`, read with `partitionSchema=dt DATE`, a
+    * one-week DATE range filter claimed as a PARTITION filter — 23 of the
+    * 30 daily partitions are pruned at plan time, never listed into
+    * chunks, opened, or regex-parsed. The `dt` group key costs nothing
+    * per row (per-chunk constant). At 100 TB this is the dominant scan
+    * lever: the same query over a year of logs touches ~1/52nd of the
+    * corpus.
+    */
+  private def qLogPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "hive")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("partitionSchema", "dt DATE")
+      .option("extensions", "txt")
+      .load(path)
+      .filter(col("dt").between(
+        lit(java.sql.Date.valueOf("2024-01-08")),
+        lit(java.sql.Date.valueOf("2024-01-14"))))
+      .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max("event_id").cast("long").as("max_event_id"),
+        sum(col("user_id").cast("long")).as("sum_user_id"))
+      .orderBy("dt", "event_type")
   }
 
   private def qLogUnmatched(spark: SparkSession, dir: String): DataFrame = {
@@ -6837,6 +6874,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_parse_agg" -> (qLogParseAgg _),
+    "q_log_partitioned" -> (qLogPartitioned _),
     "q_log_apache" -> (qLogApache _),
     "q_log_pushdown" -> (qLogPushdown _),
     "q_log_dropmalformed" -> (qLogDropMalformed _),
@@ -7485,6 +7523,13 @@ object SparkEntry {
         |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value
         |FROM events WHERE event_type = 'click' AND user_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_log_partitioned" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, event_type, count(*) AS n,
+        |       max(event_id) AS max_event_id,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_log_dropmalformed" ->
       """SELECT event_type, count(*) AS n,
         |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value

@@ -93,32 +93,40 @@ final class LogScanBuilder(fullSchema: StructType, opts: LogOptions, paths: Seq[
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushedPart: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    val (ok, residual) = filters.partition(LineParser.supportedFilter(_, opts))
+    // partition filters first (file-level pruning — strictly cheaper than
+    // per-row evaluation); the classifiers are disjoint because partition
+    // columns are never in fieldNames and vice versa (LogOptions validates)
+    val (part, rest) = filters.partition(PartitionValues.supportedFilter(_, opts))
+    val (ok, residual) = rest.partition(LineParser.supportedFilter(_, opts))
     pushed = ok
+    pushedPart = part
     residual
   }
-  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new LogScan(required, opts, paths, pushed)
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushedPart ++ pushed
+  override def build(): Scan = new LogScan(required, opts, paths, pushed, pushedPart)
 }
 
 final class LogScan(
     required: StructType,
     opts: LogOptions,
     paths: Seq[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    pushedPart: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LogMicroBatchStream(opts, required, paths, checkpointLocation, pushed)
+    new LogMicroBatchStream(opts, required, paths, checkpointLocation, pushed, pushedPart)
   override def description(): String =
     s"LogScan(pattern=${opts.pattern}, required=${required.fieldNames.mkString(",")}, " +
-      s"pushed=[${pushed.mkString(", ")}])"
+      s"pushed=[${pushed.mkString(", ")}], partitionFilters=[${pushedPart.mkString(", ")}])"
 
   /** One listing per Scan instance, shared by the optimizer's statistics
     * probe and execution's partition planning (a second metadata sweep of
@@ -143,9 +151,16 @@ final class LogScan(
     files ++= LogScan
       .listRecursiveParallel(conf, dirs.toSeq, LogScan.listingThreads(spark))
       .filter(f => matchesExtension(f.getPath.getName))
+    // partition pruning: claimed partition filters drop whole files HERE,
+    // before statistics, split planning and task launch — the dominant
+    // scan lever on a date-partitioned tree (PartitionValues scaladoc)
+    val pruned =
+      if (pushedPart.isEmpty) files.toSeq
+      else files.filter(f =>
+        PartitionValues.prunesIn(pushedPart.toSeq, f.getPath.toString, opts)).toSeq
     // path-sorted: listing-order independence makes the chunk sequence
     // (and therefore the packed partition set) deterministic
-    files.sortBy(_.getPath.toString).toSeq
+    pruned.sortBy(_.getPath.toString)
   }
 
   /** Without this, a DSV2 relation falls back to
@@ -161,12 +176,14 @@ final class LogScan(
     *    broadcast budget;
     *  - prorated by the projected column fraction, so a pruned scan
     *    competes for broadcast on what it actually ships;
-    *  - discounted by a crude bounded selectivity for PUSHED filters
+    *  - discounted by a crude bounded selectivity for pushed DATA filters
     *    (the reader really does drop non-matching rows before emitting,
     *    so a selective scan ships far less than raw bytes). Equality-
     *    shaped filters count 0.2 each, range/prefix 0.5, floored at 0.05
     *    overall so stacked filters can never talk the optimizer into
-    *    broadcasting more than 5% of a giant input on faith.
+    *    broadcasting more than 5% of a giant input on faith. Partition
+    *    filters need no prior: `listedFiles` is already pruned by them,
+    *    so their effect on the byte total is EXACT.
     *
     * Row count stays unknown (lines are not counted at plan time). */
   override def estimateStatistics()
@@ -354,15 +371,19 @@ object LogScan {
       val codec = codecs.getCodec(f.getPath)
       val splittable = codec == null ||
         (opts.recordStartPattern.isEmpty && codec.isInstanceOf[SplittableCompressionCodec])
+      // partition values ride on every chunk of the file: per-chunk
+      // constants the reader stamps onto rows (typed validation happens
+      // here, at planning — a malformed segment fails before task launch)
+      val pv = PartitionValues.rawValues(f.getPath.toString, opts)
       if (!splittable || f.getLen == 0) {
         chunks += LogChunk(f.getPath.toString, 0, f.getLen, f.getLen,
-          chunkHosts(f, 0, f.getLen))
+          chunkHosts(f, 0, f.getLen), pv)
       } else {
         var offset = 0L
         while (offset < f.getLen) {
           val len = math.min(maxSplit, f.getLen - offset)
           chunks += LogChunk(f.getPath.toString, offset, len, f.getLen,
-            chunkHosts(f, offset, len))
+            chunkHosts(f, offset, len), pv)
           offset += len
         }
       }
@@ -429,7 +450,10 @@ final case class LogChunk(
     start: Long,
     length: Long,
     fileLen: Long,
-    hosts: Seq[String] = Nil)
+    hosts: Seq[String] = Nil,
+    // raw (unescaped) partition value per declared partitionSchema field,
+    // in declaration order; null = hive default (null) partition
+    partValues: Array[String] = Array.empty)
 
 /** One task's work: one or more file chunks read sequentially.
   * `preferredLocations` feeds Spark's locality-aware scheduling: the top
@@ -481,7 +505,26 @@ final class LogPartitionReader(
     conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val parser = new LineParser(opts, required, pushed)
+  // Partition columns are per-chunk CONSTANTS, not regex output: the
+  // parser sees only the data columns; requested partition columns are
+  // stamped onto each emitted row below (zero per-row parse cost).
+  private val partOrdinals: Array[Int] = required.fields.zipWithIndex.collect {
+    case (f, ord) if opts.partitionNames(f.name.toLowerCase(java.util.Locale.ROOT)) => ord
+  }
+  private val dataRequired: StructType = StructType(required.fields.filterNot(f =>
+    opts.partitionNames(f.name.toLowerCase(java.util.Locale.ROOT))))
+  private val dataOrdinals: Array[Int] = required.fields.zipWithIndex.collect {
+    case (f, ord) if !opts.partitionNames(f.name.toLowerCase(java.util.Locale.ROOT)) => ord
+  }
+  // declared-order index + type of each REQUIRED partition column, for
+  // converting the chunk's raw values
+  private val partDecl: Array[(Int, String, String)] = partOrdinals.map { ord =>
+    val name = required.fields(ord).name
+    val di = opts.partitionSchema.indexWhere(_._1.equalsIgnoreCase(name))
+    (di, opts.partitionSchema(di)._2, name)
+  }
+
+  private val parser = new LineParser(opts, dataRequired, pushed)
   private val startPat: java.util.regex.Pattern =
     opts.recordStartPattern.map(java.util.regex.Pattern.compile).orNull
   // same fast-reject as LineParser: a continuation-heavy block (stack
@@ -496,6 +539,9 @@ final class LogPartitionReader(
   private var chunkIdx = -1
   private var reader: LineRecordReader = _
   private var current: InternalRow = _
+  // internal-typed partition values of the current chunk, one per
+  // REQUIRED partition column (partOrdinals order)
+  private var partVals: Array[Any] = Array.empty
   // multi-line assembly state, reset per chunk
   private var chunkEnd = 0L
   private var atFileHead = false
@@ -520,7 +566,29 @@ final class LogPartitionReader(
     atFileHead = c.start == 0
     chunkDone = false
     buf = null
+    partVals = partDecl.map { case (di, tpe, name) =>
+      PartitionValues.toInternal(c.partValues(di), tpe, name, c.path)
+    }
     true
+  }
+
+  /** Stamp the chunk's partition constants onto a parsed row (identity
+    * when no partition column is required — the common path stays
+    * allocation-free). */
+  private def assemble(dataRow: InternalRow): InternalRow = {
+    if (partOrdinals.isEmpty) return dataRow
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+    var i = 0
+    while (i < dataOrdinals.length) {
+      out.update(dataOrdinals(i), dataRow.get(i, dataRequired.fields(i).dataType))
+      i += 1
+    }
+    var j = 0
+    while (j < partOrdinals.length) {
+      out.update(partOrdinals(j), partVals(j))
+      j += 1
+    }
+    out
   }
 
   /** Next framed record of the current chunk (single line, or assembled
@@ -595,7 +663,7 @@ final class LogPartitionReader(
             }
           // null = not emitted (DROPMALFORMED or a pushed filter)
           if (row != null) {
-            current = row
+            current = assemble(row)
             return true
           }
         }

@@ -55,7 +55,8 @@ final class LogMicroBatchStream(
     required: StructType,
     paths: Seq[String],
     checkpointLocation: String,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    pushedPart: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import LogMicroBatchStream._
@@ -425,7 +426,13 @@ final class LogMicroBatchStream(
     out ++= LogScan
       .listRecursiveParallel(conf, dirs.toSeq, LogScan.listingThreads(spark))
       .filter(f => LogScan.matchesExtension(f.getPath.getName, opts.extensions))
-    out.toSeq
+    // partition pruning BEFORE admission: a pruned-out file is never
+    // admitted, tracked, or charged against maxFiles/BytesPerTrigger.
+    // (A filter changed across a restart of the same checkpoint admits
+    // newly-passing files normally — they were never seen.)
+    if (pushedPart.isEmpty) out.toSeq
+    else out.filter(f =>
+      PartitionValues.prunesIn(pushedPart.toSeq, f.getPath.toString, opts)).toSeq
   }
 }
 

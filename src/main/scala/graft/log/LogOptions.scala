@@ -70,7 +70,13 @@ final case class LogOptions(
     // logs; up to 2x the heap in bytes) — the guard is an order-of-
     // magnitude backstop, not an exact byte budget. 64M default — far
     // beyond any plausible log record.
-    recordMaxBytes: Long = 64L << 20) {
+    recordMaxBytes: Long = 64L << 20,
+    // hive-style partition columns carried in `name=value` path segments,
+    // declared explicitly as "name TYPE, name TYPE" (never inferred — see
+    // [[PartitionValues]] for the scale rationale). Appended to the table
+    // schema after `unmatched_lines`; claimed filters on them prune whole
+    // files at plan time.
+    partitionSchema: Seq[(String, String)] = Nil) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day — FINAL, SURVEY §7.4#1:
@@ -93,12 +99,21 @@ final case class LogOptions(
   }
 
   /** Full table schema: declared fields in order, plus the always-present
-    * `unmatched_lines` fallback column (SURVEY.md §1.2).
+    * `unmatched_lines` fallback column (SURVEY.md §1.2), plus any declared
+    * partition columns (path-derived constants, [[PartitionValues]]).
     */
   lazy val schema: StructType = StructType(
     fieldNames.zip(dataTypes).map { case (n, t) =>
       StructField(n, sparkType(t), nullable = true)
-    } :+ StructField(LogOptions.UnmatchedCol, StringType, nullable = true))
+    } ++ (StructField(LogOptions.UnmatchedCol, StringType, nullable = true) +:
+      partitionSchema.map { case (n, t) =>
+        StructField(n, PartitionValues.partType(t), nullable = true)
+      }))
+
+  /** Lowercased partition-column name set (resolution is case-insensitive,
+    * matching Spark's default). */
+  lazy val partitionNames: Set[String] =
+    partitionSchema.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
 
   lazy val compiledPattern: Pattern = Pattern.compile(pattern)
 }
@@ -312,9 +327,41 @@ object LogOptions {
         "[log] cleanSource=archive requires sourceArchiveDir")
     }
 
+    // partitionSchema: "name TYPE, name TYPE" (same entry grammar as the
+    // `schema` option). Validated strictly at plan time: this is new
+    // surface with no reference legacy to stay tolerant for.
+    val partitionSchema: Seq[(String, String)] = get("partitionschema").map {
+      _.split(",").map(_.trim).toSeq.map { entry =>
+        entry.split("\\s+") match {
+          case Array(n, t) => (n, t.toUpperCase)
+          case _ => throw new IllegalArgumentException(
+            s"[log] partitionSchema entry '$entry' must be 'name TYPE'")
+        }
+      }
+    }.getOrElse(Nil)
+    partitionSchema.foreach { case (n, t) =>
+      if (!PartitionValues.KnownTypes.contains(t)) {
+        throw new IllegalArgumentException(
+          s"[log] partitionSchema column '$n' has unsupported type '$t' " +
+            s"(supported: ${PartitionValues.KnownTypes.toSeq.sorted.mkString(", ")})")
+      }
+    }
+    val lowerParts = partitionSchema.map(_._1.toLowerCase)
+    if (lowerParts.distinct.size != lowerParts.size) {
+      throw new IllegalArgumentException(
+        s"[log] duplicate partitionSchema column names: ${partitionSchema.map(_._1).mkString(", ")}")
+    }
+    val fieldCollisions = partitionSchema.map(_._1)
+      .filter(n => fieldNames.exists(_.equalsIgnoreCase(n)) || n.equalsIgnoreCase(UnmatchedCol))
+    if (fieldCollisions.nonEmpty) {
+      throw new IllegalArgumentException(
+        s"[log] partitionSchema column(s) ${fieldCollisions.mkString(", ")} collide with " +
+          "declared fieldNames or the unmatched_lines column")
+    }
+
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
       failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger,
       maxFileAgeMs, latestFirst, cleanSource, sourceArchiveDir, recordStartPattern,
-      recordMaxBytes)
+      recordMaxBytes, partitionSchema)
   }
 }

@@ -1,0 +1,196 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.log.{LogOptions, PartitionValues}
+
+/** Hive-style partition columns on the `log` source ([[PartitionValues]]):
+  * explicit `partitionSchema`, typed values from `name=value` path
+  * segments, and — the scale point — claimed partition filters pruning
+  * whole FILES at plan time. Pruning is proven the strong way: a file in
+  * the pruned-out partition contains lines that would kill the query in
+  * FAILFAST mode; the query succeeding at all means that file was never
+  * opened.
+  */
+class LogPartitionSpec extends SparkSpec {
+
+  private def writeTree(entries: (String, Seq[String])*): File = {
+    val root = Files.createTempDirectory("logpart").toFile
+    entries.foreach { case (rel, lines) =>
+      val f = new File(root, rel)
+      f.getParentFile.mkdirs()
+      Files.writeString(f.toPath, lines.mkString("\n"))
+    }
+    root
+  }
+
+  private def readLog(root: File, extra: (String, String)*) = {
+    val base = spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("extensions", "log")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+      .load(root.getAbsolutePath)
+  }
+
+  test("partition columns land typed, after unmatched_lines, constant per file") {
+    val root = writeTree(
+      "dt=2024-03-01/host=web1/a.log" -> Seq("1 INFO", "2 WARN"),
+      "dt=2024-03-02/host=web2/b.log" -> Seq("3 ERROR"))
+    val df = readLog(root, "partitionSchema" -> "dt DATE, host STRING")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "level", "unmatched_lines", "dt", "host"))
+    assert(df.schema("dt").dataType == org.apache.spark.sql.types.DateType)
+    val rows = df.select("id", "dt", "host").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getString(2))).sorted
+    assert(rows.toSeq == Seq(
+      (1, "2024-03-01", "web1"), (2, "2024-03-01", "web1"), (3, "2024-03-02", "web2")))
+  }
+
+  test("partition filter prunes files: poisoned partition never opened") {
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 INFO", "2 WARN"),
+      // FAILFAST would die on this line — the proof it is never read
+      "dt=2024-03-02/b.log" -> Seq("not matching at all"))
+    val df = readLog(root,
+      "partitionSchema" -> "dt DATE", "mode" -> "FAILFAST")
+      .filter(col("dt") === lit(java.sql.Date.valueOf("2024-03-01")))
+    assert(df.select(sum("id")).collect().head.getLong(0) == 3L)
+    // and the claim is visible in the scan description
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("partitionFilters="), scanDesc)
+  }
+
+  test("range + Or/Not partition filters prune correctly (typed DATE, INT)") {
+    val root = writeTree(
+      "dt=2024-03-01/shard=1/a.log" -> Seq("1 A"),
+      "dt=2024-03-02/shard=2/b.log" -> Seq("2 B"),
+      "dt=2024-03-03/shard=3/c.log" -> Seq("3 C"),
+      "dt=2024-03-04/shard=4/d.log" -> Seq("4 D"))
+    val df = readLog(root, "partitionSchema" -> "dt DATE, shard INT")
+    def ids(f: org.apache.spark.sql.Column): Seq[Int] =
+      df.filter(f).select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids(col("dt") >= lit(java.sql.Date.valueOf("2024-03-03"))) == Seq(3, 4))
+    assert(ids(col("shard") === 2 || col("shard") === 4) == Seq(2, 4))
+    assert(ids(!(col("shard") < 3)) == Seq(3, 4))
+    assert(ids(col("shard").isin(1, 3)) == Seq(1, 3))
+  }
+
+  test("estimateStatistics reflects pruned bytes exactly") {
+    val big = Seq.tabulate(500)(i => s"$i INFO")
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 INFO"),
+      "dt=2024-03-02/b.log" -> big)
+    val all = readLog(root, "partitionSchema" -> "dt DATE")
+    val one = all.filter(col("dt") === lit(java.sql.Date.valueOf("2024-03-01")))
+    val allSize = all.queryExecution.optimizedPlan.stats.sizeInBytes
+    val oneSize = one.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(oneSize * 10 < allSize, s"one=$oneSize all=$allSize")
+  }
+
+  test("null partition (__HIVE_DEFAULT_PARTITION__) and IsNull/IsNotNull") {
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 A"),
+      "dt=__HIVE_DEFAULT_PARTITION__/b.log" -> Seq("2 B"))
+    val df = readLog(root, "partitionSchema" -> "dt DATE")
+    assert(df.filter(col("dt").isNull).select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(df.filter(col("dt").isNotNull).select("id").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // 3VL: an equality filter must NOT resurrect the null partition
+    assert(df.filter(col("dt") =!= lit(java.sql.Date.valueOf("2024-03-01")))
+      .count() == 0L)
+  }
+
+  test("escaped segment values decode (hive %-escaping)") {
+    val root = writeTree("tag=a%3Db/a.log" -> Seq("1 A")) // a=b
+    val df = readLog(root, "partitionSchema" -> "tag STRING")
+    assert(df.select("tag").collect().map(_.getString(0)).toSeq == Seq("a=b"))
+    assert(df.filter(col("tag") === "a=b").count() == 1L)
+  }
+
+  test("config validation: collisions, bad types, duplicate names") {
+    intercept[IllegalArgumentException] {
+      LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+) (\\w+)", "schema" -> "id INT, level VARCHAR",
+        "partitionschema" -> "level STRING"))
+    }
+    intercept[IllegalArgumentException] {
+      LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+)", "schema" -> "id INT",
+        "partitionschema" -> "dt TIMESTAMP")) // unsupported partition type
+    }
+    intercept[IllegalArgumentException] {
+      LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+)", "schema" -> "id INT",
+        "partitionschema" -> "dt DATE, DT DATE"))
+    }
+  }
+
+  test("missing or malformed segment fails at plan time with the path named") {
+    val root = writeTree("nodate/a.log" -> Seq("1 A"))
+    val e = intercept[Exception] {
+      readLog(root, "partitionSchema" -> "dt DATE").count()
+    }
+    assert(e.getMessage.contains("dt"), e.getMessage)
+    val root2 = writeTree("dt=not-a-date/a.log" -> Seq("1 A"))
+    val e2 = intercept[Exception] {
+      readLog(root2, "partitionSchema" -> "dt DATE").count()
+    }
+    assert(e2.getMessage.contains("not-a-date"), e2.getMessage)
+  }
+
+  test("mixed pushdown: partition filter prunes files, data filter prunes rows") {
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 INFO", "2 WARN", "3 INFO"),
+      "dt=2024-03-02/b.log" -> Seq("4 INFO"))
+    val df = readLog(root, "partitionSchema" -> "dt DATE")
+      .filter(col("dt") === lit(java.sql.Date.valueOf("2024-03-01")) &&
+        col("level") === "INFO")
+    assert(df.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("partitionFilters=[") && desc.contains("EqualTo(dt,2024-03-01)"), desc)
+    assert(desc.contains("EqualTo(level,INFO)"), desc)
+  }
+
+  test("count(*) over a partition-pruned scan") {
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 A", "2 B"),
+      "dt=2024-03-02/b.log" -> Seq("3 C"))
+    val df = readLog(root, "partitionSchema" -> "dt DATE")
+      .filter(col("dt") === lit(java.sql.Date.valueOf("2024-03-02")))
+    assert(df.count() == 1L)
+  }
+
+  test("streaming: partition values present, pruned files never admitted") {
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 INFO"),
+      // poison: would fail the pattern into unmatched_lines and flunk the
+      // assertion below if admitted
+      "dt=2024-03-02/b.log" -> Seq("garbage that does not match"))
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("extensions", "log")
+      .option("partitionSchema", "dt DATE")
+      .load(root.getAbsolutePath)
+      .filter(col("dt") === lit(java.sql.Date.valueOf("2024-03-01")))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("logpart_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table("logpart_stream")
+      .select("id", "dt").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString)).toSeq
+    assert(rows == Seq((1, "2024-03-01")))
+  }
+
+  test("unescapePathName: hex pairs, malformed '%' literal") {
+    assert(PartitionValues.unescapePathName("a%3Db%2Fc") == "a=b/c")
+    assert(PartitionValues.unescapePathName("100%") == "100%")
+    assert(PartitionValues.unescapePathName("%zz") == "%zz")
+    assert(PartitionValues.unescapePathName("plain") == "plain")
+  }
+}
