@@ -112,13 +112,52 @@ final class LogScanBuilder(fullSchema: StructType, opts: LogOptions, paths: Seq[
 }
 
 final class LogScan(
-    required: StructType,
-    opts: LogOptions,
-    paths: Seq[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    pushedPart: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    private[log] val required: StructType,
+    private[log] val opts: LogOptions,
+    private[log] val paths: Seq[String],
+    private[log] val pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    private[log] val pushedPart: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime (join-driven) partition pruning — the DSV2 analogue of
+    * dynamic partition pruning: when this scan joins a filtered dimension
+    * on a partition column, Spark re-plans the scan at EXECUTION time
+    * with an `In(partCol, <build-side keys>)` filter derived from the
+    * (usually reused-broadcast) build side. At 100 TB this prunes files
+    * the STATIC filters can't: `logs JOIN dims ON logs.dt = dims.dt WHERE
+    * dims.active` reads only the days the dimension selects.
+    *
+    * Only partition columns are offered ([[filterAttributes]]): a runtime
+    * filter on a regex-extracted data column cannot skip whole files.
+    * Pruning here is applied in [[planInputPartitions]] — NOT in
+    * [[listedFiles]], which the optimizer's statistics probe may have
+    * already forced at plan time (runtime filters arrive later, and
+    * statistics must stay a plan-time quantity).
+    */
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    opts.partitionSchema.map { case (n, _) =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(n)
+    }.toArray
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = filters.filter(PartitionValues.supportedFilter(_, opts))
+
+  // Value-based equality (runtime-filter state deliberately excluded —
+  // BatchScanExec compares its runtime filters separately): lets Spark
+  // reuse the scan/exchange when the same log table is scanned twice
+  // with identical pushdown state.
+  override def equals(other: Any): Boolean = other match {
+    case o: LogScan =>
+      required == o.required && opts == o.opts && paths == o.paths &&
+        pushed.toSeq == o.pushed.toSeq && pushedPart.toSeq == o.pushedPart.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (required, opts, paths, pushed.toSeq, pushedPart.toSeq).hashCode()
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -209,9 +248,15 @@ final class LogScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val maxSplit = LogScan.splitSize(spark, listedFiles)
+    // runtime filters prune here (execution re-plan), on top of the
+    // statically-pruned listing
+    val files =
+      if (runtimeFilters.isEmpty) listedFiles
+      else listedFiles.filter(f =>
+        PartitionValues.prunesIn(runtimeFilters.toSeq, f.getPath.toString, opts))
+    val maxSplit = LogScan.splitSize(spark, files)
     LogScan.pack(
-      LogScan.chunkFiles(listedFiles, opts, conf, maxSplit),
+      LogScan.chunkFiles(files, opts, conf, maxSplit),
       maxSplit,
       org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
   }

@@ -187,6 +187,34 @@ class LogPartitionSpec extends SparkSpec {
     assert(rows == Seq((1, "2024-03-01")))
   }
 
+  test("runtime (join-driven) pruning: dimension filter skips files at execution") {
+    val root = writeTree(
+      "shard=1/a.log" -> Seq("1 INFO", "2 WARN"),
+      "shard=2/b.log" -> Seq("3 INFO"),
+      // FAILFAST poison: only a runtime filter derived from the dimension
+      // can prune this — no static predicate mentions shard
+      "shard=3/c.log" -> Seq("completely unparseable"))
+    val fact = readLog(root, "partitionSchema" -> "shard INT", "mode" -> "FAILFAST")
+    import spark.implicits._
+    // parquet-backed dim: a LocalRelation's filter constant-folds away and
+    // the DPP rule then sees no selective build-side predicate
+    val dimPath = Files.createTempDirectory("logpart_dim").toString
+    Seq((1, 1), (2, 1), (3, 0)).toDF("shard", "keep")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    // broadcast hint pins the 100-TB shape: the dim is the build side, so
+    // the DPP subquery reuses its broadcast. (Without it, this tiny test
+    // fact broadcasts instead — our size stats at work — and AQE degrades
+    // the pruning expression to `true`.)
+    val joined = fact.join(broadcast(dim.filter(col("keep") === 1)), "shard")
+    val rows = joined.select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == Seq(1, 2, 3))
+    // the executed plan carries a LIVE dynamic pruning subquery on the scan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(shard"), plan)
+    assert(!plan.contains("dynamicpruningexpression(true)"), plan)
+  }
+
   test("unescapePathName: hex pairs, malformed '%' literal") {
     assert(PartitionValues.unescapePathName("a%3Db%2Fc") == "a=b/c")
     assert(PartitionValues.unescapePathName("100%") == "100%")
