@@ -125,6 +125,18 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 21, 21))
   }
 
+  test("q_log_partitioned: DATE range claimed as partition filters, no residual Filter") {
+    val df = SparkEntry.queries("q_log_partitioned")(spark, sf)
+    val p = plan(df)
+    val leaf = p.collectLeaves().head.toString
+    assert(leaf.contains("partitionFilters=[") &&
+      leaf.contains("GreaterThanOrEqual(dt,2024-01-08)") &&
+      leaf.contains("LessThanOrEqual(dt,2024-01-14)"),
+      s"week range should be claimed as partition filters:\n$leaf")
+    val filters = p.collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+    assert(filters.isEmpty, s"expected no residual Filter, got:\n${filters.mkString("\n")}")
+  }
+
   test("minhash signature pipeline contains the one-pass expressions (no 64x transform)") {
     import graft.ops.Dedup
     val docs = spark.read.parquet(s"$sf/documents.parquet")
