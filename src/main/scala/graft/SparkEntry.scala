@@ -149,6 +149,15 @@ object SparkEntry {
         ev.select(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
           format_string("%d %s user=%d %.2f",
             col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
+      case "dirs" =>
+        // PLAIN date tree (yyyy/MM/dd/part-*.txt — no k=v naming), the
+        // Drill-workspace layout dirColumns exists for (q_log_dircols):
+        // written via partitionBy, then each `k=v` level renamed bare
+        ev.select(date_format(col("ts"), "yyyy").as("y"),
+          date_format(col("ts"), "MM").as("m"),
+          date_format(col("ts"), "dd").as("d"),
+          format_string("%d %s user=%d %.2f",
+            col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
       case "multiline" =>
         // one 3-line record per event (value only on the tail line, so
         // extracting it REQUIRES record assembly); continuation lines are
@@ -177,7 +186,22 @@ object SparkEntry {
       lines.repartition(16).write.mode("overwrite").text(out)
     else if (flavor == "hive")
       lines.write.mode("overwrite").partitionBy("dt").text(out)
-    else lines.write.mode("overwrite").text(out)
+    else if (flavor == "dirs") {
+      lines.write.mode("overwrite").partitionBy("y", "m", "d").text(out)
+      // strip the k=v naming to bare segment names; _SUCCESS is recreated
+      // LAST so a crash mid-rename can't leave a complete-looking fixture
+      val rootF = new java.io.File(out)
+      new java.io.File(rootF, "_SUCCESS").delete()
+      def bare(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { c =>
+          bare(c)
+          val eq = c.getName.indexOf('=')
+          if (eq > 0) c.renameTo(new java.io.File(c.getParent, c.getName.substring(eq + 1)))
+        }
+      }
+      bare(rootF)
+      new java.io.File(rootF, "_SUCCESS").createNewFile()
+    } else lines.write.mode("overwrite").text(out)
     out
   }
 
@@ -257,6 +281,29 @@ object SparkEntry {
         max("event_id").cast("long").as("max_event_id"),
         sum(col("user_id").cast("long")).as("sum_user_id"))
       .orderBy("dt", "event_type")
+  }
+
+  /** Positional dir columns ([[graft.log.PartitionValues]] dirColumns —
+    * Drill's `dir0`/`dirN`, the plain `yyyy/MM/dd` tree with no `k=v`
+    * naming): a week of day directories selected by a STRING range on
+    * the day segment, claimed as partition filters — the other 23 day
+    * dirs are pruned before any task launches.
+    */
+  private def qLogDircols(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "dirs")
+    spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)")
+      .option("fieldNames", "event_id, event_type, user_id, value")
+      .option("dataTypes", "INT, VARCHAR, INT, DOUBLE")
+      .option("dirColumns", "y, m, d")
+      .option("extensions", "txt")
+      .load(path)
+      .filter(col("d") >= "08" && col("d") <= "14")
+      .groupBy(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max("event_id").cast("long").as("max_event_id"),
+        sum(col("user_id").cast("long")).as("sum_user_id"))
+      .orderBy("d", "event_type")
   }
 
   private def qLogUnmatched(spark: SparkSession, dir: String): DataFrame = {
@@ -6875,6 +6922,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_parse_agg" -> (qLogParseAgg _),
     "q_log_partitioned" -> (qLogPartitioned _),
+    "q_log_dircols" -> (qLogDircols _),
     "q_log_apache" -> (qLogApache _),
     "q_log_pushdown" -> (qLogPushdown _),
     "q_log_dropmalformed" -> (qLogDropMalformed _),
@@ -7529,6 +7577,13 @@ object SparkEntry {
         |       CAST(sum(user_id) AS BIGINT) AS sum_user_id
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_log_dircols" ->
+      """SELECT strftime(ts, '%d') AS d, event_type, count(*) AS n,
+        |       max(event_id) AS max_event_id,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events
+        |WHERE strftime(ts, '%d') BETWEEN '08' AND '14'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_log_dropmalformed" ->
       """SELECT event_type, count(*) AS n,

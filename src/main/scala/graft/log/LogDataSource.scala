@@ -171,8 +171,10 @@ final class LogScan(
     * probe and execution's partition planning (a second metadata sweep of
     * a million-file directory would double the driver's listing cost).
     * Located statuses (block hosts) ride along for free on filesystems
-    * that have them — they feed task locality below. */
-  private lazy val listedFiles: Seq[FileStatus] = {
+    * that have them — they feed task locality below. The matched load
+    * roots ride along too: positional dir columns are defined RELATIVE
+    * to them. */
+  private lazy val listing: (Seq[FileStatus], Seq[String]) = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val files = ArrayBuffer.empty[FileStatus]
@@ -190,16 +192,20 @@ final class LogScan(
     files ++= LogScan
       .listRecursiveParallel(conf, dirs.toSeq, LogScan.listingThreads(spark))
       .filter(f => matchesExtension(f.getPath.getName))
-    // partition pruning: claimed partition filters drop whole files HERE,
-    // before statistics, split planning and task launch — the dominant
-    // scan lever on a date-partitioned tree (PartitionValues scaladoc)
-    val pruned =
-      if (pushedPart.isEmpty) files.toSeq
-      else files.filter(f =>
-        PartitionValues.prunesIn(pushedPart.toSeq, f.getPath.toString, opts)).toSeq
     // path-sorted: listing-order independence makes the chunk sequence
     // (and therefore the packed partition set) deterministic
-    pruned.sortBy(_.getPath.toString)
+    (files.sortBy(_.getPath.toString).toSeq, dirs.map(_.toString).toSeq)
+  }
+
+  /** [[listing]] with claimed partition filters applied: whole files drop
+    * HERE, before statistics, split planning and task launch — the
+    * dominant scan lever on a date-partitioned tree (PartitionValues
+    * scaladoc). */
+  private lazy val listedFiles: Seq[FileStatus] = {
+    val (files, roots) = listing
+    if (pushedPart.isEmpty) files
+    else files.filter(f => PartitionValues.prunesIn(pushedPart.toSeq,
+      f.getPath.toString, opts, LogScan.rootOf(f.getPath.toString, roots)))
   }
 
   /** Without this, a DSV2 relation falls back to
@@ -250,13 +256,15 @@ final class LogScan(
     val conf = spark.sparkContext.hadoopConfiguration
     // runtime filters prune here (execution re-plan), on top of the
     // statically-pruned listing
+    val roots = listing._2
     val files =
       if (runtimeFilters.isEmpty) listedFiles
       else listedFiles.filter(f =>
-        PartitionValues.prunesIn(runtimeFilters.toSeq, f.getPath.toString, opts))
+        PartitionValues.prunesIn(runtimeFilters.toSeq, f.getPath.toString, opts,
+          LogScan.rootOf(f.getPath.toString, roots)))
     val maxSplit = LogScan.splitSize(spark, files)
     LogScan.pack(
-      LogScan.chunkFiles(files, opts, conf, maxSplit),
+      LogScan.chunkFiles(files, opts, conf, maxSplit, roots),
       maxSplit,
       org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
   }
@@ -409,7 +417,8 @@ object LogScan {
       files: Seq[FileStatus],
       opts: LogOptions,
       conf: org.apache.hadoop.conf.Configuration,
-      maxSplit: Long): Seq[LogChunk] = {
+      maxSplit: Long,
+      roots: Seq[String] = Nil): Seq[LogChunk] = {
     val codecs = new CompressionCodecFactory(conf)
     val chunks = ArrayBuffer.empty[LogChunk]
     files.foreach { f =>
@@ -419,7 +428,8 @@ object LogScan {
       // partition values ride on every chunk of the file: per-chunk
       // constants the reader stamps onto rows (typed validation happens
       // here, at planning — a malformed segment fails before task launch)
-      val pv = PartitionValues.rawValues(f.getPath.toString, opts)
+      val pv = PartitionValues.rawValues(f.getPath.toString, opts,
+        rootOf(f.getPath.toString, roots))
       if (!splittable || f.getLen == 0) {
         chunks += LogChunk(f.getPath.toString, 0, f.getLen, f.getLen,
           chunkHosts(f, 0, f.getLen), pv)
@@ -478,6 +488,27 @@ object LogScan {
     weighted.foreach { case (h, n) => bytes.update(h, bytes.getOrElse(h, 0L) + n) }
     bytes.toSeq.sortBy { case (h, n) => (-n, h) }.take(3).map(_._1).toArray
   }
+
+  /** The matched load root a file was listed under: longest root whose
+    * URI path prefixes the file's (roots are real ancestors, so longest
+    * wins when paths nest). Empty for explicitly-listed files — their
+    * positional dir columns read NULL (Drill's file-at-workspace-root
+    * semantics). */
+  def rootOf(path: String, roots: Seq[String]): String = {
+    def up(s: String) = new Path(s).toUri.getPath.stripSuffix("/")
+    val p = up(path)
+    roots.filter(r => p.startsWith(up(r) + "/"))
+      .sortBy(r => -up(r).length).headOption.getOrElse("")
+  }
+
+  /** Glob-expand `paths` to their matched DIRECTORY roots (the streaming
+    * planner's counterpart of the batch listing's retained roots). */
+  def dirRoots(conf: Configuration, paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      Option(hp.getFileSystem(conf).globStatus(hp)).getOrElse(Array.empty)
+        .filterNot(_.isFile).map(_.getPath.toString).toSeq
+    }
 
   /** Extension routing (`LogFormatPlugin.java:96-104`): a directory scan
     * includes `*.{ext}` plus compressed variants `*.{ext}.{codec}`.
@@ -565,8 +596,8 @@ final class LogPartitionReader(
   // converting the chunk's raw values
   private val partDecl: Array[(Int, String, String)] = partOrdinals.map { ord =>
     val name = required.fields(ord).name
-    val di = opts.partitionSchema.indexWhere(_._1.equalsIgnoreCase(name))
-    (di, opts.partitionSchema(di)._2, name)
+    val di = opts.pathFields.indexWhere(_._1.equalsIgnoreCase(name))
+    (di, opts.pathFields(di)._2, name)
   }
 
   private val parser = new LineParser(opts, dataRequired, pushed)

@@ -304,8 +304,9 @@ final class LogMicroBatchStream(
     // same chunker as the batch scan: one huge discovered file must fan
     // out across the cluster, not stall the micro-batch on a single task
     val maxSplit = LogScan.splitSize(spark, statuses)
+    val roots = if (opts.dirColumns.isEmpty) Nil else LogScan.dirRoots(conf, paths)
     LogScan.pack(
-      LogScan.chunkFiles(statuses, opts, conf, maxSplit),
+      LogScan.chunkFiles(statuses, opts, conf, maxSplit, roots),
       maxSplit,
       org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
   }
@@ -431,8 +432,11 @@ final class LogMicroBatchStream(
     // (A filter changed across a restart of the same checkpoint admits
     // newly-passing files normally — they were never seen.)
     if (pushedPart.isEmpty) out.toSeq
-    else out.filter(f =>
-      PartitionValues.prunesIn(pushedPart.toSeq, f.getPath.toString, opts)).toSeq
+    else {
+      val roots = dirs.map(_.toString).toSeq
+      out.filter(f => PartitionValues.prunesIn(pushedPart.toSeq,
+        f.getPath.toString, opts, LogScan.rootOf(f.getPath.toString, roots))).toSeq
+    }
   }
 }
 

@@ -76,7 +76,13 @@ final case class LogOptions(
     // [[PartitionValues]] for the scale rationale). Appended to the table
     // schema after `unmatched_lines`; claimed filters on them prune whole
     // files at plan time.
-    partitionSchema: Seq[(String, String)] = Nil) {
+    partitionSchema: Seq[(String, String)] = Nil,
+    // POSITIONAL directory columns (Drill's `dir0`/`dirN`, the layout a
+    // migrating reference user actually has: `/logs/2024/03/01/*.log`,
+    // no `k=v` naming): each name maps to the Nth path segment below the
+    // loaded root, STRING, null when the file sits shallower (Drill's
+    // dirN semantics). Prunable exactly like partitionSchema columns.
+    dirColumns: Seq[String] = Nil) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day — FINAL, SURVEY §7.4#1:
@@ -106,14 +112,21 @@ final case class LogOptions(
     fieldNames.zip(dataTypes).map { case (n, t) =>
       StructField(n, sparkType(t), nullable = true)
     } ++ (StructField(LogOptions.UnmatchedCol, StringType, nullable = true) +:
-      partitionSchema.map { case (n, t) =>
+      pathFields.map { case (n, t) =>
         StructField(n, PartitionValues.partType(t), nullable = true)
       }))
 
-  /** Lowercased partition-column name set (resolution is case-insensitive,
-    * matching Spark's default). */
+  /** ALL path-derived fields in schema order — hive partition columns
+    * (typed) then positional dir columns (STRING) — the one declaration
+    * order [[PartitionValues]], `LogChunk.partValues` and the reader's
+    * constant-stamping share. */
+  lazy val pathFields: Seq[(String, String)] =
+    partitionSchema ++ dirColumns.map(n => (n, "VARCHAR"))
+
+  /** Lowercased path-derived column name set (resolution is
+    * case-insensitive, matching Spark's default). */
   lazy val partitionNames: Set[String] =
-    partitionSchema.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+    pathFields.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
 
   lazy val compiledPattern: Pattern = Pattern.compile(pattern)
 }
@@ -346,22 +359,26 @@ object LogOptions {
             s"(supported: ${PartitionValues.KnownTypes.toSeq.sorted.mkString(", ")})")
       }
     }
-    val lowerParts = partitionSchema.map(_._1.toLowerCase)
+    // dirColumns: positional (Drill dirN-style) directory column names
+    val dirColumns: Seq[String] = get("dircolumns")
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val lowerParts = (partitionSchema.map(_._1) ++ dirColumns).map(_.toLowerCase)
     if (lowerParts.distinct.size != lowerParts.size) {
       throw new IllegalArgumentException(
-        s"[log] duplicate partitionSchema column names: ${partitionSchema.map(_._1).mkString(", ")}")
+        s"[log] duplicate partitionSchema/dirColumns column names: " +
+          s"${(partitionSchema.map(_._1) ++ dirColumns).mkString(", ")}")
     }
-    val fieldCollisions = partitionSchema.map(_._1)
+    val fieldCollisions = (partitionSchema.map(_._1) ++ dirColumns)
       .filter(n => fieldNames.exists(_.equalsIgnoreCase(n)) || n.equalsIgnoreCase(UnmatchedCol))
     if (fieldCollisions.nonEmpty) {
       throw new IllegalArgumentException(
-        s"[log] partitionSchema column(s) ${fieldCollisions.mkString(", ")} collide with " +
-          "declared fieldNames or the unmatched_lines column")
+        s"[log] partitionSchema/dirColumns column(s) ${fieldCollisions.mkString(", ")} " +
+          "collide with declared fieldNames or the unmatched_lines column")
     }
 
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
       failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger,
       maxFileAgeMs, latestFirst, cleanSource, sourceArchiveDir, recordStartPattern,
-      recordMaxBytes, partitionSchema)
+      recordMaxBytes, partitionSchema, dirColumns)
   }
 }

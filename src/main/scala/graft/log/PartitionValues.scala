@@ -90,13 +90,38 @@ object PartitionValues {
     sb.toString
   }
 
-  /** Raw (unescaped) string value per DECLARED partition field, in
-    * declaration order; `null` marks the hive default (null) partition.
-    * Validates at call time — planning, not mid-task — that every
-    * declared column has exactly one unambiguous segment and that typed
-    * values parse.
+  /** Path segments of `path` BELOW `root`, directories only (the file
+    * name is dropped) — the value source for positional dir columns.
+    * Scheme-insensitive prefix match (`file:/x` vs `/x`); a path not
+    * under the root (an explicitly-listed file) yields zero segments, so
+    * every dir column reads NULL — Drill's dirN-at-the-workspace-root
+    * semantics.
     */
-  def rawValues(path: String, opts: LogOptions): Array[String] = {
+  def dirSegments(path: String, root: String): Array[String] = {
+    def uriPath(s: String) =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+    val p = uriPath(path)
+    val r = uriPath(root)
+    if (!p.startsWith(r + "/")) return Array.empty
+    val rel = p.substring(r.length + 1).split('/')
+    rel.dropRight(1) // the file name itself is not a directory level
+  }
+
+  /** Raw string value per declared PATH field (`opts.pathFields` order:
+    * hive partition columns then positional dir columns); `null` marks
+    * the hive default (null) partition or a dir level the file sits
+    * above. Validates at call time — planning, not mid-task — that every
+    * hive column has exactly one unambiguous segment and typed values
+    * parse.
+    */
+  def rawValues(path: String, opts: LogOptions, root: String = ""): Array[String] = {
+    val hive = hiveValues(path, opts)
+    if (opts.dirColumns.isEmpty) return hive
+    val segs = if (root.isEmpty) Array.empty[String] else dirSegments(path, root)
+    hive ++ opts.dirColumns.indices.map(i => if (i < segs.length) segs(i) else null)
+  }
+
+  private def hiveValues(path: String, opts: LogOptions): Array[String] = {
     val declared = opts.partitionSchema
     if (declared.isEmpty) return Array.empty
     // k=v segments anywhere under the load path; key match is
@@ -157,8 +182,8 @@ object PartitionValues {
     * handful of constants, so there is no per-row cost to bound.
     */
   def supportedFilter(f: Filter, opts: LogOptions): Boolean = {
-    if (opts.partitionSchema.isEmpty) return false
-    val types: Map[String, String] = opts.partitionSchema.map { case (n, t) =>
+    if (opts.pathFields.isEmpty) return false
+    val types: Map[String, String] = opts.pathFields.map { case (n, t) =>
       n.toLowerCase(java.util.Locale.ROOT) -> t
     }.toMap
     def typeOf(name: String): Option[String] = types.get(name.toLowerCase(java.util.Locale.ROOT))
@@ -256,14 +281,17 @@ object PartitionValues {
     }
   }
 
-  /** Does this file survive every claimed partition filter? */
+  /** Does this file survive every claimed partition filter? `root` is the
+    * matched load directory the file was listed under (needed only when
+    * dir columns are declared). */
   def prunesIn(
       filters: Seq[Filter],
       path: String,
-      opts: LogOptions): Boolean = {
+      opts: LogOptions,
+      root: String = ""): Boolean = {
     if (filters.isEmpty) return true
-    val raws = rawValues(path, opts)
-    val values: Map[String, Any] = opts.partitionSchema.zip(raws).map {
+    val raws = rawValues(path, opts, root)
+    val values: Map[String, Any] = opts.pathFields.zip(raws).map {
       case ((n, t), raw) =>
         n.toLowerCase(java.util.Locale.ROOT) -> toInternal(raw, t, n, path)
     }.toMap

@@ -215,6 +215,58 @@ class LogPartitionSpec extends SparkSpec {
     assert(!plan.contains("dynamicpruningexpression(true)"), plan)
   }
 
+  test("dirColumns: positional Drill-style directory values, null below depth") {
+    val root = writeTree(
+      "2024/03/01/a.log" -> Seq("1 INFO"),
+      "2024/03/b.log" -> Seq("2 WARN"), // one level shallow: day is NULL
+      "c.log" -> Seq("3 ERROR")) // at the root: all NULL
+    val df = readLog(root, "dirColumns" -> "year, month, day")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "level", "unmatched_lines", "year", "month", "day"))
+    val rows = df.select("id", "year", "month", "day").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1, "2024", "03", "01"), (2, "2024", "03", null), (3, null, null, null)))
+  }
+
+  test("dirColumns prune files: poisoned year directory never opened") {
+    val root = writeTree(
+      "2024/03/a.log" -> Seq("1 INFO"),
+      "2023/12/b.log" -> Seq("unparseable poison"))
+    val df = readLog(root, "dirColumns" -> "year, month", "mode" -> "FAILFAST")
+      .filter(col("year") === "2024")
+    assert(df.select(sum("id")).collect().head.getLong(0) == 1L)
+    // and null-depth 3VL: IsNull matches only the shallow file
+    val root2 = writeTree(
+      "2024/a.log" -> Seq("5 A"),
+      "top.log" -> Seq("6 B"))
+    val df2 = readLog(root2, "dirColumns" -> "year")
+    assert(df2.filter(col("year").isNull).select("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(6))
+  }
+
+  test("dirColumns compose with partitionSchema; streaming prunes on them") {
+    val root = writeTree(
+      "2024/dt=2024-03-01/a.log" -> Seq("1 INFO"),
+      "2023/dt=2023-12-31/b.log" -> Seq("garbage poison"))
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("extensions", "log")
+      .option("partitionSchema", "dt DATE")
+      .option("dirColumns", "year")
+      .load(root.getAbsolutePath)
+      .filter(col("year") === "2024")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("logdir_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table("logdir_stream")
+      .select("id", "dt", "year").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getString(2))).toSeq
+    assert(rows == Seq((1, "2024-03-01", "2024")))
+  }
+
   test("unescapePathName: hex pairs, malformed '%' literal") {
     assert(PartitionValues.unescapePathName("a%3Db%2Fc") == "a=b/c")
     assert(PartitionValues.unescapePathName("100%") == "100%")
