@@ -52,10 +52,15 @@ object Bench {
     */
   def measureFloor(spark: SparkSession, stateful: Boolean, runs: Int = 3): Double = {
     import org.apache.spark.sql.streaming.Trigger
-    val pk = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(pk)
-    if (stateful) spark.conf.set(pk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // same provider settings as the transformWithState queries (incl.
+    // changelog checkpointing — SparkEntry.withRocksDbStateStore), or the
+    // floor/work split misattributes the config difference
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val prevs = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    if (stateful) confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       (0 until runs).map { _ =>
         // same checkpoint placement as the drains (Scratch.ephemeralCkptDir):
@@ -81,9 +86,9 @@ object Bench {
         deleteRec(base.toFile)
         dt
       }.min
-    } finally prev match {
-      case Some(v) => spark.conf.set(pk, v)
-      case None => spark.conf.unset(pk)
+    } finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 

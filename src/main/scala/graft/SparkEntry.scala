@@ -1055,11 +1055,7 @@ object SparkEntry {
     val base = s"/tmp/graft_tws/${tmpKey(dir)}"
     deleteRec(new java.io.File(base)) // the drain is the query
     val sink = s"$base/sink"
-    val pk = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(pk)
-    spark.conf.set(pk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbStateStore(spark) {
       val stream = spark.readStream
         .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -1069,9 +1065,6 @@ object SparkEntry {
         .as[graft.streaming.RunningTotals.In]
       drainAppendToParquet(graft.streaming.RunningTotals(stream).toDF(),
         sink, "q_transform_state", statePartitionCap = Some(2))
-    } finally prev match {
-      case Some(v) => spark.conf.set(pk, v)
-      case None => spark.conf.unset(pk)
     }
     spark.read.parquet(sink)
       .groupBy("k")
@@ -1093,11 +1086,7 @@ object SparkEntry {
     val base = s"/tmp/graft_mapstate/${tmpKey(dir)}"
     deleteRec(new java.io.File(base))
     val sink = s"$base/sink"
-    val pk = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(pk)
-    spark.conf.set(pk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbStateStore(spark) {
       val stream = spark.readStream
         .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -1106,9 +1095,6 @@ object SparkEntry {
         .as[graft.streaming.TypeCounts.In]
       drainAppendToParquet(graft.streaming.TypeCounts(stream).toDF(),
         sink, "q_map_state", statePartitionCap = Some(2))
-    } finally prev match {
-      case Some(v) => spark.conf.set(pk, v)
-      case None => spark.conf.unset(pk)
     }
     spark.read.parquet(sink)
       .groupBy("userId", "eventType")
@@ -3225,6 +3211,29 @@ object SparkEntry {
     * arriving behind the watermark would be dropped as late (correct
     * streaming semantics, but not what these queries measure).
     */
+  /** Run `body` with the RocksDB state-store provider AND changelog
+    * checkpointing enabled, restoring the session's prior values after.
+    * Changelog checkpointing is the production RocksDB configuration —
+    * each batch commits an incremental changelog instead of uploading a
+    * full snapshot — and the faster one here too (interleaved A/B:
+    * q_list_state median 6.9 → 5.4 s, transform/map state −10%, none
+    * worse). One helper so all transformWithState queries and the bench
+    * floor stay on identical settings.
+    */
+  private def withRocksDbStateStore[A](spark: SparkSession)(body: => A): A = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   private def streamChunksDir(spark: SparkSession, dir: String): String = {
     // _v2: chunk order pinned OUTSIDE spark (sequenced names + strictly
     // increasing forced mtimes, the nearDupStreamSrcDir discipline).
@@ -5827,11 +5836,7 @@ object SparkEntry {
     val base = s"/tmp/graft_liststate/${tmpKey(dir)}"
     deleteRec(new java.io.File(base))
     val sink = s"$base/sink"
-    val pk = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(pk)
-    spark.conf.set(pk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbStateStore(spark) {
       val stream = spark.readStream
         .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -5842,9 +5847,6 @@ object SparkEntry {
         .as[graft.streaming.RecentValues.In]
       drainAppendToParquet(graft.streaming.RecentValues(stream).toDF(),
         sink, "q_list_state", statePartitionCap = Some(2))
-    } finally prev match {
-      case Some(v) => spark.conf.set(pk, v)
-      case None => spark.conf.unset(pk)
     }
     spark.read.parquet(sink)
       .groupBy(col("userId").as("user_id"))
@@ -5867,11 +5869,7 @@ object SparkEntry {
     deleteRec(new java.io.File(sinkDir))
     val schema = spark.read.parquet(srcDir).schema
     import spark.implicits._
-    val pk = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(pk)
-    spark.conf.set(pk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbStateStore(spark) {
       val ev = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "4") // sessions span batches
         .parquet(srcDir)
@@ -5882,9 +5880,6 @@ object SparkEntry {
         graft.streaming.TimedSessions(ev, gapMillis = 30 * 60 * 1000L)
       drainAppendToParquet(sessions.toDF(), sinkDir, "q_timed_sessions",
         statePartitionCap = Some(2))
-    } finally prev match {
-      case Some(v) => spark.conf.set(pk, v)
-      case None => spark.conf.unset(pk)
     }
     readSinkOrEmpty(spark, sinkDir,
       "userId BIGINT, start TIMESTAMP, end TIMESTAMP, nEvents INT")
