@@ -82,7 +82,13 @@ final case class LogOptions(
     // no `k=v` naming): each name maps to the Nth path segment below the
     // loaded root, STRING, null when the file sits shallower (Drill's
     // dirN semantics). Prunable exactly like partitionSchema columns.
-    dirColumns: Seq[String] = Nil) {
+    dirColumns: Seq[String] = Nil,
+    // Drill's implicit file columns (every Drill format plugin exposes
+    // them; DSV2 sources get no `input_file_name()`): any subset of
+    // fqn / filepath / filename / suffix, opt-in by name. Per-chunk
+    // constants like the other path fields — and filters on them prune
+    // whole files the same way.
+    implicitColumns: Seq[String] = Nil) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day — FINAL, SURVEY §7.4#1:
@@ -117,11 +123,11 @@ final case class LogOptions(
       }))
 
   /** ALL path-derived fields in schema order — hive partition columns
-    * (typed) then positional dir columns (STRING) — the one declaration
-    * order [[PartitionValues]], `LogChunk.partValues` and the reader's
-    * constant-stamping share. */
+    * (typed), then positional dir columns (STRING), then implicit file
+    * columns (STRING) — the one declaration order [[PartitionValues]],
+    * `LogChunk.partValues` and the reader's constant-stamping share. */
   lazy val pathFields: Seq[(String, String)] =
-    partitionSchema ++ dirColumns.map(n => (n, "VARCHAR"))
+    partitionSchema ++ (dirColumns ++ implicitColumns).map(n => (n, "VARCHAR"))
 
   /** Lowercased path-derived column name set (resolution is
     * case-insensitive, matching Spark's default). */
@@ -362,23 +368,33 @@ object LogOptions {
     // dirColumns: positional (Drill dirN-style) directory column names
     val dirColumns: Seq[String] = get("dircolumns")
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val lowerParts = (partitionSchema.map(_._1) ++ dirColumns).map(_.toLowerCase)
+    // implicitColumns: Drill's per-file implicit column set, opt-in
+    val implicitColumns: Seq[String] = get("implicitcolumns")
+      .map(_.split(",").map(_.trim.toLowerCase).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val unknownImplicit = implicitColumns.filterNot(PartitionValues.ImplicitColumns.contains)
+    if (unknownImplicit.nonEmpty) {
+      throw new IllegalArgumentException(
+        s"[log] unknown implicitColumns ${unknownImplicit.mkString(", ")} " +
+          s"(supported: ${PartitionValues.ImplicitColumns.mkString(", ")})")
+    }
+    val pathNames = partitionSchema.map(_._1) ++ dirColumns ++ implicitColumns
+    val lowerParts = pathNames.map(_.toLowerCase)
     if (lowerParts.distinct.size != lowerParts.size) {
       throw new IllegalArgumentException(
-        s"[log] duplicate partitionSchema/dirColumns column names: " +
-          s"${(partitionSchema.map(_._1) ++ dirColumns).mkString(", ")}")
+        s"[log] duplicate partitionSchema/dirColumns/implicitColumns column names: " +
+          s"${pathNames.mkString(", ")}")
     }
-    val fieldCollisions = (partitionSchema.map(_._1) ++ dirColumns)
+    val fieldCollisions = pathNames
       .filter(n => fieldNames.exists(_.equalsIgnoreCase(n)) || n.equalsIgnoreCase(UnmatchedCol))
     if (fieldCollisions.nonEmpty) {
       throw new IllegalArgumentException(
-        s"[log] partitionSchema/dirColumns column(s) ${fieldCollisions.mkString(", ")} " +
+        s"[log] path-derived column(s) ${fieldCollisions.mkString(", ")} " +
           "collide with declared fieldNames or the unmatched_lines column")
     }
 
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
       failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger,
       maxFileAgeMs, latestFirst, cleanSource, sourceArchiveDir, recordStartPattern,
-      recordMaxBytes, partitionSchema, dirColumns)
+      recordMaxBytes, partitionSchema, dirColumns, implicitColumns)
   }
 }

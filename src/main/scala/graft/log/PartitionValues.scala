@@ -107,18 +107,43 @@ object PartitionValues {
     rel.dropRight(1) // the file name itself is not a directory level
   }
 
+  /** Drill's implicit per-file columns, opt-in via the `implicitColumns`
+    * option: `fqn` (fully-qualified path), `filepath` (parent dir),
+    * `filename` (base name), `suffix` (after the last dot, empty when
+    * none — Drill's semantics).
+    */
+  val ImplicitColumns: Seq[String] = Seq("fqn", "filepath", "filename", "suffix")
+
+  private def implicitValue(name: String, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    name match {
+      case "fqn"      => path
+      case "filepath" => Option(hp.getParent).map(_.toString).getOrElse("")
+      case "filename" => hp.getName
+      case "suffix" =>
+        val n = hp.getName
+        val dot = n.lastIndexOf('.')
+        if (dot < 0) "" else n.substring(dot + 1)
+      case other => throw new IllegalArgumentException(s"[log] unknown implicit column $other")
+    }
+  }
+
   /** Raw string value per declared PATH field (`opts.pathFields` order:
-    * hive partition columns then positional dir columns); `null` marks
-    * the hive default (null) partition or a dir level the file sits
-    * above. Validates at call time — planning, not mid-task — that every
-    * hive column has exactly one unambiguous segment and typed values
-    * parse.
+    * hive partition columns, then positional dir columns, then implicit
+    * file columns); `null` marks the hive default (null) partition or a
+    * dir level the file sits above. Validates at call time — planning,
+    * not mid-task — that every hive column has exactly one unambiguous
+    * segment and typed values parse.
     */
   def rawValues(path: String, opts: LogOptions, root: String = ""): Array[String] = {
     val hive = hiveValues(path, opts)
-    if (opts.dirColumns.isEmpty) return hive
-    val segs = if (root.isEmpty) Array.empty[String] else dirSegments(path, root)
-    hive ++ opts.dirColumns.indices.map(i => if (i < segs.length) segs(i) else null)
+    val dirs: Seq[String] =
+      if (opts.dirColumns.isEmpty) Nil
+      else {
+        val segs = if (root.isEmpty) Array.empty[String] else dirSegments(path, root)
+        opts.dirColumns.indices.map(i => if (i < segs.length) segs(i) else null)
+      }
+    hive ++ dirs ++ opts.implicitColumns.map(implicitValue(_, path))
   }
 
   private def hiveValues(path: String, opts: LogOptions): Array[String] = {

@@ -267,6 +267,33 @@ class LogPartitionSpec extends SparkSpec {
     assert(rows == Seq((1, "2024-03-01", "2024")))
   }
 
+  test("implicitColumns: Drill's fqn/filepath/filename/suffix per file") {
+    val root = writeTree("sub/app.log" -> Seq("1 INFO"))
+    val df = readLog(root, "implicitColumns" -> "fqn, filepath, filename, suffix")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "level", "unmatched_lines", "fqn", "filepath", "filename", "suffix"))
+    val r = df.select("fqn", "filepath", "filename", "suffix").collect().head
+    assert(r.getString(2) == "app.log")
+    assert(r.getString(3) == "log")
+    assert(r.getString(0).endsWith("/sub/app.log"), r.getString(0))
+    assert(r.getString(1).endsWith("/sub"), r.getString(1))
+    // unknown implicit name is a plan-time config error
+    intercept[IllegalArgumentException] {
+      LogOptions.fromMap(Map("pattern" -> "(\\d+)", "schema" -> "id INT",
+        "implicitcolumns" -> "filename, basename"))
+    }
+  }
+
+  test("implicit-column filters prune files: poisoned suffix never opened") {
+    val root = writeTree(
+      "a.log" -> Seq("1 INFO"),
+      "b.txt" -> Seq("total garbage")) // FAILFAST poison, selected away by suffix
+    val df = readLog(root,
+      "implicitColumns" -> "suffix", "extensions" -> "log,txt", "mode" -> "FAILFAST")
+      .filter(col("suffix") === "log")
+    assert(df.select(sum("id")).collect().head.getLong(0) == 1L)
+  }
+
   test("unescapePathName: hex pairs, malformed '%' literal") {
     assert(PartitionValues.unescapePathName("a%3Db%2Fc") == "a=b/c")
     assert(PartitionValues.unescapePathName("100%") == "100%")
