@@ -294,6 +294,39 @@ class LogPartitionSpec extends SparkSpec {
     assert(df.select(sum("id")).collect().head.getLong(0) == 1L)
   }
 
+  test("scale probe: 1000-partition tree, 999 poisoned partitions all pruned") {
+    val root = Files.createTempDirectory("logpart_scale").toFile
+    for (i <- 0 until 1000) {
+      val d = new File(root, f"shard=$i%04d")
+      d.mkdirs()
+      Files.writeString(new File(d, "a.log").toPath,
+        if (i == 437) "1 INFO\n2 WARN" else "poison that cannot parse")
+    }
+    val t0 = System.nanoTime()
+    val df = readLog(root, "partitionSchema" -> "shard STRING", "mode" -> "FAILFAST")
+      .filter(col("shard") === "0437")
+    assert(df.select(sum("id")).collect().head.getLong(0) == 3L)
+    val dt = (System.nanoTime() - t0) / 1e9
+    // listing 1000 dirs + pruning 999 files must stay a sub-second
+    // driver-side operation (generous bound: CI boxes vary)
+    assert(dt < 30.0, s"planning+scan took ${dt}s over a 1000-partition tree")
+  }
+
+  test("multiline records carry partition constants like single-line rows") {
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 START alpha", "  cont one", "2 START beta", "  cont two"))
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+) START (\\w+)")
+      .option("schema", "id INT, name VARCHAR")
+      .option("recordStartPattern", "^\\d+ START")
+      .option("partitionSchema", "dt DATE")
+      .option("extensions", "log")
+      .load(root.getAbsolutePath)
+    val rows = df.select("id", "name", "dt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDate(2).toString)).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "alpha", "2024-03-01"), (2, "beta", "2024-03-01")))
+  }
+
   test("unescapePathName: hex pairs, malformed '%' literal") {
     assert(PartitionValues.unescapePathName("a%3Db%2Fc") == "a=b/c")
     assert(PartitionValues.unescapePathName("100%") == "100%")
