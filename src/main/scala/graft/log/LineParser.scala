@@ -323,9 +323,11 @@ object LineParser {
 
   /** Compile one supported filter to a predicate over the fvals buffer.
     * SQL three-valued logic: any comparison against NULL is unknown → row
-    * not emitted (same as Catalyst's Filter).
+    * not emitted (same as Catalyst's Filter). `private[graft]`: the
+    * differential fuzz (LineFilterFuzzSpec) drives it against Spark's own
+    * evaluation of the same predicate.
     */
-  private[log] def compile(f: Filter, slotOf: Map[String, Int]): Array[Any] => Boolean = {
+  private[graft] def compile(f: Filter, slotOf: Map[String, Int]): Array[Any] => Boolean = {
     def slot(name: String) = slotOf(name)
     f match {
       case EqualTo(a, v) =>
