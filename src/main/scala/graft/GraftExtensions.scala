@@ -16,8 +16,11 @@ import graft.functions.{CanonicalizeUrl, CosineSimilarity, HashedShingles, MinHa
   * }}}
   *
   * No custom optimizer rules or strategies are injected — per SURVEY.md
-  * §4.2, Catalyst's built-ins cover every rewrite this engine needs; the
-  * extension surface is deliberately limited to scalar functions.
+  * §4.2, Catalyst's built-ins cover every rewrite this engine needs. The
+  * extension surface is scalar functions plus ONE resolution rule,
+  * [[graft.log.ResolveLogPathTable]]: `SELECT * FROM log.`/path`` —
+  * Spark grants that syntax only to v1 FileFormat sources, and ad-hoc
+  * SQL over a file is the reference deployment's primary usage mode.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -25,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SELECT ... FROM log.`/path` (see graft.log.LogPathRelation): the
+    // parser wrapper is the catalog-agnostic interception point (Hive
+    // session state drops custom hint rules, and the main resolution
+    // batch is too late — ResolveSQLOnFile throws for DSV2 sources
+    // before extension rules run); the hint rule covers non-parser plans.
+    e.injectParser((spark, delegate) => new graft.log.LogPathParser(spark, delegate))
+    e.injectHintResolutionRule(spark => new graft.log.ResolveLogPathTable(spark))
     e.injectFunction((
       FunctionIdentifier("parse_log_line"),
       info("parse_log_line", "parse_log_line(line, pattern) - one-pass regex extract of all capture groups"),

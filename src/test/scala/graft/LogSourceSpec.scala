@@ -374,6 +374,37 @@ class LogSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE mysql_logs_spec")
   }
 
+  test("direct SQL over a path: SELECT ... FROM log.`/path` (Drill's usage mode)") {
+    val path = new java.net.URI(fixture("mysql.log")).getPath
+    // default pattern (.*) -> one `line` column; composes with
+    // parse_log_line for a zero-DataFrame-code ad-hoc pipeline
+    val n = spark.sql(s"SELECT count(*) AS n FROM log.`$path`")
+      .collect().head.getLong(0)
+    val expected = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray.map(_.toString).count(_.trim.nonEmpty)
+    assert(n == expected.toLong, s"n=$n expected=$expected")
+    val actions = spark.sql(
+      raw"""SELECT parse_log_line(line,
+           |  '(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)')[3] AS action
+           |FROM log.`$path`""".stripMargin)
+      .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
+    assert(actions == Seq("Connect", "Query", "Query", "Query", "Query"))
+  }
+
+  test("direct SQL guard: identifiers without '/' are never hijacked") {
+    // a real table in a database named `log` must resolve normally
+    spark.sql("CREATE DATABASE IF NOT EXISTS log")
+    spark.sql("DROP TABLE IF EXISTS log.not_a_path")
+    spark.sql("CREATE TABLE log.not_a_path USING parquet AS SELECT 42 AS x")
+    try {
+      val x = spark.sql("SELECT x FROM log.not_a_path").collect().head.getInt(0)
+      assert(x == 42)
+    } finally {
+      spark.sql("DROP TABLE log.not_a_path")
+      spark.sql("DROP DATABASE log")
+    }
+  }
+
   test("schema option sugar: single DDL-ish string instead of parallel lists") {
     val df = spark.read.format("log")
       .option("pattern", mysqlOpts("pattern"))
