@@ -143,6 +143,12 @@ object SparkEntry {
         // 16 files (multi-batch streaming admission)
         ev.select(format_string("%d %s user=%d %.2f",
           col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
+      case "plainlog" =>
+        // same lines as "plain" but *.log-suffixed files: the direct-SQL
+        // path query (q_log_sqlpath) uses `FROM log.`dir`` which carries
+        // no options, so the DEFAULT extension (log) must match
+        ev.select(format_string("%d %s user=%d %.2f",
+          col("event_id"), col("event_type"), col("user_id"), col("value")).as("value"))
       case "hive" =>
         // hive-partitioned tree (dt=YYYY-MM-DD/part-*.txt via partitionBy):
         // the partition-column + file-pruning fixture (q_log_partitioned)
@@ -184,7 +190,18 @@ object SparkEntry {
       lines.write.mode("overwrite").option("compression", "bzip2").text(out)
     else if (flavor.endsWith("_many"))
       lines.repartition(16).write.mode("overwrite").text(out)
-    else if (flavor == "hive")
+    else if (flavor == "plainlog") {
+      lines.write.mode("overwrite").text(out)
+      // .txt -> .log (the text writer's extension is fixed); _SUCCESS
+      // recreated LAST so a crash mid-rename can't leave a complete-
+      // looking fixture
+      val rootF = new java.io.File(out)
+      new java.io.File(rootF, "_SUCCESS").delete()
+      rootF.listFiles().filter(_.getName.endsWith(".txt")).foreach { f =>
+        f.renameTo(new java.io.File(rootF, f.getName.stripSuffix(".txt") + ".log"))
+      }
+      new java.io.File(rootF, "_SUCCESS").createNewFile()
+    } else if (flavor == "hive")
       lines.write.mode("overwrite").partitionBy("dt").text(out)
     else if (flavor == "dirs") {
       lines.write.mode("overwrite").partitionBy("y", "m", "d").text(out)
@@ -304,6 +321,26 @@ object SparkEntry {
         max("event_id").cast("long").as("max_event_id"),
         sum(col("user_id").cast("long")).as("sum_user_id"))
       .orderBy("d", "event_type")
+  }
+
+  /** The direct-SQL surface end to end ([[graft.log.LogPathRelation]] +
+    * the SQL-registered `parse_log_line`): `FROM log.`dir`` with the
+    * default one-column schema, regex extraction and aggregation written
+    * entirely in SQL — zero DataFrame code, Drill's ad-hoc usage mode.
+    * Same readout as q_log_parse_agg's typed pipeline, so the oracle is
+    * the events aggregate.
+    */
+  private def qLogSqlPath(spark: SparkSession, dir: String): DataFrame = {
+    val path = logDir(spark, dir, "plainlog")
+    spark.sql(
+      raw"""SELECT g[1] AS event_type, count(*) AS n,
+           |       max(cast(g[0] AS BIGINT)) AS max_event_id,
+           |       cast(sum(cast(g[2] AS BIGINT)) AS BIGINT) AS sum_user_id
+           |FROM (SELECT parse_log_line(line,
+           |        '(\\d+) (\\w+) user=(\\d+) ([0-9.]+)') AS g
+           |      FROM log.`$path`)
+           |WHERE g IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   private def qLogUnmatched(spark: SparkSession, dir: String): DataFrame = {
@@ -6918,6 +6955,7 @@ object SparkEntry {
     "q_log_parse_agg" -> (qLogParseAgg _),
     "q_log_partitioned" -> (qLogPartitioned _),
     "q_log_dircols" -> (qLogDircols _),
+    "q_log_sqlpath" -> (qLogSqlPath _),
     "q_log_apache" -> (qLogApache _),
     "q_log_pushdown" -> (qLogPushdown _),
     "q_log_dropmalformed" -> (qLogDropMalformed _),
@@ -7580,6 +7618,10 @@ object SparkEntry {
         |FROM events
         |WHERE strftime(ts, '%d') BETWEEN '08' AND '14'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_log_sqlpath" ->
+      """SELECT event_type, count(*) AS n, max(event_id) AS max_event_id,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_log_dropmalformed" ->
       """SELECT event_type, count(*) AS n,
         |       floor(sum(round(value, 2)) * 100 + 0.5) / 100 AS sum_value
