@@ -327,6 +327,32 @@ class LogPartitionSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1, "alpha", "2024-03-01"), (2, "beta", "2024-03-01")))
   }
 
+  test("implicitColumns flow through streaming reads too") {
+    val root = writeTree("sub/a.log" -> Seq("1 INFO"))
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("extensions", "log")
+      .option("implicitColumns", "filename, suffix")
+      .load(root.getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("logimpl_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val r = spark.table("logimpl_stream").select("id", "filename", "suffix").collect().head
+    assert((r.getInt(0), r.getString(1), r.getString(2)) == ((1, "a.log", "log")))
+  }
+
+  test("spark.table over a log path resolves via the hint rule") {
+    val root = writeTree("dt=2024-03-01/a.log" -> Seq("1 INFO"))
+    // DataFrameReader.table doesn't pass through the SQL parser, so this
+    // exercises the analyzer-side (hint batch) half of LogPathRelation;
+    // default options -> single `line` column
+    val df = spark.table(s"log.`${root.getAbsolutePath}`")
+    assert(df.schema.fieldNames.toSeq == Seq("line", "unmatched_lines"))
+    assert(df.select("line").collect().map(_.getString(0)).toSeq == Seq("1 INFO"))
+  }
+
   test("unescapePathName: hex pairs, malformed '%' literal") {
     assert(PartitionValues.unescapePathName("a%3Db%2Fc") == "a=b/c")
     assert(PartitionValues.unescapePathName("100%") == "100%")
