@@ -129,8 +129,12 @@ final class LogScan(
     * the STATIC filters can't: `logs JOIN dims ON logs.dt = dims.dt WHERE
     * dims.active` reads only the days the dimension selects.
     *
-    * Only partition columns are offered ([[filterAttributes]]): a runtime
-    * filter on a regex-extracted data column cannot skip whole files.
+    * Every PATH field is offered ([[filterAttributes]]) — hive partition
+    * columns, positional dir columns, and implicit file columns all prune
+    * through the same [[PartitionValues.prunesIn]] machinery, so a join on
+    * `year`/`dir0` over a plain yyyy/MM/dd tree prunes exactly like a join
+    * on a hive `dt=`. A runtime filter on a regex-extracted DATA column is
+    * never offered: it cannot skip whole files.
     * Pruning here is applied in [[planInputPartitions]] — NOT in
     * [[listedFiles]], which the optimizer's statistics probe may have
     * already forced at plan time (runtime filters arrive later, and
@@ -139,7 +143,7 @@ final class LogScan(
   private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    opts.partitionSchema.map { case (n, _) =>
+    opts.pathFields.map { case (n, _) =>
       org.apache.spark.sql.connector.expressions.Expressions.column(n)
     }.toArray
 

@@ -265,7 +265,18 @@ final class LogMicroBatchStream(
     def entriesOrEmpty(i: Long): Seq[(String, Long)] =
       try readEntry(entryPath(i))
       catch { case _: java.io.FileNotFoundException => Nil } // GC'd: already cleaned
-    for (i <- (cleanedThrough + 1) to endIdx; (p, _) <- entriesOrEmpty(i)) {
+    // Restart bound: cleanedThrough is in-memory, so without this the
+    // first commit after every restart would attempt index 0..endIdx —
+    // O(maxIndex) filesystem opens on a long-lived stream, paid on one
+    // trigger. Entries more than one GC horizon behind the committed end
+    // are guaranteed gone ([[gcEntries]] deletes them at each compact) and
+    // their batches' own commits already cleaned their files, so scanning
+    // one horizon is exhaustive.
+    val horizon = math.max(
+      org.apache.spark.sql.GraftSql.sqlConf(spark).minBatchesToRetain.toLong,
+      LogMicroBatchStream.CompactInterval.toLong) + LogMicroBatchStream.CompactInterval
+    val from = math.max(cleanedThrough + 1, endIdx - horizon)
+    for (i <- from to endIdx; (p, _) <- entriesOrEmpty(i)) {
       val hp = new Path(p)
       val pfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       try {

@@ -136,7 +136,7 @@ object PartitionValues {
     * segment and typed values parse.
     */
   def rawValues(path: String, opts: LogOptions, root: String = ""): Array[String] = {
-    val hive = hiveValues(path, opts)
+    val hive = hiveValues(path, opts, root)
     val dirs: Seq[String] =
       if (opts.dirColumns.isEmpty) Nil
       else {
@@ -146,12 +146,22 @@ object PartitionValues {
     hive ++ dirs ++ opts.implicitColumns.map(implicitValue(_, path))
   }
 
-  private def hiveValues(path: String, opts: LogOptions): Array[String] = {
+  private def hiveValues(path: String, opts: LogOptions, root: String): Array[String] = {
     val declared = opts.partitionSchema
     if (declared.isEmpty) return Array.empty
-    // k=v segments anywhere under the load path; key match is
-    // case-insensitive (Spark's resolution default)
-    val segs: Seq[(String, String)] = path.split('/').toSeq.flatMap { seg =>
+    // k=v matching over DIRECTORY segments only, strictly below the matched
+    // load root — Hive/Spark semantics (levels under the base path). The
+    // file NAME never participates (a file legitimately named
+    // 'dt=2024-03-02.log' is data, not a partition), and neither do
+    // ancestors of the load root (a tree rooted at /exp=5/logs/ must not
+    // conflict with its own dt= directories). For an explicitly-listed
+    // file no directory root was matched for (root empty), all ancestor
+    // directories participate — the only levels available. Key match is
+    // case-insensitive (Spark's resolution default).
+    val dirSegs: Seq[String] =
+      if (root.nonEmpty) dirSegments(path, root).toSeq
+      else new org.apache.hadoop.fs.Path(path).toUri.getPath.split('/').toSeq.dropRight(1)
+    val segs: Seq[(String, String)] = dirSegs.flatMap { seg =>
       val eq = seg.indexOf('=')
       if (eq <= 0) None
       else Some(seg.substring(0, eq).toLowerCase(java.util.Locale.ROOT) ->

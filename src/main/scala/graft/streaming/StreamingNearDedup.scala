@@ -117,7 +117,15 @@ object StreamingNearDedup {
         if (!fs.exists(new Path(sinkDir)) || batchId == 0L) batch.toDF()
         else {
           val need = partitionIds(fs, sinkDir, "batch_id=").filter(_ < batchId)
-          val have = partitionIds(fs, postingsDir, PartitionPrefix)
+          // COMMITTED postings only: a crash mid-write (repair or the
+          // normal postings step for a batch the sink already committed)
+          // leaves a partial `__pbatch=K` dir with no _SUCCESS marker —
+          // counting it as present would silently dedup later batches
+          // against incomplete postings forever. (The sink side needs no
+          // marker check: batch K's checkpoint commits only after its sink
+          // write succeeded, so a torn sink partition is always the
+          // CURRENT batch's, replayed and overwritten — never history.)
+          val have = committedPartitionIds(fs, postingsDir, PartitionPrefix)
           (need -- have).toSeq.sorted.foreach(repairPostingsPartition)
           if (need.isEmpty) batch.toDF() // dir exists, no committed batches
           else {
@@ -156,6 +164,15 @@ object StreamingNearDedup {
         st.getPath.getName.stripPrefix(prefix).toLong
     }.toSet
   }
+
+  /** [[partitionIds]] restricted to partitions whose write COMMITTED — the
+    * `_SUCCESS` marker Spark's file committer writes last. Written-by-us
+    * dirs always carry it (empty postings included: an empty DataFrame
+    * write still commits the marker), so a markerless dir is by
+    * construction a torn write and must be repaired, not trusted. */
+  private def committedPartitionIds(fs: FileSystem, dir: String, prefix: String): Set[Long] =
+    partitionIds(fs, dir, prefix).filter(k =>
+      fs.exists(new Path(s"$dir/$prefix$k/_SUCCESS")))
 
   /** A postings dir written by the pre-partitioned design (flat parquet
     * at the root) cannot coexist with `__pbatch=K` dirs — partition

@@ -353,6 +353,47 @@ class LogPartitionSpec extends SparkSpec {
     assert(df.select("line").collect().map(_.getString(0)).toSeq == Seq("1 INFO"))
   }
 
+  test("k=v matching is scoped: file names and ancestors of the root don't participate") {
+    // a file legitimately NAMED like a partition segment is data, not a
+    // partition value — before r12 this raised a conflicting-values error
+    val root = writeTree(
+      "dt=2024-03-01/dt=2024-03-02.log" -> Seq("1 INFO"))
+    val df = readLog(root, "partitionSchema" -> "dt DATE")
+    assert(df.select("id", "dt").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString)).toSeq ==
+      Seq((1, "2024-03-01")))
+    // ancestors ABOVE the load root don't participate either: a tree
+    // rooted inside an exp=9 directory reads its own exp= levels fine
+    val outer = writeTree(
+      "exp=9/logs/exp=1/a.log" -> Seq("1 A"),
+      "exp=9/logs/exp=2/b.log" -> Seq("2 B"))
+    val inner = new File(outer, "exp=9/logs")
+    val df2 = readLog(inner, "partitionSchema" -> "exp INT")
+    assert(df2.select("id", "exp").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1, 1), (2, 2)))
+  }
+
+  test("runtime (join-driven) pruning works on dirColumns too") {
+    val root = writeTree(
+      "1/a.log" -> Seq("1 INFO", "2 WARN"),
+      "2/b.log" -> Seq("3 INFO"),
+      // FAILFAST poison: only the dimension-derived runtime filter on the
+      // positional dir column can prune this
+      "3/c.log" -> Seq("completely unparseable"))
+    val fact = readLog(root, "dirColumns" -> "shard", "mode" -> "FAILFAST")
+    import spark.implicits._
+    val dimPath = Files.createTempDirectory("logdir_dim").toString
+    Seq(("1", 1), ("2", 1), ("3", 0)).toDF("shard", "keep")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(broadcast(dim.filter(col("keep") === 1)), "shard")
+    assert(joined.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(shard"), plan)
+    assert(!plan.contains("dynamicpruningexpression(true)"), plan)
+  }
+
   test("unescapePathName: hex pairs, malformed '%' literal") {
     assert(PartitionValues.unescapePathName("a%3Db%2Fc") == "a=b/c")
     assert(PartitionValues.unescapePathName("100%") == "100%")

@@ -157,6 +157,44 @@ class LogRetentionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleanSource after restart: bounded scan still cleans everything recent") {
+    // the first commit after a restart scans only one GC horizon of
+    // entries (cleanedThrough is in-memory) — this pins that the bound
+    // never OVER-skips: a freshly-committed batch's files are still
+    // cleaned even when endIdx is far past the horizon
+    val dir = Files.createTempDirectory("graft_clean_restart").toFile
+    val ckpt = Files.createTempDirectory("graft_clean_restart_ckpt").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2") // horizon = 10+10 = 20
+    try {
+      def mk() = {
+        val opts = LogOptions.fromMap(Map(
+          "pattern" -> "(\\d+) (\\w+)", "fieldNames" -> "id, level",
+          "dataTypes" -> "INT, VARCHAR", "cleansource" -> "delete"))
+        new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath), ckpt)
+      }
+      val s1 = mk()
+      var off: org.apache.spark.sql.connector.read.streaming.Offset = s1.initialOffset()
+      for (i <- 1 to 25) { // 25 committed batches: endIdx outlives the horizon
+        writeLog(dir, f"f$i%03d.log", Seq(s"$i INFO"), System.currentTimeMillis())
+        off = s1.latestOffset(off, ReadLimit.allAvailable())
+        s1.commit(off)
+      }
+      assert(dir.listFiles().count(_.getName.endsWith(".log")) == 0,
+        dir.listFiles().map(_.getName).toSeq)
+      // restart: fresh instance, cleanedThrough back to -1
+      val s2 = mk()
+      writeLog(dir, "f026.log", Seq("26 INFO"), System.currentTimeMillis())
+      val off26 = s2.latestOffset(off, ReadLimit.allAvailable())
+      s2.commit(off26) // from = endIdx - 20, must still cover batch 26
+      assert(!new File(dir, "f026.log").exists(),
+        dir.listFiles().map(_.getName).toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+      case None    => spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+    }
+  }
+
   test("cleanSource=archive moves processed files; archive is not re-ingested") {
     val dir = Files.createTempDirectory("graft_clean_arc").toFile
     val archive = Files.createTempDirectory("graft_clean_arc_dst").toFile

@@ -99,6 +99,28 @@ class StreamingNearDedupSpec extends SparkSpec {
       == Set(1L, 2L, 4L))
   }
 
+  test("torn postings partition (no _SUCCESS) is repaired, not trusted") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_snd").toString + "/sink"
+    val b0 = Seq((1L, words("a", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b0, 0L, sink, "doc_id", "text")
+    val b1 = Seq((2L, words("d", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b1, 1L, sink, "doc_id", "text")
+    // simulate a crash mid-write of __pbatch=1: data files gone, no
+    // _SUCCESS — a bare-directory existence check would count it as
+    // present and silently dedup later batches against empty postings
+    val torn = new java.io.File(s"$sink/_postings/__pbatch=1")
+    assert(torn.isDirectory)
+    Option(torn.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    assert(!new java.io.File(torn, "_SUCCESS").exists())
+    // batch 2 carries a near-copy of batch 1's doc: only a repaired
+    // __pbatch=1 can catch it
+    val b2 = Seq((3L, words("d", 11)), (4L, words("f", 12))).toDF("doc_id", "text")
+    StreamingNearDedup.dedupBatch(b2, 2L, sink, "doc_id", "text")
+    assert(keptIds(sink) == Set(1L, 2L, 4L))
+    // and the repair recommitted the marker
+    assert(new java.io.File(torn, "_SUCCESS").exists())
+  }
+
   test("a replayed batch id is exactly-once and never self-dedups") {
     val sink = java.nio.file.Files.createTempDirectory("graft_snd").toString + "/sink"
     val b0 = Seq((1L, words("a", 12))).toDF("doc_id", "text")
