@@ -138,6 +138,45 @@ object ScanProfile {
       sink
     }
 
+    // regexMaxSteps A/B (round-12): the budget wrapper routes every
+    // regex-engine read through BudgetedChars.charAt (increment + compare
+    // + delegate) instead of String.charAt. All-matching corpus = every
+    // line runs a budgeted find() = the wrapper's worst case. Interleaved
+    // same-process samples, min per side (box-noise discipline). This
+    // measures the ENGAGED wrapper (explicit regexMaxSteps); the default
+    // path on this benign pattern is the plain one — riskyPattern
+    // auto-engagement means unflagged patterns pay nothing, which the
+    // assert pins.
+    require(!LineParser.riskyPattern(Pattern), "profile pattern should be benign")
+    val bOnOpts = LogOptions.fromMap(Map(
+      "pattern" -> Pattern,
+      "fieldNames" -> "ts, event_type, event_id",
+      "dataTypes" -> "TIMESTAMP, VARCHAR, INT",
+      "dateFormat" -> "yyyy-MM-dd HH:mm:ss",
+      "regexmaxsteps" -> "10000000"))
+    val parserOn = new LineParser(bOnOpts, bOnOpts.schema, Nil)
+    val parserOff = parser // default opts + benign pattern = plain path
+    def parseAll(p: LineParser): Long = {
+      var sink = 0L
+      var j = 0
+      while (j < nLines) {
+        val row = p.parse(lines(j))
+        if (row != null) sink += row.numFields
+        j += 1
+      }
+      sink
+    }
+    parseAll(parserOn); parseAll(parserOff) // warm both paths
+    var budgetOnMin = Double.MaxValue
+    var budgetOffMin = Double.MaxValue
+    (0 until 6).foreach { _ =>
+      val t0 = System.nanoTime(); parseAll(parserOn)
+      val t1 = System.nanoTime(); parseAll(parserOff)
+      val t2 = System.nanoTime()
+      budgetOnMin = math.min(budgetOnMin, (t1 - t0) / 1e9)
+      budgetOffMin = math.min(budgetOffMin, (t2 - t1) / 1e9)
+    }
+
     // end-to-end on a real file, through the DSV2 source vs text framing
     val dir = Files.createTempDirectory("graft_scanprofile")
     val file = dir.resolve("profile.log")
@@ -169,7 +208,7 @@ object ScanProfile {
     val e2eText = time(1, 3) { spark.read.text(file.toString).count() }
 
     val perLine = (s: Double) => s * 1e9 / nLines
-    println(f"""{"n_lines":$nLines,"regex_only_sec":$regexOnly%.3f,"parse_varchar_sec":$parseVarchar%.3f,"parse_full_sec":$parseFull%.3f,"materialize_sec":${parseVarchar - regexOnly}%.3f,"coerce_sec":${parseFull - parseVarchar}%.3f,"regex_pct_of_parse":${100 * regexOnly / parseFull}%.1f,"materialize_pct_of_parse":${100 * (parseVarchar - regexOnly) / parseFull}%.1f,"coerce_pct_of_parse":${100 * (parseFull - parseVarchar) / parseFull}%.1f,"e2e_log_count_sec":$e2eCount%.3f,"e2e_log_allcols_sec":$e2eAll%.3f,"e2e_text_sec":$e2eText%.3f,"regex_ns_per_line":${perLine(regexOnly)}%.0f,"parse_ns_per_line":${perLine(parseFull)}%.0f,"reject_regex_sec":$rejectRegex%.3f,"reject_parse_sec":$rejectParse%.3f,"reject_regex_ns_per_line":${perLine(rejectRegex)}%.0f,"reject_parse_ns_per_line":${perLine(rejectParse)}%.0f}""")
+    println(f"""{"n_lines":$nLines,"regex_only_sec":$regexOnly%.3f,"parse_varchar_sec":$parseVarchar%.3f,"parse_full_sec":$parseFull%.3f,"materialize_sec":${parseVarchar - regexOnly}%.3f,"coerce_sec":${parseFull - parseVarchar}%.3f,"regex_pct_of_parse":${100 * regexOnly / parseFull}%.1f,"materialize_pct_of_parse":${100 * (parseVarchar - regexOnly) / parseFull}%.1f,"coerce_pct_of_parse":${100 * (parseFull - parseVarchar) / parseFull}%.1f,"e2e_log_count_sec":$e2eCount%.3f,"e2e_log_allcols_sec":$e2eAll%.3f,"e2e_text_sec":$e2eText%.3f,"regex_ns_per_line":${perLine(regexOnly)}%.0f,"parse_ns_per_line":${perLine(parseFull)}%.0f,"reject_regex_sec":$rejectRegex%.3f,"reject_parse_sec":$rejectParse%.3f,"reject_regex_ns_per_line":${perLine(rejectRegex)}%.0f,"reject_parse_ns_per_line":${perLine(rejectParse)}%.0f,"budget_on_sec":$budgetOnMin%.3f,"budget_off_sec":$budgetOffMin%.3f,"budget_overhead_pct":${100 * (budgetOnMin - budgetOffMin) / budgetOffMin}%.1f}""")
 
     spark.stop()
     Files.deleteIfExists(file)

@@ -77,6 +77,15 @@ final class LineParser(
     unmatchedOrdinal >= 0 || opts.failFast || opts.dropMalformed || filters.nonEmpty
 
   @transient private lazy val matcher = opts.compiledPattern.matcher("")
+  // regexMaxSteps kill switch (LineParser.findBudgeted): one reusable
+  // counting wrapper per parser, like `matcher`. Engagement is decided
+  // once, at construction: explicitly-set budget, or a pattern the static
+  // detector flags as structurally backtracking-capable — benign patterns
+  // keep the plain zero-overhead String path (the wrapper costs ~10% of
+  // the regex-bound parse, dev/SCAN_PROFILE.md).
+  @transient private lazy val budgeted = new LineParser.BudgetedChars
+  private val maxSteps: Long =
+    LineParser.effectiveBudget(opts.pattern, opts.regexMaxSteps, opts.regexBudgetExplicit)
   // fast-reject literal (LineParser.literalPrefix): a line that can't
   // contain the pattern's required leading literal skips Matcher.find
   // entirely — the dominant cost on unmatched-heavy corpora
@@ -125,7 +134,9 @@ final class LineParser(
     while (s < fvals.length) { fvals(s) = null; s += 1 }
     val mightMatch = lit == null ||
       (if (litAnchored) line.startsWith(lit) else line.contains(lit))
-    if (mightMatch && { matcher.reset(line); matcher.find() }) { // unanchored find(), LRR:225 — do not anchor
+    // unanchored find(), LRR:225 — do not anchor
+    if (mightMatch && LineParser.findBudgeted(matcher, budgeted, line, maxSteps,
+        s"'${opts.pattern}'")) {
       nMatched += 1
       var i = 0
       while (i < fieldSlots.length) {
@@ -301,6 +312,143 @@ object LineParser {
     }
     val s = sb.toString
     if (s.isEmpty) None else Some((s, anchored))
+  }
+
+  /** Step-counting `CharSequence` for the `regexMaxSteps` kill switch: the
+    * regex engine reads input exclusively through `charAt`, so counting
+    * reads bounds BACKTRACKING work directly — a `(a+)+$`-class pattern on
+    * adversarial input does exponentially many reads and trips the budget
+    * in milliseconds, where the plain matcher would stall a 100 TB scan
+    * task for hours with no diagnostic (the reference shares the hazard,
+    * LogRecordReader.java:224). `group()` extraction goes through
+    * [[subSequence]], uncounted — extraction is linear by construction.
+    * One instance per parser, reset per line: zero allocation on the hot
+    * path, and the only per-read cost is an increment and a compare.
+    */
+  private[log] final class BudgetedChars extends CharSequence {
+    private var s: String = ""
+    private var steps: Long = 0L
+    private var budget: Long = Long.MaxValue
+    def reset(line: String, b: Long): Unit = { s = line; steps = 0L; budget = b }
+    override def length(): Int = s.length
+    override def charAt(i: Int): Char = {
+      steps += 1
+      if (steps > budget) throw new RegexBudgetExceeded
+      s.charAt(i)
+    }
+    override def subSequence(start: Int, end: Int): CharSequence = s.subSequence(start, end)
+    override def toString: String = s
+  }
+
+  /** Control-flow signal for a tripped budget (stackless: it unwinds only
+    * to [[findBudgeted]]'s catch, which attaches the real context). */
+  private[log] final class RegexBudgetExceeded
+      extends RuntimeException(null, null, false, false)
+
+  /** The step budget to ENGAGE for `pattern`: the configured budget when
+    * set explicitly or when the pattern is structurally capable of
+    * catastrophic backtracking ([[riskyPattern]]), else 0 (plain matching,
+    * zero overhead). */
+  private[graft] def effectiveBudget(pattern: String, maxSteps: Long, explicit: Boolean): Long =
+    if (maxSteps <= 0L) 0L
+    else if (explicit || riskyPattern(pattern)) maxSteps
+    else 0L
+
+  /** Static detector for the structural prerequisites of catastrophic
+    * (exponential) backtracking: a QUANTIFIED group whose body itself
+    * contains a quantifier or an alternation — `(a+)+`, `(.*a){12}`,
+    * `(a|aa)+`. Single-level quantifiers (`\S+ \[([^\]]+)\]`, every
+    * preset) cannot multiply match attempts and return false, keeping the
+    * default scan on the unwrapped path. Conservative in the safe
+    * direction: a false POSITIVE merely engages the ~10% counting wrapper
+    * (still exact); anything unparseable flags true rather than disabling
+    * the kill switch. `?` counts as a BODY quantifier (`(a?)+x` is
+    * exponential — each iteration chooses take-or-skip) but not as an
+    * engaging OUTER quantifier (0-or-1 of anything cannot multiply); the
+    * `?` of group syntax `(?:`/`(?=`/`(?i)` is skipped at the `(`.
+    */
+  private[graft] def riskyPattern(pattern: String): Boolean = {
+    val n = pattern.length
+    // body(d) = "group at depth d contains an unescaped quantifier or |"
+    val body = new Array[Boolean](64)
+    var depth = 0
+    var i = 0
+    def quantAt(j: Int): Boolean = j < n && {
+      val c = pattern.charAt(j)
+      c == '*' || c == '+' || (c == '{' && j + 1 < n && pattern.charAt(j + 1).isDigit)
+    }
+    while (i < n) {
+      pattern.charAt(i) match {
+        case '\\' => i += 2
+        case '[' => // character class: quantifier chars inside are literals
+          i += 1
+          if (i < n && pattern.charAt(i) == '^') i += 1
+          if (i < n && pattern.charAt(i) == ']') i += 1 // leading ] is literal
+          while (i < n && pattern.charAt(i) != ']') {
+            if (pattern.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        case '(' =>
+          depth += 1
+          if (depth >= body.length) return true // absurd nesting: bail risky
+          body(depth) = false
+          i += 1
+          if (i < n && pattern.charAt(i) == '?') i += 1 // group syntax (?:/(?=/(?i
+        case '?' =>
+          if (depth >= 1) body(depth) = true
+          i += 1
+        case ')' =>
+          val had = depth >= 1 && body(depth)
+          if (depth >= 1) depth -= 1
+          val quantified = quantAt(i + 1)
+          if (had && quantified) return true
+          // a quantified or quantifier-bearing group makes the PARENT's
+          // body quantifier-bearing (covers ((a+)b)* nesting)
+          if (depth >= 1) body(depth) |= had || quantified
+          i += 1
+        case '*' | '+' =>
+          if (depth >= 1) body(depth) = true
+          i += 1
+        case '{' =>
+          if (quantAt(i) && depth >= 1) body(depth) = true
+          i += 1
+        case '|' =>
+          if (depth >= 1) body(depth) = true
+          i += 1
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  /** `Matcher.find()` under the per-line step budget. The effective budget
+    * is `maxSteps + 100×length`: legitimately long lines get proportional
+    * headroom (a well-behaved unanchored find costs O(length) reads per
+    * start position), while exponential blowup — which dwarfs any linear
+    * term — still trips fast. `maxSteps <= 0` disables (plain matching,
+    * zero overhead). Throws a FAILFAST-style SparkException with the
+    * pattern and line context; the partition reader appends the file path
+    * like every other scan error.
+    */
+  private[log] def findBudgeted(
+      m: java.util.regex.Matcher,
+      buf: BudgetedChars,
+      line: String,
+      maxSteps: Long,
+      patternDesc: String): Boolean = {
+    if (maxSteps <= 0L) { m.reset(line); return m.find() }
+    buf.reset(line, maxSteps + 100L * line.length)
+    m.reset(buf)
+    try m.find()
+    catch {
+      case _: RegexBudgetExceeded =>
+        throw new SparkException(
+          s"[log] regex step budget exhausted (regexMaxSteps=$maxSteps): pattern " +
+            s"$patternDesc is backtracking catastrophically on a ${line.length}-char " +
+            s"line beginning '${line.take(80)}'; rewrite the pattern (possessive " +
+            "quantifiers / atomic groups) or raise the regexMaxSteps option (0 disables)")
+    }
   }
 
   /** Spark SQL equality/order semantics for the pushable types: -0.0 == 0.0

@@ -255,22 +255,46 @@ final class LogScan(
     }
   }
 
+  // planning observability, populated by [[planInputPartitions]] and
+  // surfaced through [[reportDriverMetrics]]: partition pruning (static +
+  // runtime) is otherwise provable only in tests and description() — at
+  // run time "did the one-day filter really skip 364/365ths of the tree"
+  // should be readable off the UI like matched/unmatched lines are
+  private var plannedFilesRead = 0L
+  private var plannedBytesRead = 0L
+  private var plannedFilesPruned = 0L
+  private var plannedBytesPruned = 0L
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     // runtime filters prune here (execution re-plan), on top of the
     // statically-pruned listing
-    val roots = listing._2
+    val (allFiles, roots) = listing
     val files =
       if (runtimeFilters.isEmpty) listedFiles
       else listedFiles.filter(f =>
         PartitionValues.prunesIn(runtimeFilters.toSeq, f.getPath.toString, opts,
           LogScan.rootOf(f.getPath.toString, roots)))
+    plannedFilesRead = files.size.toLong
+    plannedBytesRead = files.map(_.getLen).sum
+    plannedFilesPruned = allFiles.size.toLong - plannedFilesRead
+    plannedBytesPruned = allFiles.map(_.getLen).sum - plannedBytesRead
     val maxSplit = LogScan.splitSize(spark, files)
     LogScan.pack(
       LogScan.chunkFiles(files, opts, conf, maxSplit, roots),
       maxSplit,
       org.apache.spark.sql.GraftSql.sqlConf(spark).filesOpenCostInBytes)
+  }
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    def m(n: String, v: Long) = new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+    Array(m("filesRead", plannedFilesRead), m("bytesRead", plannedBytesRead),
+      m("filesPruned", plannedFilesPruned), m("bytesPruned", plannedBytesPruned))
   }
 
   private def matchesExtension(name: String): Boolean =
@@ -282,13 +306,41 @@ final class LogScan(
       opts, required, pushed, new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
   }
 
-  /** Scan observability (Spark UI / metrics API, aggregated across tasks):
-    * matched vs unmatched vs dropped line counts answer "is my pattern
-    * actually matching" without a second `count(unmatched_lines)` pass
-    * over the corpus. */
+  /** Scan observability (Spark UI / metrics API): per-task matched vs
+    * unmatched vs dropped line counts answer "is my pattern actually
+    * matching" without a second `count(unmatched_lines)` pass over the
+    * corpus; driver-side files/bytes read vs pruned make partition
+    * pruning visible at run time ([[reportDriverMetrics]]). */
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new MatchedLinesMetric, new UnmatchedLinesMetric, new DroppedLinesMetric)
+    Array(new MatchedLinesMetric, new UnmatchedLinesMetric, new DroppedLinesMetric,
+      new FilesReadMetric, new BytesReadMetric, new FilesPrunedMetric, new BytesPrunedMetric)
+}
+
+// Metric classes must be top-level with zero-arg constructors: Spark's
+// metrics listener re-instantiates them reflectively by class name.
+final class FilesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesRead"
+  override def description(): String = "files read after partition pruning"
+}
+
+final class BytesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bytesRead"
+  override def description(): String = "bytes read after partition pruning"
+}
+
+final class FilesPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesPruned"
+  override def description(): String = "files pruned by partition filters (static + runtime)"
+}
+
+final class BytesPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bytesPruned"
+  override def description(): String = "bytes pruned by partition filters (static + runtime)"
 }
 
 final class MatchedLinesMetric
@@ -605,8 +657,26 @@ final class LogPartitionReader(
   }
 
   private val parser = new LineParser(opts, dataRequired, pushed)
+  // byte→text decoding (the `encoding` option): Hadoop's Text assumes
+  // UTF-8, so any other charset decodes from the raw framed bytes. The
+  // UTF-8 path stays Text.toString (its decoder is the optimized one).
+  private val charset = java.nio.charset.Charset.forName(opts.encoding)
+  private val isUtf8 = charset == java.nio.charset.StandardCharsets.UTF_8
+  // custom framing bytes (the `lineSep` option), encoded under the same
+  // charset the lines decode with
+  private val delimBytes: Array[Byte] = opts.lineSep.map(_.getBytes(charset)).orNull
+  // a BOM on the file's FIRST line decodes to U+FEFF and would silently
+  // corrupt the first row's first field; strip it once per file
+  private var pendingBom = false
   private val startPat: java.util.regex.Pattern =
     opts.recordStartPattern.map(java.util.regex.Pattern.compile).orNull
+  private val startMatcher: java.util.regex.Matcher =
+    if (startPat == null) null else startPat.matcher("")
+  private val startBudget = new LineParser.BudgetedChars
+  // same engagement rule as the field pattern: explicit opt-in, or a
+  // structurally backtracking-capable start pattern
+  private val startMaxSteps: Long = opts.recordStartPattern.fold(0L)(p =>
+    LineParser.effectiveBudget(p, opts.regexMaxSteps, opts.regexBudgetExplicit))
   // same fast-reject as LineParser: a continuation-heavy block (stack
   // traces) pays the start-regex on every line; a required literal
   // prefix rejects most of them without the regex machinery
@@ -637,13 +707,14 @@ final class LogPartitionReader(
     // can be finished; record ownership (chunkEnd) still follows c.length
     val readLen = if (startPat != null) c.fileLen - c.start else c.length
     val split = new FileSplit(new Path(c.path), c.start, readLen, Array.empty[String])
-    reader = new LineRecordReader()
+    reader = if (delimBytes != null) new LineRecordReader(delimBytes) else new LineRecordReader()
     reader.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
     // a chunk that reaches EOF has no successor — never stop early (also
     // covers compressed files, whose LRR positions are decompressed bytes
     // while chunk lengths are compressed bytes; those are whole-file chunks)
     chunkEnd = if (c.start + c.length >= c.fileLen) Long.MaxValue else c.start + c.length
     atFileHead = c.start == 0
+    pendingBom = c.start == 0 // only the head chunk can carry the BOM
     chunkDone = false
     buf = null
     partVals = partDecl.map { case (di, tpe, name) =>
@@ -671,12 +742,35 @@ final class LogPartitionReader(
     out
   }
 
+  /** The current framed line, decoded under the configured charset; a BOM
+    * heading the file's first line is stripped. */
+  private def currentLine(): String = {
+    val t = reader.getCurrentValue
+    var s = if (isUtf8) t.toString else new String(t.getBytes, 0, t.getLength, charset)
+    if (pendingBom) {
+      pendingBom = false
+      if (s.nonEmpty && s.charAt(0) == '\uFEFF') s = s.substring(1)
+    }
+    s
+  }
+
+  /** Does this line begin a multi-line record? The start regex runs under
+    * the same regexMaxSteps budget as the field pattern — it faces the
+    * same catastrophic-backtracking hazard, once per line. */
+  private def startsRecord(line: String): Boolean =
+    try LineParser.findBudgeted(startMatcher, startBudget, line, startMaxSteps,
+      s"'${opts.recordStartPattern.get}' (recordStartPattern)")
+    catch {
+      case e: SparkException => throw new SparkException(
+        s"${e.getMessage} (file=${part.chunks(chunkIdx).path})", e.getCause)
+    }
+
   /** Next framed record of the current chunk (single line, or assembled
     * multi-line block), null when the chunk is exhausted.
     */
   private def nextRecord(): String = {
     if (startPat == null) {
-      if (reader.nextKeyValue()) reader.getCurrentValue.toString else null
+      if (reader.nextKeyValue()) currentLine() else null
     } else nextMultilineRecord()
   }
 
@@ -690,8 +784,8 @@ final class LogPartitionReader(
     if (chunkDone) return null
     while (reader.nextKeyValue()) {
       val pos = reader.getCurrentKey.get()
-      val line = reader.getCurrentValue.toString
-      if (mightStart(line) && startPat.matcher(line).find()) {
+      val line = currentLine()
+      if (mightStart(line) && startsRecord(line)) {
         if (pos > chunkEnd) { // next chunk's record: finish ours and stop
           chunkDone = true
           return flushBuf()

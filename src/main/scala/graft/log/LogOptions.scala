@@ -88,7 +88,34 @@ final case class LogOptions(
     // fqn / filepath / filename / suffix, opt-in by name. Per-chunk
     // constants like the other path fields — and filters on them prune
     // whole files the same way.
-    implicitColumns: Seq[String] = Nil) {
+    implicitColumns: Seq[String] = Nil,
+    // byte→text decoding charset (Spark text/CSV `encoding` option; the
+    // reference hardcodes UTF-8 at LogRecordReader.java:127). A Latin-1
+    // syslog read as UTF-8 silently mangles every multi-byte character —
+    // at 100 TB nobody re-reads to check. Non-ASCII-compatible charsets
+    // (UTF-16/32) additionally require an explicit lineSep: Hadoop's line
+    // framing splits on single 0x0A bytes.
+    encoding: String = "UTF-8",
+    // custom line separator (Spark text/CSV `lineSep`): framing bytes are
+    // `lineSep.getBytes(encoding)`. None = Hadoop default (\n, \r\n, \r).
+    lineSep: Option[String] = None,
+    // per-line regex step budget — the kill switch for catastrophic
+    // backtracking ((.*a){12}x-class patterns), which otherwise stalls a
+    // scan task for hours with no diagnostic (the reference shares the
+    // hazard, LogRecordReader.java:224). Counted in regex-engine character
+    // reads; the effective per-line budget is regexMaxSteps +
+    // 100×lineLength, so legitimately long lines get proportional headroom
+    // while exponential blowup (which dwarfs any linear term) still trips
+    // in milliseconds. 0 disables. The counting wrapper costs ~10% of the
+    // regex-bound parse path (dev/SCAN_PROFILE.md), so by default it
+    // engages ONLY for patterns structurally capable of catastrophic
+    // backtracking (LineParser.riskyPattern: nested quantification or
+    // alternation under a quantifier) — benign patterns, including every
+    // preset, keep the plain zero-overhead path. Setting the option
+    // explicitly engages it for any pattern.
+    regexMaxSteps: Long = LogOptions.DefaultRegexMaxSteps,
+    // true when regexMaxSteps was given explicitly (engage unconditionally)
+    regexBudgetExplicit: Boolean = false) {
 
   /** Spark type per declared field (SURVEY.md §1.3 mapping; TIME is
     * represented as IntegerType millis-of-day — FINAL, SURVEY §7.4#1:
@@ -141,6 +168,10 @@ object LogOptions {
   val UnmatchedCol = "unmatched_lines"
   val DefaultPattern = "(.*)" // LogFormatPlugin.java:93
   val DefaultTimeFormat = "HH:mm:ss" // LogFormatPlugin.java:92
+  // ~5-20 ms of regex work per line: far beyond any legitimate match
+  // (SCAN_PROFILE: a full typed apache-combined parse is ~1 µs/line), far
+  // below a backtracking stall (hours)
+  val DefaultRegexMaxSteps = 10000000L
   val KnownTypes: Set[String] =
     Set("INT", "INTEGER", "DOUBLE", "FLOAT8", "FLOAT", "FLOAT4", "DATE", "TIMESTAMP", "TIME", "VARCHAR")
 
@@ -392,9 +423,50 @@ object LogOptions {
           "collide with declared fieldNames or the unmatched_lines column")
     }
 
+    // encoding / lineSep (Spark text/CSV surface). lineSep is read RAW —
+    // get() trims, and "\r\n" is all whitespace.
+    val encoding = get("encoding").orElse(get("charset")).getOrElse("UTF-8")
+    val charset =
+      try java.nio.charset.Charset.forName(encoding)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"[log] unsupported encoding '$encoding': ${e.getMessage}")
+      }
+    if (charset.name == "UTF-16" || charset.name == "UTF-32") {
+      throw new IllegalArgumentException(
+        s"[log] encoding '${charset.name}' is byte-order ambiguous (its encoder also " +
+          s"prepends a BOM to every encoded delimiter); use ${charset.name}LE or " +
+          s"${charset.name}BE")
+    }
+    val lineSep = opts.get("linesep").map { s =>
+      if (s.isEmpty) throw new IllegalArgumentException("[log] lineSep must be non-empty")
+      s
+    }
+    // Hadoop's default line framing splits on single 0x0A bytes: a charset
+    // whose '\n' is anything else (UTF-16/32 families) would be split
+    // mid-character unless the user supplies explicit delimiter bytes
+    val nl = "\n".getBytes(charset)
+    if (!(nl.length == 1 && nl(0) == 0x0A.toByte) && lineSep.isEmpty) {
+      throw new IllegalArgumentException(
+        s"[log] encoding '$encoding' requires an explicit lineSep: its newline is " +
+          "not a single 0x0A byte, so default line framing would split mid-character")
+    }
+
+    val regexMaxStepsOpt = get("regexmaxsteps").map { s =>
+      val v = try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"[log] regexMaxSteps must be a non-negative integer (0 disables), got '$s'")
+      }
+      if (v < 0) throw new IllegalArgumentException(
+        s"[log] regexMaxSteps must be non-negative (0 disables), got $v")
+      v
+    }
+
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
       failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger,
       maxFileAgeMs, latestFirst, cleanSource, sourceArchiveDir, recordStartPattern,
-      recordMaxBytes, partitionSchema, dirColumns, implicitColumns)
+      recordMaxBytes, partitionSchema, dirColumns, implicitColumns,
+      encoding, lineSep, regexMaxStepsOpt.getOrElse(DefaultRegexMaxSteps),
+      regexBudgetExplicit = regexMaxStepsOpt.isDefined)
   }
 }

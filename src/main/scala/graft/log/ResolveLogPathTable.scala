@@ -29,12 +29,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    plans that arrive as unresolved relations without passing through
   *    the SQL parser (e.g. `spark.table("log.`/path`")`).
   *
-  * The relation uses DEFAULT options: pattern `(.*)` → one `line` column
-  * (plus `unmatched_lines`), which composes with the SQL surface —
-  * `SELECT parse_log_line(line, '...') FROM log.`/path`` is a complete
-  * ad-hoc pipeline with no DataFrame code. For typed columns, declare a
-  * table (`CREATE TABLE ... USING log OPTIONS (...)`) or use the reader
-  * API.
+  * Options resolve in three tiers (round-12): reader defaults, overridden
+  * by SESSION-CONF defaults (`SET spark.graft.log.<option> = ...` — e.g.
+  * `spark.graft.log.pattern`/`spark.graft.log.schema` make a typed ad-hoc
+  * query a pure-SQL three-liner), overridden by any per-relation options.
+  * With nothing set, pattern `(.*)` → one `line` column (plus
+  * `unmatched_lines`), which still composes in pure SQL —
+  * `SELECT parse_log_line(line, '...') FROM log.`/path``. For a durable
+  * typed surface, declare a table (`CREATE TABLE ... USING log
+  * OPTIONS (...)`).
   *
   * Guards (mirroring `ResolveSQLOnFile`'s): only a 2-part identifier
   * whose head is `log`, whose "table" part contains a `/` (a real
@@ -44,6 +47,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * direct-file queries), and never for streaming relations.
   */
 object LogPathRelation {
+  /** Session-conf namespace for ad-hoc path-query option defaults. */
+  val ConfPrefix = "spark.graft.log."
+
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUpWithSubqueries {
     case u: UnresolvedRelation
         if !u.isStreaming && SQLConf.get.runSQLonFile &&
@@ -51,7 +57,13 @@ object LogPathRelation {
           u.multipartIdentifier.head.equalsIgnoreCase("log") &&
           u.multipartIdentifier(1).contains("/") =>
       val path = u.multipartIdentifier(1)
-      val withPath = new java.util.HashMap[String, String](u.options)
+      val withPath = new java.util.HashMap[String, String]
+      // session-conf defaults first; explicit relation options override
+      SQLConf.get.getAllConfs.foreach { case (k, v) =>
+        if (k.startsWith(LogPathRelation.ConfPrefix) && v != null && v.nonEmpty)
+          withPath.put(k.stripPrefix(LogPathRelation.ConfPrefix), v)
+      }
+      withPath.putAll(u.options)
       withPath.put("path", path)
       val options = new CaseInsensitiveStringMap(withPath)
       val opts = LogOptions.fromMap(options)

@@ -1,0 +1,88 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** Charset / line-separator / BOM handling on the `log` source (round-12;
+  * the reference hardcodes UTF-8 at LogRecordReader.java:127): a Latin-1
+  * syslog must decode byte-exactly under `encoding`, a UTF-8 BOM must not
+  * corrupt the first field of the first row, CRLF must frame cleanly, and
+  * a custom `lineSep` must drive the framing bytes.
+  */
+class LogEncodingSpec extends SparkSpec {
+
+  private def writeBytes(bytes: Array[Byte]): File = {
+    val dir = Files.createTempDirectory("logenc").toFile
+    Files.write(new File(dir, "a.log").toPath, bytes)
+    dir
+  }
+
+  private def readLog(dir: File, extra: (String, String)*) = {
+    val base = spark.read.format("log")
+      .option("pattern", "(\\d+) (.+)")
+      .option("schema", "id INT, msg VARCHAR")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+      .load(dir.getAbsolutePath)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, String)] =
+    df.select("id", "msg").collect().filter(!_.isNullAt(0))
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("ISO-8859-1 bytes decode byte-exactly under encoding=ISO-8859-1") {
+    // 0xE9 = 'é' in Latin-1; as UTF-8 it is an invalid sequence and would
+    // decode to the replacement char
+    val dir = writeBytes("1 café\n2 naïve\n".getBytes(StandardCharsets.ISO_8859_1))
+    assert(rows(readLog(dir, "encoding" -> "ISO-8859-1")) ==
+      Seq((1, "café"), (2, "naïve")))
+    // and the default UTF-8 read really does mangle it (the silent failure
+    // the option exists to prevent)
+    val mangled = rows(readLog(dir))
+    assert(mangled.head._2 != "café", mangled)
+  }
+
+  test("UTF-8 BOM on the first line is stripped; later lines untouched") {
+    val dir = writeBytes(("\uFEFF" + "1 first\n2 second\n").getBytes(StandardCharsets.UTF_8))
+    val got = rows(readLog(dir))
+    assert(got == Seq((1, "first"), (2, "second")), got)
+    // pattern anchored at line start would miss a BOM-corrupted first line
+    val anchored = spark.read.format("log")
+      .option("pattern", "^(\\d+) (.+)")
+      .option("schema", "id INT, msg VARCHAR")
+      .load(dir.getAbsolutePath)
+    assert(rows(anchored) == Seq((1, "first"), (2, "second")))
+  }
+
+  test("CRLF line endings frame cleanly (no trailing \\r in the last field)") {
+    val dir = writeBytes("1 alpha\r\n2 beta\r\n".getBytes(StandardCharsets.UTF_8))
+    assert(rows(readLog(dir)) == Seq((1, "alpha"), (2, "beta")))
+  }
+
+  test("custom lineSep drives the framing bytes") {
+    val dir = writeBytes("1 alpha|2 beta|3 gamma".getBytes(StandardCharsets.UTF_8))
+    assert(rows(readLog(dir, "lineSep" -> "|")) ==
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
+  }
+
+  test("UTF-16LE with explicit lineSep, BOM-headed") {
+    val bom = Array[Byte](0xFF.toByte, 0xFE.toByte)
+    val body = "1 wide\n2 chars\n".getBytes(StandardCharsets.UTF_16LE)
+    val dir = writeBytes(bom ++ body)
+    val got = rows(readLog(dir, "encoding" -> "UTF-16LE", "lineSep" -> "\n"))
+    assert(got == Seq((1, "wide"), (2, "chars")), got)
+  }
+
+  test("option validation: unknown charset, ambiguous UTF-16, missing lineSep") {
+    def opts(kv: (String, String)*) = graft.log.LogOptions.fromMap(
+      Map("pattern" -> "(\\d+)", "schema" -> "id INT") ++ kv.toMap)
+    intercept[IllegalArgumentException] { opts("encoding" -> "no-such-charset") }
+    // byte-order-ambiguous charsets are rejected with a pointer to LE/BE
+    intercept[IllegalArgumentException] { opts("encoding" -> "UTF-16") }
+    // non-0x0A-newline charsets need explicit framing bytes
+    intercept[IllegalArgumentException] { opts("encoding" -> "UTF-16LE") }
+    intercept[IllegalArgumentException] { opts("linesep" -> "") }
+    // supported combination parses
+    assert(opts("encoding" -> "UTF-16LE", "linesep" -> "\n").encoding == "UTF-16LE")
+  }
+}

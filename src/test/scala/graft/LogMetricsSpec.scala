@@ -37,6 +37,36 @@ class LogMetricsSpec extends SparkSpec {
     assert(m("unmatchedLines") == unmatched, m)
   }
 
+  test("filesPruned/bytesPruned driver metrics report partition pruning at run time") {
+    val root = java.nio.file.Files.createTempDirectory("logmetrics_part").toFile
+    for (i <- 0 until 30) {
+      val d = new java.io.File(root, s"shard=$i")
+      d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, "a.log").toPath,
+        s"$i INFO\n")
+    }
+    val m = metricsOf(spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("partitionSchema", "shard INT")
+      .option("extensions", "log")
+      .load(root.getAbsolutePath)
+      .filter(col("shard") < 7))
+    assert(m.getOrElse("filesRead", -1L) == 7, m)
+    assert(m.getOrElse("filesPruned", -1L) == 23, m)
+    assert(m.getOrElse("bytesRead", -1L) > 0, m)
+    assert(m.getOrElse("bytesPruned", -1L) > m("bytesRead"), m)
+    // unpruned scan: everything read, nothing pruned
+    val all = metricsOf(spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("partitionSchema", "shard INT")
+      .option("extensions", "log")
+      .load(root.getAbsolutePath))
+    assert(all.getOrElse("filesRead", -1L) == 30, all)
+    assert(all.getOrElse("filesPruned", -1L) == 0, all)
+  }
+
   test("droppedLines counts pushed-filter and DROPMALFORMED drops") {
     val filtered = metricsOf(spark.read.format("log")
       .option("pattern", "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)")

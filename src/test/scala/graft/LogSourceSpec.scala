@@ -391,6 +391,27 @@ class LogSourceSpec extends SparkSpec {
     assert(actions == Seq("Connect", "Query", "Query", "Query", "Query"))
   }
 
+  test("direct SQL honors spark.graft.log.* session-conf option defaults") {
+    val path = new java.net.URI(fixture("mysql.log")).getPath
+    spark.conf.set("spark.graft.log.pattern",
+      "(\\d{6})\\s(\\d{2}:\\d{2}:\\d{2})\\s+(\\d+)\\s(\\w+)\\s+(.+)")
+    spark.conf.set("spark.graft.log.schema",
+      "date VARCHAR, time VARCHAR, pid INT, action VARCHAR, query VARCHAR")
+    try {
+      // a TYPED ad-hoc query with zero DataFrame code and no CREATE TABLE
+      val rows = spark.sql(
+        s"SELECT action, count(*) AS n FROM log.`$path` GROUP BY action ORDER BY action")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("Connect", 1L), ("Query", 4L)))
+    } finally {
+      spark.conf.unset("spark.graft.log.pattern")
+      spark.conf.unset("spark.graft.log.schema")
+    }
+    // unset again: back to the default single-line schema
+    val cols = spark.sql(s"SELECT * FROM log.`$path`").schema.fieldNames.toSeq
+    assert(cols == Seq("line", "unmatched_lines"), cols)
+  }
+
   test("direct SQL guard: identifiers without '/' are never hijacked") {
     // a real table in a database named `log` must resolve normally
     spark.sql("CREATE DATABASE IF NOT EXISTS log")

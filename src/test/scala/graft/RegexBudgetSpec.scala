@@ -1,0 +1,109 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+/** The `regexMaxSteps` kill switch ([[graft.log.LineParser.findBudgeted]]):
+  * a catastrophically-backtracking user pattern on adversarial input must
+  * fail in milliseconds with the pattern, line and file named — not stall
+  * a scan task for hours (the reference shares the hazard,
+  * LogRecordReader.java:224; this is a documented improvement like the
+  * 4 KB fix). The tests COMPLETING at all is the core assertion: the
+  * poison lines below cost ~2^45 unguarded backtracking steps.
+  */
+class RegexBudgetSpec extends SparkSpec {
+
+  private def writeLog(lines: Seq[String]): File = {
+    val dir = Files.createTempDirectory("regexbudget").toFile
+    Files.writeString(new File(dir, "a.log").toPath, lines.mkString("\n"))
+    dir
+  }
+
+  private def chain(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: chain(t.getCause)
+
+  test("catastrophic backtracking fails fast with pattern, line and file context") {
+    // (.*a){12}x on a long all-'a' line without x: exponential backtracking
+    // on THIS JVM (probed: n=20/25/28 take 0.17/1.0/5.2 s; n=45 is days).
+    // Classic (a+)+x variants are collapsed by Java 17's loop optimizer
+    // and no longer backtrack — they make a useless poison here
+    val dir = writeLog(Seq("1 INFO", "a" * 45 + "!"))
+    val df = spark.read.format("log")
+      .option("pattern", "((.*a){12}x)")
+      .option("schema", "g VARCHAR, tail VARCHAR")
+      .load(dir.getAbsolutePath)
+    val t0 = System.nanoTime()
+    // count(*) takes the no-regex shortcut by design — project a field
+    val e = intercept[Exception] { df.select("g").collect() }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val msgs = chain(e).flatMap(t => Option(t.getMessage))
+    assert(msgs.exists(_.contains("regexMaxSteps")), msgs.mkString(" | "))
+    assert(msgs.exists(_.contains("a.log")), msgs.mkString(" | "))
+    assert(msgs.exists(_.contains("(.*a){12}x")), msgs.mkString(" | "))
+    assert(secs < 60.0, s"budget tripped but took ${secs}s")
+  }
+
+  test("recordStartPattern runs under the same budget") {
+    val dir = writeLog(Seq("1 START ok", "a" * 45 + "!"))
+    val df = spark.read.format("log")
+      .option("pattern", "(\\d+) START (\\w+)")
+      .option("schema", "id INT, name VARCHAR")
+      .option("recordStartPattern", "(.*a){12}x")
+      .load(dir.getAbsolutePath)
+    val e = intercept[Exception] { df.select("id").collect() }
+    val msgs = chain(e).flatMap(t => Option(t.getMessage))
+    assert(msgs.exists(m => m.contains("regexMaxSteps") && m.contains("recordStartPattern")),
+      msgs.mkString(" | "))
+  }
+
+  test("regexMaxSteps=0 disables the guard; benign parses are identical either way") {
+    val dir = writeLog(Seq("1 INFO", "2 WARN", "not matching"))
+    def read(extra: (String, String)*) = {
+      val base = spark.read.format("log")
+        .option("pattern", "(\\d+) (\\w+)")
+        .option("schema", "id INT, level VARCHAR")
+      extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+        .load(dir.getAbsolutePath)
+        .select("id", "level", "unmatched_lines").collect()
+        .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    }
+    val guarded = read()
+    val unguarded = read("regexMaxSteps" -> "0")
+    val tight = read("regexMaxSteps" -> "1") // +100/char headroom covers benign lines
+    assert(guarded == unguarded && guarded == tight, s"$guarded vs $unguarded vs $tight")
+    assert(guarded.count(_._1 != null) == 2)
+  }
+
+  test("riskyPattern: flags the catastrophic class, clears every benign preset") {
+    import graft.log.{LineParser, LogOptions}
+    // structurally backtracking-capable: quantified group with a
+    // quantifier or alternation in its body
+    for (p <- Seq("(a+)+x", "((?:a+)+x)", "(.*a){12}x", "(a|aa)+x", "(a?)+x",
+                  "((a+)b)*", "((\\S+)?x)+"))
+      assert(LineParser.riskyPattern(p), s"should flag: $p")
+    // single-level quantifiers cannot multiply match attempts
+    for (p <- Seq("(\\d+) (\\w+)", "(.*)", "^ERROR: (\\d+) (.+)",
+                  "([+*]+)x", // quantifier chars inside a class are literals
+                  "(\\d{3})?", // ?-quantified group: 0-or-1 cannot multiply
+                  "(a|b) (c|d)") ++ // alternation NOT under a quantifier
+                LogOptions.Presets.values.map(_("pattern")))
+      assert(!LineParser.riskyPattern(p), s"should NOT flag: $p")
+    // engagement: default budget is live only for flagged patterns;
+    // explicit setting engages anything
+    assert(LineParser.effectiveBudget("(a+)+x", 10L, explicit = false) == 10L)
+    assert(LineParser.effectiveBudget("(\\d+)", 10L, explicit = false) == 0L)
+    assert(LineParser.effectiveBudget("(\\d+)", 10L, explicit = true) == 10L)
+    assert(LineParser.effectiveBudget("(a+)+x", 0L, explicit = true) == 0L)
+  }
+
+  test("option validation: negative or non-numeric regexMaxSteps fails at load") {
+    intercept[IllegalArgumentException] {
+      graft.log.LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+)", "schema" -> "id INT", "regexmaxsteps" -> "-1"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.log.LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+)", "schema" -> "id INT", "regexmaxsteps" -> "lots"))
+    }
+  }
+}
