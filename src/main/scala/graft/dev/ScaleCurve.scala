@@ -1,0 +1,196 @@
+package graft.dev
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bm25, Dedup, Packing, PageRank}
+
+/** Measured scaling exponents for the flagship pipeline families
+  * (VERDICT r11 item 1): the 100-TB posture has so far been argued from
+  * plan shapes; this harness measures wall-time over a 1×/3×/10×/30×
+  * synthetic corpus and fits log-log slopes, converting "would survive
+  * 100×" from a structural claim into an empirical one. Results +
+  * reading recorded in dev/SCALE_CURVE.md.
+  *
+  * Corpus synthesis (excluded from timing): the sf0.1 `documents` table
+  * replicated k× with fresh doc_ids. 90% of each replica's tokens get a
+  * replica suffix, 10% (deterministic by token hash + position) stay
+  * raw — so cross-replica shingle-Jaccard is ~0 (near-dup structure, and
+  * therefore candidate-pair count, grows LINEARLY like a real corpus with
+  * a constant dup rate), while query terms still hit every replica (BM25
+  * postings matched by a fixed query grow linearly too). Replica 0 is the
+  * original bytes.
+  *
+  * Families (the real library entry points, not reimplementations):
+  *  - minhash: MinHash-LSH candidate generation + exact-verify pair count
+  *    ([[Dedup.minhashCandidatePairsWithSignatures]])
+  *  - bm25_build: inverted tf postings build + persist + count
+  *    ([[Bm25.tfPostings]])
+  *  - bm25_query: 3-query top-10 batch over the persisted postings
+  *    ([[Bm25.bm25TopKFromTf]] — cost should track matched postings, not
+  *    raw corpus: the slope PINS the query-term-pruning design)
+  *  - packing: 512-token context-window packing over the distributed
+  *    prefix sum ([[Packing.packBins]])
+  *  - pagerank_iter: ONE PageRank iteration on a link graph whose nodes
+  *    (20k hosts) AND edges (≈1.3 docs) both scale with the corpus
+  *    ([[PageRank.pageRank]])
+  *  - scan_pruned / scan_full: partition-pruned vs full `log` scan over a
+  *    hive tree of 100k shard directories (pruned should stay ~flat;
+  *    full should grow ~linearly)
+  *
+  * Runs: min of 2 per (family, size), sizes ascending so k=1 doubles as
+  * JIT warmup; single JVM, local[32].
+  */
+object ScaleCurve {
+
+  private val Mults = Seq(1, 3, 10, 30, 100)
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = if (args.nonEmpty) args(0) else "/tmp/graft_scale"
+    val spark = SparkSession.builder()
+      .appName("graft-scale-curve")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ------------------------------------------------------ synthesis
+    def docsPath(k: Int) = s"$work/x$k/documents.parquet"
+    Mults.foreach { k =>
+      if (!Files.exists(Paths.get(docsPath(k)))) {
+        val d = spark.read.parquet(s"$base/documents.parquet")
+        val reps = (0 until k).map { rep =>
+          if (rep == 0) d
+          else d.select(
+            (col("doc_id") + lit(10000000L * rep)).as("doc_id"),
+            array_join(expr(
+              s"transform(split(text, ' '), (w, i) -> " +
+                s"CASE WHEN pmod(abs(hash(w)) + i, 10) = 0 THEN w " +
+                s"ELSE concat(w, '_r$rep') END)"), " ").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+        reps.reduce(_.unionAll(_)).repartition(32)
+          .write.mode("overwrite").parquet(docsPath(k))
+      }
+    }
+    def logTree(k: Int): String = {
+      val root = s"$work/x$k/logs"
+      if (!Files.exists(Paths.get(root))) {
+        for (s <- 0 until 100 * k) {
+          val dir = Paths.get(f"$root/shard=$s%05d")
+          Files.createDirectories(dir)
+          val sb = new StringBuilder
+          for (l <- 0 until 200) sb.append(s"${s * 1000 + l} INFO worker-${l % 7}\n")
+          Files.writeString(dir.resolve("a.log"), sb.toString)
+        }
+      }
+      root
+    }
+    Mults.foreach(logTree)
+
+    def timed(runs: Int)(f: => Unit): Double =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    def record(family: String, k: Int, sec: Double): Unit = {
+      results.getOrElseUpdate(family,
+        scala.collection.mutable.LinkedHashMap.empty[Int, Double])(k) = sec
+      println(s"[scale] $family x$k: ${f"$sec%.2f"} s")
+    }
+
+    Mults.foreach { k =>
+      val docs = spark.read.parquet(docsPath(k))
+
+      record("minhash", k, timed(2) {
+        val (cand, sigs) = Dedup.minhashCandidatePairsWithSignatures(
+          docs, "doc_id", "text", estimateJaccard = false)
+        cand.count()
+        sigs.unpersist(blocking = true)
+      })
+
+      // build measured alone; the persisted postings then serve the query
+      // measurement (the intended usage: build once, query many)
+      var tf: DataFrame = null
+      record("bm25_build", k, timed(2) {
+        if (tf != null) tf.unpersist(blocking = true)
+        tf = Bm25.tfPostings(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tf.count()
+      })
+      val queries = Seq((1L, "sort merge join"), (2L, "hash table scan"),
+        (3L, "stream window batch")).toDF("qid", "qtext")
+      record("bm25_query", k, timed(2) {
+        Bm25.bm25TopKFromTf(tf, "doc_id", queries, "qid", "qtext", k = 10).count()
+      })
+      tf.unpersist(blocking = true)
+
+      record("packing", k, timed(2) {
+        val withTok = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tokens"))
+        val (packed, release) = Packing.packBins(withTok, "doc_id", "tokens", 512L)
+        packed.groupBy("bin").agg(count(lit(1))).count()
+        release()
+      })
+
+      record("pagerank_iter", k, timed(2) {
+        // 8 edges per doc over a host space that scales with the corpus:
+        // both |V| and |E| grow linearly, like a real link graph
+        val hosts = 20 * k
+        val edges = docs
+          .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("j"))
+          .select(
+            concat(lit("site-"),
+              ((col("doc_id") * 31 + col("j") * 17) % hosts).cast("string")).as("src"),
+            concat(lit("site-"),
+              ((col("doc_id") * 7 + col("j") * 13 + 3) % hosts).cast("string")).as("dst"))
+        val (ranks, release) = PageRank.pageRank(edges, "src", "dst", iterations = 1)
+        ranks.count()
+        release()
+      })
+
+      val tree = logTree(k)
+      def readTree = spark.read.format("log")
+        .option("pattern", "(\\d+) (\\w+) (\\S+)")
+        .option("schema", "id INT, level VARCHAR, worker VARCHAR")
+        .option("partitionSchema", "shard INT")
+        .option("extensions", "log")
+        .load(tree)
+      record("scan_full", k, timed(2) {
+        readTree.agg(sum("id")).collect()
+      })
+      record("scan_pruned", k, timed(2) {
+        readTree.filter(col("shard") === 42).agg(sum("id")).collect()
+      })
+    }
+
+    // log-log least-squares slope over all sizes
+    def slope(times: collection.Map[Int, Double]): Double = {
+      val pts = times.toSeq.map { case (k, t) => (math.log(k), math.log(t)) }
+      val n = pts.size
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val json = results.map { case (fam, times) =>
+      val ts = Mults.map(k => f"""\"x$k\":${times(k)}%.2f""").mkString(",")
+      // tail exponent (largest size pair): the fixed-overhead bias of the
+      // full fit vanishes where the data term dominates
+      val (ka, kb) = (Mults(Mults.size - 2), Mults.last)
+      val tail = math.log(times(kb) / times(ka)) / math.log(kb.toDouble / ka)
+      f"""\"$fam\":{$ts,\"slope\":${slope(times)}%.2f,\"tail\":$tail%.2f}"""
+    }.mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

@@ -420,14 +420,22 @@ object LogScan {
       while (frontier.nonEmpty) {
         val tasks: Seq[Callable[Array[FileStatus]]] = frontier.map { p =>
           new Callable[Array[FileStatus]] {
-            // located listing: block hosts arrive in the same RPC on
-            // filesystems that track them (HDFS) — they drive task
-            // locality; object stores just return plain statuses
+            // located listing ONLY where block locations are real (HDFS):
+            // hosts arrive in the same RPC and drive task locality. On
+            // every other filesystem listLocatedStatus fabricates per-file
+            // block info nobody can use — measured 170x slower than plain
+            // listStatus on local fs (dev/SCALE_CURVE.md round-12: 15.1 s
+            // vs 0.09 s over 3000 dirs), and object stores pay an extra
+            // HEAD per file. Spark's InMemoryFileIndex makes the same
+            // split (DistributedFileSystem => located, else plain).
             override def call(): Array[FileStatus] = {
-              val out = ArrayBuffer.empty[FileStatus]
-              val it = p.getFileSystem(conf).listLocatedStatus(p)
-              while (it.hasNext) out += it.next()
-              out.toArray
+              val fs = p.getFileSystem(conf)
+              if (fs.getScheme == "hdfs") {
+                val out = ArrayBuffer.empty[FileStatus]
+                val it = fs.listLocatedStatus(p)
+                while (it.hasNext) out += it.next()
+                out.toArray
+              } else fs.listStatus(p)
             }
           }
         }

@@ -124,7 +124,11 @@ class LogStatsSpec extends SparkSpec {
     assert(p.preferredLocations().toSeq == Seq("h3", "h2", "h4"))
   }
 
-  test("local FS end-to-end: located listing yields localhost hosts") {
+  test("local FS end-to-end: plain listing, NO fabricated localhost hosts") {
+    // round-12: located listing is HDFS-only (listLocatedStatus measured
+    // ~170x slower than listStatus off-HDFS — dev/SCALE_CURVE.md); on the
+    // local filesystem chunks carry no hosts, which is the truth: a
+    // "localhost" hint carries zero scheduling information
     val dir = java.nio.file.Files.createTempDirectory("graft_stats")
     java.nio.file.Files.write(dir.resolve("a.log"),
       "one line\nanother line\n".getBytes("UTF-8"))
@@ -135,7 +139,12 @@ class LogStatsSpec extends SparkSpec {
       assert(parts.nonEmpty)
       val hosts = parts.flatMap(_.asInstanceOf[LogInputPartition].chunks)
         .flatMap(_.hosts).distinct.toSeq
-      assert(hosts == Seq("localhost"), hosts)
+      assert(hosts.isEmpty, hosts)
+      // and the rows still read fine without locality hints
+      val spark2 = spark
+      import spark2.implicits._
+      val n = spark.read.format("log").load(dir.toUri.toString).count()
+      assert(n == 2L)
     } finally {
       java.nio.file.Files.deleteIfExists(dir.resolve("a.log"))
       java.nio.file.Files.deleteIfExists(dir)
