@@ -42,7 +42,12 @@ object RecentValues {
     override def handleInputRows(
         key: Long, rows: Iterator[In], timers: TimerValues): Iterator[Out] = {
       val batch = rows.toArray.sortBy(r => (r.tsUs, r.eventId))
-      batch.foreach(r => recent.appendValue(Item(r.tsUs, r.eventId, r.cents)))
+      // only the batch's own last-`keep` can survive the trim (any other
+      // batch row already has >= keep rows above it), so append just
+      // those — the state-update work per key is O(keep), not O(batch)
+      // (dev/DRAIN_PROFILE.md round-12: updates are the drain's dominant
+      // per-batch cost)
+      batch.takeRight(keep).foreach(r => recent.appendValue(Item(r.tsUs, r.eventId, r.cents)))
       val window = recent.get().toArray
         .sortBy(i => (i.tsUs, i.eventId)).takeRight(keep)
       recent.put(window)
