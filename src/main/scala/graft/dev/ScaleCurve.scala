@@ -49,7 +49,12 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val work = if (args.nonEmpty) args(0) else "/tmp/graft_scale"
+    val work = args.headOption.filterNot(_ == "deep").getOrElse("/tmp/graft_scale")
+    // "deep": one extra x300 point for the CPU-bound families whose
+    // exponents are still parallelism-saturating at x100 — the
+    // convergence check (packing/scan already measure ~1.0 and would
+    // just burn minutes)
+    val deep = args.contains("deep")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -62,8 +67,9 @@ object ScaleCurve {
     import spark.implicits._
 
     // ------------------------------------------------------ synthesis
+    val allMults = if (deep) Mults :+ 300 else Mults
     def docsPath(k: Int) = s"$work/x$k/documents.parquet"
-    Mults.foreach { k =>
+    allMults.foreach { k =>
       if (!Files.exists(Paths.get(docsPath(k)))) {
         val d = spark.read.parquet(s"$base/documents.parquet")
         val reps = (0 until k).map { rep =>
@@ -108,7 +114,8 @@ object ScaleCurve {
       println(s"[scale] $family x$k: ${f"$sec%.2f"} s")
     }
 
-    Mults.foreach { k =>
+    allMults.foreach { k =>
+      val cpuOnly = k > Mults.last // deep extension: CPU families only
       val docs = spark.read.parquet(docsPath(k))
 
       record("minhash", k, timed(2) {
@@ -134,7 +141,7 @@ object ScaleCurve {
       })
       tf.unpersist(blocking = true)
 
-      record("packing", k, timed(2) {
+      if (!cpuOnly) record("packing", k, timed(2) {
         val withTok = docs.select(col("doc_id"),
           graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tokens"))
         val (packed, release) = Packing.packBins(withTok, "doc_id", "tokens", 512L)
@@ -158,19 +165,21 @@ object ScaleCurve {
         release()
       })
 
-      val tree = logTree(k)
-      def readTree = spark.read.format("log")
-        .option("pattern", "(\\d+) (\\w+) (\\S+)")
-        .option("schema", "id INT, level VARCHAR, worker VARCHAR")
-        .option("partitionSchema", "shard INT")
-        .option("extensions", "log")
-        .load(tree)
-      record("scan_full", k, timed(2) {
-        readTree.agg(sum("id")).collect()
-      })
-      record("scan_pruned", k, timed(2) {
-        readTree.filter(col("shard") === 42).agg(sum("id")).collect()
-      })
+      if (!cpuOnly) {
+        val tree = logTree(k)
+        def readTree = spark.read.format("log")
+          .option("pattern", "(\\d+) (\\w+) (\\S+)")
+          .option("schema", "id INT, level VARCHAR, worker VARCHAR")
+          .option("partitionSchema", "shard INT")
+          .option("extensions", "log")
+          .load(tree)
+        record("scan_full", k, timed(2) {
+          readTree.agg(sum("id")).collect()
+        })
+        record("scan_pruned", k, timed(2) {
+          readTree.filter(col("shard") === 42).agg(sum("id")).collect()
+        })
+      }
     }
 
     // log-log least-squares slope over all sizes
@@ -183,10 +192,12 @@ object ScaleCurve {
       (n * sxy - sx * sy) / (n * sxx - sx * sx)
     }
     val json = results.map { case (fam, times) =>
-      val ts = Mults.map(k => f"""\"x$k\":${times(k)}%.2f""").mkString(",")
-      // tail exponent (largest size pair): the fixed-overhead bias of the
-      // full fit vanishes where the data term dominates
-      val (ka, kb) = (Mults(Mults.size - 2), Mults.last)
+      val ks = times.keys.toSeq.sorted
+      val ts = ks.map(k => f"""\"x$k\":${times(k)}%.2f""").mkString(",")
+      // tail exponent (largest size pair the family has): the
+      // fixed-overhead bias of the full fit vanishes where the data term
+      // dominates
+      val (ka, kb) = (ks(ks.size - 2), ks.last)
       val tail = math.log(times(kb) / times(ka)) / math.log(kb.toDouble / ka)
       f"""\"$fam\":{$ts,\"slope\":${slope(times)}%.2f,\"tail\":$tail%.2f}"""
     }.mkString("{", ",", "}")

@@ -27,6 +27,11 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
   // contract): skip the regex machinery when the line can't contain the
   // pattern's required leading literal
   private val litPrefix: Option[(String, Boolean)] = LineParser.literalPrefix(pattern)
+  // the SQL surface faces the same catastrophic-backtracking hazard as
+  // the scan: a structurally risky pattern runs under the default
+  // regexMaxSteps budget (LineParser.riskyPattern gating — benign
+  // patterns keep the plain zero-overhead path below)
+  private val risky: Boolean = LineParser.riskyPattern(pattern)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
@@ -38,8 +43,9 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
       if (anchored) s.startsWith(lit) else s.contains(lit)
     }
     if (!mightMatch) return null
-    val m = compiled.matcher(s)
-    if (!m.find()) null
+    val m = if (risky) ParseLogLine.findRisky(compiled, s, pattern)
+      else { val m0 = compiled.matcher(s); if (m0.find()) m0 else null }
+    if (m == null) null
     else {
       val arr = new Array[Any](groupCount)
       var i = 0
@@ -63,12 +69,32 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
       val s = ctx.freshName("s")
       val litCheck = litPrefix.map { case (lit, anchored) =>
         val litRef = ctx.addReferenceObj("lit", lit, "java.lang.String")
-        if (anchored) s"$s.startsWith($litRef) && " else s"$s.contains($litRef) && "
-      }.getOrElse("")
+        if (anchored) s"$s.startsWith($litRef)" else s"$s.contains($litRef)"
+      }.getOrElse("true")
+      // generation-time branch: risky patterns route through the budgeted
+      // helper; everything else keeps the inline plain matcher
+      val matchStmt =
+        if (risky) {
+          val pstrRef = ctx.addReferenceObj("pstr", pattern, "java.lang.String")
+          s"""
+             |java.util.regex.Matcher $m = null;
+             |if ($litCheck) {
+             |  $m = graft.log.ParseLogLine.findRisky($patternRef, $s, $pstrRef);
+             |}
+           """.stripMargin
+        } else {
+          s"""
+             |java.util.regex.Matcher $m = null;
+             |if ($litCheck) {
+             |  java.util.regex.Matcher ${m}0 = $patternRef.matcher($s);
+             |  if (${m}0.find()) $m = ${m}0;
+             |}
+           """.stripMargin
+        }
       s"""
          |String $s = $c.toString();
-         |java.util.regex.Matcher $m = $patternRef.matcher($s);
-         |if ($litCheck$m.find()) {
+         |$matchStmt
+         |if ($m != null) {
          |  Object[] $arr = new Object[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    String $g = $m.group($i + 1);
@@ -84,6 +110,23 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
 
   override protected def withNewChildInternal(newChild: Expression): ParseLogLine =
     copy(child = newChild)
+}
+
+object ParseLogLine {
+  /** Budgeted `find()` for structurally risky patterns, shared by the
+    * interpreted and generated eval paths: returns the matched Matcher or
+    * null, throwing the FAILFAST-style budget SparkException on a
+    * backtracking stall. Scratch objects are per CALL — risky patterns
+    * are the rare case and already regex-dominated, so the two small
+    * allocations are noise; the common (benign) path never gets here.
+    */
+  def findRisky(p: Pattern, s: String, patternStr: String): java.util.regex.Matcher = {
+    val buf = new LineParser.BudgetedChars
+    val m = p.matcher("")
+    val found = LineParser.findBudgeted(m, buf, s,
+      LogOptions.DefaultRegexMaxSteps, s"'$patternStr' (parse_log_line)")
+    if (found) m else null
+  }
 }
 
 /** Expression-only alternative to the DSV2 source (SURVEY.md §3.3): parse a

@@ -74,6 +74,28 @@ class RegexBudgetSpec extends SparkSpec {
     assert(guarded.count(_._1 != null) == 2)
   }
 
+  test("parse_log_line (SQL surface) shares the kill switch, both eval paths") {
+    import spark.implicits._
+    val df = Seq("1 INFO", "a" * 45 + "!").toDF("value")
+    // codegen path
+    val e = intercept[Exception] {
+      df.select(graft.log.LogFrame.parseLogLine(org.apache.spark.sql.functions.col("value"),
+        "((.*a){12}x)")).collect()
+    }
+    assert(chain(e).flatMap(t => Option(t.getMessage))
+      .exists(m => m.contains("regexMaxSteps") && m.contains("parse_log_line")),
+      chain(e).flatMap(t => Option(t.getMessage)).mkString(" | "))
+    // interpreted path (nullSafeEval), same contract
+    val expr = graft.log.ParseLogLine(
+      org.apache.spark.sql.catalyst.expressions.Literal("a" * 45 + "!"), "((.*a){12}x)")
+    val e2 = intercept[Exception] { expr.eval(null) }
+    assert(Option(e2.getMessage).exists(_.contains("regexMaxSteps")), e2.getMessage)
+    // benign pattern: both paths still parse (plain zero-overhead route)
+    val ok = df.select(graft.log.LogFrame.parseLogLine(
+      org.apache.spark.sql.functions.col("value"), "(\\d+) (\\w+)").as("g")).collect()
+    assert(ok.count(!_.isNullAt(0)) == 1)
+  }
+
   test("riskyPattern: flags the catastrophic class, clears every benign preset") {
     import graft.log.{LineParser, LogOptions}
     // structurally backtracking-capable: quantified group with a
