@@ -39,6 +39,13 @@ import graft.ops.{Bm25, Dedup, Packing, PageRank}
   *  - scan_pruned / scan_full: partition-pruned vs full `log` scan over a
   *    hive tree of 100k shard directories (pruned should stay ~flat;
   *    full should grow ~linearly)
+  *  - ann_brute / ann_ivf: exhaustive vs IVF top-5 for a fixed 50-query
+  *    batch over replicated embeddings ([[graft.ops.Similarity]] /
+  *    [[graft.ops.IvfIndex]], the shipped search paths)
+  *  - snd_batch: [[graft.streaming.StreamingNearDedup.dedupBatch]] cost
+  *    by BATCH INDEX at fixed batch size — flat = per-batch work does not
+  *    grow with the history it dedups against (the bench's #1 query's
+  *    scale claim)
   *
   * Runs: min of 2 per (family, size), sizes ascending so k=1 doubles as
   * JIT warmup; single JVM, local[32].
@@ -69,6 +76,25 @@ object ScaleCurve {
     // ------------------------------------------------------ synthesis
     val allMults = if (deep) Mults :+ 300 else Mults
     def docsPath(k: Int) = s"$work/x$k/documents.parquet"
+    def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
+    // replicated embeddings: fresh vec_ids, per-replica deterministic
+    // noise so vectors spread instead of clustering by replica
+    Mults.foreach { k =>
+      if (!Files.exists(Paths.get(embPath(k)))) {
+        val e = spark.read.parquet(s"$base/embeddings.parquet")
+        val reps = (0 until k).map { rep =>
+          if (rep == 0) e
+          else e.select(
+            (col("vec_id") + lit(10000000L * rep)).as("vec_id"),
+            expr(s"transform(embedding, (x, i) -> cast(x + " +
+              s"(pmod(hash(vec_id * $rep + i), 1000) - 500) / 2000.0 as float))")
+              .as("embedding"),
+            col("label"))
+        }
+        reps.reduce(_.unionAll(_)).repartition(32)
+          .write.mode("overwrite").parquet(embPath(k))
+      }
+    }
     allMults.foreach { k =>
       if (!Files.exists(Paths.get(docsPath(k)))) {
         val d = spark.read.parquet(s"$base/documents.parquet")
@@ -166,6 +192,21 @@ object ScaleCurve {
       })
 
       if (!cpuOnly) {
+        // ANN: exhaustive top-k vs IVF (fixed 50-query batch, the shipped
+        // search path — per-call corpus cell assignment included, as a
+        // user pays it)
+        val emb = spark.read.parquet(embPath(k))
+        val queries = emb.filter(col("vec_id") < 50)
+        record("ann_brute", k, timed(2) {
+          graft.ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).count()
+        })
+        val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
+          nLists = 64, iterations = 1)
+        record("ann_ivf", k, timed(2) {
+          graft.ops.IvfIndex.search(model, emb, queries, "vec_id", "embedding",
+            5, nProbe = 8).count()
+        })
+
         val tree = logTree(k)
         def readTree = spark.read.format("log")
           .option("pattern", "(\\d+) (\\w+) (\\S+)")
@@ -180,6 +221,33 @@ object ScaleCurve {
           readTree.filter(col("shard") === 42).agg(sum("id")).collect()
         })
       }
+    }
+
+    // ------------------------------------------- streaming near-dedup
+    // The 100-TB question for the bench's #1 query: does batch N's cost
+    // grow with the HISTORY it dedups against? x-axis here is accumulated
+    // history (32 batches of ~1000 fresh docs each), not corpus multiple;
+    // a flat curve = per-batch work is batch-proportional, as claimed
+    // (banding the batch + one join against persisted postings).
+    {
+      val sndDocs = spark.read.parquet(docsPath(10)).persist()
+      sndDocs.count()
+      val sink = s"$work/snd_curve/sink"
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+        f.delete()
+      }
+      deleteRec(new java.io.File(s"$work/snd_curve"))
+      val sample = Seq(1, 8, 16, 24, 32) // 1-based batch indices to record
+      for (b <- 0 until 32) {
+        val batch = sndDocs.filter(pmod(col("doc_id"), lit(50)) === b)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingNearDedup.dedupBatch(
+          batch, b.toLong, sink, "doc_id", "text")
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sample.contains(b + 1)) record("snd_batch", b + 1, sec)
+      }
+      sndDocs.unpersist(blocking = false)
     }
 
     // log-log least-squares slope over all sizes
