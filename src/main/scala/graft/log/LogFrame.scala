@@ -193,6 +193,12 @@ object LogFrame {
     */
   def stream(spark: org.apache.spark.sql.SparkSession, path: String, options: Map[String, String]): DataFrame = {
     val opts = LogOptions.fromMap(options)
+    // reject what this path cannot honor (same contract as parse()): the
+    // text source here reads UTF-8 with default framing — non-default
+    // encoding/lineSep need the DSV2 reader, which owns the byte level
+    require(opts.encoding.equalsIgnoreCase("UTF-8") && opts.lineSep.isEmpty,
+      "[log] the expression path reads lines via spark.readStream.text " +
+        "(UTF-8, default framing) — use format(\"log\") for encoding/lineSep")
     parse(spark.readStream.text(path), opts)
   }
 }

@@ -73,6 +73,19 @@ class LogEncodingSpec extends SparkSpec {
     assert(got == Seq((1, "wide"), (2, "chars")), got)
   }
 
+  test("expression path rejects encoding/lineSep it cannot honor") {
+    val e = intercept[IllegalArgumentException] {
+      graft.log.LogFrame.stream(spark, "/tmp/nonexistent", Map(
+        "pattern" -> "(\\d+)", "schema" -> "id INT", "encoding" -> "ISO-8859-1"))
+    }
+    assert(e.getMessage.contains("encoding"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.log.LogFrame.stream(spark, "/tmp/nonexistent", Map(
+        "pattern" -> "(\\d+)", "schema" -> "id INT", "linesep" -> "|"))
+    }
+    assert(e2.getMessage.contains("lineSep"), e2.getMessage)
+  }
+
   test("option validation: unknown charset, ambiguous UTF-16, missing lineSep") {
     def opts(kv: (String, String)*) = graft.log.LogOptions.fromMap(
       Map("pattern" -> "(\\d+)", "schema" -> "id INT") ++ kv.toMap)
