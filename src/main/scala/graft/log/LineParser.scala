@@ -366,12 +366,21 @@ object LineParser {
     * exponential — each iteration chooses take-or-skip) but not as an
     * engaging OUTER quantifier (0-or-1 of anything cannot multiply); the
     * `?` of group syntax `(?:`/`(?=`/`(?i)` is skipped at the `(`.
+    *
+    * Second rule: three or more `.`-quantifier atoms (`.*`/`.+`) flag
+    * too. An INLINED chain like `.*a.*a.*a…x` has no quantified group yet
+    * backtracks O(n^k) — probed on this JVM: twelve `.*a` terms take
+    * 6.8 s on a 30-char non-matching line and hang outright at 60 chars.
+    * Dot atoms overlap with everything, which is what makes the chain
+    * polynomial; two of them (the ubiquitous `prefix (.*) suffix` shapes)
+    * are at worst quadratic and stay unflagged.
     */
   private[graft] def riskyPattern(pattern: String): Boolean = {
     val n = pattern.length
     // body(d) = "group at depth d contains an unescaped quantifier or |"
     val body = new Array[Boolean](64)
     var depth = 0
+    var dotQuants = 0 // unescaped `.*` / `.+` atoms seen
     var i = 0
     def quantAt(j: Int): Boolean = j < n && {
       val c = pattern.charAt(j)
@@ -416,10 +425,14 @@ object LineParser {
         case '|' =>
           if (depth >= 1) body(depth) = true
           i += 1
+        case '.' =>
+          if (i + 1 < n && (pattern.charAt(i + 1) == '*' || pattern.charAt(i + 1) == '+'))
+            dotQuants += 1
+          i += 1
         case _ => i += 1
       }
     }
-    false
+    dotQuants >= 3
   }
 
   /** `Matcher.find()` under the per-line step budget. The effective budget

@@ -101,13 +101,18 @@ class RegexBudgetSpec extends SparkSpec {
     // structurally backtracking-capable: quantified group with a
     // quantifier or alternation in its body
     for (p <- Seq("(a+)+x", "((?:a+)+x)", "(.*a){12}x", "(a|aa)+x", "(a?)+x",
-                  "((a+)b)*", "((\\S+)?x)+"))
+                  "((a+)b)*", "((\\S+)?x)+",
+                  // inlined dot-quantifier chains: no quantified group,
+                  // still O(n^k) — probed 6.8 s at k=12/n=30 on this JVM
+                  ".*a.*a.*ax", "(.+)=(.+):(.+);(.*)"))
       assert(LineParser.riskyPattern(p), s"should flag: $p")
     // single-level quantifiers cannot multiply match attempts
     for (p <- Seq("(\\d+) (\\w+)", "(.*)", "^ERROR: (\\d+) (.+)",
                   "([+*]+)x", // quantifier chars inside a class are literals
                   "(\\d{3})?", // ?-quantified group: 0-or-1 cannot multiply
-                  "(a|b) (c|d)") ++ // alternation NOT under a quantifier
+                  "(a|b) (c|d)", // alternation NOT under a quantifier
+                  "(.*) -> (.*)", // two dot-quantifiers: at worst quadratic
+                  "\\.*a\\.*b\\.*c") ++ // escaped dots are literals
                 LogOptions.Presets.values.map(_("pattern")))
       assert(!LineParser.riskyPattern(p), s"should NOT flag: $p")
     // engagement: default budget is live only for flagged patterns;
