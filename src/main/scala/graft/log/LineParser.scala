@@ -388,7 +388,15 @@ object LineParser {
     }
     while (i < n) {
       pattern.charAt(i) match {
-        case '\\' => i += 2
+        case '\\' =>
+          // backreferences (\1..\9, named \k<...>) are their own
+          // catastrophic class — (\w+)\1+ backtracks exponentially with
+          // no quantified group the structural rules would see. Rare in
+          // log patterns, so any backref flags outright (a \0 octal or
+          // \k literal false positive just pays the wrapper).
+          if (i + 1 < n && (pattern.charAt(i + 1).isDigit || pattern.charAt(i + 1) == 'k'))
+            return true
+          i += 2
         case '[' => // character class: quantifier chars inside are literals
           i += 1
           if (i < n && pattern.charAt(i) == '^') i += 1
@@ -451,7 +459,13 @@ object LineParser {
       maxSteps: Long,
       patternDesc: String): Boolean = {
     if (maxSteps <= 0L) { m.reset(line); return m.find() }
-    buf.reset(line, maxSteps + 100L * line.length)
+    // saturating add: an explicit huge regexMaxSteps ("effectively
+    // unlimited but keep the wrapper") must not wrap negative and fail
+    // every line on its first read
+    val headroom = 100L * line.length
+    val budget = if (maxSteps > Long.MaxValue - headroom) Long.MaxValue
+      else maxSteps + headroom
+    buf.reset(line, budget)
     m.reset(buf)
     try m.find()
     catch {

@@ -364,6 +364,12 @@ final class DroppedLinesMetric
 object LogScan {
   val CodecSuffixes = Seq(".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst")
 
+  /** Filesystems whose listLocatedStatus returns REAL block locations in
+    * the same RPC (HDFS and its federation/HTTP faces) — everywhere else
+    * located listing fabricates per-file block info at up to ~170x the
+    * plain-listing cost (dev/SCALE_CURVE.md). */
+  val LocatedSchemes: Set[String] = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
   /** Crude, bounded selectivity for pushed filters, used only to size the
     * scan for broadcast decisions (never for correctness). Without
     * per-column stats the honest choice is a fixed prior per filter
@@ -430,7 +436,10 @@ object LogScan {
             // split (DistributedFileSystem => located, else plain).
             override def call(): Array[FileStatus] = {
               val fs = p.getFileSystem(conf)
-              if (fs.getScheme == "hdfs") {
+              // base FileSystem.getScheme throws; a custom FS without an
+              // override must not fail the whole listing
+              val scheme = try fs.getScheme catch { case _: Exception => "" }
+              if (LogScan.LocatedSchemes.contains(scheme)) {
                 val out = ArrayBuffer.empty[FileStatus]
                 val it = fs.listLocatedStatus(p)
                 while (it.hasNext) out += it.next()

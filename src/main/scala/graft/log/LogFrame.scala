@@ -28,10 +28,13 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
   // pattern's required leading literal
   private val litPrefix: Option[(String, Boolean)] = LineParser.literalPrefix(pattern)
   // the SQL surface faces the same catastrophic-backtracking hazard as
-  // the scan: a structurally risky pattern runs under the default
-  // regexMaxSteps budget (LineParser.riskyPattern gating — benign
-  // patterns keep the plain zero-overhead path below)
-  private val risky: Boolean = LineParser.riskyPattern(pattern)
+  // the scan: a structurally risky pattern runs under the regexMaxSteps
+  // budget (LineParser.riskyPattern gating — benign patterns keep the
+  // plain zero-overhead path below). The budget comes from the session
+  // conf `spark.graft.log.regexMaxSteps` (captured at analysis time;
+  // 0 disables) — the expression has no per-call options surface.
+  private val maxSteps: Long = ParseLogLine.sessionMaxSteps
+  private val risky: Boolean = maxSteps > 0L && LineParser.riskyPattern(pattern)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
@@ -43,7 +46,7 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
       if (anchored) s.startsWith(lit) else s.contains(lit)
     }
     if (!mightMatch) return null
-    val m = if (risky) ParseLogLine.findRisky(compiled, s, pattern)
+    val m = if (risky) ParseLogLine.findRisky(compiled, s, pattern, maxSteps)
       else { val m0 = compiled.matcher(s); if (m0.find()) m0 else null }
     if (m == null) null
     else {
@@ -79,7 +82,7 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
           s"""
              |java.util.regex.Matcher $m = null;
              |if ($litCheck) {
-             |  $m = graft.log.ParseLogLine.findRisky($patternRef, $s, $pstrRef);
+             |  $m = graft.log.ParseLogLine.findRisky($patternRef, $s, $pstrRef, ${maxSteps}L);
              |}
            """.stripMargin
         } else {
@@ -113,6 +116,22 @@ case class ParseLogLine(child: Expression, pattern: String) extends UnaryExpress
 }
 
 object ParseLogLine {
+  /** The expression's step budget: session conf
+    * `spark.graft.log.regexMaxSteps` (0 disables), defaulting to the
+    * scan's default. Read at expression construction — analysis time,
+    * driver side — so `SET spark.graft.log.regexMaxSteps = 0` is the
+    * documented escape hatch for a legitimately-slow pattern.
+    */
+  def sessionMaxSteps: Long = {
+    val raw =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.log.regexMaxSteps",
+          LogOptions.DefaultRegexMaxSteps.toString)
+      catch { case _: Exception => LogOptions.DefaultRegexMaxSteps.toString }
+    try math.max(0L, raw.trim.toLong)
+    catch { case _: NumberFormatException => LogOptions.DefaultRegexMaxSteps }
+  }
+
   /** Budgeted `find()` for structurally risky patterns, shared by the
     * interpreted and generated eval paths: returns the matched Matcher or
     * null, throwing the FAILFAST-style budget SparkException on a
@@ -120,11 +139,12 @@ object ParseLogLine {
     * are the rare case and already regex-dominated, so the two small
     * allocations are noise; the common (benign) path never gets here.
     */
-  def findRisky(p: Pattern, s: String, patternStr: String): java.util.regex.Matcher = {
+  def findRisky(
+      p: Pattern, s: String, patternStr: String, maxSteps: Long): java.util.regex.Matcher = {
     val buf = new LineParser.BudgetedChars
     val m = p.matcher("")
-    val found = LineParser.findBudgeted(m, buf, s,
-      LogOptions.DefaultRegexMaxSteps, s"'$patternStr' (parse_log_line)")
+    val found = LineParser.findBudgeted(m, buf, s, maxSteps,
+      s"'$patternStr' (parse_log_line; override via SET spark.graft.log.regexMaxSteps)")
     if (found) m else null
   }
 }
@@ -196,7 +216,8 @@ object LogFrame {
     // reject what this path cannot honor (same contract as parse()): the
     // text source here reads UTF-8 with default framing — non-default
     // encoding/lineSep need the DSV2 reader, which owns the byte level
-    require(opts.encoding.equalsIgnoreCase("UTF-8") && opts.lineSep.isEmpty,
+    require(java.nio.charset.Charset.forName(opts.encoding) ==
+      java.nio.charset.StandardCharsets.UTF_8 && opts.lineSep.isEmpty,
       "[log] the expression path reads lines via spark.readStream.text " +
         "(UTF-8, default framing) — use format(\"log\") for encoding/lineSep")
     parse(spark.readStream.text(path), opts)

@@ -315,7 +315,13 @@ final class LogMicroBatchStream(
     // same chunker as the batch scan: one huge discovered file must fan
     // out across the cluster, not stall the micro-batch on a single task
     val maxSplit = LogScan.splitSize(spark, statuses)
-    val roots = if (opts.dirColumns.isEmpty) Nil else LogScan.dirRoots(conf, paths)
+    // roots are needed by EVERY path-field kind, not just dirColumns: hive
+    // k=v matching is scoped to segments strictly below the matched root
+    // (PartitionValues.hiveValues), so a partitionSchema stream rooted
+    // inside a k=v ancestor directory must know where its root is
+    val roots =
+      if (opts.partitionSchema.isEmpty && opts.dirColumns.isEmpty) Nil
+      else LogScan.dirRoots(conf, paths)
     LogScan.pack(
       LogScan.chunkFiles(statuses, opts, conf, maxSplit, roots),
       maxSplit,

@@ -97,12 +97,25 @@ object StreamingNearDedup {
       if (hasData) spark.read.parquet(part.toString) else batch.limit(0).toDF()
     }
 
+    // one postings partition write, marker guaranteed: clusters that
+    // disable mapreduce.fileoutputcommitter.marksuccessfuljobs would
+    // otherwise leave every committed partition markerless — the
+    // committed-check below would see it as torn and re-repair the whole
+    // history every batch, forever. The marker is touched only AFTER the
+    // parquet write returns, preserving the torn-write detection window.
+    def writePostingsPartition(posts: Dataset[Row], k: Long): Unit = {
+      val dir = s"$postingsDir/$PartitionPrefix$k"
+      posts.write.mode("overwrite").parquet(dir)
+      val marker = new Path(dir, "_SUCCESS")
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+    }
+
     // gap repair: re-band one prior accepted batch from its sink rows;
     // overwrite makes it (and the replay path below) idempotent
     def repairPostingsPartition(k: Long): Unit = {
       ensureParams()
-      Dedup.bandPostings(sinkPartition(k), idCol, textCol, shingleN, numHashes, bands)
-        .posts.write.mode("overwrite").parquet(s"$postingsDir/$PartitionPrefix$k")
+      writePostingsPartition(
+        Dedup.bandPostings(sinkPartition(k), idCol, textCol, shingleN, numHashes, bands).posts, k)
     }
 
     dropLegacyFlatLayout(fs, postingsDir)
@@ -150,8 +163,8 @@ object StreamingNearDedup {
       // two leaves a postings gap, which the repair above closes next call.
       ensureParams()
       val survivorIds = sinkPartition(batchId).select(col(idCol).as("__idH"))
-      batchPosts.posts.join(survivorIds, Seq("__idH"), "left_semi")
-        .write.mode("overwrite").parquet(s"$postingsDir/$PartitionPrefix$batchId")
+      writePostingsPartition(
+        batchPosts.posts.join(survivorIds, Seq("__idH"), "left_semi"), batchId)
     } finally batchPosts.posts.unpersist(blocking = false)
   }
 

@@ -84,6 +84,11 @@ class LogEncodingSpec extends SparkSpec {
         "pattern" -> "(\\d+)", "schema" -> "id INT", "linesep" -> "|"))
     }
     assert(e2.getMessage.contains("lineSep"), e2.getMessage)
+    // charset ALIASES of UTF-8 are honored, not string-compared away
+    val okDir = Files.createTempDirectory("logenc_alias").toFile
+    val ok = graft.log.LogFrame.stream(spark, okDir.getAbsolutePath, Map(
+      "pattern" -> "(\\d+)", "schema" -> "id INT", "encoding" -> "utf8"))
+    assert(ok.isStreaming)
   }
 
   test("option validation: unknown charset, ambiguous UTF-16, missing lineSep") {

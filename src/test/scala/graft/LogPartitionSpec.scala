@@ -374,6 +374,30 @@ class LogPartitionSpec extends SparkSpec {
       Seq((1, 1), (2, 2)))
   }
 
+  test("streaming: hive values scoped below the root too (k=v ancestor above root)") {
+    // the batch fix alone is not enough — the streaming chunk planner
+    // must thread roots whenever partitionSchema is declared, or the
+    // ancestor exp=9 conflicts with the tree's own exp= levels at
+    // planInputPartitions time
+    val outer = writeTree(
+      "exp=9/logs/exp=1/a.log" -> Seq("1 A"),
+      "exp=9/logs/exp=2/b.log" -> Seq("2 B"))
+    val inner = new File(outer, "exp=9/logs")
+    val stream = spark.readStream.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("extensions", "log")
+      .option("partitionSchema", "exp INT")
+      .load(inner.getAbsolutePath)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("loghive_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table("loghive_stream").select("id", "exp").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(rows == Seq((1, 1), (2, 2)))
+  }
+
   test("runtime (join-driven) pruning works on dirColumns too") {
     val root = writeTree(
       "1/a.log" -> Seq("1 INFO", "2 WARN"),

@@ -115,12 +115,50 @@ class RegexBudgetSpec extends SparkSpec {
                   "\\.*a\\.*b\\.*c") ++ // escaped dots are literals
                 LogOptions.Presets.values.map(_("pattern")))
       assert(!LineParser.riskyPattern(p), s"should NOT flag: $p")
+    // backreferences: their own catastrophic class ((\w+)\1+), flagged
+    // outright
+    assert(LineParser.riskyPattern("(\\w+)\\1+x"))
+    assert(LineParser.riskyPattern("(a+)\\1"))
+    assert(!LineParser.riskyPattern("(\\d+)\\.(\\d+)")) // escaped dot, no backref
     // engagement: default budget is live only for flagged patterns;
     // explicit setting engages anything
     assert(LineParser.effectiveBudget("(a+)+x", 10L, explicit = false) == 10L)
     assert(LineParser.effectiveBudget("(\\d+)", 10L, explicit = false) == 0L)
     assert(LineParser.effectiveBudget("(\\d+)", 10L, explicit = true) == 10L)
     assert(LineParser.effectiveBudget("(a+)+x", 0L, explicit = true) == 0L)
+  }
+
+  test("huge explicit regexMaxSteps saturates instead of wrapping negative") {
+    val dir = writeLog(Seq("1 INFO", "2 WARN"))
+    val rows = spark.read.format("log")
+      .option("pattern", "(\\d+) (\\w+)")
+      .option("schema", "id INT, level VARCHAR")
+      .option("regexMaxSteps", Long.MaxValue.toString) // wrapper engaged, effectively unlimited
+      .load(dir.getAbsolutePath)
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == Seq(1, 2))
+  }
+
+  test("parse_log_line budget honors the spark.graft.log.regexMaxSteps session conf") {
+    import spark.implicits._
+    val df = Seq("a" * 45 + "!").toDF("value")
+    def run() = df.select(graft.log.LogFrame.parseLogLine(
+      org.apache.spark.sql.functions.col("value"), "((.*a){12}x)")).collect()
+    // tightened budget still trips (conf is read at analysis time)
+    spark.conf.set("spark.graft.log.regexMaxSteps", "1000")
+    try {
+      val e = intercept[Exception] { run() }
+      assert(chain(e).flatMap(t => Option(t.getMessage))
+        .exists(_.contains("spark.graft.log.regexMaxSteps")),
+        chain(e).flatMap(t => Option(t.getMessage)).mkString(" | "))
+      // 0 disables — the documented escape hatch for a pattern the user
+      // accepts as slow; this poison would hang, so use a small line
+      spark.conf.set("spark.graft.log.regexMaxSteps", "0")
+      val small = Seq("a" * 14 + "!").toDF("value")
+      val out = small.select(graft.log.LogFrame.parseLogLine(
+        org.apache.spark.sql.functions.col("value"), "((.*a){12}x)").as("g")).collect()
+      assert(out.head.isNullAt(0)) // no match, NO budget error
+    } finally spark.conf.unset("spark.graft.log.regexMaxSteps")
   }
 
   test("option validation: negative or non-numeric regexMaxSteps fails at load") {
