@@ -354,37 +354,167 @@ object LineParser {
     else if (explicit || riskyPattern(pattern)) maxSteps
     else 0L
 
+  /** A character-class model for the chain rule: `test` decides membership,
+    * `chars` lists the specific literal characters the class was built from
+    * (so overlap checks can probe them in addition to the fixed category
+    * representatives). `null` stands for "couldn't model — treat as
+    * overlapping", the conservative direction. */
+  private final class Cls(val test: Char => Boolean, val chars: List[Char])
+
+  private def litCls(c: Char) = new Cls(x => x == c, c :: Nil)
+  private def isWordCh(c: Char) =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  private def isSpaceCh(c: Char) = // Java \s = [ \t\n\x0B\f\r]
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
+  /** `\d \D \s \S \w \W` and the escape literals; null for anything else. */
+  private def escCls(c: Char): Cls = c match {
+    case 'd' => new Cls(ch => ch >= '0' && ch <= '9', Nil)
+    case 'D' => new Cls(ch => !(ch >= '0' && ch <= '9'), Nil)
+    case 's' => new Cls(isSpaceCh, Nil)
+    case 'S' => new Cls(ch => !isSpaceCh(ch), Nil)
+    case 'w' => new Cls(isWordCh, Nil)
+    case 'W' => new Cls(ch => !isWordCh(ch), Nil)
+    case 'n' => litCls('\n')
+    case 't' => litCls('\t')
+    case 'r' => litCls('\r')
+    case 'f' => litCls('\f')
+    case 'e' => litCls(27.toChar)
+    case 'a' => litCls(7.toChar)
+    case ch if !ch.isLetter && !ch.isDigit => litCls(ch) // escaped meta/punct literal
+    case _ => null // \b \B \A \z \Q \p{...} \x.. \u.. — unmodeled
+  }
+
+  /** One representative per character category the modeled classes can
+    * distinguish; class-specific literals are probed on top ([[Cls.chars]]). */
+  private val ClsReps = "aA0_ \t\n.\"".toList
+
+  private def clsOverlap(a: Cls, b: Cls): Boolean =
+    (ClsReps ++ a.chars ++ b.chars).exists(c => a.test(c) && b.test(c))
+
   /** Static detector for the structural prerequisites of catastrophic
-    * (exponential) backtracking: a QUANTIFIED group whose body itself
-    * contains a quantifier or an alternation — `(a+)+`, `(.*a){12}`,
-    * `(a|aa)+`. Single-level quantifiers (`\S+ \[([^\]]+)\]`, every
-    * preset) cannot multiply match attempts and return false, keeping the
-    * default scan on the unwrapped path. Conservative in the safe
-    * direction: a false POSITIVE merely engages the ~10% counting wrapper
-    * (still exact); anything unparseable flags true rather than disabling
-    * the kill switch. `?` counts as a BODY quantifier (`(a?)+x` is
-    * exponential — each iteration chooses take-or-skip) but not as an
-    * engaging OUTER quantifier (0-or-1 of anything cannot multiply); the
-    * `?` of group syntax `(?:`/`(?=`/`(?i)` is skipped at the `(`.
+    * (exponential or high-degree polynomial) backtracking. Conservative in
+    * the safe direction: a false POSITIVE merely engages the ~10% counting
+    * wrapper (still exact); anything unparseable flags true rather than
+    * disabling the kill switch.
     *
-    * Second rule: three or more `.`-quantifier atoms (`.*`/`.+`) flag
-    * too. An INLINED chain like `.*a.*a.*a…x` has no quantified group yet
-    * backtracks O(n^k) — probed on this JVM: twelve `.*a` terms take
-    * 6.8 s on a 30-char non-matching line and hang outright at 60 chars.
-    * Dot atoms overlap with everything, which is what makes the chain
-    * polynomial; two of them (the ubiquitous `prefix (.*) suffix` shapes)
-    * are at worst quadratic and stay unflagged.
+    * Rule 1 — a QUANTIFIED group whose body itself contains a quantifier
+    * or an alternation: `(a+)+`, `(.*a){12}`, `(a|aa)+`. `?` counts as a
+    * BODY quantifier (`(a?)+x` is exponential — each iteration chooses
+    * take-or-skip) but not as an engaging OUTER quantifier (0-or-1 of
+    * anything cannot multiply); the `?` of group syntax `(?:`/`(?=`/`(?i)`
+    * is skipped at the `(`.
+    *
+    * Rule 2 — three or more OVERLAPPING quantified atoms. An inlined chain
+    * with no quantified group still backtracks O(n^k) when each quantified
+    * atom can match the thing that follows it, making the split points
+    * ambiguous. Probed on this JVM (dev/SCAN_PROFILE.md): `.*a`×12 takes
+    * 6.8 s at n=30; `\S*a`×8 takes 5.0 s at n=40; `[^"]*x`×3 takes 8.9 s
+    * at n=400; `\w*a`×8 takes 4.7 s at n=40. Counted toward the chain:
+    *   - `.*`/`.+` unconditionally (dot overlaps everything);
+    *   - any other quantified atom — escape class, character class, or
+    *     literal — whose class CAN match its successor token (skipping
+    *     group parentheses), decided by [[clsOverlap]]; unmodelable atoms
+    *     or successors count conservatively. Possessive quantifiers
+    *     (`*+`/`++`) never count: they cannot backtrack, and rewriting to
+    *     them is exactly the documented mitigation.
+    * Non-overlapping single-level quantifiers (`(\S+) (\S+)`, `"([^"]*)"`,
+    * `(\w+)=(\w+)` — every preset) contribute nothing and stay on the
+    * unwrapped zero-overhead path. Two overlapping atoms (the ubiquitous
+    * `prefix (.*) suffix` shapes) are at worst quadratic and stay
+    * unflagged.
     */
   private[graft] def riskyPattern(pattern: String): Boolean = {
     val n = pattern.length
     // body(d) = "group at depth d contains an unescaped quantifier or |"
     val body = new Array[Boolean](64)
     var depth = 0
-    var dotQuants = 0 // unescaped `.*` / `.+` atoms seen
+    var chainQuants = 0 // overlapping quantified atoms seen (rule 2)
     var i = 0
     def quantAt(j: Int): Boolean = j < n && {
       val c = pattern.charAt(j)
       c == '*' || c == '+' || (c == '{' && j + 1 < n && pattern.charAt(j + 1).isDigit)
+    }
+    // Parse the character class starting at `start` (pattern.charAt(start)
+    // == '['): returns (model-or-null, index past the closing ']').
+    def parseCharClass(start: Int): (Cls, Int) = {
+      var j = start + 1
+      var negated = false
+      if (j < n && pattern.charAt(j) == '^') { negated = true; j += 1 }
+      var items = List.empty[Cls]
+      var lits = List.empty[Char]
+      var ok = true
+      var first = true
+      while (j < n && (pattern.charAt(j) != ']' || first)) {
+        first = false
+        val item: Cls = pattern.charAt(j) match {
+          case '\\' if j + 1 < n =>
+            val c = escCls(pattern.charAt(j + 1)); j += 2; c
+          case '[' => ok = false; j += 1; null // nested class / POSIX — bail
+          case '&' if j + 1 < n && pattern.charAt(j + 1) == '&' =>
+            ok = false; j += 2; null // intersection — bail
+          case c =>
+            j += 1
+            if (j + 1 < n && pattern.charAt(j) == '-' && pattern.charAt(j + 1) != ']') {
+              // range c-d (a '-' before ']' is a literal, handled next loop)
+              val hi = pattern.charAt(j + 1) match {
+                case '\\' => ok = false; j += 2; ' ' // \-escaped hi bound — bail
+                case h    => j += 2; h
+              }
+              if (ok) { lits = c :: hi :: lits; new Cls(x => x >= c && x <= hi, c :: hi :: Nil) }
+              else null
+            } else { lits = c :: lits; litCls(c) }
+        }
+        if (item == null) ok = false else items = item :: items
+      }
+      if (j >= n) return (null, n) // unterminated — bail conservative
+      j += 1 // past ']'
+      if (!ok) return (null, j)
+      val within = items
+      val pos = new Cls(c => within.exists(_.test(c)), lits ++ within.flatMap(_.chars))
+      (if (negated) new Cls(c => !pos.test(c), pos.chars) else pos, j)
+    }
+    // Can `cls` match the first consuming token after position `start`
+    // (skipping group punctuation)? End-of-pattern and `$` cannot overlap;
+    // anything unmodelable overlaps conservatively.
+    def overlapsSuccessor(cls: Cls, start: Int): Boolean = {
+      var j = start
+      while (j < n) {
+        pattern.charAt(j) match {
+          case ')' | '^' => j += 1
+          case '(' =>
+            j += 1
+            if (j < n && pattern.charAt(j) == '?') {
+              if (j + 1 < n && pattern.charAt(j + 1) == ':') j += 2
+              else return true // lookaround / flags / named group — conservative
+            }
+          case '$' => return false // end anchor: nothing follows to overlap
+          case '.' => return true // dot consumes (nearly) anything
+          case '[' =>
+            val (c2, _) = parseCharClass(j)
+            return c2 == null || clsOverlap(cls, c2)
+          case '\\' =>
+            if (j + 1 >= n) return true
+            val c2 = escCls(pattern.charAt(j + 1))
+            return c2 == null || clsOverlap(cls, c2)
+          case '|' | '*' | '+' | '?' | '{' => return true // ambiguous — conservative
+          case ch => return cls.test(ch)
+        }
+      }
+      false // trailing atom: no successor, cannot chain
+    }
+    // After an atom modeled as `cls` (null = unmodelable) ending at `j`:
+    // consume a `*`/`+` quantifier + modifier if present, update the rule-1
+    // body flag and the rule-2 chain count, and return the next index.
+    def afterAtom(cls: Cls, j: Int): Int = {
+      if (j >= n || (pattern.charAt(j) != '*' && pattern.charAt(j) != '+')) return j
+      if (depth >= 1) body(depth) = true
+      var k = j + 1
+      var possessive = false
+      if (k < n && pattern.charAt(k) == '+') { possessive = true; k += 1 }
+      else if (k < n && pattern.charAt(k) == '?') k += 1 // reluctant still backtracks
+      if (!possessive && (cls == null || overlapsSuccessor(cls, k))) chainQuants += 1
+      k
     }
     while (i < n) {
       pattern.charAt(i) match {
@@ -396,16 +526,11 @@ object LineParser {
           // \k literal false positive just pays the wrapper).
           if (i + 1 < n && (pattern.charAt(i + 1).isDigit || pattern.charAt(i + 1) == 'k'))
             return true
-          i += 2
+          val cls = if (i + 1 < n) escCls(pattern.charAt(i + 1)) else null
+          i = afterAtom(cls, i + 2)
         case '[' => // character class: quantifier chars inside are literals
-          i += 1
-          if (i < n && pattern.charAt(i) == '^') i += 1
-          if (i < n && pattern.charAt(i) == ']') i += 1 // leading ] is literal
-          while (i < n && pattern.charAt(i) != ']') {
-            if (pattern.charAt(i) == '\\') i += 1
-            i += 1
-          }
-          i += 1
+          val (cls, end) = parseCharClass(i)
+          i = afterAtom(cls, end)
         case '(' =>
           depth += 1
           if (depth >= body.length) return true // absurd nesting: bail risky
@@ -424,8 +549,8 @@ object LineParser {
           // body quantifier-bearing (covers ((a+)b)* nesting)
           if (depth >= 1) body(depth) |= had || quantified
           i += 1
-        case '*' | '+' =>
-          if (depth >= 1) body(depth) = true
+        case '*' | '+' => // group-level quantifier (atom-level ones are
+          if (depth >= 1) body(depth) = true // consumed by afterAtom)
           i += 1
         case '{' =>
           if (quantAt(i) && depth >= 1) body(depth) = true
@@ -434,13 +559,19 @@ object LineParser {
           if (depth >= 1) body(depth) = true
           i += 1
         case '.' =>
-          if (i + 1 < n && (pattern.charAt(i + 1) == '*' || pattern.charAt(i + 1) == '+'))
-            dotQuants += 1
+          if (i + 1 < n && (pattern.charAt(i + 1) == '*' || pattern.charAt(i + 1) == '+')) {
+            if (depth >= 1) body(depth) = true
+            chainQuants += 1 // dot overlaps everything: count unconditionally
+            i += 2
+            if (i < n && (pattern.charAt(i) == '?' || pattern.charAt(i) == '+')) i += 1
+          } else i += 1
+        case '^' | '$' => i += 1
+        case c =>
           i += 1
-        case _ => i += 1
+          i = afterAtom(litCls(c), i)
       }
     }
-    dotQuants >= 3
+    chainQuants >= 3
   }
 
   /** `Matcher.find()` under the per-line step budget. The effective budget

@@ -43,6 +43,24 @@ class RegexBudgetSpec extends SparkSpec {
     assert(secs < 60.0, s"budget tripped but took ${secs}s")
   }
 
+  test("overlapping non-dot chain (round-12 blind class) trips the budget by default") {
+    // \S*a x12 has no quantified group and no dot atom — invisible to the
+    // round-12 detector — yet backtracks O(n^12): probed 7.0 s at n=30 on
+    // this JVM, far worse at 45. The overlap rule must auto-engage the
+    // budget with no option set.
+    val dir = writeLog(Seq("1 INFO", "a" * 45 + "!"))
+    val df = spark.read.format("log")
+      .option("pattern", "(" + "\\S*a" * 12 + "x)")
+      .option("schema", "g VARCHAR")
+      .load(dir.getAbsolutePath)
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] { df.select("g").collect() }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val msgs = chain(e).flatMap(t => Option(t.getMessage))
+    assert(msgs.exists(_.contains("regexMaxSteps")), msgs.mkString(" | "))
+    assert(secs < 60.0, s"budget tripped but took ${secs}s")
+  }
+
   test("recordStartPattern runs under the same budget") {
     val dir = writeLog(Seq("1 START ok", "a" * 45 + "!"))
     val df = spark.read.format("log")
@@ -106,6 +124,16 @@ class RegexBudgetSpec extends SparkSpec {
                   // still O(n^k) — probed 6.8 s at k=12/n=30 on this JVM
                   ".*a.*a.*ax", "(.+)=(.+):(.+);(.*)"))
       assert(LineParser.riskyPattern(p), s"should flag: $p")
+    // overlapping NON-dot chains: the round-12 blind class. Probed on this
+    // JVM: \S*a x8 → 5.0 s at n=40, [^"]*x x3 → 8.9 s at n=400,
+    // \w*a x8 → 4.7 s at n=40 — same overlap structure as the dot chain
+    for (p <- Seq("\\S*a" * 8 + "x", "\\S*a" * 12 + "x",
+                  "[^\"]*x[^\"]*x[^\"]*xy",
+                  "\\w*a\\w*a\\w*ax", "\\D*a\\D*a\\D*ax",
+                  "(\\S+):(\\S+):(\\S+)x", // ':' is non-space → ambiguous splits
+                  "a*aa*aa*ax", // quantified literals overlapping their successor
+                  "[ab]*a[ab]*a[ab]*ax")) // narrow class, still overlapping
+      assert(LineParser.riskyPattern(p), s"should flag (overlap chain): $p")
     // single-level quantifiers cannot multiply match attempts
     for (p <- Seq("(\\d+) (\\w+)", "(.*)", "^ERROR: (\\d+) (.+)",
                   "([+*]+)x", // quantifier chars inside a class are literals
@@ -115,6 +143,31 @@ class RegexBudgetSpec extends SparkSpec {
                   "\\.*a\\.*b\\.*c") ++ // escaped dots are literals
                 LogOptions.Presets.values.map(_("pattern")))
       assert(!LineParser.riskyPattern(p), s"should NOT flag: $p")
+    // NON-overlapping quantified atoms never count toward the chain: the
+    // atom's class cannot match its successor, so split points are
+    // unambiguous and backtracking is linear — these shapes are ubiquitous
+    // in real log patterns and must stay on the zero-overhead path
+    for (p <- Seq("(\\S+) (\\S+) (\\S+) (\\S+)", // space separators
+                  "\"([^\"]*)\" \"([^\"]*)\" \"([^\"]*)\"", // quoted fields
+                  "(\\w+)=(\\w+)&(\\w+)=(\\w+)", // query-string fields
+                  "(\\d+)\\.(\\d+)\\.(\\d+)\\.(\\d+)", // IP address
+                  "(\\w+)\\.(\\w+)\\.(\\w+)\\.(\\w+)", // dotted names
+                  "\\[([^\\]]+)\\] \\[([^\\]]+)\\] \\[([^\\]]+)\\]",
+                  "(\\d+) (\\d+) (\\d+) (\\d+)", // narrow classes, no overlap
+                  "\\S++a\\S++a\\S++a\\S++ax")) // possessive: cannot backtrack
+      assert(!LineParser.riskyPattern(p), s"should NOT flag (no overlap): $p")
+    // trailing atom has no successor; 2 overlapping atoms are at worst
+    // quadratic — both under the >= 3 chain threshold
+    assert(!LineParser.riskyPattern("(\\S*)"))
+    assert(!LineParser.riskyPattern("\\S*a\\S*ax"))
+    // every pattern the bench/oracle queries scan with stays unflagged
+    // (flagging one would silently add the ~10% wrapper to a bench path)
+    for (p <- Seq(
+        "(?s)(\\d+) (\\w+) user=(\\d+)\\n  seq=\\d+\\n  tail value=([0-9.]+)",
+        "(\\S+) (\\d{2}:\\d{2}:\\d{2}) (\\w+) evt=(\\d+)",
+        "(\\d+) (\\w+) user=(\\d+) ([0-9.]+)",
+        "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) (\\w+) evt=(\\d+)"))
+      assert(!LineParser.riskyPattern(p), s"bench pattern must stay unflagged: $p")
     // backreferences: their own catastrophic class ((\w+)\1+), flagged
     // outright
     assert(LineParser.riskyPattern("(\\w+)\\1+x"))
