@@ -496,8 +496,12 @@ object LogScan {
     val chunks = ArrayBuffer.empty[LogChunk]
     files.foreach { f =>
       val codec = codecs.getCodec(f.getPath)
-      val splittable = codec == null ||
-        (opts.recordStartPattern.isEmpty && codec.isInstanceOf[SplittableCompressionCodec])
+      // non-ASCII-transparent charsets (UTF-16LE/BE) can straddle the
+      // delimiter bytes across two characters, so a mid-file split could
+      // mis-frame its first/last record — whole-file chunks only
+      // (LogOptions.splitSafeEncoding)
+      val splittable = opts.splitSafeEncoding && (codec == null ||
+        (opts.recordStartPattern.isEmpty && codec.isInstanceOf[SplittableCompressionCodec]))
       // partition values ride on every chunk of the file: per-chunk
       // constants the reader stamps onto rows (typed validation happens
       // here, at planning — a malformed segment fails before task launch)
@@ -703,8 +707,82 @@ final class LogPartitionReader(
     case Some((l, anchored)) => if (anchored) line.startsWith(l) else line.contains(l)
     case None                => true
   }
+  /** Line framing, abstracted over the two decode orders. Split-safe
+    * (ASCII-transparent) charsets frame in BYTE space via Hadoop's
+    * `LineRecordReader` — splittable, zero-copy, the hot path. Anything
+    * else (UTF-16LE/BE, EBCDIC) must decode FIRST and frame in CHARACTER
+    * space: a byte-aligned delimiter scan can false-match a delimiter
+    * byte sequence straddling two characters (U+0A41 U+4100 in UTF-16LE
+    * contains the 0A 00 bytes of '\n'), silently mis-framing records.
+    * Those files arrive as whole-file chunks (LogScan.chunkFiles), so the
+    * char path never needs split positions. */
+  private sealed trait Frames {
+    def advance(): Boolean
+    def pos: Long
+    def rawLine(): String
+    def close(): Unit
+  }
+
+  private final class HadoopFrames(split: FileSplit) extends Frames {
+    private val rr =
+      if (delimBytes != null) new LineRecordReader(delimBytes) else new LineRecordReader()
+    rr.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    def advance(): Boolean = rr.nextKeyValue()
+    def pos: Long = rr.getCurrentKey.get()
+    def rawLine(): String = {
+      val t = rr.getCurrentValue
+      if (isUtf8) t.toString else new String(t.getBytes, 0, t.getLength, charset)
+    }
+    def close(): Unit = rr.close()
+  }
+
+  private final class CharFrames(path: Path) extends Frames {
+    private val in: java.io.InputStream = {
+      val fs = path.getFileSystem(conf)
+      val raw = fs.open(path)
+      val codec =
+        new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(path)
+      if (codec != null) codec.createInputStream(raw) else raw
+    }
+    private val rdr =
+      new java.io.BufferedReader(new java.io.InputStreamReader(in, charset), 64 * 1024)
+    private val sep: String = opts.lineSep.orNull
+    private val sb = new java.lang.StringBuilder
+    private var cur: String = _
+    private var eof = false
+    def advance(): Boolean = { cur = nextLine(); cur != null }
+    def pos: Long = -1L // whole-file chunk: ownership protocol never consulted
+    def rawLine(): String = cur
+    private def nextLine(): String = {
+      if (sep == null) return rdr.readLine() // universal \n | \r\n | \r
+      if (eof) return null
+      sb.setLength(0)
+      var ci = rdr.read()
+      while (ci >= 0) {
+        sb.append(ci.toChar)
+        if (sb.length >= sep.length && bufEndsWithSep()) {
+          sb.setLength(sb.length - sep.length)
+          return sb.toString
+        }
+        ci = rdr.read()
+      }
+      eof = true
+      if (sb.length == 0) null else sb.toString
+    }
+    private def bufEndsWithSep(): Boolean = {
+      val off = sb.length - sep.length
+      var j = 0
+      while (j < sep.length) {
+        if (sb.charAt(off + j) != sep.charAt(j)) return false
+        j += 1
+      }
+      true
+    }
+    def close(): Unit = rdr.close()
+  }
+
   private var chunkIdx = -1
-  private var reader: LineRecordReader = _
+  private var reader: Frames = _
   private var current: InternalRow = _
   // internal-typed partition values of the current chunk, one per
   // REQUIRED partition column (partOrdinals order)
@@ -723,9 +801,10 @@ final class LogPartitionReader(
     // multi-line: extend the split to EOF so a boundary-straddling record
     // can be finished; record ownership (chunkEnd) still follows c.length
     val readLen = if (startPat != null) c.fileLen - c.start else c.length
-    val split = new FileSplit(new Path(c.path), c.start, readLen, Array.empty[String])
-    reader = if (delimBytes != null) new LineRecordReader(delimBytes) else new LineRecordReader()
-    reader.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    reader =
+      if (opts.splitSafeEncoding)
+        new HadoopFrames(new FileSplit(new Path(c.path), c.start, readLen, Array.empty[String]))
+      else new CharFrames(new Path(c.path))
     // a chunk that reaches EOF has no successor — never stop early (also
     // covers compressed files, whose LRR positions are decompressed bytes
     // while chunk lengths are compressed bytes; those are whole-file chunks)
@@ -762,8 +841,7 @@ final class LogPartitionReader(
   /** The current framed line, decoded under the configured charset; a BOM
     * heading the file's first line is stripped. */
   private def currentLine(): String = {
-    val t = reader.getCurrentValue
-    var s = if (isUtf8) t.toString else new String(t.getBytes, 0, t.getLength, charset)
+    var s = reader.rawLine()
     if (pendingBom) {
       pendingBom = false
       if (s.nonEmpty && s.charAt(0) == '\uFEFF') s = s.substring(1)
@@ -787,7 +865,7 @@ final class LogPartitionReader(
     */
   private def nextRecord(): String = {
     if (startPat == null) {
-      if (reader.nextKeyValue()) currentLine() else null
+      if (reader.advance()) currentLine() else null
     } else nextMultilineRecord()
   }
 
@@ -799,8 +877,8 @@ final class LogPartitionReader(
 
   private def nextMultilineRecord(): String = {
     if (chunkDone) return null
-    while (reader.nextKeyValue()) {
-      val pos = reader.getCurrentKey.get()
+    while (reader.advance()) {
+      val pos = reader.pos
       val line = currentLine()
       if (mightStart(line) && startsRecord(line)) {
         if (pos > chunkEnd) { // next chunk's record: finish ours and stop

@@ -162,6 +162,23 @@ final case class LogOptions(
     pathFields.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
 
   lazy val compiledPattern: Pattern = Pattern.compile(pattern)
+
+  /** Is byte-offset splitting safe under this charset? Only when the
+    * charset is ASCII-transparent (UTF-8, ISO-8859-*, windows-125x): every
+    * ASCII char encodes to its single ASCII byte, so a delimiter byte
+    * sequence can never be PRODUCED by the trailing/leading bytes of other
+    * characters and the byte-aligned delimiter scan finds exactly the real
+    * line breaks from any split offset. A multi-byte charset (UTF-16LE/BE)
+    * can straddle the delimiter bytes across two characters (U+xx0A then
+    * U+000A-started false pair), silently mis-framing a split chunk's
+    * first/last record — those files scan as ONE chunk per file, like the
+    * recordStartPattern fallback in chunkFiles. */
+  lazy val splitSafeEncoding: Boolean = {
+    val cs = java.nio.charset.Charset.forName(encoding)
+    val probe = "\r\n aA0~"
+    java.util.Arrays.equals(probe.getBytes(cs),
+      probe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
 }
 
 object LogOptions {

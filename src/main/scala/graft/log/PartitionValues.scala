@@ -97,9 +97,10 @@ object PartitionValues {
     * every dir column reads NULL — Drill's dirN-at-the-workspace-root
     * semantics.
     */
+  private def uriPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+
   def dirSegments(path: String, root: String): Array[String] = {
-    def uriPath(s: String) =
-      new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
     val p = uriPath(path)
     val r = uriPath(root)
     if (!p.startsWith(r + "/")) return Array.empty
@@ -158,18 +159,31 @@ object PartitionValues {
     // file no directory root was matched for (root empty), all ancestor
     // directories participate — the only levels available. Key match is
     // case-insensitive (Spark's resolution default).
-    val dirSegs: Seq[String] =
-      if (root.nonEmpty) dirSegments(path, root).toSeq
-      else new org.apache.hadoop.fs.Path(path).toUri.getPath.split('/').toSeq.dropRight(1)
-    val segs: Seq[(String, String)] = dirSegs.flatMap { seg =>
+    //
+    // FALLBACK: the root's own trailing k=v run fills a declared key with
+    // no segment below the root — so `.load("/data/dt=2024-03-01")` with
+    // shared table options reads the single partition it names (Spark
+    // basePath-style). Below-root matches always win, keeping the
+    // scoping semantics above intact.
+    def kv(seg: String): Option[(String, String)] = {
       val eq = seg.indexOf('=')
       if (eq <= 0) None
       else Some(seg.substring(0, eq).toLowerCase(java.util.Locale.ROOT) ->
         unescapePathName(seg.substring(eq + 1)))
     }
+    val dirSegs: Seq[String] =
+      if (root.nonEmpty) dirSegments(path, root).toSeq
+      else new org.apache.hadoop.fs.Path(path).toUri.getPath.split('/').toSeq.dropRight(1)
+    val segs: Seq[(String, String)] = dirSegs.flatMap(kv(_))
+    val rootSegs: Seq[(String, String)] =
+      if (root.isEmpty) Nil
+      else uriPath(root).split('/').reverse.takeWhile(s => kv(s).isDefined).flatMap(kv(_)).toSeq
     declared.map { case (name, tpe) =>
       val key = name.toLowerCase(java.util.Locale.ROOT)
-      val hits = segs.collect { case (k, v) if k == key => v }.distinct
+      val below = segs.collect { case (k, v) if k == key => v }.distinct
+      val hits =
+        if (below.nonEmpty) below
+        else rootSegs.collect { case (k, v) if k == key => v }.distinct
       if (hits.isEmpty) {
         throw new SparkException(
           s"[log] partition column '$name' declared in partitionSchema has no " +

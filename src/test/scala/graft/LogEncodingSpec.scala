@@ -73,6 +73,37 @@ class LogEncodingSpec extends SparkSpec {
     assert(got == Seq((1, "wide"), (2, "chars")), got)
   }
 
+  test("multi-byte charsets are never byte-split (delimiter-straddle safety)") {
+    import graft.log.LogOptions
+    // ASCII-transparent charsets split; UTF-16 families must not: a lineSep
+    // byte pair can straddle two characters (U+xx0A then U+00yy in LE), so
+    // a mid-file split can false-match and mis-frame its first/last record
+    def o(enc: String, sep: Option[String] = None) = LogOptions.fromMap(
+      Map("pattern" -> "(\\d+)", "schema" -> "id INT", "encoding" -> enc) ++
+        sep.map("linesep" -> _))
+    assert(o("UTF-8").splitSafeEncoding)
+    assert(o("ISO-8859-1").splitSafeEncoding)
+    assert(o("windows-1252").splitSafeEncoding)
+    assert(!o("UTF-16LE", Some("\n")).splitSafeEncoding)
+    assert(!o("UTF-16BE", Some("\n")).splitSafeEncoding)
+    // end-to-end: chunkFiles yields one whole-file chunk regardless of a
+    // tiny maxSplit, and the poison payload — a character whose LE bytes
+    // end with 0x0A followed by one starting 0x00 — parses identically to
+    // the unsplit read (under UTF-8 + same maxSplit the file WOULD split)
+    val poison = "1 aੁ䄀b\n2 tail\n" // U+0A41 = 41 0A LE, U+4100 = 00 41 LE
+    val bytes = poison.getBytes(StandardCharsets.UTF_16LE)
+    val dir = writeBytes(bytes)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(new File(dir, "a.log").getAbsolutePath))
+    val chunks16 = graft.log.LogScan.chunkFiles(Seq(st), o("UTF-16LE", Some("\n")),
+      fs.getConf, maxSplit = 8)
+    assert(chunks16.size == 1 && chunks16.head.length == st.getLen, chunks16)
+    val chunks8 = graft.log.LogScan.chunkFiles(Seq(st), o("UTF-8"), fs.getConf, maxSplit = 8)
+    assert(chunks8.size > 1, "UTF-8 control: the same file should split")
+    val got = rows(readLog(dir, "encoding" -> "UTF-16LE", "lineSep" -> "\n"))
+    assert(got == Seq((1, "aੁ䄀b"), (2, "tail")), got)
+  }
+
   test("expression path rejects encoding/lineSep it cannot honor") {
     val e = intercept[IllegalArgumentException] {
       graft.log.LogFrame.stream(spark, "/tmp/nonexistent", Map(

@@ -374,6 +374,30 @@ class LogPartitionSpec extends SparkSpec {
       Seq((1, 1), (2, 2)))
   }
 
+  test("loading a partition directory directly: root's own k=v segments fill in") {
+    // shared table options pointed at ONE partition — the r12 scoping made
+    // this fail planning with "no 'dt=' segment"; the root's trailing k=v
+    // run participates as a FALLBACK (Spark basePath-style)
+    val root = writeTree(
+      "dt=2024-03-01/a.log" -> Seq("1 INFO"),
+      "dt=2024-03-02/b.log" -> Seq("2 WARN"))
+    val df = readLog(new File(root, "dt=2024-03-01"), "partitionSchema" -> "dt DATE")
+    assert(df.select("id", "dt").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString)).toSeq == Seq((1, "2024-03-01")))
+    // multi-level: .load(".../dt=X/host=Y") fills both declared keys
+    val root2 = writeTree("dt=2024-03-05/host=web1/a.log" -> Seq("7 INFO"))
+    val df2 = readLog(new File(root2, "dt=2024-03-05/host=web1"),
+      "partitionSchema" -> "dt DATE, host STRING")
+    assert(df2.select("id", "dt", "host").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getString(2))).toSeq ==
+      Seq((7, "2024-03-05", "web1")))
+    // a below-root segment still WINS over the root's own (scoping intact)
+    val root3 = writeTree("dt=2024-03-01/dt=2024-03-09/a.log" -> Seq("3 X"))
+    val df3 = readLog(new File(root3, "dt=2024-03-01"), "partitionSchema" -> "dt DATE")
+    assert(df3.select("id", "dt").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString)).toSeq == Seq((3, "2024-03-09")))
+  }
+
   test("streaming: hive values scoped below the root too (k=v ancestor above root)") {
     // the batch fix alone is not enough — the streaming chunk planner
     // must thread roots whenever partitionSchema is declared, or the
