@@ -275,7 +275,24 @@ final class LogMicroBatchStream(
     val horizon = math.max(
       org.apache.spark.sql.GraftSql.sqlConf(spark).minBatchesToRetain.toLong,
       LogMicroBatchStream.CompactInterval.toLong) + LogMicroBatchStream.CompactInterval
-    val from = math.max(cleanedThrough + 1, endIdx - horizon)
+    val from =
+      if (cleanedThrough >= 0) math.max(cleanedThrough + 1, endIdx - horizon)
+      else {
+        // First commit after restart: a crashed prior process may have
+        // committed batches whose clean never ran (or whose deletes failed
+        // with a warn), leaving files just outside the horizon forever.
+        // Sweep the full SURVIVING plain-entry range once — gcEntries
+        // bounds surviving entries to ~one horizon, so this is one
+        // horizon-sized pass, not O(history); deletes are idempotent
+        // (already-gone files are fine by the best-effort contract).
+        // (every batch writes a plain entry, compact indexes included, so
+        // plain entries are the complete per-batch record)
+        try fs.listStatus(logDir).iterator.map(_.getPath.getName)
+          .filterNot(_.startsWith("."))
+          .filterNot(_.endsWith(LogMicroBatchStream.CompactSuffix))
+          .map(_.toLong).minOption.getOrElse(0L)
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }
     for (i <- from to endIdx; (p, _) <- entriesOrEmpty(i)) {
       val hp = new Path(p)
       val pfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -469,21 +469,40 @@ object LogOptions {
           "not a single 0x0A byte, so default line framing would split mid-character")
     }
 
-    val regexMaxStepsOpt = get("regexmaxsteps").map { s =>
+    def parseSteps(key: String): Option[Long] = get(key).map { s =>
       val v = try s.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"[log] regexMaxSteps must be a non-negative integer (0 disables), got '$s'")
+          s"[log] $key must be a non-negative integer (0 disables), got '$s'")
       }
       if (v < 0) throw new IllegalArgumentException(
-        s"[log] regexMaxSteps must be non-negative (0 disables), got $v")
+        s"[log] $key must be non-negative (0 disables), got $v")
       v
     }
+    // regexMaxSteps set explicitly engages the counting wrapper for ANY
+    // pattern; regexMaxStepsDefault (how session-conf defaults arrive —
+    // LogPathRelation) only adjusts the budget, leaving engagement to the
+    // riskyPattern auto-detector so benign ad-hoc queries keep the plain
+    // zero-overhead path
+    val regexMaxStepsOpt = parseSteps("regexmaxsteps")
+    val regexMaxStepsDefault = parseSteps("regexmaxstepsdefault")
 
     LogOptions(pattern, fieldNames, dataTypes, dateFormat, timeFormat, extensions,
       failFast, dropMalformed, maxFilesPerTrigger, maxBytesPerTrigger,
       maxFileAgeMs, latestFirst, cleanSource, sourceArchiveDir, recordStartPattern,
       recordMaxBytes, partitionSchema, dirColumns, implicitColumns,
-      encoding, lineSep, regexMaxStepsOpt.getOrElse(DefaultRegexMaxSteps),
+      encoding, lineSep,
+      regexMaxStepsOpt.orElse(regexMaxStepsDefault).getOrElse(DefaultRegexMaxSteps),
       regexBudgetExplicit = regexMaxStepsOpt.isDefined)
   }
+
+  /** Every option key [[fromMap]] reads (lowercase) — the whitelist for
+    * mapping `spark.graft.log.*` session confs to relation options, so a
+    * typo'd conf key fails loudly instead of being silently ignored. */
+  val KnownOptionKeys: Set[String] = Set(
+    "format", "pattern", "schema", "fieldnames", "datatypes", "dateformat",
+    "timeformat", "extensions", "mode", "erroronmismatch",
+    "recordstartpattern", "recordmaxbytes", "maxfileage", "latestfirst",
+    "cleansource", "sourcearchivedir", "maxfilespertrigger",
+    "maxbytespertrigger", "partitionschema", "dircolumns", "implicitcolumns",
+    "encoding", "charset", "linesep", "regexmaxsteps", "regexmaxstepsdefault")
 }

@@ -58,10 +58,22 @@ object LogPathRelation {
           u.multipartIdentifier(1).contains("/") =>
       val path = u.multipartIdentifier(1)
       val withPath = new java.util.HashMap[String, String]
-      // session-conf defaults first; explicit relation options override
+      // session-conf defaults first; explicit relation options override.
+      // Keys are WHITELISTED (a typo'd spark.graft.log.* conf fails loudly
+      // instead of being silently ignored), and regexMaxSteps arrives as
+      // the non-engaging default variant: a session-wide budget must not
+      // flip every benign ad-hoc pattern onto the ~10% counting wrapper
+      // the auto-detector would have spared it.
       SQLConf.get.getAllConfs.foreach { case (k, v) =>
-        if (k.startsWith(LogPathRelation.ConfPrefix) && v != null && v.nonEmpty)
-          withPath.put(k.stripPrefix(LogPathRelation.ConfPrefix), v)
+        if (k.startsWith(LogPathRelation.ConfPrefix) && v != null && v.nonEmpty) {
+          val key = k.stripPrefix(LogPathRelation.ConfPrefix)
+            .toLowerCase(java.util.Locale.ROOT)
+          if (!LogOptions.KnownOptionKeys.contains(key))
+            throw new IllegalArgumentException(
+              s"[log] unknown session conf '$k' (no log option named '$key'); " +
+                s"known options: ${LogOptions.KnownOptionKeys.toSeq.sorted.mkString(", ")}")
+          withPath.put(if (key == "regexmaxsteps") "regexmaxstepsdefault" else key, v)
+        }
       }
       withPath.putAll(u.options)
       withPath.put("path", path)

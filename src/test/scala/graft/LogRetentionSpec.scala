@@ -195,6 +195,48 @@ class LogRetentionSpec extends SparkSpec {
     }
   }
 
+  test("first commit after restart sweeps ALL surviving entries (failed-delete recovery)") {
+    // A delete that failed (warn) or a commit that never ran in a crashed
+    // process leaves a file behind whose entry can sit OUTSIDE the
+    // horizon-bounded restart scan (e.g. when minBatchesToRetain shrank
+    // across the restart). The first commit after restart must sweep the
+    // full surviving plain-entry range once — bounded by GC, idempotent.
+    val dir = Files.createTempDirectory("graft_clean_sweep").toFile
+    val ckpt = Files.createTempDirectory("graft_clean_sweep_ckpt").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    try {
+      def mk() = {
+        val opts = LogOptions.fromMap(Map(
+          "pattern" -> "(\\d+) (\\w+)", "fieldNames" -> "id, level",
+          "dataTypes" -> "INT, VARCHAR", "cleansource" -> "delete"))
+        new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath), ckpt)
+      }
+      // phase 1: generous retention — every entry 1..25 survives GC
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", "50")
+      val s1 = mk()
+      var off: org.apache.spark.sql.connector.read.streaming.Offset = s1.initialOffset()
+      for (i <- 1 to 25) {
+        writeLog(dir, f"f$i%03d.log", Seq(s"$i INFO"), System.currentTimeMillis())
+        off = s1.latestOffset(off, ReadLimit.allAvailable())
+        s1.commit(off)
+      }
+      // simulate two failed deletes: their files reappear, entries 2 and 3
+      // are now pre-horizon under the restart's SMALLER retention conf
+      writeLog(dir, "f002.log", Seq("2 INFO"), System.currentTimeMillis())
+      writeLog(dir, "f003.log", Seq("3 INFO"), System.currentTimeMillis())
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2") // horizon = 20
+      val s2 = mk()
+      writeLog(dir, "f026.log", Seq("26 INFO"), System.currentTimeMillis())
+      val off26 = s2.latestOffset(off, ReadLimit.allAvailable())
+      s2.commit(off26)
+      val left = dir.listFiles().map(_.getName).filter(_.endsWith(".log")).toSeq
+      assert(left.isEmpty, s"stale files not swept on restart: $left")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+      case None    => spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+    }
+  }
+
   test("cleanSource=archive moves processed files; archive is not re-ingested") {
     val dir = Files.createTempDirectory("graft_clean_arc").toFile
     val archive = Files.createTempDirectory("graft_clean_arc_dst").toFile

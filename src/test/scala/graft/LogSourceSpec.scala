@@ -412,6 +412,37 @@ class LogSourceSpec extends SparkSpec {
     assert(cols == Seq("line", "unmatched_lines"), cols)
   }
 
+  test("session-conf mapping is whitelisted; conf regexMaxSteps is non-engaging") {
+    val path = new java.net.URI(fixture("mysql.log")).getPath
+    // a typo'd spark.graft.log.* conf fails LOUDLY, naming the bad key,
+    // instead of becoming a silently ignored option
+    spark.conf.set("spark.graft.log.patern", "(\\d+)")
+    try {
+      val e = intercept[Exception] { spark.sql(s"SELECT * FROM log.`$path`").collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).flatMap(t => Option(t.getMessage))
+        .exists(m => m.contains("patern") && m.contains("known options")), e.getMessage)
+    } finally spark.conf.unset("spark.graft.log.patern")
+    // conf-sourced regexMaxSteps adjusts the BUDGET but does not flip
+    // regexBudgetExplicit: benign ad-hoc patterns keep the plain path
+    spark.conf.set("spark.graft.log.regexMaxSteps", "5555")
+    try {
+      val u = org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq("log", path))
+      val rewritten = graft.log.LogPathRelation.rewrite(u)
+      val rel = rewritten.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }.get
+      val lo = graft.log.LogOptions.fromMap(rel.options)
+      assert(lo.regexMaxSteps == 5555L, lo.regexMaxSteps)
+      assert(!lo.regexBudgetExplicit, "conf-sourced budget must not engage the wrapper")
+      // per-relation option still engages explicitly
+      val lo2 = graft.log.LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+)", "schema" -> "id INT", "regexmaxsteps" -> "7"))
+      assert(lo2.regexBudgetExplicit && lo2.regexMaxSteps == 7L)
+    } finally spark.conf.unset("spark.graft.log.regexMaxSteps")
+  }
+
   test("direct SQL guard: identifiers without '/' are never hijacked") {
     // a real table in a database named `log` must resolve normally
     spark.sql("CREATE DATABASE IF NOT EXISTS log")
