@@ -54,14 +54,23 @@ object ScaleCurve {
 
   private val Mults = Seq(1, 3, 10, 30, 100)
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val work = args.headOption.filterNot(_ == "deep").getOrElse("/tmp/graft_scale")
+    val work = args.headOption.filterNot(a => a == "deep" || a == "trig")
+      .getOrElse("/tmp/graft_scale")
     // "deep": one extra x300 point for the CPU-bound families whose
     // exponents are still parallelism-saturating at x100 — the
     // convergence check (packing/scan already measure ~1.0 and would
     // just burn minutes)
     val deep = args.contains("deep")
+    // "trig": only the streaming trigger-path families (driver-side, no
+    // corpus synthesis needed)
+    val trigOnly = args.contains("trig")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -74,12 +83,12 @@ object ScaleCurve {
     import spark.implicits._
 
     // ------------------------------------------------------ synthesis
-    val allMults = if (deep) Mults :+ 300 else Mults
+    val allMults = if (trigOnly) Nil else if (deep) Mults :+ 300 else Mults
     def docsPath(k: Int) = s"$work/x$k/documents.parquet"
     def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
     // replicated embeddings: fresh vec_ids, per-replica deterministic
     // noise so vectors spread instead of clustering by replica
-    Mults.foreach { k =>
+    if (!trigOnly) Mults.foreach { k =>
       if (!Files.exists(Paths.get(embPath(k)))) {
         val e = spark.read.parquet(s"$base/embeddings.parquet")
         val reps = (0 until k).map { rep =>
@@ -125,7 +134,7 @@ object ScaleCurve {
       }
       root
     }
-    Mults.foreach(logTree)
+    if (!trigOnly) Mults.foreach(logTree)
 
     def timed(runs: Int)(f: => Unit): Double =
       (1 to runs).map { _ =>
@@ -229,14 +238,10 @@ object ScaleCurve {
     // history (32 batches of ~1000 fresh docs each), not corpus multiple;
     // a flat curve = per-batch work is batch-proportional, as claimed
     // (banding the batch + one join against persisted postings).
-    {
+    if (!trigOnly) {
       val sndDocs = spark.read.parquet(docsPath(10)).persist()
       sndDocs.count()
       val sink = s"$work/snd_curve/sink"
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-        f.delete()
-      }
       deleteRec(new java.io.File(s"$work/snd_curve"))
       val sample = Seq(1, 8, 16, 24, 32) // 1-based batch indices to record
       for (b <- 0 until 32) {
@@ -248,6 +253,84 @@ object ScaleCurve {
         if (sample.contains(b + 1)) record("snd_batch", b + 1, sec)
       }
       sndDocs.unpersist(blocking = false)
+    }
+
+    // ---------------------------------------------- streaming trigger path
+    // Per-trigger DRIVER cost at scale (VERDICT r12 item 3): the offset /
+    // entry-log machinery at 1k-10k prior triggers and 10k-100k seen files.
+    // Building that state with real triggers would be O(N^2) listing work,
+    // so the checkpoint is synthesized directly in the entry-log JSON
+    // format (one full-seen compact + one GC horizon of plain tail
+    // entries), then ONE trigger's components are measured:
+    //   trig_restore — restart restore (read compact + tail into `seen`)
+    //   trig_idle    — list 1000-file source dir, filter all against seen,
+    //                  admit nothing (the steady tail-following trigger)
+    //   trig_admit   — admit 100 fresh files + write the batch entry
+    //   trig_compact — the admit that crosses the compact interval: full
+    //                  seen-set compact write + entry-log GC
+    //   trig_commit  — first cleanSource=delete commit after a restart
+    //                  (surviving-entry sweep, best-effort deletes)
+    {
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      val nowMs = System.currentTimeMillis
+      for (k <- Seq(1, 3, 10, 30)) {
+        val seenM = 10000 * k
+        val nIdx = 1000L * k + 7 // ending in 7: the 3rd admit below compacts
+        val root = s"$work/trig/x$k"
+        deleteRec(new java.io.File(root))
+        val srcDir = new java.io.File(s"$root/src"); srcDir.mkdirs()
+        val real = (0 until 1000).map { i =>
+          val f = new java.io.File(srcDir, f"seen_$i%06d.log")
+          Files.writeString(f.toPath, s"$i INFO\n")
+          "file:" + f.getAbsolutePath
+        }
+        val ckpt = s"$root/ckpt"
+        val logDir = new java.io.File(s"$ckpt/graft-file-log"); logDir.mkdirs()
+        def entryJson(paths: Seq[String]): String =
+          paths.map(p => s"""["$p",$nowMs]""").mkString("[", ",", "]")
+        val compactAt = nIdx - nIdx % 10
+        val gone = (real.size until seenM).map(i => f"file:$root/gone/g$i%07d.log")
+        Files.writeString(
+          new java.io.File(logDir, f"$compactAt%020d.compact").toPath,
+          entryJson(real ++ gone))
+        for (i <- math.max(0L, nIdx - 109) to nIdx) // one GC horizon of tail
+          Files.writeString(new java.io.File(logDir, f"$i%020d").toPath,
+            entryJson((0 until 10).map(j => s"file:$root/gone/e${i}_$j.log")))
+        def mkStream(clean: Boolean) = {
+          val m = Map("pattern" -> "(\\d+) (\\w+)", "fieldnames" -> "id, level",
+            "datatypes" -> "INT, VARCHAR") ++
+            (if (clean) Map("cleansource" -> "delete") else Map.empty[String, String])
+          val o = graft.log.LogOptions.fromMap(m)
+          new graft.log.LogMicroBatchStream(o, o.schema, Seq(srcDir.getAbsolutePath), ckpt)
+        }
+        var stream: graft.log.LogMicroBatchStream = null
+        record("trig_restore", k, timed(2) { stream = mkStream(clean = false) })
+        var off: org.apache.spark.sql.connector.read.streaming.Offset =
+          graft.log.LogStreamIndexOffset(nIdx)
+        record("trig_idle", k, timed(2) {
+          off = stream.latestOffset(off, ReadLimit.allAvailable())
+        })
+        // a path-string mismatch would silently turn trig_idle into an
+        // admission benchmark — fail loudly instead
+        require(off == graft.log.LogStreamIndexOffset(nIdx),
+          s"idle trigger admitted files: $off (seen-path mismatch?)")
+        def admitRound(tag: Int): Double = {
+          for (i <- 0 until 100) {
+            Files.writeString(
+              new java.io.File(srcDir, f"new_${tag}_$i%04d.log").toPath, s"$i INFO\n")
+          }
+          val t0 = System.nanoTime()
+          off = stream.latestOffset(off, ReadLimit.allAvailable())
+          (System.nanoTime() - t0) / 1e9
+        }
+        record("trig_admit", k, math.min(admitRound(1), admitRound(2)))
+        require(off == graft.log.LogStreamIndexOffset(nIdx + 2), s"unexpected $off")
+        record("trig_compact", k, admitRound(3)) // nIdx+3 ends in 0: compact + GC
+        // restart with cleanSource=delete: first commit sweeps every
+        // surviving entry (missing files are best-effort no-ops)
+        val cleaner = mkStream(clean = true)
+        record("trig_commit", k, timed(1) { cleaner.commit(off) })
+      }
     }
 
     // log-log least-squares slope over all sizes
