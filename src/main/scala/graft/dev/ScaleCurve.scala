@@ -61,7 +61,7 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val work = args.headOption.filterNot(a => a == "deep" || a == "trig")
+    val work = args.headOption.filterNot(a => a == "deep" || a == "trig" || a == "ann")
       .getOrElse("/tmp/graft_scale")
     // "deep": one extra x300 point for the CPU-bound families whose
     // exponents are still parallelism-saturating at x100 — the
@@ -71,6 +71,8 @@ object ScaleCurve {
     // "trig": only the streaming trigger-path families (driver-side, no
     // corpus synthesis needed)
     val trigOnly = args.contains("trig")
+    // "ann": only the ANN families (brute / IVF / IVF-PQ+ADC)
+    val annOnly = args.contains("ann")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -83,7 +85,7 @@ object ScaleCurve {
     import spark.implicits._
 
     // ------------------------------------------------------ synthesis
-    val allMults = if (trigOnly) Nil else if (deep) Mults :+ 300 else Mults
+    val allMults = if (trigOnly || annOnly) Nil else if (deep) Mults :+ 300 else Mults
     def docsPath(k: Int) = s"$work/x$k/documents.parquet"
     def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
     // replicated embeddings: fresh vec_ids, per-replica deterministic
@@ -134,7 +136,7 @@ object ScaleCurve {
       }
       root
     }
-    if (!trigOnly) Mults.foreach(logTree)
+    if (!trigOnly && !annOnly) Mults.foreach(logTree)
 
     def timed(runs: Int)(f: => Unit): Double =
       (1 to runs).map { _ =>
@@ -215,6 +217,15 @@ object ScaleCurve {
           graft.ops.IvfIndex.search(model, emb, queries, "vec_id", "embedding",
             5, nProbe = 8).count()
         })
+        // IVF-PQ/ADC (VERDICT r12 item 4): the compressed-index search —
+        // same coarse routing, per-pair cost a table lookup-sum over 4
+        // codes instead of a d-dim kernel; should stay flat like IVF
+        val pq = graft.ops.Pq.train(emb, "vec_id", "embedding",
+          blocks = 4, codebookSize = 16)
+        record("ann_ivfpq", k, timed(2) {
+          graft.ops.Pq.ivfPqSearch(model, pq, emb, queries, "vec_id", "embedding",
+            5, nProbe = 8).count()
+        })
 
         val tree = logTree(k)
         def readTree = spark.read.format("log")
@@ -238,7 +249,7 @@ object ScaleCurve {
     // history (32 batches of ~1000 fresh docs each), not corpus multiple;
     // a flat curve = per-batch work is batch-proportional, as claimed
     // (banding the batch + one join against persisted postings).
-    if (!trigOnly) {
+    if (!trigOnly && !annOnly) {
       val sndDocs = spark.read.parquet(docsPath(10)).persist()
       sndDocs.count()
       val sink = s"$work/snd_curve/sink"
@@ -253,6 +264,38 @@ object ScaleCurve {
         if (sample.contains(b + 1)) record("snd_batch", b + 1, sec)
       }
       sndDocs.unpersist(blocking = false)
+    }
+
+    // ANN-only mode: same three search paths over the existing replicated
+    // embeddings, without paying the full-corpus families
+    if (annOnly) Mults.foreach { k =>
+      val emb = spark.read.parquet(embPath(k))
+      val queries = emb.filter(col("vec_id") < 50)
+      record("ann_brute", k, timed(2) {
+        graft.ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).count()
+      })
+      val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
+        nLists = 64, iterations = 1)
+      record("ann_ivf", k, timed(2) {
+        graft.ops.IvfIndex.search(model, emb, queries, "vec_id", "embedding",
+          5, nProbe = 8).count()
+      })
+      val pq = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        blocks = 4, codebookSize = 16)
+      record("ann_ivfpq", k, timed(2) {
+        graft.ops.Pq.ivfPqSearch(model, pq, emb, queries, "vec_id", "embedding",
+          5, nProbe = 8).count()
+      })
+      // query half over a persisted code table (the 100-TB deployment
+      // shape, like bm25_query over persisted postings)
+      val codes = graft.ops.Pq.encodeCorpus(model, pq, emb, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      record("ann_ivfpq_q", k, timed(2) {
+        graft.ops.Pq.ivfPqSearchFromCodes(model, pq, codes, queries,
+          "vec_id", "embedding", 5, nProbe = 8).count()
+      })
+      codes.unpersist(blocking = true)
     }
 
     // ---------------------------------------------- streaming trigger path
@@ -270,7 +313,7 @@ object ScaleCurve {
     //                  seen-set compact write + entry-log GC
     //   trig_commit  — first cleanSource=delete commit after a restart
     //                  (surviving-entry sweep, best-effort deletes)
-    {
+    if (!annOnly) {
       import org.apache.spark.sql.connector.read.streaming.ReadLimit
       val nowMs = System.currentTimeMillis
       for (k <- Seq(1, 3, 10, 30)) {

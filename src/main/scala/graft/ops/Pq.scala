@@ -195,8 +195,43 @@ object Pq {
       idCol: String,
       vecCol: String,
       k: Int,
+      nProbe: Int = 4): DataFrame =
+    ivfPqSearchFromCodes(coarse, pq,
+      encodeCorpus(coarse, pq, corpus, idCol, vecCol), queries, idCol, vecCol, k, nProbe)
+
+  /** The BUILD half of the build-once / query-many split (the
+    * [[graft.ops.Bm25.tfPostings]] discipline): one corpus pass computing
+    * each vector's coarse cell and PQ code — `(neighbor_id, cell,
+    * __code)`. At 100 TB this IS the index: persist it (a few bytes per
+    * vector instead of the raw embeddings) and serve query batches with
+    * [[ivfPqSearchFromCodes]]; the per-call encode inside [[ivfPqSearch]]
+    * is convenience for small corpora. ScaleCurve measures the query half
+    * flat (`ann_ivfpq_q`) where the re-encoding variant grows with the
+    * corpus (`ann_ivfpq`, tail 0.32 — dev/SCALE_CURVE.md round-13).
+    */
+  def encodeCorpus(
+      coarse: IvfIndex.Model,
+      pq: Model,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    Dedup.spreadDf(IvfIndex.withCell(
+        corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv")),
+        "__cv", coarse))
+      .select(col("neighbor_id"), col("cell"), encode(col("__cv"), pq).as("__code"))
+
+  /** Query half of [[ivfPqSearch]] over a pre-encoded
+    * ([[encodeCorpus]]-shaped, usually persisted) index table. */
+  def ivfPqSearchFromCodes(
+      coarse: IvfIndex.Model,
+      pq: Model,
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
       nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
+    val spark = codes.sparkSession
     import spark.implicits._
     val sortedCoarse = coarse.centroids.sortBy(_._1)
     val coarseIds = sortedCoarse.map(_._1)
@@ -223,13 +258,9 @@ object Pq {
     }
     val probeDf = probePairs.toSeq.toDF("query_id", "cell")
     val tableDf = tables.toSeq.toDF("query_id", "__tbl")
-    val enc = Dedup.spreadDf(IvfIndex.withCell(
-        corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv")),
-        "__cv", coarse))
-      .select(col("neighbor_id"), col("cell"), encode(col("__cv"), pq).as("__code"))
     // probe cells are distinct and a vector has one cell, so each
     // (query, neighbor) pair joins at most once — no dedup pass
-    enc.join(broadcast(probeDf), Seq("cell"))
+    codes.join(broadcast(probeDf), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(tableDf), Seq("query_id"))
       .withColumn("scaled_adc", adcLookupSum(pq))
