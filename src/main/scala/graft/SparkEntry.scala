@@ -3830,7 +3830,10 @@ object SparkEntry {
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.streaming.StreamingNearDedup.dedupBatch(b, id, sinkDir, "doc_id", "text")
+        // micro-batch-sized shuffle width (measured 6.86 -> 5.86 s,
+        // dev/BENCH_DRIFT.md round-13)
+        graft.streaming.StreamingNearDedup.dedupBatch(b, id, sinkDir, "doc_id", "text",
+          shufflePartitions = Some(8))
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -72,7 +72,40 @@ object StreamingNearDedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 1000): Unit = {
+      maxBucketSize: Int = 1000,
+      shufflePartitions: Option[Int] = None): Unit = {
+    val spark = batch.sparkSession
+    // micro-batch sizing: the per-batch frames are small (one trigger's
+    // files), so a cluster-sized spark.sql.shuffle.partitions spends more
+    // on task launch than on work across this body's ~25 jobs — measured
+    // 6.86 -> 5.86 s on the bench drain at 32 -> 8 (dev/BENCH_DRIFT.md
+    // round-13, both A/B orders). Opt-in because the conf is
+    // session-scoped: foreachBatch bodies run serially per query, but a
+    // session running OTHER concurrent queries would see it too.
+    shufflePartitions match {
+      case Some(n) =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        try dedupBatchImpl(batch, batchId, sinkDir, idCol, textCol,
+          threshold, shingleN, numHashes, bands, maxBucketSize)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      case None =>
+        dedupBatchImpl(batch, batchId, sinkDir, idCol, textCol,
+          threshold, shingleN, numHashes, bands, maxBucketSize)
+    }
+  }
+
+  private def dedupBatchImpl(
+      batch: Dataset[Row],
+      batchId: Long,
+      sinkDir: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val postingsDir = s"$sinkDir/$PostingsDirName"
