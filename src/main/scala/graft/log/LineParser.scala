@@ -385,9 +385,11 @@ object LineParser {
     case _ => null // \b \B \A \z \Q \p{...} \x.. \u.. — unmodeled
   }
 
-  /** One representative per character category the modeled classes can
-    * distinguish; class-specific literals are probed on top ([[Cls.chars]]). */
-  private val ClsReps = "aA0_ \t\n.\"".toList
+  /** Representatives across the character categories the modeled classes
+    * can distinguish (several per category, so complement-vs-complement
+    * overlaps survive a few excluded literals); class-specific literals
+    * are probed on top ([[Cls.chars]]). */
+  private val ClsReps = "aAzZ059_ \t\n\r.\",;:/=%".toList
 
   private def clsOverlap(a: Cls, b: Cls): Boolean =
     (ClsReps ++ a.chars ++ b.chars).exists(c => a.test(c) && b.test(c))

@@ -286,12 +286,15 @@ final class LogMicroBatchStream(
         // horizon-sized pass, not O(history); deletes are idempotent
         // (already-gone files are fine by the best-effort contract).
         // (every batch writes a plain entry, compact indexes included, so
-        // plain entries are the complete per-batch record)
+        // plain entries are the complete per-batch record; no surviving
+        // plain entries → nothing to sweep beyond the horizon window —
+        // falling back to 0 here would be the O(maxIndex) scan this
+        // bound exists to avoid)
         try fs.listStatus(logDir).iterator.map(_.getPath.getName)
           .filterNot(_.startsWith("."))
           .filterNot(_.endsWith(LogMicroBatchStream.CompactSuffix))
-          .map(_.toLong).minOption.getOrElse(0L)
-        catch { case _: java.io.FileNotFoundException => 0L }
+          .map(_.toLong).minOption.getOrElse(math.max(0L, endIdx - horizon))
+        catch { case _: java.io.FileNotFoundException => math.max(0L, endIdx - horizon) }
       }
     for (i <- from to endIdx; (p, _) <- entriesOrEmpty(i)) {
       val hp = new Path(p)

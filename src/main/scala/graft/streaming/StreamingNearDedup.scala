@@ -78,7 +78,7 @@ object StreamingNearDedup {
     // micro-batch sizing: the per-batch frames are small (one trigger's
     // files), so a cluster-sized spark.sql.shuffle.partitions spends more
     // on task launch than on work across this body's ~25 jobs — measured
-    // 6.86 -> 5.86 s on the bench drain at 32 -> 8 (dev/BENCH_DRIFT.md
+    // 6.86 -> 5.86 s on the bench drain at 32 -> 8 (dev/DRAIN_PROFILE.md
     // round-13, both A/B orders). Opt-in because the conf is
     // session-scoped: foreachBatch bodies run serially per query, but a
     // session running OTHER concurrent queries would see it too.
