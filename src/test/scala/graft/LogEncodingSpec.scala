@@ -104,6 +104,23 @@ class LogEncodingSpec extends SparkSpec {
     assert(got == Seq((1, "aੁ䄀b"), (2, "tail")), got)
   }
 
+  test("multi-line records assemble under a char-framed (UTF-16LE) read") {
+    // recordStartPattern + non-split-safe charset: the char-space framing
+    // path must feed the multi-line assembler exactly like the byte path
+    val text = "1 START alpha\n  cont-a\n2 START beta\n  cont-b\n"
+    val dir = writeBytes(text.getBytes(StandardCharsets.UTF_16LE))
+    val got = spark.read.format("log")
+      .option("pattern", "(?s)(\\d+) START (\\w+)\\n  (\\S+)")
+      .option("schema", "id INT, name VARCHAR, cont VARCHAR")
+      .option("recordStartPattern", "^\\d+ START")
+      .option("encoding", "UTF-16LE").option("lineSep", "\n")
+      .load(dir.getAbsolutePath)
+      .select("id", "name", "cont").collect()
+      .filter(!_.isNullAt(0)).map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "alpha", "cont-a"), (2, "beta", "cont-b")), got)
+  }
+
   test("expression path rejects encoding/lineSep it cannot honor") {
     val e = intercept[IllegalArgumentException] {
       graft.log.LogFrame.stream(spark, "/tmp/nonexistent", Map(
