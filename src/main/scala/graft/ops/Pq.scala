@@ -32,6 +32,35 @@ object Pq {
     require(blocks == codebooks.length)
   }
 
+  /** Persist a trained PQ model as one (block, cell, centroid) parquet —
+    * the model half of the build-once / query-many split ([[encodeCorpus]]
+    * persists the code table; this persists what decodes it). Centroids
+    * round-trip parquet bit-exact, so codes written by a previous job stay
+    * valid: retraining would re-derive init-order-dependent cell ids and
+    * silently invalidate every persisted code.
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, b) =>
+      book.centroids.map { case (cell, c) => (b, cell, c) }
+    }.toSeq.toDF("block", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[save]], bit-exact. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).select("block", "cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(rows.nonEmpty, s"[Pq] empty model at $path")
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cells) =>
+      IvfIndex.Model(cells.map(c => (c._2, c._3)).sortBy(_._1).toArray)
+    }.toArray
+    val subDim = books.head.centroids.head._2.length
+    require(books.forall(_.centroids.forall(_._2.length == subDim)),
+      s"[Pq] inconsistent centroid dims at $path")
+    Model(books.length, subDim, books)
+  }
+
   /** Train one codebook per block. `dim` must divide evenly by `blocks`;
     * `iterations = 0` keeps centroids bit-exact copies of the
     * `codebookSize` lowest-id subvectors (the oracle-reproducible

@@ -160,6 +160,38 @@ class SemDedupSpec extends SparkSpec {
     assert(full == plain && full.nonEmpty)
   }
 
+  test("PQ build/query split: persisted model + codes reproduce ivfPqSearch exactly") {
+    import graft.ops.{IvfIndex, Pq}
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 2.0, 2.0, 0.0)),
+      (3L, Seq(3.0, 0.0, 0.0, 3.0))
+    ).toDF("id", "vec")
+    val coarse = IvfIndex.train(vecs, "id", "vec", nLists = 4, iterations = 0)
+    val pq = Pq.train(vecs, "id", "vec", blocks = 2, codebookSize = 4)
+    val dir = java.nio.file.Files.createTempDirectory("pq_split").toString
+    // model round-trips bit-exact
+    Pq.save(pq, spark, s"$dir/model")
+    val pq2 = Pq.load(spark, s"$dir/model")
+    assert(pq2.blocks == pq.blocks && pq2.subDim == pq.subDim)
+    assert(pq2.codebooks.map(_.centroids.toSeq).toSeq ==
+      pq.codebooks.map(_.centroids.toSeq).toSeq)
+    // codes persist; query half over the RELOADED model + codes equals the
+    // one-shot path (build once, query many — across jobs)
+    Pq.encodeCorpus(coarse, pq, vecs, "id", "vec")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val q0 = vecs.filter($"id" === 0L)
+    val fromCodes = Pq.ivfPqSearchFromCodes(coarse, pq2,
+        spark.read.parquet(s"$dir/codes"), q0, "id", "vec", k = 3, nProbe = 4)
+      .select("rank", "neighbor_id", "scaled_adc")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = Pq.ivfPqSearch(coarse, pq, vecs, q0, "id", "vec", k = 3, nProbe = 4)
+      .select("rank", "neighbor_id", "scaled_adc")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fromCodes == oneShot && fromCodes.nonEmpty, s"$fromCodes vs $oneShot")
+  }
+
   test("crossSetPairs: only corpus-x-eval same-cell pairs, with carry columns") {
     val full = corpus()
     val evalSet = full.filter($"id".isin(3L, 5L))
