@@ -325,7 +325,7 @@ object LineParser {
     * One instance per parser, reset per line: zero allocation on the hot
     * path, and the only per-read cost is an increment and a compare.
     */
-  private[log] final class BudgetedChars extends CharSequence {
+  private[graft] final class BudgetedChars extends CharSequence {
     private var s: String = ""
     private var steps: Long = 0L
     private var budget: Long = Long.MaxValue
@@ -585,7 +585,7 @@ object LineParser {
     * pattern and line context; the partition reader appends the file path
     * like every other scan error.
     */
-  private[log] def findBudgeted(
+  private[graft] def findBudgeted(
       m: java.util.regex.Matcher,
       buf: BudgetedChars,
       line: String,

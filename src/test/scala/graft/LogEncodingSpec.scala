@@ -121,6 +121,37 @@ class LogEncodingSpec extends SparkSpec {
     assert(got == Seq((1, "alpha", "cont-a"), (2, "beta", "cont-b")), got)
   }
 
+  test("char-framing differential fuzz: UTF-16LE round-trips adversarial payloads") {
+    import org.scalacheck.{Gen, Prop}
+    // alphabet stacked with chars whose UTF-16LE bytes contain 0x0A/0x0D
+    // (U+0A41, U+4100, U+0D22, U+2200) plus plain ASCII — the byte-aligned
+    // scan false-matched exactly these straddles
+    val genCh: Gen[Char] = Gen.oneOf('a', 'z', '1', ' ', '.', 2625.toChar,
+      16640.toChar, 3362.toChar, 8704.toChar)
+    val genLine: Gen[String] = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, genCh)
+      // at least one non-whitespace char or the reader's blank-line skip
+      // drops it (by design)
+      anchor <- Gen.oneOf('a', 'x', '7')
+    } yield (anchor :: cs).mkString
+    val prop = Prop.forAllNoShrink(Gen.listOfN(12, genLine)) { lines =>
+      val dir = writeBytes((lines.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_16LE))
+      val got = spark.read.format("log")
+        .option("encoding", "UTF-16LE").option("lineSep", "\n")
+        .load(dir.getAbsolutePath)
+        .select("line").collect().map(_.getString(0)).toSeq
+      val want = lines.filter(_.trim.nonEmpty)
+      got.sorted == want.sorted
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(30)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260815L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("expression path rejects encoding/lineSep it cannot honor") {
     val e = intercept[IllegalArgumentException] {
       graft.log.LogFrame.stream(spark, "/tmp/nonexistent", Map(
