@@ -152,6 +152,20 @@ class LogEncodingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("EBCDIC (IBM1047): char-space framing makes lineSep charset-independent") {
+    // IBM1047 maps '\n' to 0x15, so byte framing could never work; the
+    // char-framing path scans the SEPARATOR STRING after decode, so
+    // lineSep="\n" works for any charset
+    assume(java.nio.charset.Charset.isSupported("IBM1047"))
+    val cs = java.nio.charset.Charset.forName("IBM1047")
+    val dir = writeBytes("1 mainframe\n2 cobol\n".getBytes(cs))
+    import graft.log.LogOptions
+    assert(!LogOptions.fromMap(Map("pattern" -> "(\\d+)", "schema" -> "id INT",
+      "encoding" -> "IBM1047", "linesep" -> "\n")).splitSafeEncoding)
+    val got = rows(readLog(dir, "encoding" -> "IBM1047", "lineSep" -> "\n"))
+    assert(got == Seq((1, "mainframe"), (2, "cobol")), got)
+  }
+
   test("expression path rejects encoding/lineSep it cannot honor") {
     val e = intercept[IllegalArgumentException] {
       graft.log.LogFrame.stream(spark, "/tmp/nonexistent", Map(
