@@ -98,6 +98,10 @@ object IvfIndex {
 
   /** Search: probe `nProbe` cells per query, score candidates exactly,
     * return (query_id, rank, neighbor_id, cosine) like the other top-k ops.
+    * Assigns the corpus per call — for the build-once / query-many shape,
+    * persist `withCell(corpus, …)` and use [[searchFromCells]] (a cell
+    * written by a previous job stays valid as long as the model does —
+    * the [[assignmentStats]] retrain-trigger lifecycle).
     */
   def search(
       model: Model,
@@ -106,10 +110,22 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       k: Int,
+      nProbe: Int = 4): DataFrame =
+    searchFromCells(model, withCell(corpus, vecCol, model), queries, idCol, vecCol, k, nProbe)
+
+  /** [[search]] over a corpus that already carries its `cell` column
+    * ([[withCell]]-shaped, usually persisted) — skips the per-call coarse
+    * assignment. */
+  def searchFromCells(
+      model: Model,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
       nProbe: Int = 4): DataFrame = {
-    val c = assign(
-      corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("__cv")),
-      "__cv", model.centroids)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleArray(col(vecCol)).as("__cv"), col("cell").as("__cell"))
     val q = assign(
       queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("__qv")),
       "__qv", model.centroids, nProbe)

@@ -40,6 +40,18 @@ class IvfSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("searchFromCells over persisted cell assignments equals per-call search") {
+    val model = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8, iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    IvfIndex.withCell(emb, "embedding", model).write.mode("overwrite").parquet(dir)
+    val fromCells = IvfIndex.searchFromCells(model, spark.read.parquet(dir),
+        queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val perCall = IvfIndex.search(model, emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromCells == perCall && fromCells.nonEmpty)
+  }
+
   test("NearestCentroids matches a reference argmin-k with (dist, index) ties") {
     import org.apache.spark.sql.Row
     val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
