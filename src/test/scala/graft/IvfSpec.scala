@@ -40,6 +40,7 @@ class IvfSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // (build-once / query-many split, round 13 — see also Pq.save/load)
   test("searchFromCells over persisted cell assignments equals per-call search") {
     val model = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8, iterations = 2)
     val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
