@@ -3831,7 +3831,10 @@ object SparkEntry {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         // micro-batch-sized shuffle width (measured 6.86 -> 5.86 s,
-        // dev/BENCH_DRIFT.md round-13)
+        // dev/DRAIN_PROFILE.md round-13): maxFilesPerTrigger=1 above
+        // bounds every batch to ONE source file, so the width tracks the
+        // batch, not the box — a deployment with bigger triggers sizes
+        // this (opt-in parameter) to its own batch volume
         graft.streaming.StreamingNearDedup.dedupBatch(b, id, sinkDir, "doc_id", "text",
           shufflePartitions = Some(8))
       }

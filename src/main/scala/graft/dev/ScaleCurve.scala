@@ -151,6 +151,41 @@ object ScaleCurve {
       println(s"[scale] $family x$k: ${f"$sec%.2f"} s")
     }
 
+    // the three ANN search paths + the persisted-codes query half — ONE
+    // definition used by both the full run and `ann` mode, so the two
+    // modes can never silently measure different configurations
+    def annFamilies(k: Int, emb: DataFrame): Unit = {
+      val queries = emb.filter(col("vec_id") < 50)
+      record("ann_brute", k, timed(2) {
+        graft.ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).count()
+      })
+      val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
+        nLists = 64, iterations = 1)
+      record("ann_ivf", k, timed(2) {
+        graft.ops.IvfIndex.search(model, emb, queries, "vec_id", "embedding",
+          5, nProbe = 8).count()
+      })
+      // IVF-PQ/ADC (VERDICT r12 item 4): the compressed-index search —
+      // same coarse routing, per-pair cost a table lookup-sum over 4
+      // codes instead of a d-dim kernel
+      val pq = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        blocks = 4, codebookSize = 16)
+      record("ann_ivfpq", k, timed(2) {
+        graft.ops.Pq.ivfPqSearch(model, pq, emb, queries, "vec_id", "embedding",
+          5, nProbe = 8).count()
+      })
+      // query half over a persisted code table (the 100-TB deployment
+      // shape, like bm25_query over persisted postings)
+      val codes = graft.ops.Pq.encodeCorpus(model, pq, emb, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      record("ann_ivfpq_q", k, timed(2) {
+        graft.ops.Pq.ivfPqSearchFromCodes(model, pq, codes, queries,
+          "vec_id", "embedding", 5, nProbe = 8).count()
+      })
+      codes.unpersist(blocking = true)
+    }
+
     allMults.foreach { k =>
       val cpuOnly = k > Mults.last // deep extension: CPU families only
       val docs = spark.read.parquet(docsPath(k))
@@ -203,29 +238,8 @@ object ScaleCurve {
       })
 
       if (!cpuOnly) {
-        // ANN: exhaustive top-k vs IVF (fixed 50-query batch, the shipped
-        // search path — per-call corpus cell assignment included, as a
-        // user pays it)
-        val emb = spark.read.parquet(embPath(k))
-        val queries = emb.filter(col("vec_id") < 50)
-        record("ann_brute", k, timed(2) {
-          graft.ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).count()
-        })
-        val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
-          nLists = 64, iterations = 1)
-        record("ann_ivf", k, timed(2) {
-          graft.ops.IvfIndex.search(model, emb, queries, "vec_id", "embedding",
-            5, nProbe = 8).count()
-        })
-        // IVF-PQ/ADC (VERDICT r12 item 4): the compressed-index search —
-        // same coarse routing, per-pair cost a table lookup-sum over 4
-        // codes instead of a d-dim kernel; should stay flat like IVF
-        val pq = graft.ops.Pq.train(emb, "vec_id", "embedding",
-          blocks = 4, codebookSize = 16)
-        record("ann_ivfpq", k, timed(2) {
-          graft.ops.Pq.ivfPqSearch(model, pq, emb, queries, "vec_id", "embedding",
-            5, nProbe = 8).count()
-        })
+        // ANN: fixed 50-query batch over the shipped search paths
+        annFamilies(k, spark.read.parquet(embPath(k)))
 
         val tree = logTree(k)
         def readTree = spark.read.format("log")
@@ -266,36 +280,10 @@ object ScaleCurve {
       sndDocs.unpersist(blocking = false)
     }
 
-    // ANN-only mode: same three search paths over the existing replicated
+    // ANN-only mode: the same families over the existing replicated
     // embeddings, without paying the full-corpus families
     if (annOnly) Mults.foreach { k =>
-      val emb = spark.read.parquet(embPath(k))
-      val queries = emb.filter(col("vec_id") < 50)
-      record("ann_brute", k, timed(2) {
-        graft.ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).count()
-      })
-      val model = graft.ops.IvfIndex.train(emb, "vec_id", "embedding",
-        nLists = 64, iterations = 1)
-      record("ann_ivf", k, timed(2) {
-        graft.ops.IvfIndex.search(model, emb, queries, "vec_id", "embedding",
-          5, nProbe = 8).count()
-      })
-      val pq = graft.ops.Pq.train(emb, "vec_id", "embedding",
-        blocks = 4, codebookSize = 16)
-      record("ann_ivfpq", k, timed(2) {
-        graft.ops.Pq.ivfPqSearch(model, pq, emb, queries, "vec_id", "embedding",
-          5, nProbe = 8).count()
-      })
-      // query half over a persisted code table (the 100-TB deployment
-      // shape, like bm25_query over persisted postings)
-      val codes = graft.ops.Pq.encodeCorpus(model, pq, emb, "vec_id", "embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codes.count()
-      record("ann_ivfpq_q", k, timed(2) {
-        graft.ops.Pq.ivfPqSearchFromCodes(model, pq, codes, queries,
-          "vec_id", "embedding", 5, nProbe = 8).count()
-      })
-      codes.unpersist(blocking = true)
+      annFamilies(k, spark.read.parquet(embPath(k)))
     }
 
     // ---------------------------------------------- streaming trigger path

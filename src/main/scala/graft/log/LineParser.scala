@@ -389,7 +389,11 @@ object LineParser {
     * can distinguish (several per category, so complement-vs-complement
     * overlaps survive a few excluded literals); class-specific literals
     * are probed on top ([[Cls.chars]]). */
-  private val ClsReps = "aAzZ059_ \t\n\r.\",;:/=%".toList
+  private val ClsReps = "aAzZ059_ \t\n\r.\",;:/=%".toList
+
+  /** `.` matches everything but newline (DOTALL widens it; treating it as
+    * the wider class would only add conservative counts). */
+  private val DotCls = new Cls(c => c != '\n', Nil)
 
   private def clsOverlap(a: Cls, b: Cls): Boolean =
     (ClsReps ++ a.chars ++ b.chars).exists(c => a.test(c) && b.test(c))
@@ -460,7 +464,7 @@ object LineParser {
             if (j + 1 < n && pattern.charAt(j) == '-' && pattern.charAt(j + 1) != ']') {
               // range c-d (a '-' before ']' is a literal, handled next loop)
               val hi = pattern.charAt(j + 1) match {
-                case '\\' => ok = false; j += 2; ' ' // \-escaped hi bound — bail
+                case '\\' => ok = false; j += 2; ' ' // \-escaped hi bound — bail
                 case h    => j += 2; h
               }
               if (ok) { lits = c :: hi :: lits; new Cls(x => x >= c && x <= hi, c :: hi :: Nil) }
@@ -476,8 +480,51 @@ object LineParser {
       val pos = new Cls(c => within.exists(_.test(c)), lits ++ within.flatMap(_.chars))
       (if (negated) new Cls(c => !pos.test(c), pos.chars) else pos, j)
     }
-    // Can `cls` match the first consuming token after position `start`
-    // (skipping group punctuation)? End-of-pattern and `$` cannot overlap;
+    // Quantifier at `j` → (present, counting, minZero, end-past-modifier).
+    // `counting` = can repeat a VARIABLE number of times and backtrack —
+    // non-possessive `*` / `+` / `{m,}` / `{m,n}` with n≠m (probed:
+    // `\S{1,}a`×8 0.97 s, `\S{0,99}a`×8 5.3 s at n=40, same class as `+`).
+    // `?` and fixed `{m}` cannot multiply ambiguity; a possessive modifier
+    // cannot backtrack at all. `minZero` = the quantified token can match
+    // empty (skippable, for the successor scan).
+    def parseQuant(j: Int): (Boolean, Boolean, Boolean, Int) = {
+      if (j >= n) return (false, false, false, j)
+      var counting = false
+      var minZero = false
+      var k = j
+      pattern.charAt(j) match {
+        case '*' => counting = true; minZero = true; k += 1
+        case '+' => counting = true; k += 1
+        case '?' => minZero = true; k += 1
+        case '{' =>
+          var m = j + 1
+          while (m < n && pattern.charAt(m).isDigit) m += 1
+          if (m == j + 1) return (false, false, false, j) // literal '{'
+          val lo = pattern.substring(j + 1, m)
+          if (m < n && pattern.charAt(m) == ',') {
+            m += 1
+            val hiStart = m
+            while (m < n && pattern.charAt(m).isDigit) m += 1
+            if (m >= n || pattern.charAt(m) != '}') return (false, false, false, j)
+            val hi = pattern.substring(hiStart, m)
+            counting = hi.isEmpty || hi != lo // {m,} unbounded, or n≠m choice
+            minZero = lo.forall(_ == '0')
+            k = m + 1
+          } else if (m < n && pattern.charAt(m) == '}') {
+            minZero = lo.forall(_ == '0') // fixed {m}: no choice, not counting
+            k = m + 1
+          } else return (false, false, false, j)
+        case _ => return (false, false, false, j)
+      }
+      if (k < n && pattern.charAt(k) == '+') { counting = false; k += 1 } // possessive
+      else if (k < n && pattern.charAt(k) == '?') k += 1 // reluctant still backtracks
+      (true, counting, minZero, k)
+    }
+    // Can `cls` match a REACHABLE successor token after position `start`?
+    // Group punctuation is skipped; a token whose quantifier lets it match
+    // empty (`x?`, `a*`, `{0,n}`) is looked PAST when it doesn't itself
+    // overlap — `\d*x?1` chains are ambiguous through the skippable `x?`
+    // (probed: ×8 6.9 s at n=40). End-of-pattern and `$` cannot overlap;
     // anything unmodelable overlaps conservatively.
     def overlapsSuccessor(cls: Cls, start: Int): Boolean = {
       var j = start
@@ -491,32 +538,53 @@ object LineParser {
               else return true // lookaround / flags / named group — conservative
             }
           case '$' => return false // end anchor: nothing follows to overlap
-          case '.' => return true // dot consumes (nearly) anything
-          case '[' =>
-            val (c2, _) = parseCharClass(j)
-            return c2 == null || clsOverlap(cls, c2)
-          case '\\' =>
-            if (j + 1 >= n) return true
-            val c2 = escCls(pattern.charAt(j + 1))
-            return c2 == null || clsOverlap(cls, c2)
-          case '|' | '*' | '+' | '?' | '{' => return true // ambiguous — conservative
-          case ch => return cls.test(ch)
+          case '|' | '*' | '+' | '?' => return true // ambiguous here — conservative
+          case _ =>
+            // one consuming token, then its quantifier
+            val (tokCls, tokEnd): (Cls, Int) = pattern.charAt(j) match {
+              case '.' => (DotCls, j + 1)
+              case '[' => parseCharClass(j)
+              case '\\' =>
+                if (j + 1 >= n) return true
+                val nx = pattern.charAt(j + 1)
+                if (nx.isDigit || nx == 'k') return true // backref — conservative
+                (escCls(nx), j + 2)
+              case '{' =>
+                val (p, _, _, _) = parseQuant(j)
+                if (p) return true // stray quantifier — conservative
+                (litCls('{'), j + 1)
+              case ch => (litCls(ch), j + 1)
+            }
+            if (cls == null || tokCls == null || clsOverlap(cls, tokCls)) return true
+            val (qPresent, _, qMinZero, qEnd) = parseQuant(tokEnd)
+            if (qPresent && qMinZero) j = qEnd // skippable: look past it
+            else return false
         }
       }
       false // trailing atom: no successor, cannot chain
     }
     // After an atom modeled as `cls` (null = unmodelable) ending at `j`:
-    // consume a `*`/`+` quantifier + modifier if present, update the rule-1
-    // body flag and the rule-2 chain count, and return the next index.
+    // consume a quantifier + modifier if present, update the rule-1 body
+    // flag and the rule-2 chain count, and return the next index.
     def afterAtom(cls: Cls, j: Int): Int = {
-      if (j >= n || (pattern.charAt(j) != '*' && pattern.charAt(j) != '+')) return j
+      val (present, counting, _, end) = parseQuant(j)
+      if (!present) return j
       if (depth >= 1) body(depth) = true
-      var k = j + 1
-      var possessive = false
-      if (k < n && pattern.charAt(k) == '+') { possessive = true; k += 1 }
-      else if (k < n && pattern.charAt(k) == '?') k += 1 // reluctant still backtracks
-      if (!possessive && (cls == null || overlapsSuccessor(cls, k))) chainQuants += 1
-      k
+      if (counting && (cls == null || overlapsSuccessor(cls, end))) chainQuants += 1
+      end
+    }
+    // Per-depth UNION of the atom classes a group's body can consume, so a
+    // variably-quantified GROUP participates in the chain rule as an atom
+    // of that union class — `(.)*a(.)*a(.)*a…x` and `(\S)*a…` backtrack
+    // exactly like their inlined forms (probed: ×12 hangs outright at
+    // n=30) but have no quantified ATOM the per-atom rule would see.
+    // uAll = body contained something unmodelable → class unknown (null,
+    // counted conservatively when quantified).
+    val uAll = new Array[Boolean](64)
+    val uItems = new Array[List[Cls]](64)
+    def noteAtom(cls: Cls): Unit = if (depth >= 1) {
+      if (cls == null) uAll(depth) = true
+      else uItems(depth) = cls :: uItems(depth)
     }
     while (i < n) {
       pattern.charAt(i) match {
@@ -529,14 +597,18 @@ object LineParser {
           if (i + 1 < n && (pattern.charAt(i + 1).isDigit || pattern.charAt(i + 1) == 'k'))
             return true
           val cls = if (i + 1 < n) escCls(pattern.charAt(i + 1)) else null
+          noteAtom(cls)
           i = afterAtom(cls, i + 2)
         case '[' => // character class: quantifier chars inside are literals
           val (cls, end) = parseCharClass(i)
+          noteAtom(cls)
           i = afterAtom(cls, end)
         case '(' =>
           depth += 1
           if (depth >= body.length) return true // absurd nesting: bail risky
           body(depth) = false
+          uAll(depth) = false
+          uItems(depth) = Nil
           i += 1
           if (i < n && pattern.charAt(i) == '?') i += 1 // group syntax (?:/(?=/(?i
         case '?' =>
@@ -544,6 +616,11 @@ object LineParser {
           i += 1
         case ')' =>
           val had = depth >= 1 && body(depth)
+          val groupCls: Cls =
+            if (depth >= 1 && !uAll(depth) && uItems(depth).nonEmpty) {
+              val items = uItems(depth)
+              new Cls(c => items.exists(_.test(c)), items.flatMap(_.chars))
+            } else null
           if (depth >= 1) depth -= 1
           val quantified = quantAt(i + 1)
           if (had && quantified) return true
@@ -551,7 +628,12 @@ object LineParser {
           // body quantifier-bearing (covers ((a+)b)* nesting)
           if (depth >= 1) body(depth) |= had || quantified
           i += 1
-        case '*' | '+' => // group-level quantifier (atom-level ones are
+          // the group is itself an atom of its body's union class: joins
+          // the parent's union, and counts toward the chain when variably
+          // quantified and successor-overlapping
+          noteAtom(groupCls)
+          i = afterAtom(groupCls, i)
+        case '*' | '+' => // stray quantifier (atom/group-level ones are
           if (depth >= 1) body(depth) = true // consumed by afterAtom)
           i += 1
         case '{' =>
@@ -561,15 +643,12 @@ object LineParser {
           if (depth >= 1) body(depth) = true
           i += 1
         case '.' =>
-          if (i + 1 < n && (pattern.charAt(i + 1) == '*' || pattern.charAt(i + 1) == '+')) {
-            if (depth >= 1) body(depth) = true
-            chainQuants += 1 // dot overlaps everything: count unconditionally
-            i += 2
-            if (i < n && (pattern.charAt(i) == '?' || pattern.charAt(i) == '+')) i += 1
-          } else i += 1
+          noteAtom(DotCls)
+          i = afterAtom(DotCls, i + 1)
         case '^' | '$' => i += 1
         case c =>
           i += 1
+          noteAtom(litCls(c))
           i = afterAtom(litCls(c), i)
       }
     }

@@ -211,10 +211,9 @@ final class LogMicroBatchStream(
     val cutoffIdx = compactAt - retain
     if (cutoffIdx <= 0) return
     fs.listStatus(logDir).map(_.getPath.getName)
-      .filterNot(_.startsWith("."))
       .foreach { n =>
-        val idx = n.stripSuffix(CompactSuffix).toLong
-        if (idx < cutoffIdx) fs.delete(new Path(logDir, n), false)
+        for (idx <- LogMicroBatchStream.entryIndexOf(n) if idx < cutoffIdx)
+          fs.delete(new Path(logDir, n), false)
       }
   }
 
@@ -291,9 +290,9 @@ final class LogMicroBatchStream(
         // falling back to 0 here would be the O(maxIndex) scan this
         // bound exists to avoid)
         try fs.listStatus(logDir).iterator.map(_.getPath.getName)
-          .filterNot(_.startsWith("."))
           .filterNot(_.endsWith(LogMicroBatchStream.CompactSuffix))
-          .map(_.toLong).minOption.getOrElse(math.max(0L, endIdx - horizon))
+          .flatMap(LogMicroBatchStream.entryIndexOf)
+          .minOption.getOrElse(math.max(0L, endIdx - horizon))
         catch { case _: java.io.FileNotFoundException => math.max(0L, endIdx - horizon) }
       }
     for (i <- from to endIdx; (p, _) <- entriesOrEmpty(i)) {
@@ -398,7 +397,7 @@ final class LogMicroBatchStream(
   private def restoreFromLog(): Unit = {
     if (!fs.exists(logDir)) return
     val names = fs.listStatus(logDir).map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).sorted
+      .filter(n => LogMicroBatchStream.entryIndexOf(n).isDefined).sorted
     if (names.isEmpty) return
     val compacts = names.filter(_.endsWith(CompactSuffix))
     val lastCompact = compacts.lastOption.map(n => n.stripSuffix(CompactSuffix).toLong)
@@ -480,6 +479,17 @@ final class LogMicroBatchStream(
 object LogMicroBatchStream {
   val CompactInterval = 10
   val CompactSuffix = ".compact"
+
+  /** Entry index encoded in a log-dir file name (`%020d` or
+    * `%020d.compact`); None for anything else. The dir belongs to this
+    * source, but a stray foreign file (editor backup, tool metadata) must
+    * degrade to a skipped name — not a NumberFormatException that crashes
+    * every commit/restore/GC until someone hand-deletes it. */
+  private[log] def entryIndexOf(name: String): Option[Long] = {
+    val base = name.stripSuffix(CompactSuffix)
+    if (base.nonEmpty && base.length <= 20 && base.forall(_.isDigit)) Some(base.toLong)
+    else None
+  }
 
   /** Mod-time for entries restored from logs/offsets written before
     * retention existed: unknown, therefore never expired by maxFileAge

@@ -163,21 +163,34 @@ final case class LogOptions(
 
   lazy val compiledPattern: Pattern = Pattern.compile(pattern)
 
-  /** Is byte-offset splitting safe under this charset? Only when the
-    * charset is ASCII-transparent (UTF-8, ISO-8859-*, windows-125x): every
-    * ASCII char encodes to its single ASCII byte, so a delimiter byte
-    * sequence can never be PRODUCED by the trailing/leading bytes of other
-    * characters and the byte-aligned delimiter scan finds exactly the real
-    * line breaks from any split offset. A multi-byte charset (UTF-16LE/BE)
-    * can straddle the delimiter bytes across two characters (U+xx0A then
-    * U+000A-started false pair), silently mis-framing a split chunk's
-    * first/last record — those files scan as ONE chunk per file, like the
-    * recordStartPattern fallback in chunkFiles. */
+  /** Is byte-offset splitting safe under this charset? Only when every
+    * byte in the ASCII range is ALWAYS a standalone ASCII char in the
+    * stream — then a delimiter byte sequence can never be produced by the
+    * trail/lead bytes of other characters (or by shift state), and the
+    * byte-aligned delimiter scan finds exactly the real line breaks from
+    * any split offset. That property needs more than an ASCII round-trip
+    * probe: Shift_JIS/GBK/Big5 round-trip ASCII yet their double-byte
+    * TRAIL bytes cover 0x40-0x7E (an ASCII lineSep can false-match
+    * mid-character), and ISO-2022-* round-trips ASCII while a mid-file
+    * split lands inside a shift state a fresh decoder can't know. So:
+    * UTF-8 (multi-byte sequences use only bytes >= 0x80 by construction),
+    * or a strictly SINGLE-BYTE stateless charset (ISO-8859-*,
+    * windows-125x, US-ASCII: maxBytesPerChar == maxCharsPerByte == 1)
+    * whose ASCII range round-trips. Everything else — UTF-16/32, EBCDIC,
+    * CJK multi-byte, ISO-2022 — scans as ONE chunk per file and frames in
+    * character space (LogPartitionReader.CharFrames). */
   lazy val splitSafeEncoding: Boolean = {
     val cs = java.nio.charset.Charset.forName(encoding)
-    val probe = "\r\n aA0~"
-    java.util.Arrays.equals(probe.getBytes(cs),
-      probe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    if (cs == java.nio.charset.StandardCharsets.UTF_8) true
+    else {
+      val singleByte =
+        try cs.newEncoder().maxBytesPerChar() == 1.0f &&
+          cs.newDecoder().maxCharsPerByte() == 1.0f
+        catch { case _: UnsupportedOperationException => false } // decode/encode-only
+      val probe = "\r\n aA0~"
+      singleByte && java.util.Arrays.equals(probe.getBytes(cs),
+        probe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
   }
 }
 

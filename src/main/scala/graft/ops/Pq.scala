@@ -52,7 +52,16 @@ object Pq {
     val rows = spark.read.parquet(path).select("block", "cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     require(rows.nonEmpty, s"[Pq] empty model at $path")
-    val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cells) =>
+    val byBlock = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // a partially-written/pruned model must fail LOUDLY: a missing block
+    // would silently shift every later block's codebook and decode wrong
+    // neighbors (review finding)
+    require(byBlock.map(_._1) == (0 until byBlock.size),
+      s"[Pq] non-contiguous block ids ${byBlock.map(_._1).mkString(",")} at $path")
+    val cellCounts = byBlock.map(_._2.size).distinct
+    require(cellCounts.size == 1,
+      s"[Pq] blocks carry differing cell counts $cellCounts at $path")
+    val books = byBlock.map { case (_, cells) =>
       IvfIndex.Model(cells.map(c => (c._2, c._3)).sortBy(_._1).toArray)
     }.toArray
     val subDim = books.head.centroids.head._2.length

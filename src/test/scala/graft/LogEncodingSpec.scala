@@ -84,8 +84,15 @@ class LogEncodingSpec extends SparkSpec {
     assert(o("UTF-8").splitSafeEncoding)
     assert(o("ISO-8859-1").splitSafeEncoding)
     assert(o("windows-1252").splitSafeEncoding)
+    assert(o("US-ASCII").splitSafeEncoding)
     assert(!o("UTF-16LE", Some("\n")).splitSafeEncoding)
     assert(!o("UTF-16BE", Some("\n")).splitSafeEncoding)
+    // ASCII round-trip alone is NOT enough (review finding): Shift_JIS/GBK
+    // trail bytes cover 0x40-0x7E, ISO-2022-JP is stateful — all must be
+    // char-framed even though pure-ASCII text encodes to ASCII bytes
+    for (enc <- Seq("Shift_JIS", "windows-31j", "GBK", "Big5", "ISO-2022-JP", "EUC-JP"))
+      if (java.nio.charset.Charset.isSupported(enc))
+        assert(!o(enc).splitSafeEncoding, s"$enc must not byte-split")
     // end-to-end: chunkFiles yields one whole-file chunk regardless of a
     // tiny maxSplit, and the poison payload — a character whose LE bytes
     // end with 0x0A followed by one starting 0x00 — parses identically to
@@ -150,6 +157,19 @@ class LogEncodingSpec extends SparkSpec {
       .withInitialSeed(org.scalacheck.rng.Seed(20260815L))
     val res = org.scalacheck.Test.check(params, prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("Shift_JIS trail byte equal to the lineSep byte does not mis-frame") {
+    // katakana PO (U+30DD) is 0x83 0x7C in Shift_JIS — its TRAIL byte is
+    // '|'. With lineSep="|", byte framing would split mid-character; the
+    // char-framing path scans the separator after decode
+    assume(java.nio.charset.Charset.isSupported("Shift_JIS"))
+    val cs = java.nio.charset.Charset.forName("Shift_JIS")
+    val po = 12509.toChar // U+30DD
+    val text = s"1 a${po}b|2 tail|"
+    val dir = writeBytes(text.getBytes(cs))
+    val got = rows(readLog(dir, "encoding" -> "Shift_JIS", "lineSep" -> "|"))
+    assert(got == Seq((1, s"a${po}b"), (2, "tail")), got)
   }
 
   test("EBCDIC (IBM1047): char-space framing makes lineSep charset-independent") {

@@ -237,6 +237,36 @@ class LogRetentionSpec extends SparkSpec {
     }
   }
 
+  test("stray foreign files in the entry-log dir are skipped, not fatal") {
+    // an editor backup / tool metadata file must not crash restore, GC, or
+    // the first-commit sweep with a NumberFormatException (review finding)
+    val dir = Files.createTempDirectory("graft_clean_stray").toFile
+    val ckpt = Files.createTempDirectory("graft_clean_stray_ckpt").toString
+    def mk() = {
+      val opts = LogOptions.fromMap(Map(
+        "pattern" -> "(\\d+) (\\w+)", "fieldNames" -> "id, level",
+        "dataTypes" -> "INT, VARCHAR", "cleansource" -> "delete"))
+      new LogMicroBatchStream(opts, opts.schema, Seq(dir.getAbsolutePath), ckpt)
+    }
+    val s1 = mk()
+    var off: org.apache.spark.sql.connector.read.streaming.Offset = s1.initialOffset()
+    for (i <- 1 to 12) { // crosses a compact boundary (GC runs too)
+      writeLog(dir, f"f$i%03d.log", Seq(s"$i INFO"), System.currentTimeMillis())
+      off = s1.latestOffset(off, ReadLimit.allAvailable())
+      s1.commit(off)
+    }
+    // drop foreign files into the log dir, then restart + commit + trigger
+    val logDir = new File(ckpt, "graft-file-log")
+    Files.writeString(new File(logDir, "00000000000000000005~").toPath, "backup")
+    Files.writeString(new File(logDir, "NOTES.txt").toPath, "hands off")
+    val s2 = mk()
+    writeLog(dir, "f013.log", Seq("13 INFO"), System.currentTimeMillis())
+    val off13 = s2.latestOffset(off, ReadLimit.allAvailable())
+    s2.commit(off13) // restore, sweep and GC all see the stray names
+    assert(!new File(dir, "f013.log").exists(), dir.listFiles().map(_.getName).toSeq)
+    assert(new File(logDir, "NOTES.txt").exists()) // never deleted by GC either
+  }
+
   test("cleanSource=archive moves processed files; archive is not re-ingested") {
     val dir = Files.createTempDirectory("graft_clean_arc").toFile
     val archive = Files.createTempDirectory("graft_clean_arc_dst").toFile

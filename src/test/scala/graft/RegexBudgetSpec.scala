@@ -134,6 +134,15 @@ class RegexBudgetSpec extends SparkSpec {
                   "a*aa*aa*ax", // quantified literals overlapping their successor
                   "[ab]*a[ab]*a[ab]*ax")) // narrow class, still overlapping
       assert(LineParser.riskyPattern(p), s"should flag (overlap chain): $p")
+    // review-found blind classes (round 13, each probed before fixing):
+    for (p <- Seq(
+        "\\S{1,}a" * 8 + "x", // {m,} == + (0.97 s at n=40)
+        "\\S{0,99}a" * 8 + "x", // bounded-variable {m,n} (5.3 s at n=40)
+        "(.)*a" * 12 + "x", // group-wrapped wildcard chain (HANGS at n=30)
+        "(\\S)*a" * 12 + "x", // same, escape-class body
+        "([^b])*a([^b])*a([^b])*ax", // same, negated-class body
+        "\\d*x?1" * 8 + "y")) // skippable successor: \d overlaps the 1 past x?
+      assert(LineParser.riskyPattern(p), s"should flag (round-13 class): $p")
     // single-level quantifiers cannot multiply match attempts
     for (p <- Seq("(\\d+) (\\w+)", "(.*)", "^ERROR: (\\d+) (.+)",
                   "([+*]+)x", // quantifier chars inside a class are literals
@@ -154,7 +163,11 @@ class RegexBudgetSpec extends SparkSpec {
                   "(\\w+)\\.(\\w+)\\.(\\w+)\\.(\\w+)", // dotted names
                   "\\[([^\\]]+)\\] \\[([^\\]]+)\\] \\[([^\\]]+)\\]",
                   "(\\d+) (\\d+) (\\d+) (\\d+)", // narrow classes, no overlap
-                  "\\S++a\\S++a\\S++a\\S++ax")) // possessive: cannot backtrack
+                  "\\S++a\\S++a\\S++a\\S++ax", // possessive: cannot backtrack
+                  ".*+a.*+a.*+ax", // possessive dot too (probed: 1 ms)
+                  "\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}", // fixed {m}: no choice
+                  "(\\d{2}:)x(\\w{3},)yz", // fixed reps inside plain groups
+                  "\\d*x1\\d*x1\\d*x1y")) // non-skippable x blocks the overlap
       assert(!LineParser.riskyPattern(p), s"should NOT flag (no overlap): $p")
     // trailing atom has no successor; 2 overlapping atoms are at worst
     // quadratic — both under the >= 3 chain threshold
