@@ -448,4 +448,33 @@ class LogPartitionSpec extends SparkSpec {
     assert(PartitionValues.unescapePathName("%zz") == "%zz")
     assert(PartitionValues.unescapePathName("plain") == "plain")
   }
+
+  test("unescapePathName round-trips Spark's escapePathName on fuzzed values") {
+    // Spark's ExternalCatalogUtils.escapePathName writes the segments this
+    // source reads back; a locally-implemented identical escape (the hive
+    // charset: control chars + the reserved punctuation, %-hex, uppercase)
+    // pins the inverse on 300 adversarial values
+    import org.scalacheck.{Gen, Prop}
+    def needsEscape(c: Char): Boolean =
+      c < ' ' || "\"#%'*/:=?\\{[]^".contains(c)
+    def escape(s: String): String =
+      s.flatMap(c => if (needsEscape(c)) f"%%${c.toInt}%02X" else c.toString)
+    val genValue: Gen[String] = for {
+      n <- Gen.choose(0, 16)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf("%=/\\:#?*'\"{[]}^ \t\n-._".toSeq)))
+    } yield cs.mkString
+    val prop = Prop.forAllNoShrink(genValue) { v =>
+      PartitionValues.unescapePathName(escape(v)) == v
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260815L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+    // end-to-end: an escaped '=' inside a partition VALUE reads back
+    val root = writeTree("k=a%3Db/a.log" -> Seq("1 INFO"))
+    val df = readLog(root, "partitionSchema" -> "k STRING")
+    assert(df.select("k").collect().map(_.getString(0)).toSeq == Seq("a=b"))
+  }
 }
