@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bm25, Dedup, Packing, PageRank}
+import graft.ops.{Bm25, Dedup, DupGroups, Packing, PageRank, SubstringDedup}
 
 /** Measured scaling exponents for the flagship pipeline families
   * (VERDICT r11 item 1): the 100-TB posture has so far been argued from
@@ -46,6 +46,13 @@ import graft.ops.{Bm25, Dedup, Packing, PageRank}
   *    by BATCH INDEX at fixed batch size — flat = per-batch work does not
   *    grow with the history it dedups against (the bench's #1 query's
   *    scale claim)
+  *  - cc: [[DupGroups.connectedComponents]] over a near-dup-shaped edge
+  *    list (stars of 4 + 8%-of-docs chains of 16, |E| ∝ corpus, diameter
+  *    bounded) — the iterative family: rounds × 4 shuffles each, so a
+  *    growing ROUND COUNT would show up as a super-linear tail
+  *  - substr: [[SubstringDedup.duplicatedSpans]] (k=20, keepFirst) — the
+  *    highest row-amplification family (one posexplode row per token
+  *    window) plus a per-document span-merge window function
   *
   * Runs: min of 2 per (family, size), sizes ascending so k=1 doubles as
   * JIT warmup; single JVM, local[32].
@@ -61,7 +68,8 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val work = args.headOption.filterNot(a => a == "deep" || a == "trig" || a == "ann")
+    val work = args.headOption
+      .filterNot(a => a == "deep" || a == "trig" || a == "ann" || a == "cc")
       .getOrElse("/tmp/graft_scale")
     // "deep": one extra x300 point for the CPU-bound families whose
     // exponents are still parallelism-saturating at x100 — the
@@ -73,6 +81,8 @@ object ScaleCurve {
     val trigOnly = args.contains("trig")
     // "ann": only the ANN families (brute / IVF / IVF-PQ+ADC)
     val annOnly = args.contains("ann")
+    // "cc": only the connected-components + substring-dedup families
+    val ccOnly = args.contains("cc")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -90,7 +100,7 @@ object ScaleCurve {
     def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
     // replicated embeddings: fresh vec_ids, per-replica deterministic
     // noise so vectors spread instead of clustering by replica
-    if (!trigOnly) Mults.foreach { k =>
+    if (!trigOnly && !ccOnly) Mults.foreach { k =>
       if (!Files.exists(Paths.get(embPath(k)))) {
         val e = spark.read.parquet(s"$base/embeddings.parquet")
         val reps = (0 until k).map { rep =>
@@ -136,7 +146,7 @@ object ScaleCurve {
       }
       root
     }
-    if (!trigOnly && !annOnly) Mults.foreach(logTree)
+    if (!trigOnly && !annOnly && !ccOnly) Mults.foreach(logTree)
 
     def timed(runs: Int)(f: => Unit): Double =
       (1 to runs).map { _ =>
@@ -186,7 +196,31 @@ object ScaleCurve {
       codes.unpersist(blocking = true)
     }
 
-    allMults.foreach { k =>
+    // the iterative + row-amplified dedup families — ONE definition shared
+    // by the full run and `cc` mode (same single-definition rule as ANN)
+    def ccSubFamilies(k: Int, docs: DataFrame): Unit = {
+      // near-dup-shaped edge list: stars of 4 (clique-ish groups) plus
+      // chains of 16 over 8% of docs — component COUNT grows linearly with
+      // the corpus while diameter stays bounded, like a real constant-rate
+      // dup graph. A growing round count would surface as a >1 tail.
+      val edges = docs.select(
+          col("doc_id").as("u"),
+          (col("doc_id") - pmod(col("doc_id"), lit(4))).as("v"))
+        .union(docs.filter(pmod(col("doc_id"), lit(200)) < 16)
+          .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v")))
+      record("cc", k, timed(2) {
+        DupGroups.connectedComponents(edges, "u", "v").count()
+      })
+      record("substr", k, timed(2) {
+        val (spans, release) =
+          SubstringDedup.duplicatedSpans(docs, "doc_id", "text",
+            k = 20, keepFirst = true)
+        spans.count()
+        release()
+      })
+    }
+
+    if (!ccOnly) allMults.foreach { k =>
       val cpuOnly = k > Mults.last // deep extension: CPU families only
       val docs = spark.read.parquet(docsPath(k))
 
@@ -238,6 +272,8 @@ object ScaleCurve {
       })
 
       if (!cpuOnly) {
+        ccSubFamilies(k, docs)
+
         // ANN: fixed 50-query batch over the shipped search paths
         annFamilies(k, spark.read.parquet(embPath(k)))
 
@@ -263,7 +299,7 @@ object ScaleCurve {
     // history (32 batches of ~1000 fresh docs each), not corpus multiple;
     // a flat curve = per-batch work is batch-proportional, as claimed
     // (banding the batch + one join against persisted postings).
-    if (!trigOnly && !annOnly) {
+    if (!trigOnly && !annOnly && !ccOnly) {
       val sndDocs = spark.read.parquet(docsPath(10)).persist()
       sndDocs.count()
       val sink = s"$work/snd_curve/sink"
@@ -286,6 +322,12 @@ object ScaleCurve {
       annFamilies(k, spark.read.parquet(embPath(k)))
     }
 
+    // CC-only mode: the cc + substr families over the replicated corpus,
+    // without paying the other full-corpus families
+    if (ccOnly) allMults.foreach { k =>
+      ccSubFamilies(k, spark.read.parquet(docsPath(k)))
+    }
+
     // ---------------------------------------------- streaming trigger path
     // Per-trigger DRIVER cost at scale (VERDICT r12 item 3): the offset /
     // entry-log machinery at 1k-10k prior triggers and 10k-100k seen files.
@@ -301,7 +343,7 @@ object ScaleCurve {
     //                  seen-set compact write + entry-log GC
     //   trig_commit  — first cleanSource=delete commit after a restart
     //                  (surviving-entry sweep, best-effort deletes)
-    if (!annOnly) {
+    if (!annOnly && !ccOnly) {
       import org.apache.spark.sql.connector.read.streaming.ReadLimit
       val nowMs = System.currentTimeMillis
       for (k <- Seq(1, 3, 10, 30)) {
