@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.ops.Lineage.CutSyntax
+
 /** Multi-source breadth-first search: exact hop distance from a seed set
   * along DIRECTED edges, bounded depth — link-distance-from-trusted-hosts
   * is the classic web-corpus quality prior next to [[PageRank]] (it is
@@ -70,7 +72,7 @@ object Bfs {
     }
     // snapshot the node-sized result off the persisted lineage, then drop
     // every generation
-    val out = visited.localCheckpoint(true)
+    val out = visited.cutLineage()
     gens.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     out

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.ops.Lineage.CutSyntax
 
 /** BPE merge-candidate statistics — iteration 0 of byte-pair-encoding
   * tokenizer training at corpus scale: adjacent character-pair counts
@@ -67,7 +68,7 @@ object Bpe {
     * Scale shape: the corpus collapses to (word, cnt) once; every round is
     * a vocab-bounded aggregate + a 1-row `collect()` (the chosen pair — the
     * same bounded-model pattern as [[IvfIndex]] centroids) + a map over
-    * vocab rows. `localCheckpoint` per round truncates the iterative
+    * vocab rows. [[Lineage.cut]] per round truncates the iterative
     * lineage exactly like [[PageRank]].
     *
     * @return one row per executed round: (round INT, tok_a, tok_b, n LONG)
@@ -107,7 +108,7 @@ object Bpe {
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
-      .localCheckpoint(true)
+      .cutLineage()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -135,7 +136,7 @@ object Bpe {
             when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
               .otherwise(concat(acc, array(x)))))
-          .localCheckpoint(true)
+          .cutLineage()
         vocab = next
         r += 1
       }

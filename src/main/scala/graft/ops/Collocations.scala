@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{HashedShingles, ScaledLn, TextFunctions, TokenizeWords}
+import graft.ops.Lineage.CutSyntax
 
 /** PMI collocation mining — the classical corpus-statistics readout
   * ("strongly associated adjacent word pairs") used to surface multi-word
@@ -88,7 +89,7 @@ object Collocations {
       .select(col("w1"), col("w2"), col("cnt"), col("scaled_pmi"))
       .orderBy(desc("scaled_pmi"), col("w1"), col("w2"))
       .limit(k)
-    val collected = out.localCheckpoint(true)
+    val collected = out.cutLineage()
     pairs.unpersist(blocking = false)
     collected
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.TextFunctions
+import graft.ops.Lineage.CutSyntax
 
 /** A corpus-key Bloom filter together with the build parameters needed to
   * EXTEND it with later batches: `mergeInPlace` requires identically-sized
@@ -400,7 +401,7 @@ object Dedup {
     val dupIds = verifyJaccard(cand.select("idA", "idB"), df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("idB").as("__dup")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     sigs.unpersist(blocking = false)
     df.join(dupIds, col(idCol) === col("__dup"), "left_anti")
   }
@@ -534,7 +535,7 @@ object Dedup {
         size(array_intersect(col("__sh__idB"), col("__sh__idH"))).cast("double") /
           size(array_union(col("__sh__idB"), col("__sh__idH"))).cast("double") >= threshold)
       .select(col("__idB").as("__dup")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     releaseBands()
     cand.unpersist(blocking = false)
     batch.join(dupIds, col(idCol) === col("__dup"), "left_anti")

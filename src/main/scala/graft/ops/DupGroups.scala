@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.CutSyntax
+
 /** Duplicate-group assembly: candidate/verified near-dup PAIRS (the output
   * of [[Dedup.minhashCandidatePairs]] / [[Dedup.shingleJaccardPairs]]) are
   * only half of a dedup pipeline — transitive chains (A~B, B~C) must
@@ -19,11 +21,14 @@ import org.apache.spark.sql.functions._
   * every pass is a shuffle on node id that AQE can size.
   *
   * Scale notes:
-  *  - each iteration `localCheckpoint`s the shrinking edge list: iterative
-  *    DataFrame algorithms otherwise accumulate lineage and re-plan the
-  *    whole history every round (analyzer time grows superlinearly). The
-  *    handful of checkpointed edge RDDs (one per round, each bounded by the
-  *    input pair count and shrinking) is the deliberate cost.
+  *  - each iteration cuts the shrinking edge list's lineage
+  *    ([[Lineage.cut]] — `localCheckpoint` single-box, reliable
+  *    `checkpoint` when a checkpoint dir is configured, surviving
+  *    executor loss over the multi-round loop): iterative DataFrame
+  *    algorithms otherwise accumulate lineage and re-plan the whole
+  *    history every round (analyzer time grows superlinearly). The
+  *    handful of checkpointed edge RDDs (one per round, each bounded by
+  *    the input pair count and shrinking) is the deliberate cost.
   *  - convergence is detected with a count+hash checksum — one tiny
   *    aggregate per round, no edge-set comparison join.
   */
@@ -46,12 +51,12 @@ object DupGroups {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     var prev = checksum(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).cutLineage()
       val cur = checksum(e)
       converged = cur == prev
       prev = cur

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.ops.Lineage.CutSyntax
+
 /** k-core peeling over an undirected graph: repeatedly delete nodes of
   * degree < k; what survives `rounds` rounds is the (partial) k-core —
   * the standard "dense-cohesion" filter for link graphs (spam farms and
@@ -64,7 +66,7 @@ object KCore {
       r += 1
     }
     val out = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true)
+      .cutLineage()
     adj.unpersist(blocking = false)
     (out, converged)
   }

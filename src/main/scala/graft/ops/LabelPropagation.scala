@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.CutSyntax
+
 /** Synchronous label propagation — community detection for link graphs
   * (the lightweight complement to [[PageRank]]/[[DupGroups]]/
   * [[Triangles]] in the graph family): every node starts as its own
@@ -15,7 +17,7 @@ import org.apache.spark.sql.functions._
   * Scale shape per round: one edge⋈labels equi-join (shuffle on the
   * node key), one (node, label) hash aggregate with map-side partials,
   * one `min_by` per node — never adjacency lists in driver memory, no
-  * per-node iteration. Lineage is cut with an eager localCheckpoint at
+  * per-node iteration. Lineage is cut eagerly ([[Lineage.cut]]) at
   * the end (iterations are few; PageRank's per-round persist protocol is
   * overkill here).
   */
@@ -43,7 +45,7 @@ object LabelPropagation {
         // min over (-n, label): highest count first, then smallest label
         .agg(expr("min_by(label, struct(-n, label))").as("label"))
     }
-    val out = labels.localCheckpoint(true)
+    val out = labels.cutLineage()
     adj.unpersist()
     out
   }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.CutSyntax
+
 /** Bounded all-pairs matrix over a key column's distinct values — the
   * shared shape under pairwise-comparison readouts (Mann–Whitney U,
   * pairwise KL, inter-source Jaccard): expand k distinct keys into the
@@ -40,10 +42,10 @@ object PairMatrix {
       outRight: String = "s2",
       maxPairs: Long = 100000L): DataFrame = {
     require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
-    // Eager localCheckpoint: pays df's lineage once, pins the k-row key
+    // Eager lineage cut: pays df's lineage once, pins the k-row key
     // set on the executors; the count below is then a k-row local scan,
     // not a second corpus aggregate.
-    val keys = df.select(col(keyCol)).distinct().localCheckpoint()
+    val keys = df.select(col(keyCol)).distinct().cutLineage()
     val k = keys.count()
     val pairs = (BigInt(k) * BigInt(k - 1)) / 2
     require(pairs <= BigInt(maxPairs),

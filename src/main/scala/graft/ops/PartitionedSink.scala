@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.CutSyntax
+
 /** Partitioned, clustered parquet output — the write half of a training-data
   * pipeline (the read half is partition pruning + predicate pushdown, which
   * Spark gives for free once the layout exists).
@@ -115,14 +117,14 @@ object PartitionedSink {
               s"'${moved.head.get(1)}' — keys must not change partitions (see scaladoc)")
       }
       val existing = spark.read.parquet(path).filter(partFilter)
-      // localCheckpoint breaks the read-path lineage BEFORE the overwrite —
+      // the lineage cut breaks the read path BEFORE the overwrite —
       // Spark (correctly) refuses to overwrite a path a plan still reads
       // from; the materialized set is bounded by the touched partitions
       // (disk-backed executor storage), never the corpus
       val merged = existing
         .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(b)
-        .localCheckpoint(true)
+        .cutLineage()
       // same salted layout as writePartitioned; dynamic overwrite replaces
       // only the touched partitions
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
