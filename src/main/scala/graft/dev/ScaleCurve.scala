@@ -92,6 +92,11 @@ object ScaleCurve {
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CKPT_DIR: run with RELIABLE checkpoints ([[graft.ops
+    // .Lineage]] auto mode) — re-running the `cc` family against the
+    // local-mode numbers measures the durability tax of surviving
+    // executor loss at each size
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     import spark.implicits._
 
     // ------------------------------------------------------ synthesis
