@@ -92,11 +92,15 @@ object ScaleCurve {
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_CKPT_DIR: run with RELIABLE checkpoints ([[graft.ops
-    // .Lineage]] auto mode) — re-running the `cc` family against the
-    // local-mode numbers measures the durability tax of surviving
-    // executor loss at each size
-    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach(spark.sparkContext.setCheckpointDir)
+    // SPARK_GRAFT_CKPT_DIR: run the cc families with RELIABLE checkpoints
+    // ([[graft.ops.Lineage]] auto mode) — re-running `cc` against the
+    // local-mode numbers measures the durability tax. Honored ONLY in cc
+    // mode: a stale export must not silently switch every cut-using
+    // family of a full run to the taxed path.
+    if (ccOnly) sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach { d =>
+      spark.sparkContext.setCheckpointDir(d)
+      println(s"[scale] checkpoint mode: RELIABLE ($d)")
+    }
     import spark.implicits._
 
     // ------------------------------------------------------ synthesis
@@ -276,9 +280,11 @@ object ScaleCurve {
         release()
       })
 
-      if (!cpuOnly) {
-        ccSubFamilies(k, docs)
+      // cc/substr run at EVERY size incl. the deep x300 point, so the
+      // full run and `cc deep` mode fit slopes over identical size sets
+      ccSubFamilies(k, docs)
 
+      if (!cpuOnly) {
         // ANN: fixed 50-query batch over the shipped search paths
         annFamilies(k, spark.read.parquet(embPath(k)))
 

@@ -396,8 +396,8 @@ object Dedup {
       df, idCol, textCol, shingleN, numHashes, bands, estimateJaccard = false)
     // Materialize the (small: one id per duplicate) dup-id set eagerly so the
     // signature cache can be released NOW instead of leaking until session
-    // end; localCheckpoint also cuts the lineage, so the returned plan no
-    // longer references the unpersisted signatures.
+    // end; the lineage cut also means the returned plan no longer
+    // references the unpersisted signatures.
     val dupIds = verifyJaccard(cand.select("idA", "idB"), df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("idB").as("__dup")).distinct()

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage cutting for the ops library's materialization points.
   *
@@ -24,6 +25,22 @@ import org.apache.spark.sql.DataFrame
   *  - `reliable`: always `checkpoint(eager = true)` (requires a
   *    checkpoint dir; Spark fails loudly if unset).
   *  - `local`: always `localCheckpoint(eager = true)`.
+  *  - anything else: rejected loudly (the repo's conf-typo convention —
+  *    a misspelled `reliable` must not silently drop durability).
+  *
+  * Reliable-mode mechanics, both inherited from Spark's checkpoint
+  * contract:
+  *  - the file write is a SECOND job after the eager materialization
+  *    (`ReliableRDDCheckpointData` re-runs the RDD), so [[cut]] persists
+  *    the input around the checkpoint and unpersists after — both passes
+  *    read one materialization instead of recomputing the plan twice;
+  *  - checkpoint files are cleaned by the ContextCleaner only when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark's
+  *    default is false, and nothing is cleaned at application exit). Set
+  *    that conf in long-running reliable-mode deployments — each round's
+  *    previous checkpoint becomes unreferenced as soon as the next cut
+  *    materializes, so GC-driven cleanup bounds the directory at ~one
+  *    live generation per operator.
   *
   * [[graft.SparkEntry]]'s query-local materializations deliberately stay
   * on `localCheckpoint`: they are one-shot single-session demos where a
@@ -40,10 +57,15 @@ private[graft] object Lineage {
     val reliable = session.conf.get("spark.graft.checkpoint", "auto") match {
       case "reliable" => true
       case "local"    => false
-      case _          => session.sparkContext.getCheckpointDir.isDefined
+      case "auto"     => session.sparkContext.getCheckpointDir.isDefined
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.checkpoint must be auto, reliable or local, got '$other'")
     }
-    if (reliable) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (reliable) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
   }
 
   /** `.cutLineage()` postfix syntax so call sites read like the

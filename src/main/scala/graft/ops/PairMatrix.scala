@@ -15,7 +15,7 @@ import graft.ops.Lineage.CutSyntax
   * unbounded key column (10⁶ sources → 5·10¹¹ pairs). The guard makes
   * that misuse a plan-time error with an actionable message instead of a
   * cluster-melting job: the distinct key set is materialized ONCE via
-  * `localCheckpoint` (k rows by contract — tiny), so the guard count and
+  * [[Lineage.cut]] (k rows by contract — tiny), so the guard count and
   * BOTH sides of the pair join read the materialized keys instead of
   * re-running `df`'s upstream lineage (which may be a full-corpus
   * aggregate) three times. The pair count is computed in `BigInt`, so a
@@ -42,9 +42,9 @@ object PairMatrix {
       outRight: String = "s2",
       maxPairs: Long = 100000L): DataFrame = {
     require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
-    // Eager lineage cut: pays df's lineage once, pins the k-row key
-    // set on the executors; the count below is then a k-row local scan,
-    // not a second corpus aggregate.
+    // Eager lineage cut: pays df's lineage once and pins the k-row key
+    // set (executor blocks, or checkpoint files in reliable mode); the
+    // count below is then a k-row scan, not a second corpus aggregate.
     val keys = df.select(col(keyCol)).distinct().cutLineage()
     val k = keys.count()
     val pairs = (BigInt(k) * BigInt(k - 1)) / 2

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Path}
+import java.util.Comparator
 
 import org.apache.spark.sql.functions._
 
@@ -8,11 +9,12 @@ import graft.ops.{DupGroups, Lineage}
 
 /** [[Lineage.cut]] dispatch: reliable `checkpoint` when the session has a
   * checkpoint dir (the cluster deployment — blocks survive executor loss
-  * and dynamic allocation), `localCheckpoint` otherwise (single-box
-  * zero-I/O path), overridable with `spark.graft.checkpoint`. The suite
-  * pins the conf to `local` on exit: `SparkContext.setCheckpointDir`
-  * cannot be unset, and later suites in the shared session must keep the
-  * zero-I/O behavior they were written against.
+  * and dynamic allocation), `localCheckpoint` otherwise, overridable with
+  * `spark.graft.checkpoint`. The suite pins the conf to `local` on exit:
+  * `SparkContext.setCheckpointDir` cannot be unset, and later suites in
+  * the shared session must keep the zero-I/O behavior they were written
+  * against. Rerunnable in one JVM: no phase assumes virgin session state,
+  * and the temp checkpoint dir is deleted on exit.
   */
 class LineageSpec extends SparkSpec {
 
@@ -22,24 +24,36 @@ class LineageSpec extends SparkSpec {
     finally s.close()
   }
 
-  test("auto mode goes reliable once a checkpoint dir is set; iterative op stays correct") {
+  private def deleteTree(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
+  test("dispatch: local writes nothing, auto+dir goes reliable, typos fail loudly") {
     val session = spark
     import session.implicits._
+    val dir = Files.createTempDirectory("graft-lineage-ckpt")
     try {
-      // no dir yet: auto must take the local path (cut succeeds without
-      // any checkpoint dir configured — reliable would throw)
-      assert(session.sparkContext.getCheckpointDir.isEmpty)
-      val local = Lineage.cut(Seq(1, 2).toDF("x"))
-      assert(local.as[Int].collect().sorted.sameElements(Array(1, 2)))
+      // auto with NO dir must take the local path (reliable would throw);
+      // only checkable on a session that hasn't set a checkpoint dir yet
+      if (session.sparkContext.getCheckpointDir.isEmpty) {
+        session.conf.unset("spark.graft.checkpoint")
+        val local = Lineage.cut(Seq(1, 2).toDF("x"))
+        assert(local.as[Int].collect().sorted.sameElements(Array(1, 2)))
+      }
 
-      val dir = Files.createTempDirectory("graft-lineage-ckpt")
       session.sparkContext.setCheckpointDir(dir.toString)
-      val before = treeFiles(dir)
 
-      // explicit local: no new checkpoint files even though the dir is set
+      // explicit local: no new checkpoint files even though a dir is set
       session.conf.set("spark.graft.checkpoint", "local")
+      val before = treeFiles(dir)
       Lineage.cut(Seq(3).toDF("x")).collect()
       assert(treeFiles(dir) == before, "local mode must not write checkpoints")
+
+      // unknown values are config errors, not silent auto
+      session.conf.set("spark.graft.checkpoint", "Reliable")
+      intercept[IllegalArgumentException] { Lineage.cut(Seq(4).toDF("x")) }
 
       // auto + dir: the whole iterative loop runs on reliable checkpoints
       session.conf.unset("spark.graft.checkpoint")
@@ -50,8 +64,10 @@ class LineageSpec extends SparkSpec {
       assert(treeFiles(dir) > before,
         "auto mode with a checkpoint dir must write reliable checkpoints")
     } finally {
-      // sticky for the rest of the shared-session JVM (see class doc)
+      // sticky for the rest of the shared-session JVM (see class doc);
+      // with the conf pinned local, deleting the dir is safe
       session.conf.set("spark.graft.checkpoint", "local")
+      deleteTree(dir)
     }
   }
 }
