@@ -367,6 +367,22 @@ object LineParser {
   private def isSpaceCh(c: Char) = // Java \s = [ \t\n\x0B\f\r]
     c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
 
+  /** The single literal character an escape sequence denotes, when it
+    * denotes one (`\t`, `\.`, …); None for the class escapes (`\d` …)
+    * and the unmodeled ones (`\b \A \p{...} \x.. \u..`). Split out so
+    * [[riskyPattern]]'s class parser can tell "usable as a range bound"
+    * from "a whole class". */
+  private def escLit(c: Char): Option[Char] = c match {
+    case 'n' => Some('\n')
+    case 't' => Some('\t')
+    case 'r' => Some('\r')
+    case 'f' => Some('\f')
+    case 'e' => Some(27.toChar)
+    case 'a' => Some(7.toChar)
+    case ch if !ch.isLetter && !ch.isDigit => Some(ch) // escaped meta/punct literal
+    case _ => None
+  }
+
   /** `\d \D \s \S \w \W` and the escape literals; null for anything else. */
   private def escCls(c: Char): Cls = c match {
     case 'd' => new Cls(ch => ch >= '0' && ch <= '9', Nil)
@@ -375,14 +391,7 @@ object LineParser {
     case 'S' => new Cls(ch => !isSpaceCh(ch), Nil)
     case 'w' => new Cls(isWordCh, Nil)
     case 'W' => new Cls(ch => !isWordCh(ch), Nil)
-    case 'n' => litCls('\n')
-    case 't' => litCls('\t')
-    case 'r' => litCls('\r')
-    case 'f' => litCls('\f')
-    case 'e' => litCls(27.toChar)
-    case 'a' => litCls(7.toChar)
-    case ch if !ch.isLetter && !ch.isDigit => litCls(ch) // escaped meta/punct literal
-    case _ => null // \b \B \A \z \Q \p{...} \x.. \u.. — unmodeled
+    case ch => escLit(ch).map(litCls).orNull // \b \B \A \z \Q \p{...} — unmodeled
   }
 
   /** Representatives across the character categories the modeled classes
@@ -455,7 +464,24 @@ object LineParser {
         first = false
         val item: Cls = pattern.charAt(j) match {
           case '\\' if j + 1 < n =>
-            val c = escCls(pattern.charAt(j + 1)); j += 2; c
+            val esc = pattern.charAt(j + 1); j += 2
+            if (j + 1 < n && pattern.charAt(j) == '-' && pattern.charAt(j + 1) != ']') {
+              // the escape is the LOWER bound of a range ([\t-z]): model it
+              // when the escape denotes one literal char. A class escape as
+              // a bound ([\d-z]) or an escaped hi bound ([\t-\\]) is
+              // unmodelable here — bail conservative (under-approximating
+              // the class would be a false NEGATIVE for the chain rule).
+              escLit(esc) match {
+                case Some(lo) =>
+                  val hi = pattern.charAt(j + 1) match {
+                    case '\\' => ok = false; j += 2; ' ' // \-escaped hi bound — bail
+                    case h    => j += 2; h
+                  }
+                  if (ok) { lits = lo :: hi :: lits; new Cls(x => x >= lo && x <= hi, lo :: hi :: Nil) }
+                  else null
+                case None => ok = false; null
+              }
+            } else escCls(esc)
           case '[' => ok = false; j += 1; null // nested class / POSIX — bail
           case '&' if j + 1 < n && pattern.charAt(j + 1) == '&' =>
             ok = false; j += 2; null // intersection — bail
@@ -520,6 +546,25 @@ object LineParser {
       else if (k < n && pattern.charAt(k) == '?') k += 1 // reluctant still backtracks
       (true, counting, minZero, k)
     }
+    // Does the group opening at `open` (pattern.charAt(open) == '(')
+    // contain a `|` at ITS OWN top level? `(x|0)` yes; `(a(x|0))` no —
+    // the inner group is examined on its own if the scan reaches it.
+    // Unterminated group: conservative true.
+    def groupHasAlternation(open: Int): Boolean = {
+      var d = 0
+      var k = open
+      while (k < n) {
+        pattern.charAt(k) match {
+          case '\\' => k += 2
+          case '['  => k = parseCharClass(k)._2 // `|` inside a class is a literal
+          case '('  => d += 1; k += 1
+          case ')'  => d -= 1; if (d == 0) return false; k += 1
+          case '|'  => if (d == 1) return true; k += 1
+          case _    => k += 1
+        }
+      }
+      true
+    }
     // Can `cls` match a REACHABLE successor token after position `start`?
     // Group punctuation is skipped; a token whose quantifier lets it match
     // empty (`x?`, `a*`, `{0,n}`) is looked PAST when it doesn't itself
@@ -532,6 +577,13 @@ object LineParser {
         pattern.charAt(j) match {
           case ')' | '^' => j += 1
           case '(' =>
+            // a successor group with alternation has MULTIPLE first
+            // tokens: `\d*(x|0)` overlaps through the `0` branch even
+            // when `x` doesn't, and a first-alternative-only scan would
+            // return from the `x` token without ever seeing it (probed:
+            // `\d*(x|0)`×3 is polynomial on all-digit input). Every
+            // branch would need probing — conservative overlap instead.
+            if (groupHasAlternation(j)) return true
             j += 1
             if (j < n && pattern.charAt(j) == '?') {
               if (j + 1 < n && pattern.charAt(j + 1) == ':') j += 2

@@ -40,7 +40,12 @@ import org.apache.spark.storage.StorageLevel
   *    that conf in long-running reliable-mode deployments — each round's
   *    previous checkpoint becomes unreferenced as soon as the next cut
   *    materializes, so GC-driven cleanup bounds the directory at ~one
-  *    live generation per operator.
+  *    live generation per operator. Because `auto` switches to reliable
+  *    merely from `setCheckpointDir` having been called (possibly for
+  *    unrelated RDD work), [[cut]] warns ONCE per JVM when it selects
+  *    reliable in auto mode while that cleaner conf is false — an
+  *    iterative job would otherwise grow the checkpoint directory
+  *    without bound and nothing would ever say so.
   *
   * [[graft.SparkEntry]]'s query-local materializations deliberately stay
   * on `localCheckpoint`: they are one-shot single-session demos where a
@@ -49,17 +54,34 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object Lineage {
 
+  /** Once-per-JVM latch for the auto-mode unbounded-checkpoint-dir
+    * warning (object doc, reliable-mode mechanics). */
+  private val warnedAutoRetention = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Materialize `df` eagerly and cut its lineage (see object doc for
     * the local-vs-reliable dispatch).
     */
   def cut(df: DataFrame): DataFrame = {
     val session = df.sparkSession
-    val reliable = session.conf.get("spark.graft.checkpoint", "auto") match {
+    val mode = session.conf.get("spark.graft.checkpoint", "auto")
+    val reliable = mode match {
       case "reliable" => true
       case "local"    => false
       case "auto"     => session.sparkContext.getCheckpointDir.isDefined
       case other => throw new IllegalArgumentException(
         s"spark.graft.checkpoint must be auto, reliable or local, got '$other'")
+    }
+    if (reliable && mode == "auto" &&
+        !session.sparkContext.getConf
+          .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", defaultValue = false) &&
+        warnedAutoRetention.compareAndSet(false, true)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "[graft] a checkpoint dir is set, so lineage cuts use RELIABLE checkpoints " +
+          "(spark.graft.checkpoint=auto), but spark.cleaner.referenceTracking." +
+          "cleanCheckpoints is false: Spark never deletes checkpoint files, so " +
+          "iterative operators grow the checkpoint directory without bound. Set that " +
+          "conf to true (GC then bounds the dir at ~one live generation per operator) " +
+          "or set spark.graft.checkpoint=local to keep zero-I/O local cuts.")
     }
     if (reliable) {
       df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -143,6 +143,22 @@ class RegexBudgetSpec extends SparkSpec {
         "([^b])*a([^b])*a([^b])*ax", // same, negated-class body
         "\\d*x?1" * 8 + "y")) // skippable successor: \d overlaps the 1 past x?
       assert(LineParser.riskyPattern(p), s"should flag (round-13 class): $p")
+    // review-found blind classes (round 14, each probed before fixing):
+    for (p <- Seq(
+        // escape as a range LOWER bound: [\t-z] spans \t..z (includes 'a'),
+        // the old parser modeled it as {'\t','-','z'} → missed overlap.
+        // Probed: 6.4 s at n=40 on all-'a' input (same class as \S*a x8)
+        "[\\t-z]*a" * 8 + "x",
+        "[\\d-z]*a" * 3 + "x", // class escape as a bound: unmodelable → conservative
+        // overlap via a NON-FIRST alternative: the x branch doesn't overlap
+        // \d but the 0 branch does. Probed: 26 s at n=400 on all-digit input
+        "\\d*(x|0)" * 3 + "y"))
+      assert(LineParser.riskyPattern(p), s"should flag (round-14 class): $p")
+    // ...and the precise paths around them stay precise: a modeled
+    // escape-bound range that does NOT reach its successor, and an
+    // alternation-free successor group, contribute nothing
+    assert(!LineParser.riskyPattern("[\\t-.]*z" * 8 + "x")) // \t..'.' excludes 'z'
+    assert(!LineParser.riskyPattern("\\d*(xy)" * 8 + "z")) // plain group, no overlap
     // single-level quantifiers cannot multiply match attempts
     for (p <- Seq("(\\d+) (\\w+)", "(.*)", "^ERROR: (\\d+) (.+)",
                   "([+*]+)x", // quantifier chars inside a class are literals
