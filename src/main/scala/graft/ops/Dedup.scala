@@ -58,6 +58,7 @@ final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) 
       p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try {
+      ArtifactFormat.writeStamp(out, ArtifactFormat.KindKeyBloom)
       out.writeLong(expectedKeys)
       out.writeDouble(fpp)
       filter.writeTo(out)
@@ -94,12 +95,15 @@ final case class KeyBloom(expectedKeys: Long, fpp: Double, filter: BloomFilter) 
 
 object KeyBloom {
 
-  /** Load a filter written by [[KeyBloom.save]]. */
+  /** Load a filter written by [[KeyBloom.save]]; rejects foreign files,
+    * other artifact kinds, and unknown format versions loudly
+    * ([[ArtifactFormat]]). */
   def load(spark: SparkSession, path: String): KeyBloom = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new java.io.DataInputStream(fs.open(p))
     try {
+      ArtifactFormat.readStamp(in, ArtifactFormat.KindKeyBloom, path)
       val expectedKeys = in.readLong()
       val fpp = in.readDouble()
       KeyBloom(expectedKeys, fpp, BloomFilter.readFrom(in))
@@ -183,18 +187,25 @@ object BandPostings {
       shingleN: Int, numHashes: Int, bands: Int): Unit = {
     val out = new java.io.DataOutputStream(
       fs.create(new org.apache.hadoop.fs.Path(dir, ParamsFile), true))
-    try { out.writeInt(shingleN); out.writeInt(numHashes); out.writeInt(bands) }
-    finally out.close()
+    try {
+      ArtifactFormat.writeStamp(out, ArtifactFormat.KindBandPostings)
+      out.writeInt(shingleN); out.writeInt(numHashes); out.writeInt(bands)
+    } finally out.close()
   }
 
+  /** None = no params file at all (caller decides); a PRESENT file that
+    * is foreign, truncated, or version-mismatched throws loudly — the
+    * postings under it would otherwise band incompatibly. */
   private[graft] def readParams(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[(Int, Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(dir, ParamsFile)
     if (!fs.exists(p)) None
     else {
       val in = new java.io.DataInputStream(fs.open(p))
-      try Some((in.readInt(), in.readInt(), in.readInt()))
-      finally in.close()
+      try {
+        ArtifactFormat.readStamp(in, ArtifactFormat.KindBandPostings, p.toString)
+        Some((in.readInt(), in.readInt(), in.readInt()))
+      } finally in.close()
     }
   }
 

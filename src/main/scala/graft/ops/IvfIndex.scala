@@ -180,14 +180,24 @@ object IvfIndex {
     import spark.implicits._
     model.centroids.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    ArtifactFormat.writeSidecar(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), path,
+      ArtifactFormat.KindIvfModel)
   }
 
   /** Load a quantizer written by [[save]]; centroids come back bit-exact
     * (doubles round-trip parquet losslessly), so assignments and searches
-    * are reproducible across jobs.
+    * are reproducible across jobs. Rejects unstamped dirs, other artifact
+    * kinds, and unknown format versions loudly ([[ArtifactFormat]]).
     */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    ArtifactFormat.checkSidecar(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), path,
+      ArtifactFormat.KindIvfModel)
     Model(spark.read.parquet(path).select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1))
+  }
 }

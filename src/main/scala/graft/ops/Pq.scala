@@ -45,10 +45,20 @@ object Pq {
       book.centroids.map { case (cell, c) => (b, cell, c) }
     }.toSeq.toDF("block", "cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    ArtifactFormat.writeSidecar(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), path,
+      ArtifactFormat.KindPqModel)
   }
 
-  /** Load a model written by [[save]], bit-exact. */
+  /** Load a model written by [[save]], bit-exact; rejects unstamped dirs,
+    * other artifact kinds, and unknown format versions loudly
+    * ([[ArtifactFormat]]). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    ArtifactFormat.checkSidecar(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), path,
+      ArtifactFormat.KindPqModel)
     val rows = spark.read.parquet(path).select("block", "cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     require(rows.nonEmpty, s"[Pq] empty model at $path")
