@@ -1983,14 +1983,12 @@ object SparkEntry {
       .select(col("vec_id"),
         transform(toDoubleArray(col("embedding")),
           x => floor(x * 1000 + lit(0.5)).cast("long")).as("q"))
-    val a = spread(q).select(col("vec_id").as("ida"), col("q").as("qa"))
-    val b = q.select(col("vec_id").as("idb"), col("q").as("qb"))
-    val und = a.join(broadcast(b), col("ida") < col("idb"))
-      // codegen SquaredL2, not aggregate(zip_with(...)): the interpreted
-      // higher-order pair made this the bench's slowest query (8 s)
-      .withColumn("d2", graft.functions.SquaredL2(col("qa"), col("qb")))
-      .filter(col("d2") <= eps2)
-      .select("ida", "idb")
+    // exact ε-graph WITHOUT an all-pairs stage: pivot-ring equi-join +
+    // codegen squared_l2 verify ([[graft.ops.EpsilonJoin]] — triangle-
+    // inequality-complete, so the edge set is bit-identical to the
+    // brute-force oracle's)
+    val und = graft.ops.EpsilonJoin.selfJoin(spread(q), "vec_id", "q", eps2)
+      .select(col("idA").as("ida"), col("idB").as("idb"))
       .localCheckpoint(true) // reused by degree, core edges, and borders
     val adj = und.select(col("ida").as("node"), col("idb").as("nb"))
       .union(und.select(col("idb").as("node"), col("ida").as("nb")))

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SquaredL2
+
+/** Exact ε-neighborhood self-join over long-quantized vectors: every
+  * unordered pair (idA < idB) with squared L2 distance <= `eps2`, with NO
+  * all-pairs stage in the plan — the candidate generator is an EQUI-join
+  * on pivot-ring keys, so Catalyst plans a hash/sort-merge join, never a
+  * broadcast-nested-loop over n² pairs.
+  *
+  * Why this is EXACT (not a recall trade like [[SemDedup]]'s cell
+  * bucketing): for any pivot p and points a, b the triangle inequality
+  * gives |d(a,p) − d(b,p)| <= d(a,b). Bucket each point by
+  * ring(x) = floor(d(x,p) / w) with ring width w = sqrt(eps2); then any
+  * pair within ε sits in the SAME or ADJACENT rings of every pivot, so
+  * joining ring r against rings {r−1, r, r+1} of one pivot (the join key)
+  * and filtering |d(a,p_k) − d(b,p_k)| <= w on the remaining pivots keeps
+  * a SUPERSET of the true pairs. The final `squared_l2 <= eps2` verify
+  * (exact long arithmetic, codegen) makes the result set exactly the
+  * brute-force one — [[EpsilonJoinSpec]] pins set equality against the
+  * literal all-pairs oracle under fuzzing.
+  *
+  * Floating-point safety at the ring boundary: d(·,p) is computed as
+  * `sqrt` of an exact long, so each distance carries <= 1 ulp of error;
+  * the ring width is inflated by 1e-9 relative so a true-boundary pair
+  * (|Δd| == w exactly) can never round into non-adjacent rings. The
+  * inflation only ADMITS extra candidates — the exact verify discards
+  * them — so completeness is preserved and correctness unaffected.
+  *
+  * Scale shape: two scans of the input (one per join side — the ring
+  * projection is a cheap codegen'd map), a 3ᵏᵒⁱⁿ-way key explode on the
+  * left (k_join <= 2 pivots in the join key → 3 or 9 keys/row), one
+  * shuffle equi-join on the ring key, then per-candidate O(d) verify.
+  * Candidate volume is data-dependent: pivots are chosen greedy
+  * max-min (k-center style, driver-side over a one-job hash-spread
+  * sample), which spreads them across the data's own clusters so
+  * ring populations — and therefore per-key join fan-out — track the true
+  * ε-graph density rather than n². In concentrated high-dimensional data
+  * the rings prune less (distances concentrate — an inherent property of
+  * exact ε-joins, not of this plan); the remedy is more `filterPivots`
+  * (each adds one cheap |Δd| <= w band filter ahead of the O(d) verify),
+  * and AQE's skew-join split handles a hot ring at runtime.
+  *
+  * Input contract: `vecCol` is `array<long>` (the quantized embedding
+  * convention shared with [[SquaredL2]] / [[Pq]]); rows with NULL vectors
+  * are ignored (no pair can be within ε of an unknown point).
+  */
+object EpsilonJoin {
+
+  /** All pairs (idA < idB, d2) with squared L2 <= eps2.
+    *
+    * @param joinPivots   pivots participating in the equi-join KEY
+    *                     (1 or 2; 2 → 9-way left explode, finer
+    *                     partitioning and earlier pruning)
+    * @param filterPivots additional pivots applied as |Δd| <= w band
+    *                     FILTERS after the key join (cheap long/double
+    *                     compares ahead of the O(d) exact verify)
+    */
+  def selfJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps2: Long,
+      joinPivots: Int = 2,
+      filterPivots: Int = 2): DataFrame = {
+    require(eps2 >= 0, s"eps2 must be >= 0, got $eps2")
+    require(joinPivots >= 1 && joinPivots <= 2,
+      s"joinPivots must be 1 or 2, got $joinPivots")
+    require(filterPivots >= 0, s"filterPivots must be >= 0, got $filterPivots")
+    val nPivots = joinPivots + filterPivots
+
+    val in = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val pivots = selectPivots(in, nPivots)
+    // fewer distinct vectors than requested pivots (tiny/degenerate
+    // input): every selected pivot still yields a valid band, just a
+    // weaker one — proceed with what exists. Zero pivots = empty input =
+    // no pairs, by construction.
+    if (pivots.isEmpty) {
+      val idT = df.schema(idCol).dataType
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("idA", idT),
+          org.apache.spark.sql.types.StructField("idB", idT),
+          org.apache.spark.sql.types.StructField("d2",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val usable = pivots.size
+    val jp = math.min(joinPivots, usable)
+
+    // w inflated 1e-9 relative: absorbs the <=1-ulp sqrt error at the
+    // ring boundary (object doc); only ever ADMITS candidates. Floored at
+    // 1e-3 so eps2=0 (exact-equality join) gets finite ring ids instead
+    // of a d/0 infinity that overflows the long cast — a wider-than-ε
+    // ring is always safe, never lossy
+    val w = math.max(math.sqrt(eps2.toDouble) * (1 + 1e-9), 1e-3)
+
+    def dists(v: Column): Column =
+      array(pivots.map(p => sqrt(SquaredL2(v, typedLit(p)).cast("double"))): _*)
+    val ringed = in.select(col("__id"), col("__v"), dists(col("__v")).as("__d"))
+
+    def ring(k: Int, side: String): Column =
+      floor(col(s"__d$side").getItem(k) / lit(w)).cast("long")
+    // left side: explode each join pivot's ring into {r-1, r, r+1} so a
+    // pair adjacent in any direction meets on exactly one key
+    def offsets(c: Column): Column = array(c - 1, c, c + 1)
+    val left0 = ringed.toDF("__ida", "__va", "__da")
+    val left = (if (jp == 2)
+      left0
+        .withColumn("__k0", explode(offsets(ring(0, "a"))))
+        .withColumn("__k1", explode(offsets(ring(1, "a"))))
+    else
+      left0.withColumn("__k0", explode(offsets(ring(0, "a")))))
+    val right0 = ringed.toDF("__idb", "__vb", "__db")
+    val right = (if (jp == 2)
+      right0.withColumn("__k0", ring(0, "b")).withColumn("__k1", ring(1, "b"))
+    else
+      right0.withColumn("__k0", ring(0, "b")))
+
+    val keyCols = if (jp == 2) Seq("__k0", "__k1") else Seq("__k0")
+    val bandFilters = (0 until usable).map { k =>
+      abs(col("__da").getItem(k) - col("__db").getItem(k)) <= lit(w)
+    }.reduce(_ && _)
+    left.join(right, keyCols)
+      .filter(col("__ida") < col("__idb") && bandFilters)
+      .withColumn("__d2", SquaredL2(col("__va"), col("__vb")))
+      .filter(col("__d2") <= lit(eps2))
+      .select(col("__ida").as("idA"), col("__idb").as("idB"),
+        col("__d2").as("d2"))
+  }
+
+  /** Greedy max-min (k-center) pivot selection over a bounded sample —
+    * ONE Spark job, not one per pivot: `orderBy(xxhash64(id)).limit(2048)`
+    * plans as TakeOrderedAndProject (per-partition top-k + driver merge,
+    * no shuffle), giving a deterministic hash-spread sample regardless of
+    * the input's physical order; the greedy loop then runs driver-side
+    * over <= 2048 vectors (k·2048 O(d) kernels — microseconds). Pivot
+    * QUALITY only affects candidate pruning — the exact verify makes the
+    * result identical for ANY pivot set — so sampling trades nothing but
+    * (a little) pruning power for (nPivots − 1) fewer sequential jobs.
+    */
+  private def selectPivots(in: DataFrame, nPivots: Int): Seq[Seq[Long]] = {
+    val sample = in
+      .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
+      .limit(2048).select(col("__v")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    if (sample.isEmpty) return Nil
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      if (a.length != b.length) return Long.MaxValue
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[Array[Long]](sample(0))
+    var exhausted = false
+    while (picked.size < nPivots && !exhausted) {
+      var best = -1
+      var bestD = 0L // strictly-greater keeps the FIRST argmax: deterministic
+      var i = 0
+      while (i < sample.length) {
+        var m = Long.MaxValue
+        picked.foreach { p => val d = d2(sample(i), p); if (d < m) m = d }
+        if (m > bestD && m != Long.MaxValue) { bestD = m; best = i }
+        i += 1
+      }
+      if (best < 0) exhausted = true // all remaining at distance 0: no new band
+      else picked += sample(best)
+    }
+    picked.toSeq.map(_.toSeq)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.EpsilonJoin
+
+/** [[graft.ops.EpsilonJoin]] claims EXACT ε-join results from a
+  * non-all-pairs plan (pivot-ring candidate generation is triangle-
+  * inequality-complete, the squared_l2 verify is exact long arithmetic).
+  * This spec pins:
+  *   - set equality against the literal all-pairs oracle, fuzzed over
+  *     random corpora, dimensions, eps values, and pivot configs —
+  *     including eps at EXACT pair distances (the ring-boundary case the
+  *     1e-9 width inflation exists for);
+  *   - plan shape: the candidate join is an equi-join (hash or sort-merge
+  *     key join), never a nested-loop over n²;
+  *   - degenerate inputs (empty, single row, all-identical vectors, fewer
+  *     distinct vectors than pivots, NULL vectors).
+  */
+class EpsilonJoinSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, Seq[Long])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(LongType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) =>
+        Row(i, if (v == null) null else v)
+      }, 3), schema)
+  }
+
+  private def brute(rows: Seq[(Long, Seq[Long])], eps2: Long): Set[(Long, Long, Long)] = {
+    val live = rows.filter(_._2 != null)
+    (for {
+      (ia, va) <- live; (ib, vb) <- live
+      if ia < ib && va.size == vb.size
+      d2 = va.zip(vb).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d2 <= eps2
+    } yield (ia, ib, d2)).toSet
+  }
+
+  private def run(rows: Seq[(Long, Seq[Long])], eps2: Long,
+      joinPivots: Int = 2, filterPivots: Int = 2): Set[(Long, Long, Long)] =
+    EpsilonJoin.selfJoin(df(rows), "id", "v", eps2, joinPivots, filterPivots)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("matches brute force on a clustered fixture") {
+    val rows = Seq(
+      1L -> Seq(0L, 0L), 2L -> Seq(1L, 1L), 3L -> Seq(0L, 2L),
+      4L -> Seq(100L, 100L), 5L -> Seq(101L, 99L), 6L -> Seq(103L, 103L),
+      7L -> Seq(-50L, 60L))
+    for (eps2 <- Seq(0L, 1L, 2L, 5L, 8L, 10L, 50L, 100000L))
+      assert(run(rows, eps2) === brute(rows, eps2), s"eps2=$eps2")
+  }
+
+  test("fuzz: set equality vs all-pairs oracle over random corpora") {
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 0 until 25) {
+      val n = 5 + rnd.nextInt(60)
+      val d = 1 + rnd.nextInt(8)
+      val spreadR = 1 + rnd.nextInt(40)
+      val rows = (0L until n.toLong).map(i =>
+        i -> Seq.fill(d)((rnd.nextInt(2 * spreadR) - spreadR).toLong))
+      // eps drawn from the ACTUAL pair-distance distribution half the
+      // time, so ring-boundary ties (d2 == eps2 exactly) are exercised
+      val allD2 = brute(rows, Long.MaxValue).map(_._3).toSeq.sorted
+      val eps2 =
+        if (allD2.nonEmpty && rnd.nextBoolean()) allD2(rnd.nextInt(allD2.size))
+        else rnd.nextInt(4 * spreadR * spreadR).toLong
+      val jp = 1 + rnd.nextInt(2)
+      val fp = rnd.nextInt(4)
+      val got = run(rows, eps2, jp, fp)
+      val want = brute(rows, eps2)
+      assert(got === want,
+        s"round=$round n=$n d=$d eps2=$eps2 jp=$jp fp=$fp " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("degenerate inputs") {
+    assert(run(Nil, 10L) === Set.empty)
+    assert(run(Seq(1L -> Seq(5L, 5L)), 10L) === Set.empty)
+    // all-identical vectors: every pair at d2=0, max-min selection finds
+    // no second pivot — single-band path must still be complete
+    val same = (0L until 6L).map(i => i -> Seq(7L, 7L, 7L))
+    assert(run(same, 0L) === brute(same, 0L))
+    // NULL vectors are ignored, not paired
+    val withNull = Seq(1L -> Seq(0L, 0L), 2L -> null, 3L -> Seq(1L, 0L))
+    assert(run(withNull, 5L) === Set((1L, 3L, 1L)))
+  }
+
+  test("plan has no nested-loop / cartesian stage") {
+    val rows = (0L until 40L).map(i => i -> Seq(i % 7, i / 7))
+    val plan = EpsilonJoin.selfJoin(df(rows), "id", "v", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("real embeddings slice matches brute force at the q_dbscan eps") {
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("q"))
+    val rows = q.collect().map(r => (r.getLong(0), r.getSeq[Long](1): Seq[Long])).toSeq
+    val eps2 = 1400000L
+    val got = EpsilonJoin.selfJoin(q, "vec_id", "q", eps2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute(rows, eps2))
+  }
+}
