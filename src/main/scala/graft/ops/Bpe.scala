@@ -96,6 +96,117 @@ object Bpe {
         expr("(1000000 * (syms_before - syms_after)) div syms_before"))
   }
 
+  /** BATCHED training: up to `mergesPerRound` pairwise NON-INTERACTING
+    * merges applied per driver round, so a `merges`-sized tokenizer costs
+    * ceil(merges / mergesPerRound) sequential Spark jobs instead of
+    * `merges` — the amortization that makes a 32k-merge production
+    * train feasible (at K=512: 63 driver rounds, vs 32k).
+    *
+    * Batch admission (the non-interaction guard): candidates are scanned
+    * in (n DESC, a, b) order — the sequential trainer's exact order — and
+    * a pair is ADMITTED iff its symbols AND its concatenation are disjoint
+    * from every earlier admit's symbols and concatenations. Symbol
+    * disjointness makes the admitted merges commute (no occurrence of one
+    * pair overlaps another, so one vocabulary rewrite pass applies them
+    * all with the same result as any sequential order); the concatenation
+    * guard additionally keeps a batch from containing both (a,b) and
+    * (ab,x) — whose single-pass result would depend on creation order.
+    *
+    * Divergence contract vs [[trainMerges]] (the standard distributed-BPE
+    * approximation, documented not hidden): within a batch, counts are
+    * frozen at round start. The sequential trainer re-counts after every
+    * merge, so it can interleave a NEWLY-CREATED pair (one involving a
+    * just-merged token — count always <= its creator's) ahead of a lower
+    * batch admit, or re-pick a SKIPPED overlapping pair immediately. When
+    * every admitted count strictly exceeds the best newly-creatable and
+    * skipped count, batch == sequential exactly (BpeBatchSpec pins this
+    * on designed fixtures, and K=1 == [[trainMerges]] unconditionally).
+    *
+    * Output schema matches [[trainMerges]]: (round, tok_a, tok_b, n) with
+    * `round` the GLOBAL 1-based merge index in admission order and `n`
+    * the pair count at its batch's round start.
+    */
+  def trainMergesBatched(
+      df: DataFrame,
+      textCol: String,
+      merges: Int,
+      mergesPerRound: Int): DataFrame = {
+    require(merges >= 1 && merges <= 4096, s"merges must be in [1,4096], got $merges")
+    require(mergesPerRound >= 1 && mergesPerRound <= 64,
+      s"mergesPerRound must be in [1,64], got $mergesPerRound")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = initialVocab(df, textCol)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (out.size < merges && !exhausted) {
+      val want = math.min(mergesPerRound, merges - out.size)
+      // candidate horizon: admission can skip at most (want-1) earlier
+      // admits' conflicts per scanned pair, so 8x the batch (min 64) is
+      // plenty; a too-small horizon only makes the batch smaller (next
+      // round re-counts), never wrong
+      val cands = pairCountFrame(vocab)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(math.max(8 * want, 64))
+        .collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val guard = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < cands.length && picked.size < want) {
+          val (a, b, n) = (cands(i).getString(0), cands(i).getString(1),
+            cands(i).getLong(2))
+          if (!guard(a) && !guard(b) && !guard(a + b)) {
+            picked += ((a, b, n))
+            guard ++= Seq(a, b, a + b)
+          }
+          i += 1
+        }
+        picked.foreach { case (a, b, n) => out += ((out.size + 1, a, b, n)) }
+        // one rewrite pass for the whole batch: rule table rides as a map
+        // literal keyed "a b" (the separator cannot appear inside a
+        // symbol — symbols come from split on "", never containing NUL)
+        val rules = map(picked.toSeq.flatMap { case (a, b, _) =>
+          Seq(lit(a + " " + b), lit(a + b))
+        }: _*)
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
+            val last = get(acc, size(acc) - 1)
+            // concat(NULL, ...) is NULL and element_at(m, NULL) is NULL,
+            // so the empty-acc head lands in otherwise — same null
+            // convention as the sequential fold
+            val rep = element_at(rules, concat(last, lit(" "), x))
+            when(rep.isNotNull,
+              concat(slice(acc, lit(1), size(acc) - 1), array(rep)))
+              .otherwise(concat(acc, array(x)))
+          })).cutLineage()
+      }
+    }
+    out.toSeq.toDF("round", "tok_a", "tok_b", "n")
+  }
+
+  /** The corpus collapsed to its vocabulary: (w, cnt, syms) with syms the
+    * character split — the frame every training round aggregates over. */
+  private def initialVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .cutLineage()
+
+  /** Adjacent-symbol pair counts over the vocab frame: (a, b, n), a != b
+    * (the overlap-free candidate set — see [[trainMerges]]). */
+  private def pairCountFrame(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("n"))
+
   /** The shared training loop: returns the merge table AND the final
     * vocabulary frame (w, cnt, syms — syms rewritten by every executed
     * merge). */
@@ -104,24 +215,12 @@ object Bpe {
       textCol: String,
       rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
-    var vocab = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
-      .cutLineage()
+    var vocab = initialVocab(df, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"),
-          explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
-            struct(element_at(col("syms"), i).as("a"),
-              element_at(col("syms"), i + 1).as("b")))).as("p"))
-        .filter(col("p.a") =!= col("p.b")) // overlap-free candidates only
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("cnt").as("n"))
+      val top = pairCountFrame(vocab)
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
         .collect()
