@@ -69,7 +69,8 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = args.headOption
-      .filterNot(a => a == "deep" || a == "trig" || a == "ann" || a == "cc")
+      .filterNot(a => a == "deep" || a == "trig" || a == "ann" || a == "cc" ||
+        a == "r14")
       .getOrElse("/tmp/graft_scale")
     // "deep": one extra x300 point for the CPU-bound families whose
     // exponents are still parallelism-saturating at x100 — the
@@ -83,6 +84,8 @@ object ScaleCurve {
     val annOnly = args.contains("ann")
     // "cc": only the connected-components + substring-dedup families
     val ccOnly = args.contains("cc")
+    // "r14": only the dbscan eps-join + batched-BPE families
+    val r14Only = args.contains("r14")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -109,7 +112,7 @@ object ScaleCurve {
     def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
     // replicated embeddings: fresh vec_ids, per-replica deterministic
     // noise so vectors spread instead of clustering by replica
-    if (!trigOnly && !ccOnly) Mults.foreach { k =>
+    if (!trigOnly && !ccOnly && !r14Only) Mults.foreach { k =>
       if (!Files.exists(Paths.get(embPath(k)))) {
         val e = spark.read.parquet(s"$base/embeddings.parquet")
         val reps = (0 until k).map { rep =>
@@ -155,7 +158,7 @@ object ScaleCurve {
       }
       root
     }
-    if (!trigOnly && !annOnly && !ccOnly) Mults.foreach(logTree)
+    if (!trigOnly && !annOnly && !ccOnly && !r14Only) Mults.foreach(logTree)
 
     def timed(runs: Int)(f: => Unit): Double =
       (1 to runs).map { _ =>
@@ -164,10 +167,34 @@ object ScaleCurve {
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    // driver-memory envelope (VERDICT r13 item 4): post-GC used heap after
+    // each (family, size) — what the family RETAINS on the driver
+    // (collected models, broadcast refs, accumulated offsets) — plus the
+    // in-run peak from the heap pools' high-water marks, reset per record.
+    // local-mode caveat, documented in SCALE_CURVE.md: executors share
+    // this JVM, so both figures are upper bounds on true driver-side
+    // memory; the SIGNAL is growth across x1→x100, not the absolute MB.
+    val heapPost = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    val heapPeak = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
     def record(family: String, k: Int, sec: Double): Unit = {
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+      System.gc()
+      val rt = Runtime.getRuntime
+      val postMb = (rt.totalMemory - rt.freeMemory) / 1e6
+      heapPools.foreach(_.resetPeakUsage())
       results.getOrElseUpdate(family,
         scala.collection.mutable.LinkedHashMap.empty[Int, Double])(k) = sec
-      println(s"[scale] $family x$k: ${f"$sec%.2f"} s")
+      heapPost.getOrElseUpdate(family,
+        scala.collection.mutable.LinkedHashMap.empty[Int, Double])(k) = postMb
+      heapPeak.getOrElseUpdate(family,
+        scala.collection.mutable.LinkedHashMap.empty[Int, Double])(k) = peakMb
+      println(s"[scale] $family x$k: ${f"$sec%.2f"} s " +
+        f"(heap post-gc $postMb%.0f MB, peak $peakMb%.0f MB)")
     }
 
     // the three ANN search paths + the persisted-codes query half — ONE
@@ -229,7 +256,44 @@ object ScaleCurve {
       })
     }
 
-    if (!ccOnly) allMults.foreach { k =>
+    // round-14 families: the exact dbscan eps-join and the batched BPE
+    // trainer — ONE definition shared by the full run and `r14` mode
+    // (same single-definition rule as ANN/cc)
+    def r14Families(k: Int, docs: DataFrame): Unit = {
+      // dbscan eps-graph: replicas of a 1000-vector base, each OFFSET 4.0
+      // (4000 in quantized units, >> eps 1183) along coordinate 0 —
+      // the eps-graph's TRUE edge set grows linearly (within-replica
+      // structure repeats; cross-replica pairs are all outside eps), the
+      // constant-density analogue of the minhash family's constant dup
+      // rate. A super-linear tail here would mean the ring join is
+      // leaking cross-replica candidates.
+      val embBase = spark.read.parquet(s"$base/embeddings.parquet")
+        .filter(col("vec_id") < 1000)
+      val eps2 = 1400000L
+      val quantized = (0 until k).map { rep =>
+        embBase.select(
+          (col("vec_id") + lit(10000000L * rep)).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> cast(floor(cast(x as double)" +
+            s" * 1000 + 0.5) as bigint) + IF(i = 0, ${4000L * rep}, 0L))")
+            .as("q"))
+      }.reduce(_.unionAll(_)).repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      quantized.count() // synthesis excluded from timing
+      record("dbscan", k, timed(2) {
+        graft.ops.EpsilonJoin.selfJoin(quantized, "vec_id", "q", eps2).count()
+      })
+      quantized.unpersist(blocking = true)
+      // batched BPE: 16 merges at K=8 = 2 driver rounds; per-round cost is
+      // a pair aggregate over word TYPES (the replica suffixes grow the
+      // vocabulary ~linearly with the corpus), so the expected shape is
+      // rounds x vocab-proportional
+      record("bpe_train", k, timed(2) {
+        graft.ops.Bpe.trainMergesBatched(docs, "text", merges = 16,
+          mergesPerRound = 8).count()
+      })
+    }
+
+    if (!ccOnly && !r14Only) allMults.foreach { k =>
       val cpuOnly = k > Mults.last // deep extension: CPU families only
       val docs = spark.read.parquet(docsPath(k))
 
@@ -283,6 +347,7 @@ object ScaleCurve {
       // cc/substr run at EVERY size incl. the deep x300 point, so the
       // full run and `cc deep` mode fit slopes over identical size sets
       ccSubFamilies(k, docs)
+      if (!cpuOnly) r14Families(k, docs)
 
       if (!cpuOnly) {
         // ANN: fixed 50-query batch over the shipped search paths
@@ -310,7 +375,7 @@ object ScaleCurve {
     // history (32 batches of ~1000 fresh docs each), not corpus multiple;
     // a flat curve = per-batch work is batch-proportional, as claimed
     // (banding the batch + one join against persisted postings).
-    if (!trigOnly && !annOnly && !ccOnly) {
+    if (!trigOnly && !annOnly && !ccOnly && !r14Only) {
       val sndDocs = spark.read.parquet(docsPath(10)).persist()
       sndDocs.count()
       val sink = s"$work/snd_curve/sink"
@@ -339,6 +404,12 @@ object ScaleCurve {
       ccSubFamilies(k, spark.read.parquet(docsPath(k)))
     }
 
+    // r14-only mode: the dbscan + batched-BPE families over the
+    // replicated corpus, without paying the other full-corpus families
+    if (r14Only) allMults.foreach { k =>
+      r14Families(k, spark.read.parquet(docsPath(k)))
+    }
+
     // ---------------------------------------------- streaming trigger path
     // Per-trigger DRIVER cost at scale (VERDICT r12 item 3): the offset /
     // entry-log machinery at 1k-10k prior triggers and 10k-100k seen files.
@@ -354,7 +425,7 @@ object ScaleCurve {
     //                  seen-set compact write + entry-log GC
     //   trig_commit  — first cleanSource=delete commit after a restart
     //                  (surviving-entry sweep, best-effort deletes)
-    if (!annOnly && !ccOnly) {
+    if (!annOnly && !ccOnly && !r14Only) {
       import org.apache.spark.sql.connector.read.streaming.ReadLimit
       val nowMs = System.currentTimeMillis
       for (k <- Seq(1, 3, 10, 30)) {
@@ -434,9 +505,38 @@ object ScaleCurve {
       // dominates
       val (ka, kb) = (ks(ks.size - 2), ks.last)
       val tail = math.log(times(kb) / times(ka)) / math.log(kb.toDouble / ka)
-      f"""\"$fam\":{$ts,\"slope\":${slope(times)}%.2f,\"tail\":$tail%.2f}"""
+      // heap columns (driver-memory envelope): post-GC used at the
+      // family's smallest and largest size + in-run peak at the largest —
+      // a post-GC figure that grows with k is a retention leak
+      val hp = heapPost.getOrElse(fam,
+        scala.collection.mutable.LinkedHashMap.empty[Int, Double])
+      val hk = heapPeak.getOrElse(fam,
+        scala.collection.mutable.LinkedHashMap.empty[Int, Double])
+      val heap =
+        if (hp.isEmpty) ""
+        else f""",\"postgc_mb_min\":${hp(ks.head)}%.0f,""" +
+          f"""\"postgc_mb_max\":${hp(kb)}%.0f,\"peak_mb_max\":${hk(kb)}%.0f"""
+      f"""\"$fam\":{$ts,\"slope\":${slope(times)}%.2f,\"tail\":$tail%.2f$heap}"""
     }.mkString("{", ",", "}")
     println(json)
+
+    // ------------------------------------------- broadcast-model sizes
+    // The driver/broadcast artifacts the .collect()-is-bounded argument
+    // rests on, sized at their production parameters (VERDICT r13 item
+    // 4's second half): what actually rides the driver heap and every
+    // executor's broadcast cache at 100-TB cardinalities.
+    val bloom100m = org.apache.spark.util.sketch.BloomFilter
+      .create(100000000L, 0.01).bitSize() / 8 / 1e6
+    val bloom1b = org.apache.spark.util.sketch.BloomFilter
+      .create(1000000000L, 0.01).bitSize() / 8 / 1e6
+    val ivf64 = 64L * 64 * 8 / 1e6        // shipped config: nLists=64, d=64
+    val ivf64k = 65536L * 768 * 8 / 1e6   // production: 64k lists, d=768
+    val pqShipped = 4L * 16 * (64 / 4) * 8 / 1e6   // blocks=4, cb=16, d=64
+    val pqProd = 96L * 256 * (768 / 96) * 8 / 1e6  // blocks=96, cb=256, d=768
+    println(f"""{"model_mb":{"keybloom_100m_keys":$bloom100m%.1f,""" +
+      f""""keybloom_1b_keys":$bloom1b%.1f,"ivf_centroids_64x64":$ivf64%.3f,""" +
+      f""""ivf_centroids_64kx768":$ivf64k%.1f,"pq_codebooks_shipped":$pqShipped%.4f,""" +
+      f""""pq_codebooks_prod":$pqProd%.3f}}""")
     spark.stop()
   }
 }

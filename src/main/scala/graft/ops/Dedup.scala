@@ -160,16 +160,24 @@ final case class BandPostings(
     */
   def save(dir: String): Unit = {
     val spark = posts.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val fs = dst.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(
-      dst.getParent, s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
-    posts.write.mode("overwrite").parquet(tmp.toString)
-    BandPostings.writeParams(fs, tmp.toString, shingleN, numHashes, bands)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"[BandPostings] cannot rename $tmp to $dst")
+    // single-writer lease for the whole save (temp write + swap): two
+    // concurrent saves would otherwise interleave delete→rename into a
+    // torn directory. The LOAD half of the maintenance cycle is outside
+    // this method — a load→union→save cycle racing another writer must
+    // hold one DirLock across the cycle (DirLock scaladoc, scope rules).
+    val lock = DirLock.acquire(spark, dir)
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(dir)
+      val fs = dst.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dst.getParent, s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
+      posts.write.mode("overwrite").parquet(tmp.toString)
+      BandPostings.writeParams(fs, tmp.toString, shingleN, numHashes, bands)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"[BandPostings] cannot rename $tmp to $dst")
+    } finally lock.release()
   }
 }
 

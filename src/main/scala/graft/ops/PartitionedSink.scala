@@ -80,9 +80,12 @@ object PartitionedSink {
     * can move, run a full rewrite instead, or enable
     * `assertStableKeys` (a column-pruned key+partition scan of the
     * whole corpus — debug-tier cost) to fail fast on a moved key.
-    * NOT transactional across concurrent writers (a table-format
-    * concern — Delta/Iceberg); single-writer pipelines get
-    * per-partition replace semantics from the parquet commit protocol.
+    * Concurrency: the whole call is one read-modify-write, so it runs
+    * under a [[DirLock]] single-writer lease on `path` — a second
+    * concurrent upsert into the same layout fails loudly at acquire
+    * instead of losing one writer's rows (torn-state/lost-update
+    * taxonomy in the DirLock scaladoc; cross-TABLE transactionality
+    * remains a table-format concern — Delta/Iceberg).
     */
   def upsertByKey(
       batch: DataFrame,
@@ -92,6 +95,21 @@ object PartitionedSink {
       sortCols: Seq[String] = Nil,
       filesPerPartition: Int = 4,
       assertStableKeys: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val lock = DirLock.acquire(spark, path)
+    try upsertLocked(batch, path, partCol, keyCol, sortCols, filesPerPartition,
+      assertStableKeys)
+    finally lock.release()
+  }
+
+  private def upsertLocked(
+      batch: DataFrame,
+      path: String,
+      partCol: String,
+      keyCol: String,
+      sortCols: Seq[String],
+      filesPerPartition: Int,
+      assertStableKeys: Boolean): Unit = {
     val spark = batch.sparkSession
     // the batch is consumed three times (partition collect, anti-join
     // keys, union branch): persist so an expensive upstream plan (joins,
