@@ -3480,7 +3480,11 @@ object SparkEntry {
     * outputs exact + an envelope flag — within 5% OR +/-2 absolute (per-
     * hour cardinalities run 3-8 users, where HLL's small-range estimator
     * is off by 1-2 and a pure relative bound would demand exactness; HLL
-    * is deterministic on fixed input, so the flag is stable); the
+    * is deterministic on fixed input, so the flag is stable). rsd is
+    * pinned to 0.01 so the 5% envelope is a ~5-sigma bound: at the
+    * DEFAULT rsd=0.05 the envelope is 1 sigma, and the sf0.1 sweep's
+    * 3600 windows put ~30 buckets outside it (round-14 catch) — a
+    * statistically guaranteed failure at scale, not a flaky one. The
     * withheld-trailing-window rule is q_streaming_sink's. */
   private def qStreamingHll(spark: SparkSession, dir: String): DataFrame = {
     val srcDir = streamChunksDir(spark, dir)
@@ -3492,7 +3496,7 @@ object SparkEntry {
       .parquet(srcDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(approx_count_distinct("user_id").as("est"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("est"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("est"))
     drainAppendToParquet(stream, sinkDir, "q_streaming_hll", statePartitionCap = Some(2))
