@@ -3477,15 +3477,18 @@ object SparkEntry {
     * distinct's Expand blowup in the state store), emitted once when the
     * watermark passes the window. Graded the q_hll way: the emitted
     * estimate joins the batch-exact distinct per window and the query
-    * outputs exact + an envelope flag — within 5% OR +/-2 absolute (per-
-    * hour cardinalities run 3-8 users, where HLL's small-range estimator
-    * is off by 1-2 and a pure relative bound would demand exactness; HLL
-    * is deterministic on fixed input, so the flag is stable). rsd is
-    * pinned to 0.01 so the 5% envelope is a ~5-sigma bound: at the
-    * DEFAULT rsd=0.05 the envelope is 1 sigma, and the sf0.1 sweep's
-    * 3600 windows put ~30 buckets outside it (round-14 catch) — a
-    * statistically guaranteed failure at scale, not a flaky one. The
-    * withheld-trailing-window rule is q_streaming_sink's. */
+    * outputs exact + an envelope flag — within 25% OR +/-2 absolute (HLL
+    * is deterministic on fixed input, so the flag is stable; the +/-2
+    * floor covers the small windows where the small-range estimator is
+    * off by 1-2 and any relative bound would demand exactness). The
+    * envelope is sized 5 SIGMA for the sketch's rsd (0.05, Spark's
+    * default): the sf0.1 sweep's 3600 windows put ~31 buckets outside
+    * the original 5% (=1 sigma) envelope — a statistically guaranteed
+    * failure at scale (round-14 catch; max rel error measured 16.7%).
+    * Tightening rsd instead of widening the envelope is the WRONG fix
+    * here: rsd=0.01 means a 25x larger sketch per window in the state
+    * store and benched this query 2.6 s -> 9.5 s. The withheld-trailing-
+    * window rule is q_streaming_sink's. */
   private def qStreamingHll(spark: SparkSession, dir: String): DataFrame = {
     val srcDir = streamChunksDir(spark, dir)
     val sinkDir = s"/tmp/graft_stream_hll_sink/${tmpKey(dir)}"
@@ -3496,7 +3499,7 @@ object SparkEntry {
       .parquet(srcDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("est"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("est"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("est"))
     drainAppendToParquet(stream, sinkDir, "q_streaming_hll", statePartitionCap = Some(2))
@@ -3506,7 +3509,7 @@ object SparkEntry {
       .agg(countDistinct(col("user_id")).as("n_users"))
     est.join(exact, Seq("hour", "event_type"))
       .select(col("hour"), col("event_type"), col("n_users"),
-        (abs(col("est") - col("n_users")) * 20 <= col("n_users") ||
+        (abs(col("est") - col("n_users")) * 4 <= col("n_users") ||
           abs(col("est") - col("n_users")) <= 2).as("within_envelope"))
       .orderBy("hour", "event_type")
   }
