@@ -62,6 +62,29 @@ class DirLockSpec extends SparkSpec {
     l2.release()
   }
 
+  test("true concurrent race: exactly one of N simultaneous acquires wins") {
+    val dir = tmp("conc")
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futs = (0 until n).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[graft.ops.DirLock]] {
+          def call(): Option[graft.ops.DirLock] = {
+            gate.await()
+            try Some(DirLock.acquire(spark, dir))
+            catch { case _: java.io.IOException => None }
+          }
+        })
+      }
+      gate.countDown()
+      val winners = futs.map(_.get()).flatten
+      assert(winners.size === 1, s"expected exactly one winner, got ${winners.size}")
+      winners.head.release()
+      DirLock.acquire(spark, dir).release() // lease fully released
+    } finally pool.shutdown()
+  }
+
   test("upsertByKey fails loudly while another writer holds the lease") {
     import spark.implicits._
     val dir = tmp("upsert")
