@@ -346,8 +346,10 @@ object ScaleCurve {
 
       // cc/substr run at EVERY size incl. the deep x300 point, so the
       // full run and `cc deep` mode fit slopes over identical size sets
+      // like cc/substr: run at EVERY size incl. deep x300, so full runs
+      // and `r14 deep` mode fit slopes over identical size sets
       ccSubFamilies(k, docs)
-      if (!cpuOnly) r14Families(k, docs)
+      r14Families(k, docs)
 
       if (!cpuOnly) {
         // ANN: fixed 50-query batch over the shipped search paths
@@ -525,10 +527,13 @@ object ScaleCurve {
     // rests on, sized at their production parameters (VERDICT r13 item
     // 4's second half): what actually rides the driver heap and every
     // executor's broadcast cache at 100-TB cardinalities.
-    val bloom100m = org.apache.spark.util.sketch.BloomFilter
-      .create(100000000L, 0.01).bitSize() / 8 / 1e6
-    val bloom1b = org.apache.spark.util.sketch.BloomFilter
-      .create(1000000000L, 0.01).bitSize() / 8 / 1e6
+    // closed form of BloomFilter.optimalNumOfBits (allocating a real
+    // 1e9-key filter just to read bitSize() would put a pointless
+    // ~1.2 GB spike on the heap right after the peak columns)
+    def bloomMb(n: Long): Double =
+      (-n * math.log(0.01) / (math.log(2) * math.log(2))) / 8 / 1e6
+    val bloom100m = bloomMb(100000000L)
+    val bloom1b = bloomMb(1000000000L)
     val ivf64 = 64L * 64 * 8 / 1e6        // shipped config: nLists=64, d=64
     val ivf64k = 65536L * 768 * 8 / 1e6   // production: 64k lists, d=768
     val pqShipped = 4L * 16 * (64 / 4) * 8 / 1e6   // blocks=4, cb=16, d=64

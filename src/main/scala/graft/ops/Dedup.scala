@@ -164,9 +164,10 @@ final case class BandPostings(
     // concurrent saves would otherwise interleave delete→rename into a
     // torn directory. The LOAD half of the maintenance cycle is outside
     // this method — a load→union→save cycle racing another writer must
-    // hold one DirLock across the cycle (DirLock scaladoc, scope rules).
-    val lock = DirLock.acquire(spark, dir)
-    try {
+    // hold one DirLock across the cycle (DirLock scaladoc, scope rules;
+    // this inner lock then re-enters the cycle lock instead of fighting
+    // it).
+    DirLock.withLock(spark, dir) {
       val conf = spark.sparkContext.hadoopConfiguration
       val dst = new org.apache.hadoop.fs.Path(dir)
       val fs = dst.getFileSystem(conf)
@@ -177,7 +178,7 @@ final case class BandPostings(
       if (fs.exists(dst)) fs.delete(dst, true)
       if (!fs.rename(tmp, dst))
         throw new java.io.IOException(s"[BandPostings] cannot rename $tmp to $dst")
-    } finally lock.release()
+    }
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.SparkSession
 
 /** Advisory single-writer lease for a persisted-artifact directory — the
@@ -17,12 +17,24 @@ import org.apache.spark.sql.SparkSession
   *     commit was atomic.
   *
   * [[acquire]] guards both: it creates `<parent>/.<name>.graft_lock`
-  * with `FileSystem.create(overwrite = false)` — atomic
-  * create-if-absent on HDFS and local filesystems — and fails LOUDLY
-  * (lock path, current holder, held-since) when the lease is already
-  * held. The lock lives NEXT TO the guarded directory, never inside it,
-  * because the guarded directory itself is deleted and re-created by
-  * the swap it protects.
+  * with an atomic create-if-absent — `O_CREAT|O_EXCL` via
+  * `File.createNewFile` on local filesystems (Hadoop's local
+  * `create(overwrite=false)` is a non-atomic exists-then-create),
+  * `FileSystem.create(overwrite = false)` elsewhere (atomic on HDFS) —
+  * and fails LOUDLY (lock path, current holder, held-since) when the
+  * lease is already held. The lock lives NEXT TO the guarded directory,
+  * never inside it, because the guarded directory itself is deleted and
+  * re-created by the swap it protects.
+  *
+  * REENTRANT within the HOLDING THREAD (the `ReentrantLock` rule): the
+  * thread that already holds the lease gets a nested handle (per-path
+  * refcount) instead of deadlocking on its own lock — so the documented
+  * multi-step shape `DirLock.withLock(dir) { load; …; save(dir) }`
+  * works even though `save` also locks per call. The lease file is
+  * deleted when the LAST handle releases, on the acquiring thread.
+  * Reentrancy is deliberately NOT JVM-wide: two independent threads in
+  * one driver are two writers, and the second fails loudly like any
+  * other contender.
   *
   * Scope rules:
   *  - the sink ops acquire per CALL (the whole call is one
@@ -31,16 +43,21 @@ import org.apache.spark.sql.SparkSession
   *  - a MULTI-STEP cycle the library cannot see end-to-end (load a
   *    KeyBloom, extend it over a job, save it back) must hold one
   *    [[DirLock]] across the WHOLE cycle — per-step locking would
-  *    serialize the steps but not prevent the lost update.
+  *    serialize the steps but not prevent the lost update. Reentrancy
+  *    makes the inner per-call locks no-ops under the cycle lock.
   *
   * Failure and staleness: a crashed holder leaves the lock file behind
   * (a lease file, not an OS lock — nothing auto-expires). The error
   * message carries the holder id and acquisition time; a human (or an
   * orchestrator that knows the holder is dead) removes the file or
-  * re-acquires with `breakStaleAfterMs` set, which deletes-and-retries
-  * once when the lease is older than the threshold. Choose a threshold
-  * far above the longest legitimate cycle — breaking a LIVE writer's
-  * lease reintroduces both races.
+  * re-acquires with `breakStaleAfterMs` set. Age comes from the lease's
+  * embedded timestamp, falling back to the FILE's modification time
+  * when the contents are unreadable or torn (a holder killed between
+  * create and write must still be breakable). The break itself is an
+  * atomic RENAME to a unique tombstone — when two recovering jobs judge
+  * the same lease stale, only one rename succeeds, the loser falls
+  * through to create-if-absent and fails loudly against the winner's
+  * fresh lease; a stale-break can never delete a LIVE lease.
   *
   * Object-store caveat (documented, not hidden): S3-style stores
   * implement `create(overwrite=false)` as check-then-put, which is not
@@ -48,29 +65,55 @@ import org.apache.spark.sql.SparkSession
   * the real contract is the orchestrator's (single scheduled writer per
   * directory, the ARCHITECTURE.md deployment note).
   */
-final class DirLock private (fs: FileSystem, val lockPath: Path, token: String) {
+final class DirLock private[ops] (fs: FileSystem, val lockPath: Path, token: String) {
 
-  /** Delete the lease. Only removes OUR lease: if the file no longer
-    * holds this lock's token (a stale-break raced us), it is left alone
-    * and a warning is logged — deleting another writer's live lease
-    * would be worse than leaking ours.
+  private val releasedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Release this handle (idempotent; must run on the acquiring
+    * thread — the reentrancy scope). The lease file is deleted only when
+    * the outermost handle releases (refcount reaches zero), and only if
+    * it still holds this handle's token — a lease displaced by another
+    * process's stale-break is left alone (with a warning; deleting
+    * another writer's live lease would be worse than leaking ours).
     */
   def release(): Unit = {
-    val current =
-      try Some(DirLock.readContents(fs, lockPath))
-      catch { case _: java.io.IOException => None }
-    if (current.exists(_.startsWith(token + "\n"))) fs.delete(lockPath, false)
-    else org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"[graft] not releasing $lockPath: lease no longer ours " +
-        s"(stale-break raced this holder?)")
+    if (!releasedFlag.compareAndSet(false, true)) return // double release: no-op
+    val key = lockPath.toString
+    val m = DirLock.held.get()
+    m.get(key) match {
+      case Some((t, n)) if t == token && n > 1 =>
+        m(key) = (t, n - 1) // nested handle: keep the lease
+      case Some((t, _)) if t == token =>
+        m.remove(key)
+        val current =
+          try Some(DirLock.readContents(fs, lockPath))
+          catch { case _: java.io.IOException => None }
+        if (current.exists(_.startsWith(token + "\n"))) fs.delete(lockPath, false)
+        else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft] not releasing $lockPath: lease no longer ours " +
+            s"(stale-break raced this holder?)")
+      case _ =>
+        // called off the acquiring thread: the refcount lives in that
+        // thread's scope, so releasing here could delete a lease a
+        // nested handle still relies on — refuse, loudly
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft] release() of $lockPath called off its acquiring thread; " +
+            "lease NOT released (DirLock handles are thread-scoped)")
+    }
   }
 }
 
 object DirLock {
 
-  /** Acquire the single-writer lease guarding `dir`. Throws
-    * [[java.io.IOException]] with the holder's identity when already
-    * held (unless `breakStaleAfterMs` is set and the lease is older).
+  /** Leases held by the CURRENT THREAD: lockPath → (token, refcount) —
+    * the reentrancy scope (class doc). */
+  private val held = ThreadLocal.withInitial(
+    () => scala.collection.mutable.Map.empty[String, (String, Int)])
+
+  /** Acquire the single-writer lease guarding `dir` (reentrant within
+    * the JVM — see class doc). Throws [[java.io.IOException]] with the
+    * holder's identity when held by another process (unless
+    * `breakStaleAfterMs` is set and the lease is older).
     */
   def acquire(
       spark: SparkSession,
@@ -80,27 +123,80 @@ object DirLock {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val lock = lockPathFor(d)
+    val key = lock.toString
     val token = java.util.UUID.randomUUID().toString
+
+    // reentrant fast path: this THREAD already holds the lease
+    val threadHeld = held.get()
+    threadHeld.get(key) match {
+      case Some((t, n)) =>
+        threadHeld(key) = (t, n + 1)
+        return new DirLock(fs, lock, t)
+      case None => ()
+    }
+
     val owner = s"${spark.sparkContext.applicationId}@" +
       java.net.InetAddress.getLocalHost.getHostName
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lock, false) // overwrite=false: atomic on HDFS/local
-        try out.write(s"$token\n$owner\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (tryCreate()) return new DirLock(fs, lock, token)
-    // held: read the holder for the error (or the staleness decision)
-    val contents =
-      try readContents(fs, lock)
-      catch { case _: java.io.IOException => "" } // holder released mid-race
-    val lines = contents.split("\n", -1)
-    val heldSince = if (lines.length >= 3) lines(2).toLongOption else None
+    val contents = s"$token\n$owner\n${System.currentTimeMillis()}\n".getBytes("UTF-8")
+    // local FS: Hadoop's create(overwrite=false) is exists-then-create
+    // (not atomic); java.io.File.createNewFile is O_CREAT|O_EXCL
+    val isLocal = fs.isInstanceOf[LocalFileSystem] || fs.isInstanceOf[RawLocalFileSystem]
+    def tryCreate(): Boolean = {
+      val created =
+        if (isLocal) {
+          val f = new java.io.File(lock.toUri.getPath)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          try f.createNewFile() catch { case _: java.io.IOException => false }
+        } else {
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        }
+      if (!created) false
+      else {
+        // we own the file; fill in the lease body. If the write fails,
+        // surrender the lease rather than leaving an unreadable one.
+        try {
+          if (isLocal)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(lock.toUri.getPath), contents)
+          else {
+            val out = fs.create(lock, true)
+            try out.write(contents) finally out.close()
+          }
+          true
+        } catch {
+          case e: java.io.IOException =>
+            try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+            throw e
+        }
+      }
+    }
+    def won(): DirLock = {
+      threadHeld(key) = (token, 1)
+      new DirLock(fs, lock, token)
+    }
+    if (tryCreate()) return won()
+
+    // held by another process: read the holder for the error message /
+    // staleness decision. Age = embedded timestamp, else file mtime (a
+    // torn or empty lease — holder died mid-create — must be breakable).
+    val lines =
+      (try readContents(fs, lock) catch { case _: java.io.IOException => "" })
+        .split("\n", -1)
+    val heldSince = lines.lift(2).flatMap(_.toLongOption)
+      .orElse(try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.IOException => None })
     val age = heldSince.map(System.currentTimeMillis() - _)
     if (age.exists(_ > breakStaleAfterMs)) {
-      fs.delete(lock, false)
-      if (tryCreate()) return new DirLock(fs, lock, token)
+      // atomic break: only ONE renamer wins the tombstone; the loser
+      // falls through to tryCreate and fails loudly against the
+      // winner's fresh lease. Never deletes a live lease in place.
+      val tomb = new Path(lock.getParent, s"${lock.getName}.broken.$token")
+      val wonBreak = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+      if (wonBreak) {
+        try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+      }
+      if (tryCreate()) return won()
     }
     throw new java.io.IOException(
       s"[graft] $dir is locked by another writer (lease $lock, holder " +
@@ -112,13 +208,13 @@ object DirLock {
   }
 
   /** Run `f` under the lease — the recommended shape for multi-step
-    * load→modify→save cycles. */
+    * load→modify→save cycles (inner per-call locks re-enter). */
   def withLock[A](spark: SparkSession, dir: String)(f: => A): A = {
     val l = acquire(spark, dir)
     try f finally l.release()
   }
 
-  private[ops] def lockPathFor(dir: Path): Path = {
+  private[graft] def lockPathFor(dir: Path): Path = {
     val parent = Option(dir.getParent).getOrElse(new Path("/"))
     new Path(parent, s".${dir.getName}.graft_lock")
   }

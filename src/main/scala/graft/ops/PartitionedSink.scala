@@ -96,10 +96,10 @@ object PartitionedSink {
       filesPerPartition: Int = 4,
       assertStableKeys: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val lock = DirLock.acquire(spark, path)
-    try upsertLocked(batch, path, partCol, keyCol, sortCols, filesPerPartition,
-      assertStableKeys)
-    finally lock.release()
+    DirLock.withLock(spark, path) {
+      upsertLocked(batch, path, partCol, keyCol, sortCols, filesPerPartition,
+        assertStableKeys)
+    }
   }
 
   private def upsertLocked(
