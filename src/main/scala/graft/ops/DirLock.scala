@@ -65,7 +65,8 @@ import org.apache.spark.sql.SparkSession
   * the real contract is the orchestrator's (single scheduled writer per
   * directory, the ARCHITECTURE.md deployment note).
   */
-final class DirLock private[ops] (fs: FileSystem, val lockPath: Path, token: String) {
+final class DirLock private[ops] (
+    fs: FileSystem, val lockPath: Path, key: String, token: String) {
 
   private val releasedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -75,27 +76,36 @@ final class DirLock private[ops] (fs: FileSystem, val lockPath: Path, token: Str
     * it still holds this handle's token — a lease displaced by another
     * process's stale-break is left alone (with a warning; deleting
     * another writer's live lease would be worse than leaking ours).
+    *
+    * A release called OFF the acquiring thread refuses (warning) and
+    * does NOT consume the handle's idempotence latch — the correct
+    * thread's later release still works.
     */
   def release(): Unit = {
-    if (!releasedFlag.compareAndSet(false, true)) return // double release: no-op
-    val key = lockPath.toString
     val m = DirLock.held.get()
     m.get(key) match {
-      case Some((t, n)) if t == token && n > 1 =>
-        m(key) = (t, n - 1) // nested handle: keep the lease
       case Some((t, _)) if t == token =>
-        m.remove(key)
-        val current =
-          try Some(DirLock.readContents(fs, lockPath))
-          catch { case _: java.io.IOException => None }
-        if (current.exists(_.startsWith(token + "\n"))) fs.delete(lockPath, false)
-        else org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"[graft] not releasing $lockPath: lease no longer ours " +
-            s"(stale-break raced this holder?)")
+        // ownership confirmed on this thread; NOW consume the latch
+        // (before any state change, so a double release is a pure no-op)
+        if (!releasedFlag.compareAndSet(false, true)) return
+        m(key) match {
+          case (_, n) if n > 1 => m(key) = (t, n - 1) // nested: keep the lease
+          case _ =>
+            m.remove(key)
+            val current =
+              try Some(DirLock.readContents(fs, lockPath))
+              catch { case _: java.io.IOException => None }
+            if (current.exists(_.startsWith(token + "\n"))) fs.delete(lockPath, false)
+            else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"[graft] not releasing $lockPath: lease no longer ours " +
+                s"(stale-break raced this holder?)")
+        }
       case _ =>
+        if (releasedFlag.get()) return // already released on the owner thread
         // called off the acquiring thread: the refcount lives in that
         // thread's scope, so releasing here could delete a lease a
-        // nested handle still relies on — refuse, loudly
+        // nested handle still relies on — refuse, loudly, WITHOUT
+        // consuming the latch
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"[graft] release() of $lockPath called off its acquiring thread; " +
             "lease NOT released (DirLock handles are thread-scoped)")
@@ -123,7 +133,10 @@ object DirLock {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val lock = lockPathFor(d)
-    val key = lock.toString
+    // qualified key: "file:///data/x" and "/data/x" must re-enter the
+    // SAME lease, or the documented withLock{…save} cycle fails loudly
+    // against its own on-disk lock file
+    val key = fs.makeQualified(lock).toString
     val token = java.util.UUID.randomUUID().toString
 
     // reentrant fast path: this THREAD already holds the lease
@@ -131,7 +144,7 @@ object DirLock {
     threadHeld.get(key) match {
       case Some((t, n)) =>
         threadHeld(key) = (t, n + 1)
-        return new DirLock(fs, lock, t)
+        return new DirLock(fs, lock, key, t)
       case None => ()
     }
 
@@ -142,47 +155,53 @@ object DirLock {
     // (not atomic); java.io.File.createNewFile is O_CREAT|O_EXCL
     val isLocal = fs.isInstanceOf[LocalFileSystem] || fs.isInstanceOf[RawLocalFileSystem]
     def tryCreate(): Boolean = {
-      val created =
-        if (isLocal) {
-          val f = new java.io.File(lock.toUri.getPath)
-          Option(f.getParentFile).foreach(_.mkdirs())
-          try f.createNewFile() catch { case _: java.io.IOException => false }
-        } else {
-          try { fs.create(lock, false).close(); true }
-          catch { case _: java.io.IOException => false }
-        }
-      if (!created) false
-      else {
-        // we own the file; fill in the lease body. If the write fails,
-        // surrender the lease rather than leaving an unreadable one.
-        try {
-          if (isLocal)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(lock.toUri.getPath), contents)
-          else {
-            val out = fs.create(lock, true)
-            try out.write(contents) finally out.close()
-          }
+      if (isLocal) {
+        val f = new java.io.File(lock.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        val created = try f.createNewFile() catch { case _: java.io.IOException => false }
+        if (!created) false
+        else {
+          // fill the body WITHOUT create semantics (WRITE only): if a
+          // tiny-threshold stale-break renamed our empty file away in
+          // the microseconds since createNewFile, this fails instead of
+          // silently recreating over the breaker's fresh lease. A body
+          // write failure leaves a torn lease, which is BREAKABLE via
+          // the mtime fallback — never deleted blindly (the path may
+          // already hold another writer's lease).
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lock.toUri.getPath), contents,
+            java.nio.file.StandardOpenOption.WRITE)
           true
-        } catch {
-          case e: java.io.IOException =>
-            try fs.delete(lock, false) catch { case _: java.io.IOException => () }
-            throw e
         }
+      } else {
+        // single-stream create: the body rides inside the same atomic
+        // create(overwrite=false) — no empty-file window, and never an
+        // overwrite that could clobber another writer's lease
+        try {
+          val out = fs.create(lock, false)
+          try out.write(contents) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
       }
     }
     def won(): DirLock = {
+      // bounded housekeeping at a safe point (we hold the lease): sweep
+      // tombstones orphaned by breakers that crashed between rename and
+      // delete — best-effort, the lease itself never depends on it
+      try Option(fs.globStatus(new Path(lock.getParent, s"${lock.getName}.broken.*")))
+        .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, false))
+      catch { case _: java.io.IOException => () }
       threadHeld(key) = (token, 1)
-      new DirLock(fs, lock, token)
+      new DirLock(fs, lock, key, token)
     }
     if (tryCreate()) return won()
 
     // held by another process: read the holder for the error message /
     // staleness decision. Age = embedded timestamp, else file mtime (a
     // torn or empty lease — holder died mid-create — must be breakable).
-    val lines =
-      (try readContents(fs, lock) catch { case _: java.io.IOException => "" })
-        .split("\n", -1)
+    val judged =
+      try readContents(fs, lock) catch { case _: java.io.IOException => "" }
+    val lines = judged.split("\n", -1)
     val heldSince = lines.lift(2).flatMap(_.toLongOption)
       .orElse(try Some(fs.getFileStatus(lock).getModificationTime)
         catch { case _: java.io.IOException => None })
@@ -190,11 +209,24 @@ object DirLock {
     if (age.exists(_ > breakStaleAfterMs)) {
       // atomic break: only ONE renamer wins the tombstone; the loser
       // falls through to tryCreate and fails loudly against the
-      // winner's fresh lease. Never deletes a live lease in place.
+      // winner's fresh lease. The rename is then VERIFIED against the
+      // contents we judged stale — if another breaker already replaced
+      // the stale lease with its own fresh one, our rename grabbed a
+      // LIVE lease and must be rolled back (the read-then-rename TOCTOU).
       val tomb = new Path(lock.getParent, s"${lock.getName}.broken.$token")
       val wonBreak = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
       if (wonBreak) {
-        try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+        val tombContents =
+          try readContents(fs, tomb) catch { case _: java.io.IOException => "" }
+        if (tombContents == judged) {
+          try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+        } else {
+          // renamed a lease that is NOT the one judged stale: put the
+          // live lease back and contend normally. If the rollback
+          // target was re-created meanwhile, leave the tombstone for
+          // the next winner's sweep — never overwrite.
+          try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
+        }
       }
       if (tryCreate()) return won()
     }

@@ -118,14 +118,13 @@ class DirLockSpec extends SparkSpec {
     l2.release()
   }
 
-  test("release off the acquiring thread refuses (thread-scoped handles)") {
+  test("release off the acquiring thread refuses without burning the handle") {
     val dir = tmp("xthread")
     val l = DirLock.acquire(spark, dir)
     assert(onOtherThread(l.release()).isRight) // warns, does nothing
     assert(!otherWriterWins(dir), "cross-thread release dropped the lease")
-    // NOTE: the handle's idempotence latch is spent; clean up on-disk
-    // state directly for the remaining suite
-    new java.io.File(l.lockPath.toUri.getPath).delete()
+    l.release() // the CORRECT thread's release still works (latch not spent)
+    assert(otherWriterWins(dir))
   }
 
   test("stale-break: an old lease can be displaced, a fresh one cannot") {
@@ -170,6 +169,18 @@ class DirLockSpec extends SparkSpec {
     assert(!otherWriterWins(dir, breakStaleAfterMs = 3600 * 1000L))
     Thread.sleep(60)
     assert(otherWriterWins(dir, breakStaleAfterMs = 50L))
+  }
+
+  test("orphaned break tombstones are swept by the next winner") {
+    val dir = tmp("tomb")
+    val lockFile = new java.io.File(
+      DirLock.lockPathFor(new org.apache.hadoop.fs.Path(dir)).toUri.getPath)
+    lockFile.getParentFile.mkdirs()
+    val orphan = new java.io.File(lockFile.getParentFile,
+      lockFile.getName + ".broken.deadbeef")
+    assert(orphan.createNewFile()) // breaker crashed between rename and delete
+    DirLock.acquire(spark, dir).release()
+    assert(!orphan.exists(), "winner did not sweep the orphaned tombstone")
   }
 
   test("true concurrent race: exactly one of N simultaneous acquires wins") {
