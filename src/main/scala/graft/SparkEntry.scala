@@ -5786,20 +5786,41 @@ object SparkEntry {
         countDistinct(col("media_meta.sha256")).as("n_distinct_content"))
       .orderBy("source")
 
-  /** Multimodal feature extraction, oracle-checked: the stub decoder's
-    * brightness is mean-byte/255, which DuckDB reproduces per character
-    * (document text is ASCII, so code point == byte); feature vectors are
-    * engine-specific LCG output, checked by the dim/finiteness invariant.
+  /** Multimodal image features from REAL decoded pixels
+    * (`javax.imageio`, in-JDK): each document row becomes a
+    * deterministic synthetic PNG — channel values are modular arithmetic
+    * on (doc_id, x, y) ([[Multimodal.syntheticPng]]) — except every 10th
+    * row, which carries a TRUNCATED PNG (valid magic, torn body) to
+    * exercise the corrupt-payload row-error path. PNG is lossless and
+    * the decode statistics are exact longs, so the oracle recomputes
+    * every figure as pure integer arithmetic in SQL with no image
+    * library; `blocks_exact` asserts the 2x2 block-sum feature grid
+    * partitions the image's total gray mass (the resize/feature-grid
+    * machinery), which must hold bit-exactly on every decoded row.
     */
   private def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.attachBinary(spread(t(spark, dir, "documents")), "text")
-      .select(col("doc_id").as("id"), col("content"))
-    Multimodal.extractFeatures(spark, media, dim = 16).toDF()
-      .agg(count(lit(1)).as("n"),
-        r(avg("brightness"), 4).as("avg_brightness"),
-        sum("n_bytes").cast("long").as("total_bytes"),
-        (min(size(col("feature"))) === 16 && max(size(col("feature"))) === 16 &&
-          max(abs(element_at(col("feature"), 1))) <= 256.0).as("features_ok"))
+    import spark.implicits._
+    val media = spread(t(spark, dir, "documents"))
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val png = Multimodal.syntheticPng(id, (8 + id % 8).toInt, (6 + id % 6).toInt)
+        if (id % 10 == 0) Multimodal.MediaRow(id, png.take(20)) // torn mid-header
+        else Multimodal.MediaRow(id, png)
+      }.toDF()
+    Multimodal.decodeImageFeatures(spark, media, gridW = 2, gridH = 2).toDF()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("n_err"),
+        sum(col("width").cast("long")).as("sum_w"),
+        sum(col("height").cast("long")).as("sum_h"),
+        sum(when(col("channels") === 3, 1L).otherwise(0L)).as("n_rgb"),
+        sum(col("gray_sum")).as("total_gray"),
+        sum(col("n_pixels")).as("total_pix"),
+        r(sum(col("gray_sum")) / (lit(765.0) * sum(col("n_pixels"))), 6)
+          .as("mean_luma"),
+        expr("bool_and(aggregate(block_sums, 0L, (a, x) -> a + x) = gray_sum)")
+          .as("blocks_exact"))
   }
 
   /** Video-style frame sampling through the `mapPartitions` plumbing: 4
@@ -10615,17 +10636,34 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM u a JOIN u b
         |          ON a.text = b.text AND a.doc_id < b.doc_id) AS n_exact_dup_pairs,
         |       (SELECT count(*) FROM u) AS n_docs""".stripMargin,
+    // pure integer arithmetic mirror of the synthetic-PNG pixel formula
+    // (Multimodal.syntheticPng): channel c at (x,y) = (id*31+x*7+y*13+c*101)%256;
+    // PNG is lossless so the real ImageIO decode recovers these exactly
     "q_multimodal_features" ->
-      """WITH b AS (
-        |  SELECT list_sum(list_transform(range(strlen(text)), i -> ascii(text[i+1]))) * 1.0
-        |           / strlen(text) / 255.0 AS br,
-        |         strlen(text) AS nb
-        |  FROM documents WHERE strlen(text) > 0
-        |  UNION ALL
-        |  SELECT 0.0 AS br, 0 AS nb FROM documents WHERE strlen(text) = 0)
-        |SELECT count(*) AS n, floor(avg(br) * 10000 + 0.5) / 10000 AS avg_brightness,
-        |       CAST(sum(nb) AS BIGINT) AS total_bytes, true AS features_ok
-        |FROM b""".stripMargin,
+      """WITH ok AS (
+        |  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |g AS (
+        |  SELECT doc_id, w, h,
+        |    list_sum(flatten(list_transform(range(h), y ->
+        |      list_transform(range(w), x ->
+        |        (doc_id*31 + x*7 + y*13) % 256
+        |        + (doc_id*31 + x*7 + y*13 + 101) % 256
+        |        + (doc_id*31 + x*7 + y*13 + 202) % 256)))) AS gs
+        |  FROM ok),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ok,
+        |         CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+        |         CAST(sum(gs) AS BIGINT) AS total_gray,
+        |         CAST(sum(w*h) AS BIGINT) AS total_pix
+        |  FROM g)
+        |SELECT (SELECT count(*) FROM documents) AS n, n_ok,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_err,
+        |       sum_w, sum_h, n_ok AS n_rgb, total_gray, total_pix,
+        |       floor(total_gray / (765.0 * total_pix) * 1000000 + 0.5) / 1000000
+        |         AS mean_luma,
+        |       true AS blocks_exact
+        |FROM tot""".stripMargin,
     "q_repetition" ->
       s"""SELECT source,
          |  floor(avg((len($ToksSql) - len(list_distinct($ToksSql))) * 1.0

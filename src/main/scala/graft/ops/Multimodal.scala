@@ -3,14 +3,30 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
-  * with decode / feature-extraction run batch-wise over partitions.
+/** Multimodal-column operators: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extraction run batch-wise over partitions
+  * (bounded batches = the vectorized-decoder shape; input partitioning
+  * preserved — no shuffle).
   *
-  * The Spark-side structure — schema, partitioning, batch shape — is real
-  * and tested; the actual media decode is a clearly marked STUB (this
-  * container has no image/audio libraries), producing deterministic fake
-  * features so the pipeline is end-to-end verifiable. Swapping in a real
-  * decoder touches only [[stubDecode]].
+  * IMAGE decode is REAL: [[decodeImage]] uses `javax.imageio.ImageIO`
+  * (in-JDK — PNG/JPEG/BMP/GIF readers, no external dependency) and
+  * produces exact integer pixel statistics — width/height/band-count,
+  * the total gray mass Σ(r+g+b), and a `gridW`×`gridH` block-sum feature
+  * grid — all in long arithmetic, so features are bit-reproducible and
+  * oracle-checkable on deterministic synthetic images ([[syntheticPng]]:
+  * every channel value is modular arithmetic on (id, x, y), which a SQL
+  * oracle recomputes without any image library; PNG is lossless, so
+  * encode→decode round-trips pixels exactly). Corrupt or non-image bytes
+  * take the ROW-ERROR path: a `status` column ("ok" / "error:…"), never
+  * a task failure — the same per-row tolerance contract as the log
+  * source's unmatched-line routing.
+  *
+  * AUDIO/VIDEO remain clearly-marked STUBS ([[stubAudioDecode]],
+  * [[sampleFrames]]' byte-range "keyframes"): the JDK has no compressed
+  * audio/video codecs, so the stubs produce deterministic fake features
+  * while the Spark-side plumbing (schema, batch shape, partitioning) is
+  * real and tested. Swapping in a real codec touches only the
+  * per-payload decode function.
   */
 object Multimodal {
 
@@ -26,18 +42,198 @@ object Multimodal {
         sha2(col("content"), 256).as("sha256")))
 
   final case class MediaRow(id: Long, content: Array[Byte])
+
+  // ----------------------------------------------------------------
+  // REAL image path (javax.imageio)
+  // ----------------------------------------------------------------
+
+  /** Exact integer decode result: `graySum` = Σ over pixels of (r+g+b)
+    * (each channel 0..255 from the ARGB view, so graySum <= 765·w·h —
+    * overflow-free in a long for any real image), `blockSums` = the same
+    * mass split over a `gridW`×`gridH` grid with integer block
+    * boundaries `x0 = gx·w / gridW` (row-major; Σ blockSums == graySum
+    * by construction — the identity the oracled query asserts).
+    */
+  final case class DecodedImage(
+      width: Int, height: Int, channels: Int,
+      graySum: Long, blockSums: Array[Long])
+
+  /** Decode image bytes with `javax.imageio.ImageIO`. Left(reason) for
+    * unrecognized formats (ImageIO returns null — no reader claims the
+    * bytes) or corrupt payloads (reader throws mid-decode); never throws.
+    */
+  def decodeImage(bytes: Array[Byte], gridW: Int = 2, gridH: Int = 2)
+      : Either[String, DecodedImage] = {
+    require(gridW >= 1 && gridH >= 1, s"grid must be >= 1x1, got ${gridW}x$gridH")
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) Left("error:unrecognized")
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getRaster.getNumBands
+        val gw = math.min(gridW, w)
+        val gh = math.min(gridH, h)
+        val sums = new Array[Long](gw * gh)
+        var graySum = 0L
+        var y = 0
+        while (y < h) {
+          val gy = math.min(y * gh / h, gh - 1)
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y) // ARGB, exact for 8-bit sources (PNG lossless)
+            val g = ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+            graySum += g
+            sums(gy * gw + math.min(x * gw / w, gw - 1)) += g
+            x += 1
+          }
+          y += 1
+        }
+        Right(DecodedImage(w, h, channels, graySum, sums))
+      }
+    } catch { case scala.util.control.NonFatal(_) => Left("error:decode") }
+  }
+
+  final case class ImageFeatureRow(
+      id: Long, status: String, width: Int, height: Int, channels: Int,
+      gray_sum: Long, n_pixels: Long, block_sums: Array[Long])
+
+  /** Batch image feature extraction over partitions: REAL decode via
+    * [[decodeImage]], row-error routing in the `status` column (corrupt
+    * bytes yield `status = "error:…"` with zeroed stats, not a task
+    * failure). Bounded batches; input partitioning preserved.
+    */
+  def decodeImageFeatures(
+      spark: SparkSession,
+      media: DataFrame, // needs (id: long, content: binary)
+      gridW: Int = 2,
+      gridH: Int = 2,
+      batchSize: Int = 64): Dataset[ImageFeatureRow] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // batch boundary = decoder vectorization unit
+          batch.map { m =>
+            decodeImage(m.content, gridW, gridH) match {
+              case Right(d) => ImageFeatureRow(m.id, "ok", d.width, d.height,
+                d.channels, d.graySum, d.width.toLong * d.height, d.blockSums)
+              case Left(err) => ImageFeatureRow(m.id, err, 0, 0, 0, 0L, 0L,
+                Array.empty[Long])
+            }
+          }
+        }
+      }
+  }
+
+  /** Real grayscale area-average resize: target pixel (gx,gy) = the
+    * integer mean `blockGraySum / (3 · blockPixels)` over the source
+    * block with boundaries `x0 = gx·W / w` (exact integer arithmetic —
+    * deterministic, no resampling kernel). Left(reason) mirrors
+    * [[decodeImage]]'s row-error contract.
+    */
+  def resizeGray(bytes: Array[Byte], w: Int, h: Int): Either[String, Array[Byte]] = {
+    require(w >= 1 && h >= 1, s"target must be >= 1x1, got ${w}x$h")
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) Left("error:unrecognized")
+      else {
+        val sw = img.getWidth
+        val sh = img.getHeight
+        val tw = math.min(w, sw)
+        val th = math.min(h, sh)
+        val out = new Array[Byte](tw * th)
+        var gy = 0
+        while (gy < th) {
+          val y0 = gy * sh / th; val y1 = (gy + 1) * sh / th
+          var gx = 0
+          while (gx < tw) {
+            val x0 = gx * sw / tw; val x1 = (gx + 1) * sw / tw
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val v = img.getRGB(x, y)
+                s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            out(gy * tw + gx) = (s / (3L * (x1 - x0) * (y1 - y0))).toByte
+            gx += 1
+          }
+          gy += 1
+        }
+        Right(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Left("error:decode") }
+  }
+
+  final case class ResizedMedia(
+      id: Long, status: String, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Batch resize over partitions — REAL decode + [[resizeGray]], same
+    * row-error routing as [[decodeImageFeatures]].
+    */
+  def resizeAll(
+      spark: SparkSession,
+      media: DataFrame,
+      w: Int,
+      h: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { m =>
+          resizeGray(m.content, w, h) match {
+            case Right(px) => ResizedMedia(m.id, "ok", w, h, px)
+            case Left(err) => ResizedMedia(m.id, err, 0, 0, Array.empty[Byte])
+          }
+        })
+      }
+  }
+
+  /** Deterministic synthetic test image: a `w`×`h` RGB PNG whose channel
+    * `c` value at (x,y) is `(id·31 + x·7 + y·13 + c·101) mod 256` — pure
+    * modular arithmetic a SQL oracle reproduces with no image library.
+    * PNG is lossless, so [[decodeImage]] recovers these values exactly.
+    */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Int = (((id * 31 + x * 7 + y * 13 + c * 101) % 256) + 256).toInt % 256
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ----------------------------------------------------------------
+  // Audio/video: documented STUBS (no compressed-media codec in the JDK)
+  // ----------------------------------------------------------------
+
   final case class MediaFeatures(id: Long, n_bytes: Int, brightness: Double, feature: Array[Float])
 
-  /** STUB decode: deterministic fake "feature extraction" from raw bytes.
-    * Stands in for image decode + resize + embed; same signature and batch
-    * shape a real decoder would have.
+  /** STUB audio decode: deterministic fake "feature extraction" from raw
+    * bytes — stands in for audio decode + embed (the JDK has no MP3/AAC/
+    * Opus codec; `javax.sound` covers only PCM containers). Same
+    * signature and batch shape a real decoder would have; images have
+    * the REAL path ([[decodeImage]]).
     */
-  def stubDecode(bytes: Array[Byte], dim: Int): (Double, Array[Float]) = {
+  def stubAudioDecode(bytes: Array[Byte], dim: Int): (Double, Array[Float]) = {
     var h = 1125899906842597L // deterministic LCG from content
     var i = 0
     var sum = 0L
     while (i < bytes.length) { h = 31 * h + bytes(i); sum += bytes(i) & 0xff; i += 1 }
-    val brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0
+    val loudness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0
     val feat = new Array[Float](dim)
     i = 0
     var s = h
@@ -46,34 +242,15 @@ object Multimodal {
       feat(i) = ((s >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f
       i += 1
     }
-    (brightness, feat)
+    (loudness, feat)
   }
 
-  final case class ResizedMedia(id: Long, width: Int, height: Int, pixels: Array[Byte])
   final case class Frame(id: Long, frameIdx: Int, offset: Long, length: Int, sha8: String)
 
-  /** STUB resize: deterministic fake wxh grayscale "thumbnail" derived from
-    * the content bytes. Stands in for image decode+resize; output schema
-    * and batch shape are what a real thumbnailer produces.
-    */
-  def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h)
-    var s = 0x9e3779b97f4a7c15L
-    var i = 0
-    while (i < bytes.length) { s = s * 31 + bytes(i); i += 1 }
-    i = 0
-    while (i < out.length) {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      out(i) = (s >>> 56).toByte
-      i += 1
-    }
-    out
-  }
-
-  /** Frame sampling plumbing: pick `nFrames` evenly spaced byte-range
-    * "frames" from an opaque video payload. The ranges and digests are
-    * real; a production decoder replaces the range arithmetic with
-    * keyframe offsets.
+  /** Frame sampling plumbing (video STUB domain): pick `nFrames` evenly
+    * spaced byte-range "frames" from an opaque payload. The ranges and
+    * digests are real; a production decoder replaces the range
+    * arithmetic with keyframe offsets.
     */
   def sampleFrames(
       spark: SparkSession,
@@ -100,27 +277,10 @@ object Multimodal {
       }
   }
 
-  /** Batch resize over partitions (same mapInPandas-shaped plumbing). */
-  def resizeAll(
-      spark: SparkSession,
-      media: DataFrame,
-      w: Int,
-      h: Int,
-      batchSize: Int = 64): Dataset[ResizedMedia] = {
-    import spark.implicits._
-    media.select(col("id"), col("content")).as[MediaRow]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap(_.map(m =>
-          ResizedMedia(m.id, w, h, stubResize(m.content, w, h))))
-      }
-  }
-
-  /** Batch feature extraction over partitions — the Scala analogue of a
-    * `mapInPandas` decode UDF: rows are processed in bounded batches
-    * (vectorized-decoder shape), output is a typed Dataset, partitioning of
-    * the input is preserved (no shuffle).
+  /** Batch audio feature extraction over partitions (STUB decode, real
+    * plumbing — bounded batches, typed output, no shuffle).
     */
-  def extractFeatures(
+  def extractAudioFeatures(
       spark: SparkSession,
       media: DataFrame, // needs (id: long, content: binary)
       dim: Int = 16,
@@ -130,8 +290,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch => // batch boundary = where a real decoder vectorizes
           batch.map { m =>
-            val (brightness, feat) = stubDecode(m.content, dim)
-            MediaFeatures(m.id, m.content.length, brightness, feat)
+            val (loudness, feat) = stubAudioDecode(m.content, dim)
+            MediaFeatures(m.id, m.content.length, loudness, feat)
           }
         }
       }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** Exactness + row-error contract of the REAL image path
+  * ([[Multimodal.decodeImage]] / [[Multimodal.resizeGray]] — javax.imageio):
+  * features computed from decoded pixels must equal an independent
+  * in-test evaluation of the synthetic-image pixel formula, bit-exactly
+  * (PNG is lossless), and corrupt payloads must route to status rows,
+  * never task failures.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent pixel-formula evaluation (the same modular arithmetic
+    * the DuckDB oracle uses — not the production decode path). */
+  private def ch(id: Long, x: Int, y: Int, c: Int): Int =
+    (((id * 31 + x * 7 + y * 13 + c * 101) % 256) + 256).toInt % 256
+  private def gray(id: Long, x: Int, y: Int): Long =
+    (0 until 3).map(c => ch(id, x, y, c).toLong).sum
+
+  test("decodeImage recovers synthetic PNG pixels exactly (dims, bands, gray mass, block grid)") {
+    for (id <- Seq(0L, 7L, 123L, 9999L); (w, h) <- Seq((5, 4), (8, 6), (15, 11), (1, 1))) {
+      val d = Multimodal.decodeImage(Multimodal.syntheticPng(id, w, h), 2, 2)
+        .fold(e => fail(s"decode failed: $e"), identity)
+      assert(d.width == w && d.height == h && d.channels == 3)
+      val expectedGray =
+        (for (y <- 0 until h; x <- 0 until w) yield gray(id, x, y)).sum
+      assert(d.graySum == expectedGray, s"id=$id ${w}x$h")
+      // block sums: brute-force the same integer grid boundaries
+      val gw = math.min(2, w); val gh = math.min(2, h)
+      val expBlocks = Array.fill(gw * gh)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gy = math.min(y * gh / h, gh - 1)
+        val gx = math.min(x * gw / w, gw - 1)
+        expBlocks(gy * gw + gx) += gray(id, x, y)
+      }
+      assert(d.blockSums.toSeq == expBlocks.toSeq, s"id=$id ${w}x$h")
+      assert(d.blockSums.sum == d.graySum) // the oracled partition identity
+    }
+  }
+
+  test("resizeGray is the exact integer area-average of decoded pixels") {
+    val id = 42L; val sw = 10; val sh = 7
+    val px = Multimodal.resizeGray(Multimodal.syntheticPng(id, sw, sh), 4, 3)
+      .fold(e => fail(s"resize failed: $e"), identity)
+    assert(px.length == 12)
+    for (gy <- 0 until 3; gx <- 0 until 4) {
+      val x0 = gx * sw / 4; val x1 = (gx + 1) * sw / 4
+      val y0 = gy * sh / 3; val y1 = (gy + 1) * sh / 3
+      val s = (for (y <- y0 until y1; x <- x0 until x1) yield gray(id, x, y)).sum
+      val expected = (s / (3L * (x1 - x0) * (y1 - y0))).toByte
+      assert(px(gy * 4 + gx) == expected, s"block ($gx,$gy)")
+    }
+    // upscale request clamps to source dims (never interpolates pixels
+    // that don't exist)
+    val clamped = Multimodal.resizeGray(Multimodal.syntheticPng(id, 3, 2), 8, 8)
+      .fold(e => fail(e), identity)
+    assert(clamped.length == 6)
+  }
+
+  test("corrupt payloads take the row-error path, never a task failure") {
+    // torn PNG: magic intact, body truncated -> reader claims it, then throws
+    val torn = Multimodal.syntheticPng(1L, 8, 8).take(20)
+    assert(Multimodal.decodeImage(torn) == Left("error:decode"))
+    // non-image bytes: no reader claims them
+    assert(Multimodal.decodeImage("plain prose, not an image".getBytes("UTF-8"))
+      == Left("error:unrecognized"))
+    assert(Multimodal.decodeImage(Array.empty[Byte]) == Left("error:unrecognized"))
+    assert(Multimodal.resizeGray(torn, 4, 4) == Left("error:decode"))
+  }
+
+  test("decodeImageFeatures: mixed ok/corrupt batch routes per-row, no shuffle, deterministic") {
+    val media = spark.range(40).select($"id").as[Long]
+      .map { id =>
+        val png = Multimodal.syntheticPng(id, (4 + id % 5).toInt, (3 + id % 4).toInt)
+        if (id % 10 == 0) Multimodal.MediaRow(id, png.take(20))
+        else Multimodal.MediaRow(id, png)
+      }.toDF()
+    val feats = Multimodal.decodeImageFeatures(spark, media, 2, 2, batchSize = 7)
+    val rows = feats.collect()
+    assert(rows.length == 40)
+    val (ok, err) = rows.partition(_.status == "ok")
+    assert(ok.length == 36 && err.length == 4)
+    assert(err.forall(r => r.status == "error:decode" && r.gray_sum == 0L &&
+      r.block_sums.isEmpty && r.width == 0))
+    ok.foreach { r =>
+      assert(r.width == (4 + r.id % 5) && r.height == (3 + r.id % 4) && r.channels == 3)
+      assert(r.block_sums.sum == r.gray_sum && r.n_pixels == r.width.toLong * r.height)
+    }
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+    val again = Multimodal.decodeImageFeatures(spark, media, 2, 2, batchSize = 7).collect()
+    assert(rows.map(r => (r.id, r.status, r.gray_sum, r.block_sums.toSeq)).toSet ==
+      again.map(r => (r.id, r.status, r.gray_sum, r.block_sums.toSeq)).toSet)
+  }
+
+  test("decodeImage handles non-RGB sources (grayscale PNG reports its band count)") {
+    val img = new java.awt.image.BufferedImage(
+      6, 5, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 5; x <- 0 until 6)
+      img.getRaster.setSample(x, y, 0, (x * 40 + y * 9) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.decodeImage(bos.toByteArray).fold(e => fail(e), identity)
+    assert(d.width == 6 && d.height == 5 && d.channels == 1)
+    // getRGB replicates gray across r,g,b — mass is 3x the gray values
+    // AFTER the gray->sRGB tone mapping, so assert structure, not values:
+    assert(d.graySum > 0 && d.blockSums.sum == d.graySum)
+  }
+}

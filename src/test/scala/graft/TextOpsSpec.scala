@@ -337,9 +337,17 @@ class TextOpsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 50)
     val media = graft.ops.Multimodal.attachBinary(docs, "text")
       .select(col("doc_id").as("id"), col("content"))
-    val resized = graft.ops.Multimodal.resizeAll(spark, media, 8, 8).collect()
+    // real image path: synthetic PNGs resize with status=ok
+    val imgs = spark.range(50).select(col("id")).as[Long]
+      .map(id => graft.ops.Multimodal.MediaRow(id,
+        graft.ops.Multimodal.syntheticPng(id, 16, 16))).toDF()
+    val resized = graft.ops.Multimodal.resizeAll(spark, imgs, 8, 8).collect()
     assert(resized.length == 50)
-    assert(resized.forall(_.pixels.length == 64))
+    assert(resized.forall(r => r.status == "ok" && r.pixels.length == 64))
+    // non-image payloads (raw text bytes) take the row-error path
+    val bad = graft.ops.Multimodal.resizeAll(spark, media, 8, 8).collect()
+    assert(bad.length == 50)
+    assert(bad.forall(r => r.status.startsWith("error:") && r.pixels.isEmpty))
     val frames = graft.ops.Multimodal.sampleFrames(spark, media, 4)
     val rows = frames.collect()
     assert(rows.groupBy(_.id).forall(_._2.length == 4))
@@ -376,22 +384,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: binary attach + batch stub decode keeps partitioning and determinism") {
+  test("multimodal: binary attach + batch audio-stub decode keeps partitioning and determinism") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 100)
     val media = Multimodal.attachBinary(docs, "text")
       .select(col("doc_id").as("id"), col("content"), col("media_meta"))
     assert(media.schema("media_meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       .fieldNames.toSeq == Seq("n_bytes", "mime", "sha256"))
-    val feats = Multimodal.extractFeatures(spark, media, dim = 8)
+    val feats = Multimodal.extractAudioFeatures(spark, media, dim = 8)
     val rows = feats.collect()
     assert(rows.length == 100)
     assert(rows.forall(_.feature.length == 8))
     assert(rows.forall(r => r.brightness >= 0.0 && r.brightness <= 1.0))
     // determinism
-    val again = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    val again = Multimodal.extractAudioFeatures(spark, media, dim = 8).collect()
     assert(rows.map(r => (r.id, r.feature.toSeq)).toSet ==
       again.map(r => (r.id, r.feature.toSeq)).toSet)
-    // no shuffle introduced by extractFeatures
+    // no shuffle introduced by extractAudioFeatures
     val plan = feats.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
