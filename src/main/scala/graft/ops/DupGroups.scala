@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.Lineage.CutSyntax
 
 /** Duplicate-group assembly: candidate/verified near-dup PAIRS (the output
   * of [[Dedup.minhashCandidatePairs]] / [[Dedup.shingleJaccardPairs]]) are
@@ -47,16 +46,19 @@ object DupGroups {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    var e = edges
+    // generational retention: round N's edge set fully supersedes round
+    // N-1's, so the chain deletes the superseded reliable checkpoint as
+    // soon as the next one materializes (O(1) live generations)
+    val chain = Lineage.chain()
+    var e = chain.cut(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-      .cutLineage()
+      .distinct())
     var prev = checksum(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).cutLineage()
+      e = chain.cut(smallStar(largeStar(e)))
       val cur = checksum(e)
       converged = cur == prev
       prev = cur

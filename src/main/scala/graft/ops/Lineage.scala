@@ -96,4 +96,68 @@ private[graft] object Lineage {
   implicit class CutSyntax(private val df: DataFrame) extends AnyVal {
     def cutLineage(): DataFrame = cut(df)
   }
+
+  /** Deterministic O(1) checkpoint retention for GENERATIONAL loops
+    * (round N's frame is computed from round N−1's and fully supersedes
+    * it — [[DupGroups]], [[Bpe]], [[KCore]], [[Bfs]],
+    * [[LabelPropagation]]): `chain.cut(df)` behaves exactly like
+    * [[Lineage.cut]], and in reliable mode ADDITIONALLY deletes the
+    * chain's previous cut's checkpoint files once the new cut has
+    * materialized — so an iterative job's checkpoint directory holds one
+    * live generation per chain at all times, instead of one per round
+    * (the unbounded-retention hazard the auto-mode warning flags; the
+    * GC-driven `cleanCheckpoints` conf bounds it only eventually, this
+    * bounds it deterministically). The FINAL cut is never deleted — the
+    * returned frame reads from it until session end.
+    *
+    * Safety: deletion happens strictly AFTER the next cut's files exist
+    * (cut is eager), and recovery from executor loss mid-round only ever
+    * re-reads the CURRENT generation's files — never a deleted one
+    * (dev/EXECUTOR_LOSS.md re-drives the kill scenario with chains).
+    * NOT for frames that outlive the loop alongside later generations —
+    * those keep plain [[cut]]. A chain is single-threaded like the loop
+    * that owns it.
+    */
+  final class Chain private[Lineage] () {
+    private var prevFile: Option[String] = None
+
+    def cut(df: DataFrame): DataFrame = {
+      val out = Lineage.cut(df)
+      checkpointFileOf(out).foreach { newFile =>
+        prevFile.filter(_ != newFile).foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          } catch {
+            case e: java.io.IOException =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"[graft] could not delete superseded checkpoint $p: ${e.getMessage}")
+          }
+        }
+        prevFile = Some(newFile)
+      }
+      out
+    }
+  }
+
+  /** A fresh retention chain (see [[Chain]]). */
+  def chain(): Chain = new Chain()
+
+  /** The reliable-checkpoint directory backing `df`, when `df` is the
+    * result of an eager reliable [[cut]] (a bare LogicalRDD over a
+    * reliably-checkpointed RDD). Reflection keeps this independent of
+    * LogicalRDD's `private[sql]` visibility; any mismatch degrades to
+    * None (chain keeps everything — safe, never wrong).
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    try {
+      val plan = df.queryExecution.analyzed
+      if (plan.getClass.getSimpleName != "LogicalRDD") None
+      else {
+        val m = plan.getClass.getMethod("rdd")
+        m.setAccessible(true)
+        m.invoke(plan).asInstanceOf[org.apache.spark.rdd.RDD[_]].getCheckpointFile
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -70,4 +70,51 @@ class LineageSpec extends SparkSpec {
       deleteTree(dir)
     }
   }
+
+  test("Chain bounds reliable retention at O(1) live generations per loop") {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("graft-lineage-chain")
+    try {
+      session.sparkContext.setCheckpointDir(dir.toString)
+      session.conf.set("spark.graft.checkpoint", "reliable")
+
+      def rddDirs: Set[String] = {
+        val s = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("rdd-"))
+            .map(_.toString).toSet
+        } finally s.close()
+      }
+
+      // a driven generational loop: each chain.cut must delete its
+      // predecessor's files once the new cut materializes
+      val chain = Lineage.chain()
+      var df = chain.cut(session.range(100).toDF("x"))
+      assert(rddDirs.size == 1, s"after gen 0: $rddDirs")
+      for (gen <- 1 to 5) {
+        df = chain.cut(df.withColumn("x", col("x") + 1))
+        val dirs = rddDirs
+        assert(dirs.size == 1, s"after gen $gen: ${dirs.size} live dirs ($dirs)")
+      }
+      // the surviving (final) generation is the one the frame still reads
+      assert(df.agg(sum("x")).as[Long].head() == 100L * 99 / 2 + 5 * 100)
+
+      // the real iterative operator through the same path: a chain graph
+      // needs multiple rounds; afterwards exactly ONE cc generation
+      // remains live (plus our demo chain's final cut, still un-deleted)
+      val before = rddDirs
+      val edges = session.range(63).select(col("id").as("u"), (col("id") + 1).as("v"))
+      val cc = DupGroups.connectedComponents(edges, "u", "v")
+      assert(cc.select(countDistinct(col("component"))).as[Long].head() == 1L)
+      val after = rddDirs
+      assert((after -- before).size == 1,
+        s"cc left ${(after -- before).size} live generations: ${after -- before}")
+    } finally {
+      session.conf.set("spark.graft.checkpoint", "local")
+      deleteTree(dir)
+    }
+  }
 }
