@@ -6502,6 +6502,22 @@ object SparkEntry {
   private def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.trainMerges(t(spark, dir, "documents"), "text", rounds = 3)
 
+  /** The BATCHED trainer on its production path
+    * ([[graft.ops.Bpe.trainMergesBatched]]): 16 merges at K=8 — two
+    * driver rounds of 8 pairwise non-interacting merges, the
+    * amortization that makes large-vocabulary training feasible. The
+    * oracle reproduces the BATCHED semantics directly (not via the
+    * sequential trainer): per round it freezes the pair counts, replays
+    * the greedy full-order admission under the symbol+concatenation
+    * guard as a recursive CTE over the ranked candidate list, and
+    * applies the whole admitted rule SET in one lag-based simultaneous
+    * rewrite (sound because admitted symbols are pairwise disjoint — no
+    * two matches can be adjacent).
+    */
+  private def qBpeBatched(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainMergesBatched(t(spark, dir, "documents"), "text",
+      merges = 16, mergesPerRound = 8)
+
   /** The trained tokenizer APPLIED — corpus compression after 3 merges
     * ([[graft.ops.Bpe.trainAndApplyStats]]): symbol counts before/after,
     * frequency-weighted, plus the integer-ppm saving. Completes the
@@ -7229,6 +7245,7 @@ object SparkEntry {
     "q_collocations" -> (qCollocations _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_batched" -> (qBpeBatched _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_url_blocklist" -> (qUrlBlocklist _),
     "q_corpus_diff" -> (qCorpusDiff _),
@@ -7314,6 +7331,81 @@ object SparkEntry {
     val readout = (1 to rounds)
       .map(k => s"SELECT $k AS round, a AS tok_a, b AS tok_b, n FROM t$k")
       .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    head + "\n" + perRound + readout
+  }
+
+  /** The BATCHED-BPE oracle: frozen-count rounds unrolled, each
+    * admitting up to `min(k, merges − done)` merges by replaying the
+    * trainer's greedy full-order admission as a RECURSIVE CTE over the
+    * ranked candidate list (state = the symbol/concatenation guard + the
+    * picked list; step rn admits candidate rn iff its symbols and
+    * concatenation avoid the guard and the batch isn't full). Round
+    * boundaries are DATA-DEPENDENT — a round admits fewer than `k` when
+    * the corpus runs out of pairwise-disjoint pairs (sf0.001 round 1
+    * yields 7 of 8) — so each round carries a cumulative `done` counter
+    * (d$r) and the unroll is sized generously (`maxRounds`); surplus
+    * rounds admit nothing and rewrite by identity, mirroring the Spark
+    * loop's termination exactly. The rewrite applies the whole admitted
+    * rule set in one lag-based pass — sound because admitted symbols are
+    * pairwise disjoint, so no two matches are adjacent (same argument as
+    * the sequential oracle's single-pair rewrite). Rule keys join
+    * symbols with chr(10), which can never occur inside a token.
+    */
+  private def bpeBatchedOracleSql(merges: Int, k: Int, maxRounds: Int): String = {
+    val head =
+      s"""WITH RECURSIVE tok AS MATERIALIZED (SELECT unnest($ToksSql) AS w FROM documents),
+         |v0 AS MATERIALIZED (SELECT w, count(*) AS cnt, regexp_split_to_array(w, '') AS syms
+         |       FROM tok GROUP BY w),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS done),""".stripMargin
+    val perRound = (1 to maxRounds).map { r =>
+      val p = r - 1
+      val adm = s"""len(s.picked) < least($k, $merges - (SELECT done FROM d$p))
+           |              AND NOT list_contains(s.guard, o.a)
+           |              AND NOT list_contains(s.guard, o.b)
+           |              AND NOT list_contains(s.guard, o.a || o.b)""".stripMargin
+      s"""x$r AS (SELECT w, cnt, syms, unnest(range(1, list_count(syms))) AS i
+         |        FROM v$p),
+         |c$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM x$r WHERE syms[i] <> syms[i+1] GROUP BY 1, 2),
+         |o$r AS MATERIALIZED (SELECT a, b, n,
+         |          CAST(row_number() OVER (ORDER BY n DESC, a, b) AS BIGINT) AS rn
+         |        FROM c$r),
+         |adm$r AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS guard,
+         |         CAST([] AS STRUCT(a VARCHAR, b VARCHAR, n BIGINT)[]) AS picked
+         |  UNION ALL
+         |  SELECT o.rn,
+         |    CASE WHEN $adm
+         |         THEN list_concat(s.guard, [o.a, o.b, o.a || o.b]) ELSE s.guard END,
+         |    CASE WHEN $adm
+         |         THEN list_append(s.picked, {'a': o.a, 'b': o.b, 'n': o.n})
+         |         ELSE s.picked END
+         |  FROM adm$r s JOIN o$r o ON o.rn = s.rn + 1),
+         |p$r AS MATERIALIZED (SELECT picked FROM adm$r ORDER BY rn DESC LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT d.done + len(p.picked) AS done FROM d$p d, p$r p),
+         |r$r AS MATERIALIZED (SELECT list_transform(picked, q -> q.a || chr(10) || q.b) AS ks,
+         |               list_transform(picked, q -> q.a || q.b) AS vs FROM p$r),
+         |e$r AS (SELECT w, cnt, syms, unnest(range(1, list_count(syms) + 1)) AS i
+         |        FROM v$p),
+         |f$r AS (SELECT e.w, e.cnt, e.i, e.syms[e.i] AS s,
+         |               (e.i < list_count(e.syms) AND list_contains(rr.ks,
+         |                  e.syms[e.i] || chr(10) || e.syms[e.i+1])) AS m,
+         |               rr.vs[list_position(rr.ks,
+         |                  e.syms[e.i] || chr(10) || e.syms[e.i+1])] AS ab
+         |        FROM e$r e CROSS JOIN r$r rr),
+         |g$r AS (SELECT *, coalesce(lag(m) OVER (PARTITION BY w ORDER BY i), false)
+         |               AS consumed FROM f$r),
+         |v$r AS MATERIALIZED (SELECT w, min(cnt) AS cnt,
+         |               list(CASE WHEN m THEN ab ELSE s END ORDER BY i) AS syms
+         |        FROM g$r WHERE NOT consumed GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val readout = (1 to maxRounds).map { r =>
+      val p = r - 1
+      s"""SELECT CAST((SELECT done FROM d$p) + gs.i AS INT) AS round,
+         |       p.picked[gs.i].a AS tok_a, p.picked[gs.i].b AS tok_b,
+         |       p.picked[gs.i].n AS n
+         |FROM p$r p, LATERAL (SELECT unnest(range(1, len(p.picked) + 1)) AS i) gs""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
     head + "\n" + perRound + readout
   }
 
@@ -10961,6 +11053,7 @@ object SparkEntry {
         |       CAST(min(CASE WHEN blocked THEN doc_id END) AS BIGINT) AS min_blocked
         |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_bpe_train" -> bpeOracleSql(3),
+    "q_bpe_batched" -> bpeBatchedOracleSql(merges = 16, k = 8, maxRounds = 8),
     "q_bpe_apply" -> bpeApplyOracleSql(3),
     "q_bpe_pairs" ->
       s"""WITH tok AS (SELECT unnest($ToksSql) AS w FROM documents),

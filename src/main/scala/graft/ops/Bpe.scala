@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.ops.Lineage.CutSyntax
 
 /** BPE merge-candidate statistics — iteration 0 of byte-pair-encoding
   * tokenizer training at corpus scale: adjacent character-pair counts
@@ -100,7 +99,12 @@ object Bpe {
     * merges applied per driver round, so a `merges`-sized tokenizer costs
     * ceil(merges / mergesPerRound) sequential Spark jobs instead of
     * `merges` — the amortization that makes a 32k-merge production
-    * train feasible (at K=512: 63 driver rounds, vs 32k).
+    * train feasible: the caps allow it (merges <= 32768, K <= 512), with
+    * ceil(merges/K) rounds the LOWER bound. In practice the admission
+    * guard, not K, sizes each batch (early rounds can admit at most
+    * |alphabet|/2 disjoint pairs, ramping as merges mint new symbols) —
+    * dev/BPE_BATCH.md measures a 4096-merge K=512 train completing in 77
+    * driver rounds (53x fewer than sequential) at ~2.1 s/round.
     *
     * Batch admission (the non-interaction guard): candidates are scanned
     * in (n DESC, a, b) order — the sequential trainer's exact order — and
@@ -131,26 +135,26 @@ object Bpe {
       textCol: String,
       merges: Int,
       mergesPerRound: Int): DataFrame = {
-    require(merges >= 1 && merges <= 4096, s"merges must be in [1,4096], got $merges")
-    require(mergesPerRound >= 1 && mergesPerRound <= 64,
-      s"mergesPerRound must be in [1,64], got $mergesPerRound")
+    require(merges >= 1 && merges <= 32768, s"merges must be in [1,32768], got $merges")
+    require(mergesPerRound >= 1 && mergesPerRound <= 512,
+      s"mergesPerRound must be in [1,512], got $mergesPerRound")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = initialVocab(df, textCol)
+    val chain = Lineage.chain() // each round's vocab supersedes the last
+    var vocab = initialVocab(df, textCol, chain)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     while (out.size < merges && !exhausted) {
       val want = math.min(mergesPerRound, merges - out.size)
-      // candidate horizon: admission can skip at most (want-1) earlier
-      // admits' conflicts per scanned pair, so 8x the batch (min 64) is
-      // plenty; a too-small horizon only makes the batch smaller (next
-      // round re-counts), never wrong
-      val cands = pairCountFrame(vocab)
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(math.max(8 * want, 64))
-        .collect()
-      if (cands.isEmpty) exhausted = true
-      else {
+      // Candidate horizon with a COMPLETENESS loop: admission must see
+      // the full (n desc, a, b) order — one admitted pair can conflict
+      // with unboundedly many later candidates (a hot shared symbol), so
+      // a fixed horizon can silently shrink the batch and diverge from
+      // the documented full-order admission. Start at 8x the batch and
+      // re-collect 4x wider until either the batch fills or the fetch
+      // came back short of the horizon (= ALL candidates were scanned).
+      def admit(cands: Array[org.apache.spark.sql.Row])
+          : scala.collection.mutable.ArrayBuffer[(String, String, Long)] = {
         val guard = scala.collection.mutable.Set.empty[String]
         val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var i = 0
@@ -163,6 +167,23 @@ object Bpe {
           }
           i += 1
         }
+        picked
+      }
+      val ordered = pairCountFrame(vocab).orderBy(col("n").desc, col("a"), col("b"))
+      var horizon = math.max(8 * want, 64)
+      var cands = ordered.limit(horizon).collect()
+      var picked = admit(cands)
+      while (picked.size < want && cands.length == horizon) {
+        horizon *= 4
+        cands = ordered.limit(horizon).collect()
+        picked = admit(cands)
+      }
+      if (cands.isEmpty) exhausted = true
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"[graft.bpe] batch round: admitted ${picked.size}/$want " +
+            s"(total ${out.size + picked.size}/$merges, horizon $horizon, " +
+            s"candidates ${cands.length})")
         picked.foreach { case (a, b, n) => out += ((out.size + 1, a, b, n)) }
         // one rewrite pass for the whole batch: rule table rides as a map
         // literal keyed "a b" (the separator cannot appear inside a
@@ -170,7 +191,7 @@ object Bpe {
         val rules = map(picked.toSeq.flatMap { case (a, b, _) =>
           Seq(lit(a + " " + b), lit(a + b))
         }: _*)
-        vocab = vocab.withColumn("syms",
+        vocab = chain.cut(vocab.withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
             val last = get(acc, size(acc) - 1)
             // concat(NULL, ...) is NULL and element_at(m, NULL) is NULL,
@@ -180,7 +201,7 @@ object Bpe {
             when(rep.isNotNull,
               concat(slice(acc, lit(1), size(acc) - 1), array(rep)))
               .otherwise(concat(acc, array(x)))
-          })).cutLineage()
+          })))
       }
     }
     out.toSeq.toDF("round", "tok_a", "tok_b", "n")
@@ -188,11 +209,11 @@ object Bpe {
 
   /** The corpus collapsed to its vocabulary: (w, cnt, syms) with syms the
     * character split — the frame every training round aggregates over. */
-  private def initialVocab(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+  private def initialVocab(
+      df: DataFrame, textCol: String, chain: Lineage.Chain): DataFrame =
+    chain.cut(df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
-      .cutLineage()
+      .select(col("w"), col("cnt"), split(col("w"), "").as("syms")))
 
   /** Adjacent-symbol pair counts over the vocab frame: (a, b, n), a != b
     * (the overlap-free candidate set — see [[trainMerges]]). */
@@ -215,7 +236,8 @@ object Bpe {
       textCol: String,
       rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
-    var vocab = initialVocab(df, textCol)
+    val chain = Lineage.chain() // each round's vocab supersedes the last
+    var vocab = initialVocab(df, textCol, chain)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -228,14 +250,13 @@ object Bpe {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, n))
-        val next = vocab.withColumn("syms",
+        val next = chain.cut(vocab.withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
             // get() is 0-based and NULL on empty acc (never an ANSI
             // out-of-bounds error), and null === a is null -> otherwise
             when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))))
-          .cutLineage()
+              .otherwise(concat(acc, array(x))))))
         vocab = next
         r += 1
       }

@@ -126,11 +126,53 @@ class BpeBatchSpec extends SparkSpec {
     }
   }
 
+  test("hot shared symbol past the default horizon: batch still fills via re-collect") {
+    // 70 candidates all containing 'e' (counts 166..300) rank ABOVE the
+    // only disjoint pair (p,q)=10 at position 71 — past the default
+    // horizon max(8*want, 64)=64 for K=2. Full-order admission must admit
+    // (a,e) then skip every other e-pair and still reach (p,q) WITH ITS
+    // ROUND-START COUNT; a truncated horizon would silently shrink the
+    // batch and emit (b,e) from round 2 instead.
+    val others = "abcdfghijklmnopqrstuvwxyz0123456789".toSeq // 35 chars, no 'e'
+    val words =
+      others.zipWithIndex.map { case (c, i) => s"${c}e" -> (300 - i) } ++
+        others.zipWithIndex.map { case (c, i) => s"e$c" -> (200 - i) } ++
+        Seq("pq" -> 10)
+    val df = corpus(words: _*)
+    val got = run(df, 2, 2)
+    assert(got === Seq((1, "a", "e", 300L), (2, "p", "q", 10L)))
+    assert(got === oracle(words, 2, 2))
+  }
+
+  test("fuzz at wide alphabet / larger K: distributed == in-memory replay") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for (round <- 0 until 6) {
+      val nWords = 20 + rnd.nextInt(40)
+      // bias toward a few hot symbols so admission skips are frequent
+      val hot = alphabet(rnd.nextInt(alphabet.length))
+      val words = (0 until nWords).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        val w = (0 until len).map(i =>
+          if (rnd.nextInt(3) == 0) hot
+          else alphabet(rnd.nextInt(alphabet.length))).mkString
+        w -> (1 + rnd.nextInt(50))
+      }
+      val merges = 4 + rnd.nextInt(20)
+      val k = 2 + rnd.nextInt(7)
+      val got = run(corpus(words: _*), merges, k)
+      val want = oracle(words, merges, k)
+      assert(got === want, s"round=$round merges=$merges k=$k hot=$hot")
+    }
+  }
+
   test("argument validation") {
     val df = corpus("ab" -> 1)
     intercept[IllegalArgumentException](Bpe.trainMergesBatched(df, "text", 0, 1))
-    intercept[IllegalArgumentException](Bpe.trainMergesBatched(df, "text", 5000, 1))
+    intercept[IllegalArgumentException](Bpe.trainMergesBatched(df, "text", 32769, 1))
     intercept[IllegalArgumentException](Bpe.trainMergesBatched(df, "text", 1, 0))
-    intercept[IllegalArgumentException](Bpe.trainMergesBatched(df, "text", 1, 65))
+    intercept[IllegalArgumentException](Bpe.trainMergesBatched(df, "text", 1, 513))
+    // the r14 caps (4096 / 64) are now inside the allowed range
+    assert(Bpe.trainMergesBatched(df, "text", 1, 512).count() >= 0)
   }
 }
