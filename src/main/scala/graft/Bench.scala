@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   * what makes a fast crash (e.g. a 0.1 s analysis error) unable to LOWER
   * the headline total vs the query's previous passing time; consumers
   * should still gate on `failed` being empty, not on the total alone.
+  *
+  * Drift self-diagnosis (dev/BENCH_DRIFT.md): `loadavg_start`/`loadavg_end`
+  * record /proc/loadavg around the run, and `value_floor_normalized` is
+  * the headline net of the measured code-free streaming floors
+  * (`floor_charged_sec` = what was subtracted) — round-over-round
+  * comparisons should read the normalized figure first, because box load
+  * moves the floors 1.2-1.7x on unchanged code (the r14 case study).
   */
 object Bench {
   /** Queries that drain a Structured Streaming pipeline in-query. Each
@@ -97,8 +104,20 @@ object Bench {
     f.delete()
   }
 
+  /** First three fields of /proc/loadavg (1/5/15-min run-queue averages)
+    * — the box-load telltale recorded alongside the timings so a loaded
+    * bench host is self-diagnosing from the JSON alone (r14: a driver
+    * run reading 1.90x vs same-code controls had floors up 1.2-1.7x;
+    * loadavg makes that call without a rerun). "-1 -1 -1" off Linux.
+    */
+  private def loadAvg(): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Exception => "-1 -1 -1" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val spark = SparkSession.builder()
@@ -168,6 +187,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = names.map { case (k, _) => charge(k) }.sum
     val medianTotal = names.map { case (k, _) => chargeMedian(k) }.sum
+    // floor-normalized headline (dev/BENCH_DRIFT.md): the streaming
+    // floors are CODE-FREE fixed costs (no-op drains) that move with box
+    // load — r14's contaminated driver run had them up 1.2-1.7x on
+    // unchanged floor code. Subtracting each streaming query's measured
+    // floor yields a total dominated by data work, so a loaded box can't
+    // read as a code regression: compare value_floor_normalized across
+    // rounds FIRST, then the raw value.
+    val floorCharged = names.collect {
+      case (k, _) if StreamingQueries(k) && okTimes(k).nonEmpty =>
+        math.min(if (RocksDbQueries(k)) floorRocksdb else floorStateless, okTimes(k).min)
+    }.sum
+    val totalNormalized = total - floorCharged
+    val loadEnd = loadAvg()
     def strList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // sfDir is environment-controlled: escape it like Verify does, or a
     // quoted/exotic path corrupts the one JSON line the harness parses
@@ -178,7 +210,7 @@ object Bench {
       case c => c.toString
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"runs":$n,"median_total":$medianTotal,"floor_stateless_sec":$floorStateless,"floor_rocksdb_sec":$floorRocksdb,"streaming_breakdown":$streamingBd,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfEsc"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"runs":$n,"median_total":$medianTotal,"floor_stateless_sec":$floorStateless,"floor_rocksdb_sec":$floorRocksdb,"floor_charged_sec":$floorCharged,"value_floor_normalized":$totalNormalized,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","streaming_breakdown":$streamingBd,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfEsc"}"""
     // the metric both ways: sole stdout line AND a file, so a harness that
     // captures interleaved stdout (sbt banners, GC logs) still parses it
     try {
