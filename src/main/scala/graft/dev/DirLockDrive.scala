@@ -1,0 +1,254 @@
+package graft.dev
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BandPostings, Dedup, DirLock, PartitionedSink}
+
+/** Cross-PROCESS drive for [[graft.ops.DirLock]] (VERDICT r14 item 4):
+  * DirLockSpec covers in-process interleavings, but the lease's real
+  * adversary is a SECOND JVM — two jobs scheduled against one artifact
+  * directory. This drive runs the contract end-to-end with real child
+  * JVMs and a real SIGKILL:
+  *
+  *  1. CONTENTION — child A (holder) takes the cycle lease on a
+  *     partitioned-parquet artifact and runs a deliberately slow
+  *     [[PartitionedSink.upsertByKey]]; child B (contender) attempts a
+  *     plain acquire while A is alive and must FAIL LOUDLY with the
+  *     holder's identity (never wait, never corrupt).
+  *  2. KILL + STALE BREAK — the parent SIGKILLs A mid-upsert
+  *     (`destroyForcibly`), leaving a torn write and an orphaned lease;
+  *     child C (breaker) acquires with `breakStaleAfterMs`, re-runs the
+  *     upsert with its own payload over the same key set, and releases.
+  *     Integrity: the artifact reads back as EXACTLY the breaker's rows
+  *     (the torn holder generation fully replaced — no torn mix), and
+  *     the lease file is gone.
+  *  3. BANDPOSTINGS CYCLE — same pair over the version-stamped
+  *     [[Dedup.BandPostings]] artifact: holder killed mid-`save` (tmp
+  *     write + swap), breaker breaks the lease, re-saves, and
+  *     `BandPostings.load` must succeed with the params sidecar's
+  *     version stamp verified (load rejects torn/unstamped artifacts
+  *     loudly — a successful load IS the integrity check).
+  *
+  * Run: `sbt "runMain graft.dev.DirLockDrive orchestrate [workDir]"` —
+  * the parent prints one `DRIVE <scenario> outcome=...` line per
+  * scenario; children signal via marker files (no stdout parsing).
+  * Results + reading recorded in dev/DIRLOCK_DRIVE.md.
+  */
+object DirLockDrive {
+
+  private val Keys = 64
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("orchestrate")
+    val work = args.lift(1).getOrElse("/tmp/graft_dirlock_drive")
+    mode match {
+      case "orchestrate" => orchestrate(work)
+      case "holder"      => holder(work)
+      case "contender"   => contender(work)
+      case "breaker"     => breaker(work)
+      case "bp-holder"   => bpHolder(work)
+      case "bp-breaker"  => bpBreaker(work)
+      case other => sys.error(s"unknown mode $other")
+    }
+  }
+
+  private def artifactDir(work: String) = s"$work/artifact"
+  private def postingsDir(work: String) = s"$work/postings"
+
+  private def session(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(app)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** A keyed batch over 4 partitions; `slowMs` > 0 injects a per-row
+    * sleep so the write is reliably in flight when the parent kills. */
+  private def batch(spark: SparkSession, tag: String, slowMs: Int) = {
+    import spark.implicits._
+    val base = spark.range(Keys).select(
+      col("id").as("key"),
+      concat(lit("p"), pmod(col("id"), lit(4))).as("part"),
+      lit(tag).as("val"))
+    if (slowMs == 0) base
+    else {
+      val slow = udf { (i: Long) => Thread.sleep(slowMs); i }
+      base.withColumn("key", slow(col("key")))
+    }
+  }
+
+  private def touch(p: String): Unit = {
+    Files.createDirectories(Paths.get(p).getParent)
+    Files.writeString(Paths.get(p), "ok")
+  }
+
+  // ------------------------------------------------------------ children
+
+  /** Child A: cycle lease + slow upsert (killed by the parent mid-write). */
+  private def holder(work: String): Unit = {
+    val spark = session("dirlock-holder")
+    val l = DirLock.acquire(spark, artifactDir(work))
+    touch(s"$work/holder.acquired")
+    try PartitionedSink.upsertByKey(
+      batch(spark, "HOLDER", slowMs = 400), artifactDir(work), "part", "key")
+    finally l.release() // unreachable when SIGKILLed — that's the point
+    touch(s"$work/holder.finished") // reached only if the kill missed
+  }
+
+  /** Child B: plain acquire against a live lease — must refuse loudly. */
+  private def contender(work: String): Unit = {
+    val spark = session("dirlock-contender")
+    try {
+      val l = DirLock.acquire(spark, artifactDir(work))
+      l.release()
+      touch(s"$work/contender.acquired") // would mean a broken lease
+    } catch {
+      case e: java.io.IOException =>
+        println(s"DRIVE contender refused: ${e.getMessage.linesIterator.next()}")
+        touch(s"$work/contender.refused")
+    }
+    spark.stop()
+  }
+
+  /** Child C: break the dead holder's lease, repair by re-upserting the
+    * same key set, release, verify no torn mix. */
+  private def breaker(work: String): Unit = {
+    val spark = session("dirlock-breaker")
+    val l = DirLock.acquire(spark, artifactDir(work), breakStaleAfterMs = 2000L)
+    try PartitionedSink.upsertByKey(
+      batch(spark, "SURVIVOR", slowMs = 0), artifactDir(work), "part", "key")
+    finally l.release()
+    // integrity from the survivor's own vantage: every key present once,
+    // every value the survivor's (holder's torn generation fully gone)
+    val byVal = spark.read.parquet(artifactDir(work))
+      .groupBy("val").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lockGone = !Files.exists(Paths.get(
+      DirLock.lockPathFor(new org.apache.hadoop.fs.Path(artifactDir(work))).toUri.getPath))
+    if (byVal == Map("SURVIVOR" -> Keys.toLong) && lockGone)
+      touch(s"$work/breaker.ok")
+    else println(s"DRIVE breaker INTEGRITY FAILURE: byVal=$byVal lockGone=$lockGone")
+    spark.stop()
+  }
+
+  private def docs(spark: SparkSession, n: Int, tag: String) =
+    spark.range(n).select(col("id").as("doc_id"),
+      concat(lit(s"$tag document text number "), col("id"),
+        lit(" with shared tail tokens alpha beta gamma")).as("text"))
+
+  /** Scenario-3 holder: cycle lease + slow BandPostings save (killed
+    * mid tmp-write/swap). */
+  private def bpHolder(work: String): Unit = {
+    val spark = session("dirlock-bp-holder")
+    val dir = postingsDir(work)
+    val l = DirLock.acquire(spark, dir)
+    touch(s"$work/bp_holder.acquired")
+    val p = Dedup.bandPostings(docs(spark, 200, "holder"), "doc_id", "text")
+    val slow = udf { (i: Int) => Thread.sleep(30); i }
+    val slowPosts = p.posts.withColumn("__band", slow(col("__band")))
+    try p.copy(posts = slowPosts).save(dir)
+    finally l.release()
+    touch(s"$work/bp_holder.finished")
+  }
+
+  /** Scenario-3 breaker: break the lease, re-save a clean generation,
+    * prove the artifact loads (version stamp verified by load). */
+  private def bpBreaker(work: String): Unit = {
+    val spark = session("dirlock-bp-breaker")
+    val dir = postingsDir(work)
+    val l = DirLock.acquire(spark, dir, breakStaleAfterMs = 2000L)
+    try Dedup.bandPostings(docs(spark, 300, "breaker"), "doc_id", "text").save(dir)
+    finally l.release()
+    val loaded = BandPostings.load(spark, dir) // loud on torn/unstamped
+    val nDocs = loaded.posts.select("__idH").distinct().count()
+    println(s"DRIVE bp-breaker loaded: docs=$nDocs bands=${loaded.bands} " +
+      s"numHashes=${loaded.numHashes} shingleN=${loaded.shingleN}")
+    if (nDocs == 300 && loaded.bands == 16 && loaded.numHashes == 64)
+      touch(s"$work/bp_breaker.ok")
+    else println("DRIVE bp-breaker INTEGRITY FAILURE")
+    spark.stop()
+  }
+
+  // --------------------------------------------------------- orchestrator
+
+  private def spawn(mode: String, work: String): Process = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    // re-issue the parent's module opens (paired or --add-opens=... form)
+    val opens = in.zip(in.drop(1) :+ "").flatMap {
+      case (f, v) if f == "--add-opens" || f == "--add-exports" => Seq(f, v)
+      case (f, _) if f.startsWith("--add-opens=") || f.startsWith("--add-exports=") => Seq(f)
+      case _ => Nil
+    }
+    val cmd = Seq(javaBin) ++ opens ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.dev.DirLockDrive", mode, work)
+    new ProcessBuilder(cmd.asJava).inheritIO().start()
+  }
+
+  private def awaitFile(p: String, timeoutMs: Long): Boolean = {
+    val t0 = System.currentTimeMillis()
+    while (!Files.exists(Paths.get(p))) {
+      if (System.currentTimeMillis() - t0 > timeoutMs) return false
+      Thread.sleep(100)
+    }
+    true
+  }
+
+  private def orchestrate(work: String): Unit = {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(new java.io.File(work))
+    val spark = session("dirlock-orchestrator")
+    // seed both artifacts (upsertByKey needs an existing generation)
+    PartitionedSink.writePartitioned(
+      batch(spark, "SEED", slowMs = 0), artifactDir(work), Seq("part"), Nil)
+    Dedup.bandPostings(docs(spark, 100, "seed"), "doc_id", "text")
+      .save(postingsDir(work))
+
+    // scenario 1+2: holder vs contender, then SIGKILL + stale break
+    val h = spawn("holder", work)
+    require(awaitFile(s"$work/holder.acquired", 120000), "holder never acquired")
+    val c = spawn("contender", work)
+    c.waitFor()
+    val refused = Files.exists(Paths.get(s"$work/contender.refused")) &&
+      !Files.exists(Paths.get(s"$work/contender.acquired"))
+    println(s"DRIVE contention outcome=${if (refused) "REFUSED_LOUDLY" else "FAILED"}")
+    Thread.sleep(3000) // let the holder get well inside its slow write
+    h.destroyForcibly(); h.waitFor()
+    val killedMidWrite = !Files.exists(Paths.get(s"$work/holder.finished"))
+    val b = spawn("breaker", work)
+    b.waitFor()
+    val broke = Files.exists(Paths.get(s"$work/breaker.ok"))
+    println(s"DRIVE kill-stale-break outcome=${if (broke && killedMidWrite) "RECOVERED" else "FAILED"} " +
+      s"(killedMidWrite=$killedMidWrite breakerOk=$broke)")
+
+    // scenario 3: BandPostings save cycle
+    val h2 = spawn("bp-holder", work)
+    require(awaitFile(s"$work/bp_holder.acquired", 120000), "bp-holder never acquired")
+    Thread.sleep(3000)
+    h2.destroyForcibly(); h2.waitFor()
+    val killed2 = !Files.exists(Paths.get(s"$work/bp_holder.finished"))
+    val b2 = spawn("bp-breaker", work)
+    b2.waitFor()
+    val ok2 = Files.exists(Paths.get(s"$work/bp_breaker.ok"))
+    println(s"DRIVE bandpostings-cycle outcome=${if (ok2 && killed2) "RECOVERED" else "FAILED"} " +
+      s"(killedMidSave=$killed2 breakerOk=$ok2)")
+
+    spark.stop()
+    if (!(refused && broke && killedMidWrite && ok2 && killed2)) sys.exit(1)
+  }
+}

@@ -115,6 +115,12 @@ final class DirLock private[ops] (
 
 object DirLock {
 
+  /** Minimum tombstone age (file mtime) before the winner's housekeeping
+    * sweep may delete it — generous vs the breaker's rename→verify→
+    * rollback window (microseconds on a local FS, well under a second on
+    * an object store), so a sweep can never race an in-flight break. */
+  private val TombstoneSweepAgeMs = 30000L
+
   /** Leases held by the CURRENT THREAD: lockPath → (token, refcount) —
     * the reentrancy scope (class doc). */
   private val held = ThreadLocal.withInitial(
@@ -187,9 +193,18 @@ object DirLock {
     def won(): DirLock = {
       // bounded housekeeping at a safe point (we hold the lease): sweep
       // tombstones orphaned by breakers that crashed between rename and
-      // delete — best-effort, the lease itself never depends on it
+      // delete — best-effort, the lease itself never depends on it.
+      // AGE-GATED on mtime: an IN-FLIGHT breaker is between rename and
+      // verify/rollback for only microseconds, but if we deleted its
+      // fresh tombstone first, a breaker that had misjudged a LIVE lease
+      // as stale could no longer roll the rename back (silent rename
+      // failure -> the live lease stays destroyed -> two writers). Only
+      // tombstones old enough that no verify/rollback can still be in
+      // flight are swept; younger orphans wait for the next winner.
       try Option(fs.globStatus(new Path(lock.getParent, s"${lock.getName}.broken.*")))
-        .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, false))
+        .getOrElse(Array.empty)
+        .filter(s => System.currentTimeMillis() - s.getModificationTime > TombstoneSweepAgeMs)
+        .foreach(s => fs.delete(s.getPath, false))
       catch { case _: java.io.IOException => () }
       threadHeld(key) = (token, 1)
       new DirLock(fs, lock, key, token)

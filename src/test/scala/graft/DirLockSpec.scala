@@ -171,7 +171,7 @@ class DirLockSpec extends SparkSpec {
     assert(otherWriterWins(dir, breakStaleAfterMs = 50L))
   }
 
-  test("orphaned break tombstones are swept by the next winner") {
+  test("orphaned break tombstones are swept by the next winner — but only AGED ones") {
     val dir = tmp("tomb")
     val lockFile = new java.io.File(
       DirLock.lockPathFor(new org.apache.hadoop.fs.Path(dir)).toUri.getPath)
@@ -179,8 +179,18 @@ class DirLockSpec extends SparkSpec {
     val orphan = new java.io.File(lockFile.getParentFile,
       lockFile.getName + ".broken.deadbeef")
     assert(orphan.createNewFile()) // breaker crashed between rename and delete
+    val fresh = new java.io.File(lockFile.getParentFile,
+      lockFile.getName + ".broken.cafebabe")
+    assert(fresh.createNewFile()) // an IN-FLIGHT breaker's tombstone (mtime now)
+    // age the orphan past the sweep gate; leave `fresh` at mtime=now
+    assert(orphan.setLastModified(System.currentTimeMillis() - 120000L))
     DirLock.acquire(spark, dir).release()
-    assert(!orphan.exists(), "winner did not sweep the orphaned tombstone")
+    assert(!orphan.exists(), "winner did not sweep the aged orphaned tombstone")
+    // a fresh tombstone may belong to a breaker still inside its
+    // verify/rollback window — deleting it could destroy a live lease's
+    // rollback path, so the sweep must leave it alone
+    assert(fresh.exists(), "winner swept a fresh (possibly in-flight) tombstone")
+    fresh.delete()
   }
 
   test("true concurrent race: exactly one of N simultaneous acquires wins") {
