@@ -70,7 +70,7 @@ object ScaleCurve {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = args.headOption
       .filterNot(a => a == "deep" || a == "trig" || a == "ann" || a == "cc" ||
-        a == "r14")
+        a == "r14" || a == "bpelarge" || a == "epsconc")
       .getOrElse("/tmp/graft_scale")
     // "deep": one extra x300 point for the CPU-bound families whose
     // exponents are still parallelism-saturating at x100 — the
@@ -86,6 +86,15 @@ object ScaleCurve {
     val ccOnly = args.contains("cc")
     // "r14": only the dbscan eps-join + batched-BPE families
     val r14Only = args.contains("r14")
+    // "bpelarge": the one-off large-K batched-BPE train (4096 merges at
+    // K=512) over a rich-vocabulary corpus — the driver-round
+    // amortization demo the trainMergesBatched caps exist for
+    val bpeLargeOnly = args.contains("bpelarge")
+    // "epsconc": EpsilonJoin candidate-volume curves on adversarially
+    // CONCENTRATED d=256 Gaussians (rings prune poorly — the documented
+    // failure mode, measured) vs CLUSTERED data (rings prune well), with
+    // the filterPivots lever swept — dev/EPSJOIN_CONCENTRATION.md
+    val epsConcOnly = args.contains("epsconc")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -107,12 +116,13 @@ object ScaleCurve {
     import spark.implicits._
 
     // ------------------------------------------------------ synthesis
-    val allMults = if (trigOnly || annOnly) Nil else if (deep) Mults :+ 300 else Mults
+    val allMults = if (trigOnly || annOnly || bpeLargeOnly || epsConcOnly) Nil
+      else if (deep) Mults :+ 300 else Mults
     def docsPath(k: Int) = s"$work/x$k/documents.parquet"
     def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
     // replicated embeddings: fresh vec_ids, per-replica deterministic
     // noise so vectors spread instead of clustering by replica
-    if (!trigOnly && !ccOnly && !r14Only) Mults.foreach { k =>
+    if (!trigOnly && !ccOnly && !r14Only && !bpeLargeOnly && !epsConcOnly) Mults.foreach { k =>
       if (!Files.exists(Paths.get(embPath(k)))) {
         val e = spark.read.parquet(s"$base/embeddings.parquet")
         val reps = (0 until k).map { rep =>
@@ -158,7 +168,8 @@ object ScaleCurve {
       }
       root
     }
-    if (!trigOnly && !annOnly && !ccOnly && !r14Only) Mults.foreach(logTree)
+    if (!trigOnly && !annOnly && !ccOnly && !r14Only && !bpeLargeOnly &&
+        !epsConcOnly) Mults.foreach(logTree)
 
     def timed(runs: Int)(f: => Unit): Double =
       (1 to runs).map { _ =>
@@ -260,9 +271,14 @@ object ScaleCurve {
     // trainer — ONE definition shared by the full run and `r14` mode
     // (same single-definition rule as ANN/cc)
     def r14Families(k: Int, docs: DataFrame): Unit = {
-      // dbscan eps-graph: replicas of a 1000-vector base, each OFFSET 4.0
-      // (4000 in quantized units, >> eps 1183) along coordinate 0 —
-      // the eps-graph's TRUE edge set grows linearly (within-replica
+      // dbscan eps-graph: replicas of a 1000-vector base, each offset
+      // along coordinate 0 by MEASURED(base coord-0 range) + 2*sqrt(eps2)
+      // + 1 — so the minimum cross-replica coord-0 gap provably exceeds
+      // sqrt(eps2) REGARDLESS of the embedding distribution (a fixed
+      // 4000 offset silently stopped isolating replicas if the base
+      // coord-0 spread approached it, making the linearity control read
+      // ring-join leaks where there were cross-replica TRUE pairs). The
+      // eps-graph's TRUE edge set then grows linearly (within-replica
       // structure repeats; cross-replica pairs are all outside eps), the
       // constant-density analogue of the minhash family's constant dup
       // rate. A super-linear tail here would mean the ring join is
@@ -270,11 +286,17 @@ object ScaleCurve {
       val embBase = spark.read.parquet(s"$base/embeddings.parquet")
         .filter(col("vec_id") < 1000)
       val eps2 = 1400000L
+      val c0 = embBase.select(
+          expr("cast(floor(cast(embedding[0] as double) * 1000 + 0.5) as bigint)")
+            .as("c0"))
+        .agg(min("c0").as("lo"), max("c0").as("hi")).head()
+      val offset = (c0.getLong(1) - c0.getLong(0)) +
+        2L * math.ceil(math.sqrt(eps2.toDouble)).toLong + 1L
       val quantized = (0 until k).map { rep =>
         embBase.select(
           (col("vec_id") + lit(10000000L * rep)).as("vec_id"),
           expr(s"transform(embedding, (x, i) -> cast(floor(cast(x as double)" +
-            s" * 1000 + 0.5) as bigint) + IF(i = 0, ${4000L * rep}, 0L))")
+            s" * 1000 + 0.5) as bigint) + IF(i = 0, ${offset * rep}L, 0L))")
             .as("q"))
       }.reduce(_.unionAll(_)).repartition(32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -377,7 +399,8 @@ object ScaleCurve {
     // history (32 batches of ~1000 fresh docs each), not corpus multiple;
     // a flat curve = per-batch work is batch-proportional, as claimed
     // (banding the batch + one join against persisted postings).
-    if (!trigOnly && !annOnly && !ccOnly && !r14Only) {
+    if (!trigOnly && !annOnly && !ccOnly && !r14Only && !bpeLargeOnly &&
+        !epsConcOnly) {
       val sndDocs = spark.read.parquet(docsPath(10)).persist()
       sndDocs.count()
       val sink = s"$work/snd_curve/sink"
@@ -412,6 +435,88 @@ object ScaleCurve {
       r14Families(k, spark.read.parquet(docsPath(k)))
     }
 
+    // bpelarge mode: ONE production-shaped large-K train — 4096 merges at
+    // K=512 — over a rich-vocabulary corpus (the sf documents vocabulary
+    // is ~dozens of types, far too small to absorb 4096 merges; a
+    // production tokenizer corpus has 10^4-10^6 word types). 1M docs x 8
+    // words drawn from 50k types ('w' + base-36 id), so total merge
+    // capacity (sum of word lengths - types) is ~200k >> 4096. Expected
+    // shape: early rounds admit at most |alphabet|/2 disjoint pairs (the
+    // symbol-disjointness guard), the admissible pool then grows with
+    // every created symbol, so round sizes ramp toward the K=512 cap —
+    // driver rounds ~O(log(merges)) + merges/K, vs `merges` sequential
+    // rounds. Per-round admission sizes are logged by the trainer
+    // (graft.ops.Bpe at INFO); results recorded in dev/BPE_BATCH.md.
+    if (bpeLargeOnly) {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "graft.ops", org.apache.logging.log4j.Level.INFO)
+      val corpus = spark.range(1000000L).select(
+        expr("array_join(transform(sequence(0, 7), i -> " +
+          "concat('w', conv(pmod(hash(id * 8 + i), 50000) + 50000, 10, 36))), ' ')")
+          .as("text"))
+        .repartition(32)
+      val t0 = System.nanoTime()
+      val merges = graft.ops.Bpe.trainMergesBatched(
+        corpus, "text", merges = 4096, mergesPerRound = 512)
+      val n = merges.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      record("bpe_large_4096_k512", 1, sec)
+      println(f"[scale] bpe_large: merges_completed=$n sec=$sec%.1f")
+      require(n == 4096, s"large-K train exhausted early: $n/4096 merges")
+    }
+
+    // epsconc mode: EpsilonJoin pruning health under adversarial
+    // concentration (VERDICT r14 item 6). Two d=256 datasets, same
+    // per-point noise (sum of 4 hashed uniforms — sd ~577/dim quantized):
+    //   - CONCENTRATED: one isotropic blob — pairwise distances
+    //     concentrate (relative sd ~ sqrt(2/d) ≈ 9%), so pivot rings and
+    //     band filters barely discriminate: the documented failure mode.
+    //   - CLUSTERED: 50 well-separated centers, same within-cluster
+    //     noise — rings resolve clusters, candidates track true density.
+    // 1% of points get a planted near-duplicate (d2 = 1) so n_true is
+    // never zero and recall is implicitly asserted. For each
+    // filterPivots in {0, 2, 6}: candidate volume after the ring-key
+    // join, band survivors reaching the O(d) verify, true pairs, and the
+    // wall time of the 3-stage diagnostic. dev/EPSJOIN_CONCENTRATION.md
+    // reads the curve into a guidance table.
+    if (epsConcOnly) {
+      val eps2 = 120000000L
+      def gauss(n: Long, clusters: Int): DataFrame = {
+        val clusterOff =
+          if (clusters <= 1) "0L"
+          else s"cast((pmod(hash(pmod(id, $clusters) * 131 + j), 7) - 3) * 20000L as bigint)"
+        spark.range(n).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, 255), j -> $clusterOff + " +
+            "cast(pmod(hash(id * 769 + j * 31 + 1), 1000) " +
+            "+ pmod(hash(id * 769 + j * 31 + 2), 1000) " +
+            "+ pmod(hash(id * 769 + j * 31 + 3), 1000) " +
+            "+ pmod(hash(id * 769 + j * 31 + 4), 1000) - 2000 as bigint))").as("q"))
+      }
+      def withDups(b: DataFrame): DataFrame =
+        b.unionAll(b.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 100000000L).as("vec_id"),
+            expr("transform(q, (x, j) -> x + IF(j = 0, 1L, 0L))").as("q")))
+      for (k <- Seq(1, 3, 10)) {
+        val n = 500L * k
+        for ((tag, clusters) <- Seq("epsconc" -> 1, "epsclus" -> 50)) {
+          val data = withDups(gauss(n, clusters)).repartition(32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          data.count()
+          for (fp <- Seq(0, 2, 6)) {
+            val t0 = System.nanoTime()
+            val (cand, band, truePairs) = graft.ops.EpsilonJoin.selfJoinStats(
+              data, "vec_id", "q", eps2, joinPivots = 2, filterPivots = fp)
+            val sec = (System.nanoTime() - t0) / 1e9
+            record(s"${tag}_fp$fp", k, sec)
+            println(s"[epsconc] $tag k=$k n=${n + n / 100} fp=$fp " +
+              s"cand=$cand band=$band true=$truePairs " +
+              f"candPerTrue=${cand.toDouble / math.max(truePairs, 1)}%.1f")
+          }
+          data.unpersist(blocking = true)
+        }
+      }
+    }
+
     // ---------------------------------------------- streaming trigger path
     // Per-trigger DRIVER cost at scale (VERDICT r12 item 3): the offset /
     // entry-log machinery at 1k-10k prior triggers and 10k-100k seen files.
@@ -427,7 +532,7 @@ object ScaleCurve {
     //                  seen-set compact write + entry-log GC
     //   trig_commit  — first cleanSource=delete commit after a restart
     //                  (surviving-entry sweep, best-effort deletes)
-    if (!annOnly && !ccOnly && !r14Only) {
+    if (!annOnly && !ccOnly && !r14Only && !bpeLargeOnly && !epsConcOnly) {
       import org.apache.spark.sql.connector.read.streaming.ReadLimit
       val nowMs = System.currentTimeMillis
       for (k <- Seq(1, 3, 10, 30)) {
@@ -502,6 +607,9 @@ object ScaleCurve {
     val json = results.map { case (fam, times) =>
       val ks = times.keys.toSeq.sorted
       val ts = ks.map(k => f"""\"x$k\":${times(k)}%.2f""").mkString(",")
+      if (ks.size < 2) { // one-off demo families (bpelarge): no fit
+        f"""\"$fam\":{$ts}"""
+      } else {
       // tail exponent (largest size pair the family has): the
       // fixed-overhead bias of the full fit vanishes where the data term
       // dominates
@@ -519,6 +627,7 @@ object ScaleCurve {
         else f""",\"postgc_mb_min\":${hp(ks.head)}%.0f,""" +
           f"""\"postgc_mb_max\":${hp(kb)}%.0f,\"peak_mb_max\":${hk(kb)}%.0f"""
       f"""\"$fam\":{$ts,\"slope\":${slope(times)}%.2f,\"tail\":$tail%.2f$heap}"""
+      }
     }.mkString("{", ",", "}")
     println(json)
 

@@ -9,6 +9,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Codegen'd squared-L2 distance over two `array<long>` columns: one tight
   * integer loop, exact at any magnitude the sum fits.
   *
+  * NO-OVERFLOW PRECONDITION (unchecked, like Java long arithmetic
+  * everywhere): the sum of squared per-dimension deltas must fit a
+  * signed 64-bit long, i.e. max|Δcoord| <= sqrt(Long.MaxValue / d) ≈
+  * 3.0e9/sqrt(d) (d=768: ~1.1e8). The library's quantization convention
+  * (unit-scale floats x 1000, [[graft.ops.Pq]]/[[graft.ops.IvfIndex]])
+  * sits 4+ orders of magnitude inside that bound. Beyond it the value
+  * silently wraps — harmless where the result is only RANKED against
+  * equally-wrapped peers, but consumers that PARTITION by distance
+  * ([[graft.ops.EpsilonJoin]]'s rings) inherit the precondition as a
+  * correctness requirement (documented there).
+  *
   * Same rationale as [[CosineSimilarity]]: the `aggregate(zip_with(...))`
   * composition is semantically identical but runs as INTERPRETED
   * higher-order functions (lambda call + array alloc per element) — the

@@ -40,13 +40,31 @@ import graft.functions.SquaredL2
   * ring populations — and therefore per-key join fan-out — track the true
   * ε-graph density rather than n². In concentrated high-dimensional data
   * the rings prune less (distances concentrate — an inherent property of
-  * exact ε-joins, not of this plan); the remedy is more `filterPivots`
-  * (each adds one cheap |Δd| <= w band filter ahead of the O(d) verify),
-  * and AQE's skew-join split handles a hot ring at runtime.
+  * exact ε-joins, not of this plan), and the MEASURED guidance
+  * (dev/EPSJOIN_CONCENTRATION.md, via [[selfJoinStats]]) is regime-
+  * dependent: on ISOTROPIC concentration nothing prunes — candidates
+  * degenerate to exactly n(n−1)/2, extra `filterPivots` are pure
+  * overhead, and the right moves are dimensionality reduction, a
+  * smaller ε, or approximate pre-blocking; on CLUSTERED data the rings
+  * prune ~10x and `filterPivots = 2` cuts the verify input a further
+  * ~2.5-2.7x (each pivot adds one cheap |Δd| <= w band filter ahead of
+  * the O(d) verify; beyond 2 buys ≤5%). AQE's skew-join split handles a
+  * hot ring at runtime.
   *
   * Input contract: `vecCol` is `array<long>` (the quantized embedding
   * convention shared with [[SquaredL2]] / [[Pq]]); rows with NULL vectors
   * are ignored (no pair can be within ε of an unknown point).
+  *
+  * NO-OVERFLOW PRECONDITION (inherited from [[SquaredL2]], and STRICTER
+  * here than in ranking consumers): ring assignment partitions points by
+  * pivot distance, so a wrapped-around distance doesn't just mis-rank —
+  * it can place a true pair in non-adjacent rings and DROP it before the
+  * exact verify. Exactness therefore requires max|Δcoord| <=
+  * sqrt(Long.MaxValue / d) ≈ 3.0e9/sqrt(d) across all point pairs AND
+  * point-pivot pairs (d=768: ~1.1e8; the library's x1000 quantization is
+  * 4+ orders inside). Callers with coarser quantization must rescale
+  * before joining — the all-pairs fallback only mis-verified under
+  * overflow, this plan can silently lose pairs.
   */
 object EpsilonJoin {
 
@@ -65,7 +83,57 @@ object EpsilonJoin {
       vecCol: String,
       eps2: Long,
       joinPivots: Int = 2,
-      filterPivots: Int = 2): DataFrame = {
+      filterPivots: Int = 2): DataFrame =
+    build(df, idCol, vecCol, eps2, joinPivots, filterPivots) match {
+      case Some(s) => s.result
+      case None    => emptyResult(df, idCol)
+    }
+
+  /** Candidate-volume diagnostics for the SAME plan [[selfJoin]] runs
+    * (one shared builder — the numbers can't drift from the shipped
+    * operator): one row with
+    *  - `n_key_candidates` — ordered pairs surviving the ring-key
+    *    equi-join (before band filters): the join's shuffle/fan-out cost;
+    *  - `n_band_survivors` — after the per-pivot |Δd| <= w band filters:
+    *    what reaches the O(d) exact verify;
+    *  - `n_true_pairs` — the exact result.
+    * `n_key_candidates / n_true_pairs` is the pruning health metric the
+    * concentration curve (dev/EPSJOIN_CONCENTRATION.md) tracks; costs 3
+    * jobs, so it's a diagnosis tool, not the production path.
+    */
+  def selfJoinStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps2: Long,
+      joinPivots: Int = 2,
+      filterPivots: Int = 2): (Long, Long, Long) =
+    build(df, idCol, vecCol, eps2, joinPivots, filterPivots) match {
+      case Some(s) => (s.candidates.count(), s.banded.count(), s.result.count())
+      case None    => (0L, 0L, 0L)
+    }
+
+  private final case class Stages(
+      candidates: DataFrame, banded: DataFrame, result: DataFrame)
+
+  private def emptyResult(df: DataFrame, idCol: String): DataFrame = {
+    val idT = df.schema(idCol).dataType
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idA", idT),
+        org.apache.spark.sql.types.StructField("idB", idT),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  private def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps2: Long,
+      joinPivots: Int,
+      filterPivots: Int): Option[Stages] = {
     require(eps2 >= 0, s"eps2 must be >= 0, got $eps2")
     require(joinPivots >= 1 && joinPivots <= 2,
       s"joinPivots must be 1 or 2, got $joinPivots")
@@ -79,16 +147,7 @@ object EpsilonJoin {
     // input): every selected pivot still yields a valid band, just a
     // weaker one — proceed with what exists. Zero pivots = empty input =
     // no pairs, by construction.
-    if (pivots.isEmpty) {
-      val idT = df.schema(idCol).dataType
-      return df.sparkSession.createDataFrame(
-        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("idA", idT),
-          org.apache.spark.sql.types.StructField("idB", idT),
-          org.apache.spark.sql.types.StructField("d2",
-            org.apache.spark.sql.types.LongType))))
-    }
+    if (pivots.isEmpty) return None
     val usable = pivots.size
     val jp = math.min(joinPivots, usable)
 
@@ -125,12 +184,15 @@ object EpsilonJoin {
     val bandFilters = (0 until usable).map { k =>
       abs(col("__da").getItem(k) - col("__db").getItem(k)) <= lit(w)
     }.reduce(_ && _)
-    left.join(right, keyCols)
-      .filter(col("__ida") < col("__idb") && bandFilters)
+    val candidates = left.join(right, keyCols)
+      .filter(col("__ida") < col("__idb"))
+    val banded = candidates.filter(bandFilters)
+    val result = banded
       .withColumn("__d2", SquaredL2(col("__va"), col("__vb")))
       .filter(col("__d2") <= lit(eps2))
       .select(col("__ida").as("idA"), col("__idb").as("idB"),
         col("__d2").as("d2"))
+    Some(Stages(candidates, banded, result))
   }
 
   /** Greedy max-min (k-center) pivot selection over a bounded sample —

@@ -99,6 +99,26 @@ class EpsilonJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("selfJoinStats shares the selfJoin plan: funnel monotone, result count identical") {
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (0L until 80L).map(i =>
+      i -> Seq.fill(6)((rnd.nextInt(30) - 15).toLong))
+    for (fp <- Seq(0, 3)) {
+      val (cand, band, truePairs) =
+        EpsilonJoin.selfJoinStats(df(rows), "id", "v", 120L, 2, fp)
+      assert(cand >= band && band >= truePairs,
+        s"funnel not monotone: $cand >= $band >= $truePairs (fp=$fp)")
+      assert(truePairs == brute(rows, 120L).size.toLong, s"fp=$fp")
+    }
+    // more filter pivots can only SHRINK the band-survivor set (each adds
+    // one conjunct), never change the exact result
+    val (_, band0, t0) = EpsilonJoin.selfJoinStats(df(rows), "id", "v", 120L, 2, 0)
+    val (_, band3, t3) = EpsilonJoin.selfJoinStats(df(rows), "id", "v", 120L, 2, 3)
+    assert(band3 <= band0 && t0 == t3)
+    // degenerate: empty input
+    assert(EpsilonJoin.selfJoinStats(df(Nil), "id", "v", 10L) == ((0L, 0L, 0L)))
+  }
+
   test("real embeddings slice matches brute force at the q_dbscan eps") {
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),
