@@ -176,14 +176,21 @@ object Bench {
     }.mkString("{", ",", "}")
     // streaming floor/work split: measured no-op drains (see measureFloor),
     // subtracted per streaming query so their reported "work" tracks data
-    // processing, not state-store/offset-log fixed cost
+    // processing, not state-store/offset-log fixed cost. ONE per-query
+    // pass feeds both the breakdown and the normalized headline below —
+    // two sites re-deriving the floor policy could silently drift.
     val floorStateless = measureFloor(spark, stateful = false)
     val floorRocksdb = measureFloor(spark, stateful = true)
-    val streamingBd = names.collect {
+    // (query, min, floor, charged-floor = min(floor, min)) per streaming
+    // query with at least one successful run
+    val floorSplit = names.collect {
       case (k, _) if StreamingQueries(k) && okTimes(k).nonEmpty =>
         val f = if (RocksDbQueries(k)) floorRocksdb else floorStateless
         val m = okTimes(k).min
-        s"""\"$k\":{"min":$m,"floor":$f,"work":${math.max(0.0, m - f)}}"""
+        (k, m, f, math.min(f, m))
+    }
+    val streamingBd = floorSplit.map { case (k, m, f, charged) =>
+      s"""\"$k\":{"min":$m,"floor":$f,"work":${m - charged}}"""
     }.mkString("{", ",", "}")
     val total = names.map { case (k, _) => charge(k) }.sum
     val medianTotal = names.map { case (k, _) => chargeMedian(k) }.sum
@@ -191,13 +198,11 @@ object Bench {
     // floors are CODE-FREE fixed costs (no-op drains) that move with box
     // load — r14's contaminated driver run had them up 1.2-1.7x on
     // unchanged floor code. Subtracting each streaming query's measured
-    // floor yields a total dominated by data work, so a loaded box can't
-    // read as a code regression: compare value_floor_normalized across
-    // rounds FIRST, then the raw value.
-    val floorCharged = names.collect {
-      case (k, _) if StreamingQueries(k) && okTimes(k).nonEmpty =>
-        math.min(if (RocksDbQueries(k)) floorRocksdb else floorStateless, okTimes(k).min)
-    }.sum
+    // floor (capped at the query's own min — never negative) yields a
+    // total dominated by data work, so a loaded box can't read as a code
+    // regression: compare value_floor_normalized across rounds FIRST,
+    // then the raw value.
+    val floorCharged = floorSplit.map(_._4).sum
     val totalNormalized = total - floorCharged
     val loadEnd = loadAvg()
     def strList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -97,8 +97,11 @@ object DirLockDrive {
     val spark = session("dirlock-holder")
     val l = DirLock.acquire(spark, artifactDir(work))
     touch(s"$work/holder.acquired")
+    // 64 rows x 1 s over 4 cores = a >=16 s write window: the parent's
+    // kill (acquired + 6 s) is guaranteed mid-upsert no matter how slow
+    // the contender JVM comes up
     try PartitionedSink.upsertByKey(
-      batch(spark, "HOLDER", slowMs = 400), artifactDir(work), "part", "key")
+      batch(spark, "HOLDER", slowMs = 1000), artifactDir(work), "part", "key")
     finally l.release() // unreachable when SIGKILLed — that's the point
     touch(s"$work/holder.finished") // reached only if the kill missed
   }
@@ -219,17 +222,25 @@ object DirLockDrive {
     Dedup.bandPostings(docs(spark, 100, "seed"), "doc_id", "text")
       .save(postingsDir(work))
 
-    // scenario 1+2: holder vs contender, then SIGKILL + stale break
+    // scenario 1+2: holder vs contender, then SIGKILL + stale break.
+    // The kill is anchored to holder.acquired + 6 s — NOT to the
+    // contender's JVM lifecycle — so the holder is provably mid-write
+    // (its upsert takes >=16 s by construction) regardless of how fast
+    // or slow the contender comes up. The contender's refusal is
+    // against the lease FILE, which outlives the SIGKILL, so it holds
+    // whether it races the live holder or the orphaned lease.
     val h = spawn("holder", work)
     require(awaitFile(s"$work/holder.acquired", 120000), "holder never acquired")
+    val tAcquired = System.currentTimeMillis()
     val c = spawn("contender", work)
+    val killAt = tAcquired + 6000
+    while (System.currentTimeMillis() < killAt) Thread.sleep(100)
+    h.destroyForcibly(); h.waitFor()
+    val killedMidWrite = !Files.exists(Paths.get(s"$work/holder.finished"))
     c.waitFor()
     val refused = Files.exists(Paths.get(s"$work/contender.refused")) &&
       !Files.exists(Paths.get(s"$work/contender.acquired"))
     println(s"DRIVE contention outcome=${if (refused) "REFUSED_LOUDLY" else "FAILED"}")
-    Thread.sleep(3000) // let the holder get well inside its slow write
-    h.destroyForcibly(); h.waitFor()
-    val killedMidWrite = !Files.exists(Paths.get(s"$work/holder.finished"))
     val b = spawn("breaker", work)
     b.waitFor()
     val broke = Files.exists(Paths.get(s"$work/breaker.ok"))

@@ -22,6 +22,12 @@ import graft.functions.TextFunctions
   */
 object Bpe {
 
+  /** Ceiling on the batched trainer's admission-horizon collect (see
+    * [[trainMergesBatched]]'s in-line doc): ~1M (a, b, n) rows ≈ tens of
+    * MB on the driver — 2048x the largest batch, 6x above the largest
+    * horizon a measured production train needed. */
+  private val MaxHorizon = 1 << 20
+
   /** Top-`k` adjacent character pairs by weighted occurrence count.
     * Output: (pair, n_types, n_occurrences) — `n_types` = distinct words
     * containing the pair, `n_occurrences` = corpus occurrences (word
@@ -153,6 +159,13 @@ object Bpe {
       // the documented full-order admission. Start at 8x the batch and
       // re-collect 4x wider until either the batch fills or the fetch
       // came back short of the horizon (= ALL candidates were scanned).
+      // The widening is CAPPED at MaxHorizon so the driver collect stays
+      // bounded even on adversarial vocabularies (millions of distinct
+      // pairs, nearly all sharing one hot symbol): past the cap the
+      // batch is allowed to shrink — logged loudly, still CORRECT (the
+      // next round re-counts; smaller batches cost extra rounds, never
+      // wrong merges). Measured production trains (dev/BPE_BATCH.md)
+      // topped out at ~170k-candidate horizons, 6x under the cap.
       def admit(cands: Array[org.apache.spark.sql.Row])
           : scala.collection.mutable.ArrayBuffer[(String, String, Long)] = {
         val guard = scala.collection.mutable.Set.empty[String]
@@ -173,11 +186,17 @@ object Bpe {
       var horizon = math.max(8 * want, 64)
       var cands = ordered.limit(horizon).collect()
       var picked = admit(cands)
-      while (picked.size < want && cands.length == horizon) {
-        horizon *= 4
+      while (picked.size < want && cands.length == horizon && horizon < MaxHorizon) {
+        horizon = math.min(horizon * 4, MaxHorizon)
         cands = ordered.limit(horizon).collect()
         picked = admit(cands)
       }
+      if (picked.size < want && cands.length == horizon)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft.bpe] admission horizon capped at $MaxHorizon candidates " +
+            s"with the batch unfilled (${picked.size}/$want): accepting the " +
+            "smaller batch — next round re-counts (correctness unaffected, " +
+            "round count grows)")
       if (cands.isEmpty) exhausted = true
       else {
         org.slf4j.LoggerFactory.getLogger(getClass).info(

@@ -200,12 +200,23 @@ object DirLock {
       // as stale could no longer roll the rename back (silent rename
       // failure -> the live lease stays destroyed -> two writers). Only
       // tombstones old enough that no verify/rollback can still be in
-      // flight are swept; younger orphans wait for the next winner.
-      try Option(fs.globStatus(new Path(lock.getParent, s"${lock.getName}.broken.*")))
-        .getOrElse(Array.empty)
-        .filter(s => System.currentTimeMillis() - s.getModificationTime > TombstoneSweepAgeMs)
-        .foreach(s => fs.delete(s.getPath, false))
-      catch { case _: java.io.IOException => () }
+      // flight are swept; younger orphans wait for the next winner. Age
+      // is measured against a SAME-FILESYSTEM probe file's mtime, not
+      // this JVM's clock — on HDFS/object stores mtimes are
+      // server-assigned, and a sweeper clock >30 s ahead would otherwise
+      // judge a microseconds-old tombstone "aged" and reopen the race.
+      // Probe failure skips the sweep (pure housekeeping).
+      try {
+        val probe = new Path(lock.getParent, s"${lock.getName}.probe.$token")
+        val out = fs.create(probe, false)
+        out.close()
+        val fsNow = fs.getFileStatus(probe).getModificationTime
+        fs.delete(probe, false)
+        Option(fs.globStatus(new Path(lock.getParent, s"${lock.getName}.broken.*")))
+          .getOrElse(Array.empty)
+          .filter(s => fsNow - s.getModificationTime > TombstoneSweepAgeMs)
+          .foreach(s => fs.delete(s.getPath, false))
+      } catch { case _: java.io.IOException => () }
       threadHeld(key) = (token, 1)
       new DirLock(fs, lock, key, token)
     }

@@ -53,10 +53,15 @@ object Multimodal {
     * mass split over a `gridW`×`gridH` grid with integer block
     * boundaries `x0 = gx·w / gridW` (row-major; Σ blockSums == graySum
     * by construction — the identity the oracled query asserts).
+    * The EFFECTIVE grid is clamped to the source dims — an image
+    * narrower/shorter than the requested grid yields fewer blocks — so
+    * the shape rides along explicitly in `gridW`/`gridH`
+    * (`blockSums.length == gridW * gridH` always; consumers must read
+    * these fields, not assume the requested grid).
     */
   final case class DecodedImage(
       width: Int, height: Int, channels: Int,
-      graySum: Long, blockSums: Array[Long])
+      graySum: Long, gridW: Int, gridH: Int, blockSums: Array[Long])
 
   /** Decode image bytes with `javax.imageio.ImageIO`. Left(reason) for
     * unrecognized formats (ImageIO returns null — no reader claims the
@@ -89,14 +94,16 @@ object Multimodal {
           }
           y += 1
         }
-        Right(DecodedImage(w, h, channels, graySum, sums))
+        Right(DecodedImage(w, h, channels, graySum, gw, gh, sums))
       }
     } catch { case scala.util.control.NonFatal(_) => Left("error:decode") }
   }
 
   final case class ImageFeatureRow(
       id: Long, status: String, width: Int, height: Int, channels: Int,
-      gray_sum: Long, n_pixels: Long, block_sums: Array[Long])
+      gray_sum: Long, n_pixels: Long,
+      grid_w: Int, grid_h: Int, // effective (source-clamped) block grid
+      block_sums: Array[Long])  // row-major grid_w x grid_h
 
   /** Batch image feature extraction over partitions: REAL decode via
     * [[decodeImage]], row-error routing in the `status` column (corrupt
@@ -116,14 +123,22 @@ object Multimodal {
           batch.map { m =>
             decodeImage(m.content, gridW, gridH) match {
               case Right(d) => ImageFeatureRow(m.id, "ok", d.width, d.height,
-                d.channels, d.graySum, d.width.toLong * d.height, d.blockSums)
+                d.channels, d.graySum, d.width.toLong * d.height,
+                d.gridW, d.gridH, d.blockSums)
               case Left(err) => ImageFeatureRow(m.id, err, 0, 0, 0, 0L, 0L,
-                Array.empty[Long])
+                0, 0, Array.empty[Long])
             }
           }
         }
       }
   }
+
+  /** A resized grayscale thumbnail with its EFFECTIVE dims: the target
+    * is clamped to the source (never upsampled — no pixels are invented),
+    * so `pixels.length == width * height` always and consumers must read
+    * the dims from here, not from the requested target.
+    */
+  final case class GrayImage(width: Int, height: Int, pixels: Array[Byte])
 
   /** Real grayscale area-average resize: target pixel (gx,gy) = the
     * integer mean `blockGraySum / (3 · blockPixels)` over the source
@@ -131,7 +146,7 @@ object Multimodal {
     * deterministic, no resampling kernel). Left(reason) mirrors
     * [[decodeImage]]'s row-error contract.
     */
-  def resizeGray(bytes: Array[Byte], w: Int, h: Int): Either[String, Array[Byte]] = {
+  def resizeGray(bytes: Array[Byte], w: Int, h: Int): Either[String, GrayImage] = {
     require(w >= 1 && h >= 1, s"target must be >= 1x1, got ${w}x$h")
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -164,11 +179,14 @@ object Multimodal {
           }
           gy += 1
         }
-        Right(out)
+        Right(GrayImage(tw, th, out))
       }
     } catch { case scala.util.control.NonFatal(_) => Left("error:decode") }
   }
 
+  /** `width`/`height` are the EFFECTIVE thumbnail dims ([[GrayImage]]'s
+    * source-clamp contract): `pixels.length == width * height` on ok
+    * rows, 0/0/empty on error rows. */
   final case class ResizedMedia(
       id: Long, status: String, width: Int, height: Int, pixels: Array[Byte])
 
@@ -186,7 +204,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { m =>
           resizeGray(m.content, w, h) match {
-            case Right(px) => ResizedMedia(m.id, "ok", w, h, px)
+            case Right(g)  => ResizedMedia(m.id, "ok", g.width, g.height, g.pixels)
             case Left(err) => ResizedMedia(m.id, err, 0, 0, Array.empty[Byte])
           }
         })
@@ -220,7 +238,7 @@ object Multimodal {
   // Audio/video: documented STUBS (no compressed-media codec in the JDK)
   // ----------------------------------------------------------------
 
-  final case class MediaFeatures(id: Long, n_bytes: Int, brightness: Double, feature: Array[Float])
+  final case class MediaFeatures(id: Long, n_bytes: Int, loudness: Double, feature: Array[Float])
 
   /** STUB audio decode: deterministic fake "feature extraction" from raw
     * bytes — stands in for audio decode + embed (the JDK has no MP3/AAC/

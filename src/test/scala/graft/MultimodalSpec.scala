@@ -42,21 +42,28 @@ class MultimodalSpec extends SparkSpec {
 
   test("resizeGray is the exact integer area-average of decoded pixels") {
     val id = 42L; val sw = 10; val sh = 7
-    val px = Multimodal.resizeGray(Multimodal.syntheticPng(id, sw, sh), 4, 3)
+    val g = Multimodal.resizeGray(Multimodal.syntheticPng(id, sw, sh), 4, 3)
       .fold(e => fail(s"resize failed: $e"), identity)
-    assert(px.length == 12)
+    assert(g.width == 4 && g.height == 3 && g.pixels.length == 12)
     for (gy <- 0 until 3; gx <- 0 until 4) {
       val x0 = gx * sw / 4; val x1 = (gx + 1) * sw / 4
       val y0 = gy * sh / 3; val y1 = (gy + 1) * sh / 3
       val s = (for (y <- y0 until y1; x <- x0 until x1) yield gray(id, x, y)).sum
       val expected = (s / (3L * (x1 - x0) * (y1 - y0))).toByte
-      assert(px(gy * 4 + gx) == expected, s"block ($gx,$gy)")
+      assert(g.pixels(gy * 4 + gx) == expected, s"block ($gx,$gy)")
     }
     // upscale request clamps to source dims (never interpolates pixels
-    // that don't exist)
+    // that don't exist) — and REPORTS the effective dims
     val clamped = Multimodal.resizeGray(Multimodal.syntheticPng(id, 3, 2), 8, 8)
       .fold(e => fail(e), identity)
-    assert(clamped.length == 6)
+    assert(clamped.width == 3 && clamped.height == 2 && clamped.pixels.length == 6)
+    // resizeAll carries the clamped dims through to the row (never lies
+    // about the buffer shape)
+    val small = spark.range(3).select($"id").as[Long]
+      .map(i => Multimodal.MediaRow(i, Multimodal.syntheticPng(i, 3, 2))).toDF()
+    val rows = Multimodal.resizeAll(spark, small, 8, 8).collect()
+    assert(rows.forall(r => r.width == 3 && r.height == 2 &&
+      r.pixels.length == r.width * r.height))
   }
 
   test("corrupt payloads take the row-error path, never a task failure") {
@@ -83,10 +90,12 @@ class MultimodalSpec extends SparkSpec {
     val (ok, err) = rows.partition(_.status == "ok")
     assert(ok.length == 36 && err.length == 4)
     assert(err.forall(r => r.status == "error:decode" && r.gray_sum == 0L &&
-      r.block_sums.isEmpty && r.width == 0))
+      r.block_sums.isEmpty && r.width == 0 && r.grid_w == 0))
     ok.foreach { r =>
       assert(r.width == (4 + r.id % 5) && r.height == (3 + r.id % 4) && r.channels == 3)
       assert(r.block_sums.sum == r.gray_sum && r.n_pixels == r.width.toLong * r.height)
+      assert(r.grid_w == 2 && r.grid_h == 2 &&
+        r.block_sums.length == r.grid_w * r.grid_h)
     }
     assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
     val again = Multimodal.decodeImageFeatures(spark, media, 2, 2, batchSize = 7).collect()

@@ -394,7 +394,7 @@ class TextOpsSpec extends SparkSpec {
     val rows = feats.collect()
     assert(rows.length == 100)
     assert(rows.forall(_.feature.length == 8))
-    assert(rows.forall(r => r.brightness >= 0.0 && r.brightness <= 1.0))
+    assert(rows.forall(r => r.loudness >= 0.0 && r.loudness <= 1.0))
     // determinism
     val again = Multimodal.extractAudioFeatures(spark, media, dim = 8).collect()
     assert(rows.map(r => (r.id, r.feature.toSeq)).toSet ==
