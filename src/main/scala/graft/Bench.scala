@@ -135,7 +135,12 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name filter for
+    // focused A/B drills (dev/bench_r* methodology) — absent = full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
     val okTimes = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val failTimes = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 0 until n; (name, fn) <- names) {
