@@ -5823,6 +5823,52 @@ object SparkEntry {
           .as("blocks_exact"))
   }
 
+  /** Multimodal audio features from REAL decoded PCM samples
+    * (`javax.sound.sampled`, in-JDK): each document row becomes a
+    * deterministic synthetic 16-bit WAV — sample values are modular
+    * arithmetic on (doc_id, frame, channel)
+    * ([[Multimodal.syntheticWav]]) — except every 10th row, which
+    * carries a TRUNCATED WAV (RIFF magic intact, torn header) to
+    * exercise the corrupt-payload row-error path. PCM is lossless and
+    * the decode statistics are exact longs, so the oracle recomputes
+    * every figure as pure integer arithmetic in SQL with no audio
+    * library; `hist_exact` asserts the 8-bucket energy histogram
+    * partitions the sample count (the histogram machinery), which must
+    * hold bit-exactly on every decoded row, and `hist_lo`/`hist_hi`
+    * check two buckets value-for-value.
+    */
+  private def qAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spread(t(spark, dir, "documents"))
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val wav = Multimodal.syntheticWav(
+          id, (50 + id % 50).toInt, 8000, (1 + id % 2).toInt)
+        if (id % 10 == 0) Multimodal.MediaRow(id, wav.take(20)) // torn mid-header
+        else Multimodal.MediaRow(id, wav)
+      }.toDF()
+    Multimodal.decodeAudioFeatures(spark, media).toDF()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("n_err"),
+        sum(col("sample_rate").cast("long")).as("sum_rate"),
+        sum(col("channels").cast("long")).as("sum_channels"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("n_samples")).as("total_samples"),
+        max(col("peak_abs")).as("max_peak"),
+        sum(col("sum_abs")).as("total_abs"),
+        sum(col("sum_sq")).as("total_sq"),
+        r(sum(col("sum_abs")) / (lit(32768.0) * sum(col("n_samples"))), 6)
+          .as("mean_level"),
+        expr("bool_and(aggregate(energy_hist, 0L, (a, x) -> a + x) = n_samples)")
+          .as("hist_exact"),
+        sum(coalesce(try_element_at(col("energy_hist"), lit(1)), lit(0L)))
+          .as("hist_lo"),
+        sum(coalesce(try_element_at(col("energy_hist"), lit(8)), lit(0L)))
+          .as("hist_hi"))
+  }
+
   /** Video-style frame sampling through the `mapPartitions` plumbing: 4
     * evenly spaced byte-range "frames" per payload. Offsets/lengths are
     * integer arithmetic and the per-frame digest is sha256 over the byte
@@ -7224,6 +7270,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_audio_features" -> (qAudioFeatures _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -10756,6 +10803,45 @@ object SparkEntry {
         |         AS mean_luma,
         |       true AS blocks_exact
         |FROM tot""".stripMargin,
+    // pure integer arithmetic mirror of the synthetic-WAV sample formula
+    // (Multimodal.syntheticWav): sample at (frame t, channel c) =
+    // (id*31 + t*7919 + c*13) % 65536 - 32768; PCM is lossless so the real
+    // javax.sound decode recovers these exactly
+    "q_audio_features" ->
+      """WITH ok AS (
+        |  SELECT doc_id, 50 + doc_id % 50 AS nf, 1 + doc_id % 2 AS ch
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |s AS (
+        |  SELECT doc_id, nf, ch,
+        |    flatten(list_transform(range(nf), t ->
+        |      list_transform(range(ch), c ->
+        |        (doc_id*31 + t*7919 + c*13) % 65536 - 32768))) AS sm
+        |  FROM ok),
+        |per AS (
+        |  SELECT doc_id, nf, ch, nf * ch AS ns,
+        |    list_max(list_transform(sm, s -> abs(s))) AS pk,
+        |    list_sum(list_transform(sm, s -> abs(s))) AS sa,
+        |    list_sum(list_transform(sm, s -> s * s)) AS sq,
+        |    list_sum(list_transform(sm, s ->
+        |      CASE WHEN least(abs(s) * 8 // 32768, 7) = 0 THEN 1 ELSE 0 END)) AS h0,
+        |    list_sum(list_transform(sm, s ->
+        |      CASE WHEN least(abs(s) * 8 // 32768, 7) = 7 THEN 1 ELSE 0 END)) AS h7
+        |  FROM s)
+        |SELECT (SELECT count(*) FROM documents) AS n, count(*) AS n_ok,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_err,
+        |       CAST(count(*) * 8000 AS BIGINT) AS sum_rate,
+        |       CAST(sum(ch) AS BIGINT) AS sum_channels,
+        |       CAST(sum(nf) AS BIGINT) AS total_frames,
+        |       CAST(sum(ns) AS BIGINT) AS total_samples,
+        |       CAST(max(pk) AS BIGINT) AS max_peak,
+        |       CAST(sum(sa) AS BIGINT) AS total_abs,
+        |       CAST(sum(sq) AS BIGINT) AS total_sq,
+        |       floor(sum(sa) / (32768.0 * sum(ns)) * 1000000 + 0.5) / 1000000
+        |         AS mean_level,
+        |       true AS hist_exact,
+        |       CAST(sum(h0) AS BIGINT) AS hist_lo,
+        |       CAST(sum(h7) AS BIGINT) AS hist_hi
+        |FROM per""".stripMargin,
     "q_repetition" ->
       s"""SELECT source,
          |  floor(avg((len($ToksSql) - len(list_distinct($ToksSql))) * 1.0

@@ -21,12 +21,28 @@ import org.apache.spark.sql.functions._
   * a task failure — the same per-row tolerance contract as the log
   * source's unmatched-line routing.
   *
-  * AUDIO/VIDEO remain clearly-marked STUBS ([[stubAudioDecode]],
-  * [[sampleFrames]]' byte-range "keyframes"): the JDK has no compressed
-  * audio/video codecs, so the stubs produce deterministic fake features
-  * while the Spark-side plumbing (schema, batch shape, partitioning) is
-  * real and tested. Swapping in a real codec touches only the
-  * per-payload decode function.
+  * AUDIO decode is REAL for PCM containers: [[decodeAudio]] uses
+  * `javax.sound.sampled.AudioSystem` (in-JDK — WAV/AIFF/AU readers, no
+  * external dependency) and produces exact integer sample statistics —
+  * sample rate / channel count / frame count, peak magnitude, Σ|s|,
+  * Σs² (the RMS numerator), and a fixed-bucket energy histogram — all
+  * in long arithmetic over the raw PCM samples, so features are
+  * bit-reproducible and oracle-checkable on deterministic synthetic
+  * WAVs ([[syntheticWav]]: every 16-bit sample is modular arithmetic on
+  * (id, frame, channel), which a SQL oracle recomputes with no audio
+  * library; PCM is lossless, so encode→decode round-trips samples
+  * exactly). Corrupt, torn, or COMPRESSED payloads (MP3/AAC/Opus — the
+  * JDK ships no compressed-audio codec) take the same ROW-ERROR path as
+  * images.
+  *
+  * VIDEO remains a clearly-marked STUB ([[sampleFrames]]' byte-range
+  * "keyframes"), as does the compressed-audio embed stand-in
+  * ([[stubAudioDecode]]): the JDK has no compressed audio/video codecs,
+  * so those produce deterministic fake features while the Spark-side
+  * plumbing (schema, batch shape, partitioning) is real and tested.
+  * Swapping in a real codec touches only the per-payload decode
+  * function — exactly the swap [[decodeImage]] (r14→r15) and
+  * [[decodeAudio]] (r15→r16) already made for images and PCM audio.
   */
 object Multimodal {
 
@@ -42,6 +58,19 @@ object Multimodal {
         sha2(col("content"), 256).as("sha256")))
 
   final case class MediaRow(id: Long, content: Array[Byte])
+
+  /** `ImageIO.read(InputStream)` with the default `useCache=true` wraps
+    * the stream in a `FileCacheImageInputStream` — a temp-file create +
+    * delete per decoded row inside the `mapPartitions` hot path, pure
+    * disk churn (and a failure point if `java.io.tmpdir` is unwritable
+    * on executors) for payloads already fully in memory. Decode through
+    * an explicit `MemoryCacheImageInputStream` instead; `ImageIO.read`
+    * closes the stream either way.
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
 
   // ----------------------------------------------------------------
   // REAL image path (javax.imageio)
@@ -71,7 +100,7 @@ object Multimodal {
       : Either[String, DecodedImage] = {
     require(gridW >= 1 && gridH >= 1, s"grid must be >= 1x1, got ${gridW}x$gridH")
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null) Left("error:unrecognized")
       else {
         val w = img.getWidth
@@ -149,7 +178,7 @@ object Multimodal {
   def resizeGray(bytes: Array[Byte], w: Int, h: Int): Either[String, GrayImage] = {
     require(w >= 1 && h >= 1, s"target must be >= 1x1, got ${w}x$h")
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null) Left("error:unrecognized")
       else {
         val sw = img.getWidth
@@ -235,16 +264,192 @@ object Multimodal {
   }
 
   // ----------------------------------------------------------------
-  // Audio/video: documented STUBS (no compressed-media codec in the JDK)
+  // REAL audio path (javax.sound.sampled — PCM containers: WAV/AIFF/AU)
+  // ----------------------------------------------------------------
+
+  /** Exact integer decode result for a PCM payload. All statistics are
+    * computed in long arithmetic over the raw integer samples (16-bit
+    * domain; 8-bit sources are scaled ×256 into it so magnitudes are
+    * comparable across depths):
+    *  - `peakAbs` = max |s| (≤ 32768 — |Short.MinValue|),
+    *  - `sumAbs`  = Σ|s| (the mean-level numerator),
+    *  - `sumSq`   = Σs² (the RMS numerator — callers divide ONCE;
+    *    overflow-free for any real payload: 2³⁰ per sample leaves room
+    *    for 2³³ samples ≈ 74 h of 16-bit stereo at 16 kHz per row),
+    *  - `hist(b)` = #samples with `min(|s|·B / 32768, B−1) == b` — a
+    *    fixed-bucket energy histogram (Σ hist == nFrames·channels, the
+    *    identity the oracled query asserts).
+    */
+  final case class DecodedAudio(
+      sampleRate: Int, channels: Int, nFrames: Long,
+      peakAbs: Long, sumAbs: Long, sumSq: Long, hist: Array[Long])
+
+  /** Decode PCM audio bytes with `javax.sound.sampled.AudioSystem`.
+    * Left(reason) for unrecognized containers (no provider claims the
+    * bytes — including every compressed codec, which the JDK does not
+    * ship), non-PCM encodings inside a recognized container, and torn
+    * payloads (header claims more frames than the body holds, or a
+    * trailing partial frame); never throws. Supports PCM_SIGNED /
+    * PCM_UNSIGNED at 8 or 16 bits, any channel count, either endianness
+    * — everything `AudioSystem.write` can produce for the PCM types.
+    */
+  def decodeAudio(bytes: Array[Byte], histBuckets: Int = 8)
+      : Either[String, DecodedAudio] = {
+    require(histBuckets >= 1, s"histBuckets must be >= 1, got $histBuckets")
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!signed && !unsigned) Left(s"error:unsupported-encoding:$enc")
+        else if (bits != 8 && bits != 16) Left(s"error:unsupported-depth:$bits")
+        else {
+          val channels = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val frameSize = channels * bytesPerSample
+          val big = fmt.isBigEndian
+          // stream the body in bounded chunks (never one giant copy);
+          // a trailing partial frame = torn payload = row error
+          val buf = new Array[Byte](math.max(frameSize * 1024, 4096) / frameSize * frameSize)
+          var carry = 0 // bytes of an incomplete frame held at buf start
+          var nFrames = 0L
+          var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+          val hist = new Array[Long](histBuckets)
+          var n = ais.read(buf, carry, buf.length - carry)
+          while (n >= 0) {
+            val avail = carry + n
+            val complete = avail / frameSize * frameSize
+            var i = 0
+            while (i < complete) {
+              // one frame: `channels` samples, each decoded to the
+              // signed 16-bit domain
+              var c = 0
+              while (c < channels) {
+                val off = i + c * bytesPerSample
+                val s: Int =
+                  if (bits == 16) {
+                    val lo = if (big) buf(off + 1) else buf(off)
+                    val hi = if (big) buf(off) else buf(off + 1)
+                    val v = ((hi & 0xff) << 8) | (lo & 0xff)
+                    val sv = v.toShort.toInt
+                    if (signed) sv else (v - 32768) // unsigned 16: offset binary
+                  } else {
+                    val raw = if (signed) buf(off).toInt else (buf(off) & 0xff) - 128
+                    raw * 256 // scale 8-bit into the 16-bit domain
+                  }
+                val a = math.abs(s.toLong)
+                if (a > peak) peak = a
+                sumAbs += a
+                sumSq += s.toLong * s
+                hist(math.min((a * histBuckets / 32768L).toInt, histBuckets - 1)) += 1L
+                c += 1
+              }
+              nFrames += 1
+              i += frameSize
+            }
+            // slide the partial tail frame to the front
+            val rest = avail - complete
+            System.arraycopy(buf, complete, buf, 0, rest)
+            carry = rest
+            n = ais.read(buf, carry, buf.length - carry)
+          }
+          if (carry != 0) Left("error:decode") // torn mid-frame
+          else Right(DecodedAudio(fmt.getSampleRate.round, channels, nFrames,
+            peak, sumAbs, sumSq, hist))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        Left("error:unrecognized") // no provider claims the container
+      case scala.util.control.NonFatal(_) => Left("error:decode")
+    }
+  }
+
+  /** `energy_hist.sum == n_samples` on ok rows (the [[DecodedAudio]]
+    * partition identity); 0/0/empty stats on error rows. */
+  final case class AudioFeatureRow(
+      id: Long, status: String, sample_rate: Int, channels: Int,
+      n_frames: Long, n_samples: Long, peak_abs: Long, sum_abs: Long,
+      sum_sq: Long, energy_hist: Array[Long])
+
+  /** Batch PCM audio feature extraction over partitions: REAL decode via
+    * [[decodeAudio]], row-error routing in the `status` column (torn /
+    * compressed / non-audio bytes yield `status = "error:…"` with zeroed
+    * stats, not a task failure). Bounded batches; input partitioning
+    * preserved — no shuffle, the same plan shape as
+    * [[decodeImageFeatures]].
+    */
+  def decodeAudioFeatures(
+      spark: SparkSession,
+      media: DataFrame, // needs (id: long, content: binary)
+      histBuckets: Int = 8,
+      batchSize: Int = 64): Dataset[AudioFeatureRow] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // batch boundary = decoder vectorization unit
+          batch.map { m =>
+            decodeAudio(m.content, histBuckets) match {
+              case Right(d) => AudioFeatureRow(m.id, "ok", d.sampleRate,
+                d.channels, d.nFrames, d.nFrames * d.channels,
+                d.peakAbs, d.sumAbs, d.sumSq, d.hist)
+              case Left(err) => AudioFeatureRow(m.id, err, 0, 0, 0L, 0L,
+                0L, 0L, 0L, Array.empty[Long])
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic test audio: an `nFrames`-frame 16-bit
+    * PCM_SIGNED WAV at `sampleRate` Hz with `channels` channels whose
+    * sample at (frame t, channel c) is
+    * `(id·31 + t·7919 + c·13) mod 65536 − 32768` — pure modular arithmetic
+    * a SQL oracle reproduces with no audio library, spanning the full
+    * 16-bit range so every energy-histogram bucket is exercised. PCM is
+    * lossless, so [[decodeAudio]] recovers these samples exactly.
+    */
+  def syntheticWav(
+      id: Long, nFrames: Int, sampleRate: Int = 8000, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val data = new Array[Byte](nFrames * channels * 2)
+    var t = 0; var i = 0
+    while (t < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val s = ((id * 31 + t * 7919 + c * 13) % 65536 - 32768).toInt
+        data(i) = (s & 0xff).toByte          // WAVE PCM is little-endian
+        data(i + 1) = ((s >> 8) & 0xff).toByte
+        i += 2; c += 1
+      }
+      t += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // ----------------------------------------------------------------
+  // Compressed audio / video: documented STUBS (no compressed-media
+  // codec in the JDK — PCM has the REAL path above)
   // ----------------------------------------------------------------
 
   final case class MediaFeatures(id: Long, n_bytes: Int, loudness: Double, feature: Array[Float])
 
-  /** STUB audio decode: deterministic fake "feature extraction" from raw
-    * bytes — stands in for audio decode + embed (the JDK has no MP3/AAC/
-    * Opus codec; `javax.sound` covers only PCM containers). Same
-    * signature and batch shape a real decoder would have; images have
-    * the REAL path ([[decodeImage]]).
+  /** STUB COMPRESSED-audio decode: deterministic fake "feature
+    * extraction" from raw bytes — stands in for compressed-codec decode
+    * + embed ONLY (the JDK has no MP3/AAC/Opus codec; `javax.sound`
+    * covers the PCM containers, which have the REAL path —
+    * [[decodeAudio]]). Same signature and batch shape a real decoder
+    * would have.
     */
   def stubAudioDecode(bytes: Array[Byte], dim: Int): (Double, Array[Float]) = {
     var h = 1125899906842597L // deterministic LCG from content

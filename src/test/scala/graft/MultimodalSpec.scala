@@ -103,6 +103,103 @@ class MultimodalSpec extends SparkSpec {
       again.map(r => (r.id, r.status, r.gray_sum, r.block_sums.toSeq)).toSet)
   }
 
+  /** Independent sample-formula evaluation (the same modular arithmetic
+    * the DuckDB oracle uses — not the production decode path). */
+  private def sample(id: Long, t: Int, c: Int): Long =
+    (id * 31 + t * 7919 + c * 13) % 65536 - 32768
+
+  test("decodeAudio recovers synthetic WAV samples exactly (rate, channels, frames, stats, histogram)") {
+    for (id <- Seq(0L, 7L, 123L, 9999L); (nf, ch) <- Seq((1, 1), (50, 1), (75, 2), (99, 2))) {
+      val d = Multimodal.decodeAudio(Multimodal.syntheticWav(id, nf, 8000, ch))
+        .fold(e => fail(s"decode failed: $e"), identity)
+      assert(d.sampleRate == 8000 && d.channels == ch && d.nFrames == nf, s"id=$id")
+      val samples = for (t <- 0 until nf; c <- 0 until ch) yield sample(id, t, c)
+      assert(d.peakAbs == samples.map(math.abs).max, s"id=$id nf=$nf ch=$ch")
+      assert(d.sumAbs == samples.map(math.abs).sum)
+      assert(d.sumSq == samples.map(s => s * s).sum)
+      val expHist = Array.fill(8)(0L)
+      samples.foreach { s =>
+        expHist(math.min((math.abs(s) * 8 / 32768L).toInt, 7)) += 1L
+      }
+      assert(d.hist.toSeq == expHist.toSeq)
+      assert(d.hist.sum == nf.toLong * ch) // the oracled partition identity
+    }
+  }
+
+  test("decodeAudio handles 8-bit and big-endian PCM (scaled into the 16-bit domain)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(fmt: AudioFormat, data: Array[Byte], frames: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 8-bit unsigned mono (WAVE's 8-bit convention): bytes 0..255 -> (b-128)*256
+    val fmt8 = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val d8 = Multimodal.decodeAudio(wav(fmt8, Array[Byte](0, 127.toByte, 128.toByte, 255.toByte), 4))
+      .fold(e => fail(e), identity)
+    assert(d8.nFrames == 4 && d8.peakAbs == 128L * 256)
+    assert(d8.sumAbs == (128L + 1 + 0 + 127) * 256)
+    // 16-bit big-endian via AIFF (AIFF is the JDK's big-endian PCM container)
+    val fmtBe = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true)
+    val beData = Array[Byte](0x01, 0x00, 0xff.toByte, 0x00) // 256, -256
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(beData), fmtBe, 2),
+      AudioFileFormat.Type.AIFF, bos)
+    val dBe = Multimodal.decodeAudio(bos.toByteArray).fold(e => fail(e), identity)
+    assert(dBe.nFrames == 2 && dBe.peakAbs == 256 && dBe.sumAbs == 512 &&
+      dBe.sumSq == 2L * 256 * 256)
+  }
+
+  test("corrupt/compressed audio payloads take the row-error path") {
+    val torn = Multimodal.syntheticWav(1L, 50).take(20) // RIFF magic, torn header
+    assert(Multimodal.decodeAudio(torn).isLeft)
+    assert(Multimodal.decodeAudio("plain prose, not audio".getBytes("UTF-8"))
+      == Left("error:unrecognized"))
+    assert(Multimodal.decodeAudio(Array.empty[Byte]) == Left("error:unrecognized"))
+    // ULAW inside a recognized container: provider claims it, encoding
+    // unsupported by the exact-integer path -> routed, never thrown
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val ulaw = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), ulaw, 4),
+      AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeAudio(bos.toByteArray)
+      .swap.exists(_.startsWith("error:unsupported-encoding")))
+  }
+
+  test("decodeAudioFeatures: mixed ok/corrupt batch routes per-row, no shuffle, deterministic") {
+    val media = spark.range(40).select($"id").as[Long]
+      .map { id =>
+        val wav = Multimodal.syntheticWav(id, (10 + id % 20).toInt, 8000, (1 + id % 2).toInt)
+        if (id % 10 == 0) Multimodal.MediaRow(id, wav.take(20))
+        else Multimodal.MediaRow(id, wav)
+      }.toDF()
+    val feats = Multimodal.decodeAudioFeatures(spark, media, batchSize = 7)
+    val rows = feats.collect()
+    assert(rows.length == 40)
+    val (ok, err) = rows.partition(_.status == "ok")
+    assert(ok.length == 36 && err.length == 4)
+    assert(err.forall(r => r.status.startsWith("error:") && r.sum_sq == 0L &&
+      r.energy_hist.isEmpty && r.sample_rate == 0))
+    ok.foreach { r =>
+      assert(r.sample_rate == 8000 && r.channels == (1 + r.id % 2) &&
+        r.n_frames == 10 + r.id % 20)
+      assert(r.n_samples == r.n_frames * r.channels &&
+        r.energy_hist.sum == r.n_samples)
+      val samples = for (t <- 0 until r.n_frames.toInt; c <- 0 until r.channels)
+        yield sample(r.id, t, c)
+      assert(r.sum_abs == samples.map(math.abs).sum && r.peak_abs == samples.map(math.abs).max)
+    }
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+    val again = Multimodal.decodeAudioFeatures(spark, media, batchSize = 7).collect()
+    assert(rows.map(r => (r.id, r.status, r.sum_sq, r.energy_hist.toSeq)).toSet ==
+      again.map(r => (r.id, r.status, r.sum_sq, r.energy_hist.toSeq)).toSet)
+  }
+
   test("decodeImage handles non-RGB sources (grayscale PNG reports its band count)") {
     val img = new java.awt.image.BufferedImage(
       6, 5, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
