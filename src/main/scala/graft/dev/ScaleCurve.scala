@@ -70,7 +70,7 @@ object ScaleCurve {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = args.headOption
       .filterNot(a => a == "deep" || a == "trig" || a == "ann" || a == "cc" ||
-        a == "r14" || a == "bpelarge" || a == "epsconc")
+        a == "r14" || a == "bpelarge" || a == "epsconc" || a == "imgdecode")
       .getOrElse("/tmp/graft_scale")
     // "deep": one extra x300 point for the CPU-bound families whose
     // exponents are still parallelism-saturating at x100 — the
@@ -95,6 +95,9 @@ object ScaleCurve {
     // failure mode, measured) vs CLUSTERED data (rings prune well), with
     // the filterPivots lever swept — dev/EPSJOIN_CONCENTRATION.md
     val epsConcOnly = args.contains("epsconc")
+    // "imgdecode": only the real-image-decode families (self-synthesized
+    // PNG media corpus — no docs/embeddings replication needed)
+    val imgOnly = args.contains("imgdecode")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -116,13 +119,15 @@ object ScaleCurve {
     import spark.implicits._
 
     // ------------------------------------------------------ synthesis
-    val allMults = if (trigOnly || annOnly || bpeLargeOnly || epsConcOnly) Nil
+    val allMults = if (trigOnly || annOnly || bpeLargeOnly || epsConcOnly ||
+        imgOnly) Nil
       else if (deep) Mults :+ 300 else Mults
     def docsPath(k: Int) = s"$work/x$k/documents.parquet"
     def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
     // replicated embeddings: fresh vec_ids, per-replica deterministic
     // noise so vectors spread instead of clustering by replica
-    if (!trigOnly && !ccOnly && !r14Only && !bpeLargeOnly && !epsConcOnly) Mults.foreach { k =>
+    if (!trigOnly && !ccOnly && !r14Only && !bpeLargeOnly && !epsConcOnly &&
+        !imgOnly) Mults.foreach { k =>
       if (!Files.exists(Paths.get(embPath(k)))) {
         val e = spark.read.parquet(s"$base/embeddings.parquet")
         val reps = (0 until k).map { rep =>
@@ -169,7 +174,7 @@ object ScaleCurve {
       root
     }
     if (!trigOnly && !annOnly && !ccOnly && !r14Only && !bpeLargeOnly &&
-        !epsConcOnly) Mults.foreach(logTree)
+        !epsConcOnly && !imgOnly) Mults.foreach(logTree)
 
     def timed(runs: Int)(f: => Unit): Double =
       (1 to runs).map { _ =>
@@ -400,7 +405,7 @@ object ScaleCurve {
     // a flat curve = per-batch work is batch-proportional, as claimed
     // (banding the batch + one join against persisted postings).
     if (!trigOnly && !annOnly && !ccOnly && !r14Only && !bpeLargeOnly &&
-        !epsConcOnly) {
+        !epsConcOnly && !imgOnly) {
       val sndDocs = spark.read.parquet(docsPath(10)).persist()
       sndDocs.count()
       val sink = s"$work/snd_curve/sink"
@@ -502,18 +507,65 @@ object ScaleCurve {
           val data = withDups(gauss(n, clusters)).repartition(32)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           data.count()
-          for (fp <- Seq(0, 2, 6)) {
+          // fp = -1 is AutoFilterPivots: the r16 in-operator probe —
+          // its funnel counts must land on the best manual row per regime
+          for (fp <- Seq(0, 2, 6, graft.ops.EpsilonJoin.AutoFilterPivots)) {
             val t0 = System.nanoTime()
             val (cand, band, truePairs) = graft.ops.EpsilonJoin.selfJoinStats(
               data, "vec_id", "q", eps2, joinPivots = 2, filterPivots = fp)
             val sec = (System.nanoTime() - t0) / 1e9
-            record(s"${tag}_fp$fp", k, sec)
-            println(s"[epsconc] $tag k=$k n=${n + n / 100} fp=$fp " +
+            val fpTag = if (fp < 0) "auto" else fp.toString
+            record(s"${tag}_fp$fpTag", k, sec)
+            val resolved = if (fp < 0)
+              s" resolved=${graft.ops.EpsilonJoin.resolveFilterPivots(data, "vec_id", "q", eps2)}"
+            else ""
+            println(s"[epsconc] $tag k=$k n=${n + n / 100} fp=$fpTag$resolved " +
               s"cand=$cand band=$band true=$truePairs " +
               f"candPerTrue=${cand.toDouble / math.max(truePairs, 1)}%.1f")
           }
           data.unpersist(blocking = true)
         }
+      }
+    }
+
+    // imgdecode mode: the REAL image decode path's scaling (VERDICT r15
+    // item 3): [[graft.ops.Multimodal.decodeImageFeatures]] + resizeAll
+    // over synthetic-PNG corpora (the q_multimodal_features payload
+    // shape: (8+id%8)x(6+id%6) RGB PNGs, every 10th torn mid-header).
+    // Synthesis (PNG encode) is excluded from timing — media is written
+    // to parquet first. Expected shape: tail ~1.0 (pure per-payload CPU
+    // in mapPartitions, no shuffle in the plan) and FLAT driver heap
+    // (nothing is collected except the one aggregate row) — the
+    // mapPartitions shape guarantees nothing driver-side, so measure it.
+    if (imgOnly) {
+      import graft.ops.Multimodal
+      def mediaPath(k: Int) = s"$work/img_x$k/media.parquet"
+      val baseN = 10000L
+      for (k <- Mults) {
+        if (!Files.exists(Paths.get(mediaPath(k)))) {
+          spark.range(baseN * k).select(col("id")).as[Long]
+            .map { id =>
+              val png = Multimodal.syntheticPng(
+                id, (8 + id % 8).toInt, (6 + id % 6).toInt)
+              if (id % 10 == 0) Multimodal.MediaRow(id, png.take(20))
+              else Multimodal.MediaRow(id, png)
+            }.toDF().repartition(32)
+            .write.mode("overwrite").parquet(mediaPath(k))
+        }
+        val media = spark.read.parquet(mediaPath(k))
+        record("imgdecode", k, timed(2) {
+          val row = Multimodal.decodeImageFeatures(spark, media, 2, 2).toDF()
+            .agg(sum(col("gray_sum")).as("g"),
+              sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("e"))
+            .collect()(0)
+          require(row.getLong(1) == baseN * k / 10, s"torn-row count drifted at x$k")
+        })
+        record("imgresize", k, timed(2) {
+          // sum of thumbnail byte lengths forces every resize to run
+          Multimodal.resizeAll(spark, media, 4, 3).toDF()
+            .agg(sum(length(col("pixels")))).collect()
+          ()
+        })
       }
     }
 
@@ -532,7 +584,8 @@ object ScaleCurve {
     //                  seen-set compact write + entry-log GC
     //   trig_commit  — first cleanSource=delete commit after a restart
     //                  (surviving-entry sweep, best-effort deletes)
-    if (!annOnly && !ccOnly && !r14Only && !bpeLargeOnly && !epsConcOnly) {
+    if (!annOnly && !ccOnly && !r14Only && !bpeLargeOnly && !epsConcOnly &&
+        !imgOnly) {
       import org.apache.spark.sql.connector.read.streaming.ReadLimit
       val nowMs = System.currentTimeMillis
       for (k <- Seq(1, 3, 10, 30)) {

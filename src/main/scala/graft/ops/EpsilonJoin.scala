@@ -48,8 +48,12 @@ import graft.functions.SquaredL2
   * smaller ε, or approximate pre-blocking; on CLUSTERED data the rings
   * prune ~10x and `filterPivots = 2` cuts the verify input a further
   * ~2.5-2.7x (each pivot adds one cheap |Δd| <= w band filter ahead of
-  * the O(d) verify; beyond 2 buys ≤5%). AQE's skew-join split handles a
-  * hot ring at runtime.
+  * the O(d) verify; beyond 2 buys ≤5%). Callers who don't know their
+  * regime pass [[AutoFilterPivots]]: a driver-side probe over the
+  * pivot sample replays the funnel and enables the band pivots only
+  * where they pay ([[probeFilterPivots]] — the decision table applied
+  * inside the operator). AQE's skew-join split handles a hot ring at
+  * runtime.
   *
   * Input contract: `vecCol` is `array<long>` (the quantized embedding
   * convention shared with [[SquaredL2]] / [[Pq]]); rows with NULL vectors
@@ -68,6 +72,24 @@ import graft.functions.SquaredL2
   */
 object EpsilonJoin {
 
+  /** Sentinel for `filterPivots`: pick 0 or [[AutoMaxFilterPivots]]
+    * from a bounded sampled probe instead of requiring the caller to
+    * know their data's concentration regime (the
+    * dev/EPSJOIN_CONCENTRATION.md decision table, applied inside the
+    * operator): the probe replays the ring-key + band funnel over the
+    * SAME ≤2048-row hash-spread sample pivot selection already collects
+    * (driver-side, microseconds — no extra Spark job), and enables the
+    * extra band pivots only when they cut the verify input ≥1.25× on
+    * the sample — measured ~2.5-2.7× on clustered data, ~1.0× (pure
+    * overhead) on isotropic concentration. The choice only affects
+    * pruning cost, never the result set (exact verify runs either way).
+    */
+  val AutoFilterPivots: Int = -1
+
+  /** What auto mode enables when the probe says the band pivots pay:
+    * the measured knee — beyond 2 buys ≤5% (dev/EPSJOIN_CONCENTRATION.md). */
+  val AutoMaxFilterPivots: Int = 2
+
   /** All pairs (idA < idB, d2) with squared L2 <= eps2.
     *
     * @param joinPivots   pivots participating in the equi-join KEY
@@ -75,7 +97,9 @@ object EpsilonJoin {
     *                     partitioning and earlier pruning)
     * @param filterPivots additional pivots applied as |Δd| <= w band
     *                     FILTERS after the key join (cheap long/double
-    *                     compares ahead of the O(d) exact verify)
+    *                     compares ahead of the O(d) exact verify), or
+    *                     [[AutoFilterPivots]] to let a sampled probe
+    *                     decide per the measured concentration regime
     */
   def selfJoin(
       df: DataFrame,
@@ -137,26 +161,34 @@ object EpsilonJoin {
     require(eps2 >= 0, s"eps2 must be >= 0, got $eps2")
     require(joinPivots >= 1 && joinPivots <= 2,
       s"joinPivots must be 1 or 2, got $joinPivots")
-    require(filterPivots >= 0, s"filterPivots must be >= 0, got $filterPivots")
-    val nPivots = joinPivots + filterPivots
+    require(filterPivots >= 0 || filterPivots == AutoFilterPivots,
+      s"filterPivots must be >= 0 or AutoFilterPivots, got $filterPivots")
+    val maxFp =
+      if (filterPivots == AutoFilterPivots) AutoMaxFilterPivots else filterPivots
 
     val in = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val pivots = selectPivots(in, nPivots)
-    // fewer distinct vectors than requested pivots (tiny/degenerate
-    // input): every selected pivot still yields a valid band, just a
-    // weaker one — proceed with what exists. Zero pivots = empty input =
-    // no pairs, by construction.
-    if (pivots.isEmpty) return None
-    val usable = pivots.size
-    val jp = math.min(joinPivots, usable)
-
     // w inflated 1e-9 relative: absorbs the <=1-ulp sqrt error at the
     // ring boundary (object doc); only ever ADMITS candidates. Floored at
     // 1e-3 so eps2=0 (exact-equality join) gets finite ring ids instead
     // of a d/0 infinity that overflows the long cast — a wider-than-ε
     // ring is always safe, never lossy
     val w = math.max(math.sqrt(eps2.toDouble) * (1 + 1e-9), 1e-3)
+    val sample = pivotSample(in)
+    // fewer distinct vectors than requested pivots (tiny/degenerate
+    // input): every selected pivot still yields a valid band, just a
+    // weaker one — proceed with what exists. Zero pivots = empty input =
+    // no pairs, by construction.
+    if (sample.isEmpty) return None
+    val allPivots = greedyPivots(sample, joinPivots + maxFp)
+    if (allPivots.isEmpty) return None
+    val jp = math.min(joinPivots, allPivots.size)
+    val fp =
+      if (filterPivots == AutoFilterPivots)
+        probeFilterPivots(sample, allPivots.map(_.toArray).toArray, jp, w)
+      else math.min(filterPivots, allPivots.size - jp)
+    val pivots = allPivots.take(jp + fp)
+    val usable = pivots.size
 
     def dists(v: Column): Column =
       array(pivots.map(p => sqrt(SquaredL2(v, typedLit(p)).cast("double"))): _*)
@@ -195,28 +227,34 @@ object EpsilonJoin {
     Some(Stages(candidates, banded, result))
   }
 
-  /** Greedy max-min (k-center) pivot selection over a bounded sample —
-    * ONE Spark job, not one per pivot: `orderBy(xxhash64(id)).limit(2048)`
-    * plans as TakeOrderedAndProject (per-partition top-k + driver merge,
-    * no shuffle), giving a deterministic hash-spread sample regardless of
-    * the input's physical order; the greedy loop then runs driver-side
-    * over <= 2048 vectors (k·2048 O(d) kernels — microseconds). Pivot
-    * QUALITY only affects candidate pruning — the exact verify makes the
-    * result identical for ANY pivot set — so sampling trades nothing but
-    * (a little) pruning power for (nPivots − 1) fewer sequential jobs.
+  /** Bounded deterministic sample for pivot selection AND the auto-mode
+    * probe — ONE Spark job, not one per pivot:
+    * `orderBy(xxhash64(id)).limit(2048)` plans as
+    * TakeOrderedAndProject (per-partition top-k + driver merge, no
+    * shuffle), giving a deterministic hash-spread sample regardless of
+    * the input's physical order.
     */
-  private def selectPivots(in: DataFrame, nPivots: Int): Seq[Seq[Long]] = {
-    val sample = in
-      .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
+  private def pivotSample(in: DataFrame): Array[Array[Long]] =
+    in.orderBy(xxhash64(col("__id").cast("string")), col("__id"))
       .limit(2048).select(col("__v")).collect()
       .map(_.getSeq[Long](0).toArray)
+
+  private def d2(a: Array[Long], b: Array[Long]): Long = {
+    if (a.length != b.length) return Long.MaxValue
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Greedy max-min (k-center) pivot selection, driver-side over the
+    * bounded sample (k·2048 O(d) kernels — microseconds). Pivot QUALITY
+    * only affects candidate pruning — the exact verify makes the result
+    * identical for ANY pivot set — so sampling trades nothing but (a
+    * little) pruning power for (nPivots − 1) fewer sequential jobs.
+    */
+  private def greedyPivots(
+      sample: Array[Array[Long]], nPivots: Int): Seq[Seq[Long]] = {
     if (sample.isEmpty) return Nil
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      if (a.length != b.length) return Long.MaxValue
-      var acc = 0L; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
     val picked = scala.collection.mutable.ArrayBuffer[Array[Long]](sample(0))
     var exhausted = false
     while (picked.size < nPivots && !exhausted) {
@@ -233,5 +271,85 @@ object EpsilonJoin {
       else picked += sample(best)
     }
     picked.toSeq.map(_.toSeq)
+  }
+
+  /** The auto-mode probe ([[AutoFilterPivots]]): replay the shipped
+    * funnel — ring-key adjacency on the `jp` join pivots, then the
+    * |Δd| <= w band on join pivots, then the band on the EXTRA pivots —
+    * over (a ≤1024-row slice of) the pivot sample, all driver-side
+    * (≤ ~0.5M O(d) kernels — the same order as greedy pivot selection
+    * itself). Returns the number of extra band pivots to enable:
+    * `pivots.length − jp` when they cut the sample's verify input
+    * ≥1.25× (clustered regime — measured 2.5-2.7× there), else 0
+    * (isotropic-concentration regime — measured ~1.0×, pure overhead).
+    * Deterministic: the sample is hash-spread by id, not
+    * physical-order-dependent.
+    */
+  private[graft] def probeFilterPivots(
+      sample: Array[Array[Long]],
+      pivots: Array[Array[Long]],
+      jp: Int,
+      w: Double): Int = {
+    val extra = pivots.length - jp
+    if (extra <= 0) return 0
+    val n = math.min(sample.length, 1024)
+    val dist = Array.tabulate(n, pivots.length) { (i, k) =>
+      math.sqrt(d2(sample(i), pivots(k)).toDouble)
+    }
+    var cand = 0L // band survivors with fp=0 (what reaches the verify then)
+    var surv = 0L // band survivors with the extra pivots enabled
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var k = 0; var keyOk = true
+        while (k < jp && keyOk) {
+          if (math.abs(math.floor(dist(i)(k) / w) - math.floor(dist(j)(k) / w)) > 1)
+            keyOk = false
+          k += 1
+        }
+        if (keyOk) {
+          var b = 0; var bandOk = true // join-pivot band: both variants pay it
+          while (b < jp && bandOk) {
+            if (math.abs(dist(i)(b) - dist(j)(b)) > w) bandOk = false
+            b += 1
+          }
+          if (bandOk) {
+            cand += 1
+            var e = jp; var extOk = true
+            while (e < pivots.length && extOk) {
+              if (math.abs(dist(i)(e) - dist(j)(e)) > w) extOk = false
+              e += 1
+            }
+            if (extOk) surv += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // enable iff the extra pivots cut the verify input >= 1.25x on the
+    // sample (5*surv <= 4*cand) — between the measured regimes (~1.0x
+    // isotropic, 2.5-2.7x clustered) with margin on both sides
+    if (cand > 0 && surv * 5 <= cand * 4) extra else 0
+  }
+
+  /** What auto mode would pick for `df` — the probe on its own, for
+    * diagnosis and tests (runs the same ONE sampling job [[selfJoin]]
+    * with [[AutoFilterPivots]] runs). */
+  private[graft] def resolveFilterPivots(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps2: Long,
+      joinPivots: Int = 2): Int = {
+    val in = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val w = math.max(math.sqrt(eps2.toDouble) * (1 + 1e-9), 1e-3)
+    val sample = pivotSample(in)
+    if (sample.isEmpty) return 0
+    val pivots = greedyPivots(sample, joinPivots + AutoMaxFilterPivots)
+    val jp = math.min(joinPivots, pivots.size)
+    probeFilterPivots(sample, pivots.map(_.toArray).toArray, jp, w)
   }
 }

@@ -40,12 +40,16 @@ import org.apache.spark.storage.StorageLevel
   *    that conf in long-running reliable-mode deployments — each round's
   *    previous checkpoint becomes unreferenced as soon as the next cut
   *    materializes, so GC-driven cleanup bounds the directory at ~one
-  *    live generation per operator. Because `auto` switches to reliable
-  *    merely from `setCheckpointDir` having been called (possibly for
-  *    unrelated RDD work), [[cut]] warns ONCE per JVM when it selects
-  *    reliable in auto mode while that cleaner conf is false — an
-  *    iterative job would otherwise grow the checkpoint directory
-  *    without bound and nothing would ever say so.
+  *    live generation per operator. [[cut]] warns ONCE per JVM when it
+  *    selects reliable (whether `auto` picked it merely because
+  *    `setCheckpointDir` was called for unrelated RDD work, or the
+  *    caller asked for `reliable` explicitly — the hazard is the same)
+  *    while that cleaner conf is false — an iterative job would
+  *    otherwise grow the checkpoint directory without bound and nothing
+  *    would ever say so. Chain-managed cuts are exempt: a [[Chain]]
+  *    deletes superseded generations itself, deterministically, and
+  *    instead warns if it ever LOSES the ability to do so
+  *    ([[warnIfChainLostCheckpoint]]).
   *
   * [[graft.SparkEntry]]'s query-local materializations deliberately stay
   * on `localCheckpoint`: they are one-shot single-session demos where a
@@ -54,34 +58,48 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object Lineage {
 
-  /** Once-per-JVM latch for the auto-mode unbounded-checkpoint-dir
-    * warning (object doc, reliable-mode mechanics). */
+  /** Once-per-JVM latch for the unbounded-checkpoint-dir warning
+    * (object doc, reliable-mode mechanics). */
   private val warnedAutoRetention = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** Materialize `df` eagerly and cut its lineage (see object doc for
-    * the local-vs-reliable dispatch).
-    */
-  def cut(df: DataFrame): DataFrame = {
-    val session = df.sparkSession
+  /** Whether [[cut]] will select a RELIABLE checkpoint for this session
+    * (the object-doc dispatch), validating the conf loudly either way. */
+  private def reliableSelected(session: org.apache.spark.sql.SparkSession): Boolean = {
     val mode = session.conf.get("spark.graft.checkpoint", "auto")
-    val reliable = mode match {
+    mode match {
       case "reliable" => true
       case "local"    => false
       case "auto"     => session.sparkContext.getCheckpointDir.isDefined
       case other => throw new IllegalArgumentException(
         s"spark.graft.checkpoint must be auto, reliable or local, got '$other'")
     }
-    if (reliable && mode == "auto" &&
+  }
+
+  /** Materialize `df` eagerly and cut its lineage (see object doc for
+    * the local-vs-reliable dispatch).
+    */
+  def cut(df: DataFrame): DataFrame = cutInternal(df, viaChain = false)
+
+  private def cutInternal(df: DataFrame, viaChain: Boolean): DataFrame = {
+    val session = df.sparkSession
+    val reliable = reliableSelected(session)
+    // unbounded-retention warning: fires for BOTH auto-selected and
+    // explicitly-requested reliable mode (r16 — the hazard is identical;
+    // before r16 only auto warned), but NOT for chain-managed cuts —
+    // a Chain deletes superseded generations itself, deterministically,
+    // regardless of the cleaner conf.
+    if (reliable && !viaChain &&
         !session.sparkContext.getConf
           .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", defaultValue = false) &&
         warnedAutoRetention.compareAndSet(false, true)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "[graft] a checkpoint dir is set, so lineage cuts use RELIABLE checkpoints " +
-          "(spark.graft.checkpoint=auto), but spark.cleaner.referenceTracking." +
-          "cleanCheckpoints is false: Spark never deletes checkpoint files, so " +
-          "iterative operators grow the checkpoint directory without bound. Set that " +
-          "conf to true (GC then bounds the dir at ~one live generation per operator) " +
-          "or set spark.graft.checkpoint=local to keep zero-I/O local cuts.")
+        "[graft] lineage cuts use RELIABLE checkpoints " +
+          s"(spark.graft.checkpoint=${session.conf.get("spark.graft.checkpoint", "auto")}), " +
+          "but spark.cleaner.referenceTracking.cleanCheckpoints is false: Spark " +
+          "never deletes checkpoint files, so iterative operators grow the " +
+          "checkpoint directory without bound. Set that conf to true (GC then " +
+          "bounds the dir at ~one live generation per operator) or set " +
+          "spark.graft.checkpoint=local to keep zero-I/O local cuts.")
     }
     if (reliable) {
       df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -99,8 +117,15 @@ private[graft] object Lineage {
 
   /** Deterministic O(1) checkpoint retention for GENERATIONAL loops
     * (round N's frame is computed from round N−1's and fully supersedes
-    * it — [[DupGroups]], [[Bpe]], [[KCore]], [[Bfs]],
-    * [[LabelPropagation]]): `chain.cut(df)` behaves exactly like
+    * it). Wired into every in-operator loop that cuts MORE THAN ONCE
+    * per call: [[DupGroups.connectedComponents]] and both [[Bpe]]
+    * trainers. [[KCore]], [[Bfs]], and [[LabelPropagation]] deliberately
+    * have NO chain: each call makes exactly ONE final cut, whose
+    * checkpoint backs the returned frame — there is never a superseded
+    * generation to delete inside the call, and deleting across CALLS
+    * would destroy results earlier callers still hold (callers who
+    * batch-iterate such ops own the retention of the frames they keep).
+    * `chain.cut(df)` behaves exactly like
     * [[Lineage.cut]], and in reliable mode ADDITIONALLY deletes the
     * chain's previous cut's checkpoint files once the new cut has
     * materialized — so an iterative job's checkpoint directory holds one
@@ -118,12 +143,43 @@ private[graft] object Lineage {
     * those keep plain [[cut]]. A chain is single-threaded like the loop
     * that owns it.
     */
+  /** Once-per-JVM latch: a RELIABLE-mode chain cut whose checkpoint file
+    * could not be identified (reflection miss — see [[checkpointFileOf]])
+    * silently degrades to keep-everything, which is exactly the
+    * unbounded-retention hazard chains exist to fix — production must
+    * hear about it once (LineageSpec catches a Spark-upgrade breakage at
+    * test time; this covers a production Spark the tests never saw). */
+  private val warnedChainLostCheckpoint = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Warn (once per JVM) iff a reliable-mode chain cut failed to
+    * identify its checkpoint file; returns whether THIS call warned —
+    * split out pure-decision-shaped so the spec can pin the condition
+    * without forcing a real reflection miss. */
+  private[graft] def warnIfChainLostCheckpoint(
+      reliable: Boolean, checkpointFile: Option[String]): Boolean = {
+    val fire = reliable && checkpointFile.isEmpty &&
+      warnedChainLostCheckpoint.compareAndSet(false, true)
+    if (fire) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "[graft] a reliable-mode chain cut could not identify its checkpoint " +
+          "file (LogicalRDD reflection mismatch — Spark version drift?): " +
+          "superseded generations will NOT be deleted, silently restoring the " +
+          "unbounded checkpoint-directory retention chains exist to prevent. " +
+          "Set spark.cleaner.referenceTracking.cleanCheckpoints=true as a " +
+          "GC-driven fallback bound, or pin a Spark version LineageSpec covers.")
+    }
+    fire
+  }
+
   final class Chain private[Lineage] () {
     private var prevFile: Option[String] = None
 
     def cut(df: DataFrame): DataFrame = {
-      val out = Lineage.cut(df)
-      checkpointFileOf(out).foreach { newFile =>
+      val reliable = reliableSelected(df.sparkSession)
+      val out = Lineage.cutInternal(df, viaChain = true)
+      val newFileOpt = checkpointFileOf(out)
+      warnIfChainLostCheckpoint(reliable, newFileOpt)
+      newFileOpt.foreach { newFile =>
         prevFile.filter(_ != newFile).foreach { p =>
           try {
             val path = new org.apache.hadoop.fs.Path(p)
@@ -148,7 +204,9 @@ private[graft] object Lineage {
     * result of an eager reliable [[cut]] (a bare LogicalRDD over a
     * reliably-checkpointed RDD). Reflection keeps this independent of
     * LogicalRDD's `private[sql]` visibility; any mismatch degrades to
-    * None (chain keeps everything — safe, never wrong).
+    * None — chain keeps everything (safe, never wrong) and says so once
+    * ([[warnIfChainLostCheckpoint]]), because in reliable mode a silent
+    * None is the unbounded-retention hazard coming back.
     */
   private def checkpointFileOf(df: DataFrame): Option[String] =
     try {

@@ -70,7 +70,8 @@ class EpsilonJoinSpec extends SparkSpec {
         if (allD2.nonEmpty && rnd.nextBoolean()) allD2(rnd.nextInt(allD2.size))
         else rnd.nextInt(4 * spreadR * spreadR).toLong
       val jp = 1 + rnd.nextInt(2)
-      val fp = rnd.nextInt(4)
+      val fp = // auto must be exact on arbitrary corpora like any manual fp
+        if (rnd.nextInt(5) == 0) EpsilonJoin.AutoFilterPivots else rnd.nextInt(4)
       val got = run(rows, eps2, jp, fp)
       val want = brute(rows, eps2)
       assert(got === want,
@@ -117,6 +118,46 @@ class EpsilonJoinSpec extends SparkSpec {
     assert(band3 <= band0 && t0 == t3)
     // degenerate: empty input
     assert(EpsilonJoin.selfJoinStats(df(Nil), "id", "v", 10L) == ((0L, 0L, 0L)))
+  }
+
+  test("auto filterPivots picks the measured regime (0 isotropic, 2 clustered) and matches the best manual funnel") {
+    // the dev/EPSJOIN_CONCENTRATION.md corpora at spec scale: same d=256
+    // per-point noise (sum of 4 hashed uniforms), one isotropic blob vs
+    // 50 well-separated clusters, 1% planted near-dups so true pairs
+    // are never zero
+    def gauss(n: Long, clusters: Int): DataFrame = {
+      val clusterOff =
+        if (clusters <= 1) "0L"
+        else s"cast((pmod(hash(pmod(id, $clusters) * 131 + j), 7) - 3) * 20000L as bigint)"
+      spark.range(n).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, 255), j -> $clusterOff + " +
+          "cast(pmod(hash(id * 769 + j * 31 + 1), 1000) " +
+          "+ pmod(hash(id * 769 + j * 31 + 2), 1000) " +
+          "+ pmod(hash(id * 769 + j * 31 + 3), 1000) " +
+          "+ pmod(hash(id * 769 + j * 31 + 4), 1000) - 2000 as bigint))").as("q"))
+    }
+    def withDups(b: DataFrame): DataFrame =
+      b.unionAll(b.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 100000000L).as("vec_id"),
+          expr("transform(q, (x, j) -> x + IF(j = 0, 1L, 0L))").as("q")))
+    val eps2 = 120000000L
+    val conc = withDups(gauss(400, 1))
+    val clus = withDups(gauss(400, 50))
+    // the probe lands on the measured decision: band pivots are pure
+    // overhead on isotropic concentration, a >=1.25x verify-input cut
+    // on clustered data
+    assert(EpsilonJoin.resolveFilterPivots(conc, "vec_id", "q", eps2) == 0)
+    assert(EpsilonJoin.resolveFilterPivots(clus, "vec_id", "q", eps2)
+      == EpsilonJoin.AutoMaxFilterPivots)
+    // auto == the best manual variant STAGE FOR STAGE (same funnel
+    // counts), and exact either way (planted dups guarantee pairs)
+    for ((data, fpBest) <- Seq(conc -> 0, clus -> EpsilonJoin.AutoMaxFilterPivots)) {
+      val auto = EpsilonJoin.selfJoinStats(
+        data, "vec_id", "q", eps2, 2, EpsilonJoin.AutoFilterPivots)
+      val manual = EpsilonJoin.selfJoinStats(data, "vec_id", "q", eps2, 2, fpBest)
+      assert(auto == manual, s"fpBest=$fpBest auto=$auto manual=$manual")
+      assert(auto._3 >= 4)
+    }
   }
 
   test("real embeddings slice matches brute force at the q_dbscan eps") {

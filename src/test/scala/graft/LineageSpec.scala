@@ -117,4 +117,20 @@ class LineageSpec extends SparkSpec {
       deleteTree(dir)
     }
   }
+
+  test("reliable-mode chain cut that loses checkpoint identification warns once per JVM") {
+    // the decision split out of Chain.cut (a real reflection miss needs a
+    // Spark whose LogicalRDD drifted — this pins the condition + latch):
+    // local-mode cuts legitimately have no checkpoint file -> never warn;
+    // reliable + identified file -> never warn; reliable + None -> warn,
+    // exactly once JVM-wide
+    assert(!Lineage.warnIfChainLostCheckpoint(reliable = false, checkpointFile = None))
+    assert(!Lineage.warnIfChainLostCheckpoint(reliable = true, checkpointFile = Some("/ckpt/rdd-1")))
+    assert(Lineage.warnIfChainLostCheckpoint(reliable = true, checkpointFile = None))
+    assert(!Lineage.warnIfChainLostCheckpoint(reliable = true, checkpointFile = None),
+      "second miss must not re-warn (once-per-JVM latch)")
+    // and the production path stays warning-free when identification
+    // works: the retention test above already proved chain cuts DO
+    // identify files in reliable mode on this Spark (deletions happened)
+  }
 }
