@@ -31,6 +31,16 @@ import graft.ops.{BandPostings, Dedup, DirLock, PartitionedSink}
   *     `BandPostings.load` must succeed with the params sidecar's
   *     version stamp verified (load rejects torn/unstamped artifacts
   *     loudly — a successful load IS the integrity check).
+  *  4. CONCURRENT READER (r16, across 1-3) — child R polls both
+  *     artifacts continuously with plain `spark.read.parquet` (no
+  *     lease — leases are a writer protocol) while the scenarios above
+  *     run, logging per-poll row counts / tag mixes / exceptions. The
+  *     parent classifies the log into clean / torn / error polls: the
+  *     MEASURED reader-isolation contract during an upsert, a SIGKILL,
+  *     and a stale-break restore (documented in dev/DIRLOCK_DRIVE.md +
+  *     ARCHITECTURE.md — dynamic partition overwrite and the postings
+  *     delete→rename swap are not reader-atomic by construction; the
+  *     drive measures what that non-atomicity actually exposes).
   *
   * Run: `sbt "runMain graft.dev.DirLockDrive orchestrate [workDir]"` —
   * the parent prints one `DRIVE <scenario> outcome=...` line per
@@ -51,6 +61,7 @@ object DirLockDrive {
       case "breaker"     => breaker(work)
       case "bp-holder"   => bpHolder(work)
       case "bp-breaker"  => bpBreaker(work)
+      case "reader"      => reader(work)
       case other => sys.error(s"unknown mode $other")
     }
   }
@@ -142,6 +153,44 @@ object DirLockDrive {
     spark.stop()
   }
 
+  /** Scenario-4 READER: polls both artifacts continuously (no lease —
+    * leases are a WRITER protocol) while the writer scenarios run,
+    * logging one line per poll: what a concurrent reader actually
+    * observes during an upsert, a SIGKILL, and a stale-break restore.
+    * Each poll re-plans `spark.read.parquet` from scratch (fresh file
+    * listing — no FileIndex reuse across polls). `art` clean =
+    * one tag with 64 rows / 64 distinct keys; anything else is a torn
+    * snapshot; exceptions (missing dir mid-swap, missing files
+    * mid-overwrite) are recorded by class. The parent classifies the
+    * log — this scenario MEASURES the isolation contract, it does not
+    * assume one (dev/DIRLOCK_DRIVE.md reader section).
+    */
+  private def reader(work: String): Unit = {
+    val spark = session("dirlock-reader")
+    val log = new java.io.PrintWriter(new java.io.FileWriter(s"$work/reader.log"), true)
+    touch(s"$work/reader.started")
+    while (!Files.exists(Paths.get(s"$work/reader.stop"))) {
+      val t = System.currentTimeMillis()
+      val art =
+        try {
+          val rows = spark.read.parquet(artifactDir(work))
+            .groupBy("val")
+            .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("k"))
+            .collect()
+            .map(r => s"${r.getString(0)}:${r.getLong(1)}:${r.getLong(2)}")
+            .sorted.mkString(",")
+          s"ok $rows"
+        } catch { case e: Throwable => s"err ${e.getClass.getSimpleName}" }
+      val posts =
+        try s"ok ${spark.read.parquet(postingsDir(work)).count()}"
+        catch { case e: Throwable => s"err ${e.getClass.getSimpleName}" }
+      log.println(s"$t art=[$art] posts=[$posts]")
+    }
+    log.close()
+    touch(s"$work/reader.stopped")
+    spark.stop()
+  }
+
   private def docs(spark: SparkSession, n: Int, tag: String) =
     spark.range(n).select(col("id").as("doc_id"),
       concat(lit(s"$tag document text number "), col("id"),
@@ -222,6 +271,12 @@ object DirLockDrive {
     Dedup.bandPostings(docs(spark, 100, "seed"), "doc_id", "text")
       .save(postingsDir(work))
 
+    // scenario 4 (runs ACROSS 1-3): a concurrent reader polling both
+    // artifacts for the whole drive — what isolation does a reader
+    // observe while writers upsert, die, and stale-break-restore?
+    val r = spawn("reader", work)
+    require(awaitFile(s"$work/reader.started", 120000), "reader never started")
+
     // scenario 1+2: holder vs contender, then SIGKILL + stale break.
     // The kill is anchored to holder.acquired + 6 s — NOT to the
     // contender's JVM lifecycle — so the holder is provably mid-write
@@ -259,7 +314,41 @@ object DirLockDrive {
     println(s"DRIVE bandpostings-cycle outcome=${if (ok2 && killed2) "RECOVERED" else "FAILED"} " +
       s"(killedMidSave=$killed2 breakerOk=$ok2)")
 
+    // stop the reader and classify its observations. A clean `art` poll
+    // is ONE tag at 64 rows / 64 distinct keys; a torn poll saw a
+    // cross-partition mix or a partial key set; err polls saw a missing
+    // dir/file mid-swap. This is a MEASUREMENT — the gate is only that
+    // the reader ran and polled throughout; the observed counts are the
+    // documented contract (dev/DIRLOCK_DRIVE.md).
+    touch(s"$work/reader.stop")
+    val readerStopped = awaitFile(s"$work/reader.stopped", 60000)
+    r.waitFor()
+    val lines = scala.io.Source.fromFile(s"$work/reader.log").getLines().toSeq
+    def field(l: String, k: String): String =
+      l.split(s"$k=\\[", 2).lift(1).map(_.takeWhile(_ != ']')).getOrElse("")
+    val artObs = lines.map(field(_, "art"))
+    val postsObs = lines.map(field(_, "posts"))
+    def cleanArt(o: String): Boolean = o.startsWith("ok ") && {
+      val tags = o.drop(3).split(",").filter(_.nonEmpty)
+      tags.length == 1 && tags(0).endsWith(s":$Keys:$Keys")
+    }
+    val artClean = artObs.count(cleanArt)
+    val artTorn = artObs.count(o => o.startsWith("ok ") && !cleanArt(o))
+    val artErr = artObs.count(_.startsWith("err"))
+    val postsOk = postsObs.count(_.startsWith("ok"))
+    val postsErr = postsObs.count(_.startsWith("err"))
+    val tagsSeen = artObs.filter(_.startsWith("ok "))
+      .flatMap(_.drop(3).split(",")).map(_.takeWhile(_ != ':'))
+      .filter(_.nonEmpty).distinct.sorted
+    val tornSamples = artObs.filter(o => o.startsWith("ok ") && !cleanArt(o)).distinct.take(3)
+    val errSamples = (artObs ++ postsObs).filter(_.startsWith("err")).distinct.take(3)
+    println(s"DRIVE reader polls=${lines.size} " +
+      s"art{clean=$artClean,torn=$artTorn,err=$artErr} " +
+      s"posts{ok=$postsOk,err=$postsErr} tagsSeen=${tagsSeen.mkString("/")} " +
+      s"tornSamples=${tornSamples.mkString(" | ")} errSamples=${errSamples.mkString(" | ")}")
+
     spark.stop()
-    if (!(refused && broke && killedMidWrite && ok2 && killed2)) sys.exit(1)
+    if (!(refused && broke && killedMidWrite && ok2 && killed2 &&
+        readerStopped && lines.size >= 20)) sys.exit(1)
   }
 }

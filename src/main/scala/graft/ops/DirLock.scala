@@ -212,8 +212,14 @@ object DirLock {
         out.close()
         val fsNow = fs.getFileStatus(probe).getModificationTime
         fs.delete(probe, false)
-        Option(fs.globStatus(new Path(lock.getParent, s"${lock.getName}.broken.*")))
-          .getOrElse(Array.empty)
+        // aged PROBE files join the same sweep: a winner that crashed
+        // between creating and deleting its probe orphans it forever
+        // (nothing else ever references a probe), and the same age gate
+        // makes racing an in-flight winner's live probe impossible
+        (Option(fs.globStatus(new Path(lock.getParent, s"${lock.getName}.broken.*")))
+          .getOrElse(Array.empty) ++
+         Option(fs.globStatus(new Path(lock.getParent, s"${lock.getName}.probe.*")))
+          .getOrElse(Array.empty))
           .filter(s => fsNow - s.getModificationTime > TombstoneSweepAgeMs)
           .foreach(s => fs.delete(s.getPath, false))
       } catch { case _: java.io.IOException => () }

@@ -193,6 +193,26 @@ class DirLockSpec extends SparkSpec {
     fresh.delete()
   }
 
+  test("orphaned age-probe files are swept too — same age gate") {
+    val dir = tmp("probe")
+    val lockFile = new java.io.File(
+      DirLock.lockPathFor(new org.apache.hadoop.fs.Path(dir)).toUri.getPath)
+    lockFile.getParentFile.mkdirs()
+    // a winner that crashed between fs.create(probe) and fs.delete(probe)
+    // orphans the probe forever — nothing else references it
+    val orphan = new java.io.File(lockFile.getParentFile,
+      lockFile.getName + ".probe.deadbeef")
+    assert(orphan.createNewFile())
+    assert(orphan.setLastModified(System.currentTimeMillis() - 120000L))
+    val fresh = new java.io.File(lockFile.getParentFile,
+      lockFile.getName + ".probe.cafebabe")
+    assert(fresh.createNewFile()) // a LIVE winner's probe (mtime now)
+    DirLock.acquire(spark, dir).release()
+    assert(!orphan.exists(), "winner did not sweep the aged orphaned probe")
+    assert(fresh.exists(), "winner swept a fresh (possibly live) probe")
+    fresh.delete()
+  }
+
   test("true concurrent race: exactly one of N simultaneous acquires wins") {
     val dir = tmp("conc")
     val n = 8
