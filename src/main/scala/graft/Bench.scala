@@ -129,19 +129,23 @@ object Bench {
     * every future reader — and the round judge — gets the call inside
     * the artifact instead of re-deriving it from floors by hand (the
     * r15 adjudication):
-    *  - a 1-min loadavg at start above cpus/4 = the box was already
-    *    busy (r15 driver: 7.94 at 32 cpus — flagged at the margin by
-    *    the floor rules below; a same-shape run on 8 cpus flags here);
+    *  - a 1-min loadavg at start above machineCores/4 = the box was
+    *    already busy (r15 driver: 7.94 at 32 cores — flagged at the
+    *    margin by the floor rules below; a same-shape run on an 8-core
+    *    box flags here). `machineCores` is the PHYSICAL core count
+    *    (`availableProcessors`), not SPARK_GRAFT_CPUS: loadavg is a
+    *    machine-wide figure, and judging it against a configured Spark
+    *    thread count mislabels runs whenever the two differ;
     *  - either measured code-free floor outside its historical band.
     */
   def contaminationReasons(
       loadavg1Start: Double,
-      cpus: Int,
+      machineCores: Int,
       floorStatelessSec: Double,
       floorRocksdbSec: Double): Seq[String] = {
     val b = Seq.newBuilder[String]
-    if (loadavg1Start > cpus / 4.0) // negative (non-Linux "-1") never trips
-      b += f"loadavg_start $loadavg1Start%.2f > cpus/4 = ${cpus / 4.0}%.1f"
+    if (loadavg1Start > machineCores / 4.0) // negative (non-Linux "-1") never trips
+      b += f"loadavg_start $loadavg1Start%.2f > cores/4 = ${machineCores / 4.0}%.1f"
     if (floorStatelessSec > StatelessFloorMaxSec)
       b += f"floor_stateless $floorStatelessSec%.2f s > $StatelessFloorMaxSec (quiet band 0.25-0.35)"
     if (floorRocksdbSec > RocksdbFloorMaxSec)
@@ -260,23 +264,26 @@ object Bench {
     // a code regression by anyone who didn't memorize the floor bands
     val reasons = contaminationReasons(
       loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(-1.0),
-      cpus.toInt, floorStateless, floorRocksdb)
+      Runtime.getRuntime.availableProcessors(), floorStateless, floorRocksdb)
     val contaminated = reasons.nonEmpty
-    val reasonEsc = reasons.mkString("; ").replace("\\", "\\\\").replace("\"", "\\\"")
-    def strList(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // a SPARK_GRAFT_BENCH_ONLY-filtered drill must be self-identifying:
-    // its totals cover a subset, never comparable to a full-surface
-    // headline (ADVICE r15) — n_queries is always present, "only" lists
-    // the filter when one was set
-    val onlyJson = only.map(o => s""","only":${strList(o.toSeq.sorted)}""").getOrElse("")
-    // sfDir is environment-controlled: escape it like Verify does, or a
-    // quoted/exotic path corrupts the one JSON line the harness parses
-    val sfEsc = sfDir.flatMap {
+    // ONE string-escape policy for every environment-controlled or
+    // free-text value landing in the JSON line (sfDir, the ONLY filter,
+    // reasons): a quoted/exotic value must not corrupt the one line the
+    // harness parses
+    def jesc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    val reasonEsc = jesc(reasons.mkString("; "))
+    def strList(xs: Seq[String]) = xs.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
+    // a SPARK_GRAFT_BENCH_ONLY-filtered drill must be self-identifying:
+    // its totals cover a subset, never comparable to a full-surface
+    // headline (ADVICE r15) — n_queries is always present, "only" lists
+    // the filter when one was set
+    val onlyJson = only.map(o => s""","only":${strList(o.toSeq.sorted)}""").getOrElse("")
+    val sfEsc = jesc(sfDir)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"runs":$n,"n_queries":${names.size}$onlyJson,"median_total":$medianTotal,"floor_stateless_sec":$floorStateless,"floor_rocksdb_sec":$floorRocksdb,"floor_charged_sec":$floorCharged,"value_floor_normalized":$totalNormalized,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","contaminated":$contaminated,"contamination_reason":"$reasonEsc","streaming_breakdown":$streamingBd,"failed":${strList(failed)},"flaky":${strList(flaky)},"sf":"$sfEsc"}"""
     // the metric both ways: sole stdout line AND a file, so a harness that

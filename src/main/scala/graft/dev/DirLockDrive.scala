@@ -275,6 +275,10 @@ object DirLockDrive {
     // artifacts for the whole drive — what isolation does a reader
     // observe while writers upsert, die, and stale-break-restore?
     val r = spawn("reader", work)
+    // any failure below must still stop the reader — its only exit
+    // condition is the stop marker, and an orphaned poller burns the
+    // bench box forever (the contamination BENCH_DRIFT.md documents)
+    try {
     require(awaitFile(s"$work/reader.started", 120000), "reader never started")
 
     // scenario 1+2: holder vs contender, then SIGKILL + stale break.
@@ -350,5 +354,9 @@ object DirLockDrive {
     spark.stop()
     if (!(refused && broke && killedMidWrite && ok2 && killed2 &&
         readerStopped && lines.size >= 20)) sys.exit(1)
+    } finally {
+      touch(s"$work/reader.stop") // idempotent; reaches the crash paths
+      if (!r.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) r.destroyForcibly()
+    }
   }
 }

@@ -165,24 +165,10 @@ object EpsilonJoin {
       s"filterPivots must be >= 0 or AutoFilterPivots, got $filterPivots")
     val maxFp =
       if (filterPivots == AutoFilterPivots) AutoMaxFilterPivots else filterPivots
-
-    val in = df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    // w inflated 1e-9 relative: absorbs the <=1-ulp sqrt error at the
-    // ring boundary (object doc); only ever ADMITS candidates. Floored at
-    // 1e-3 so eps2=0 (exact-equality join) gets finite ring ids instead
-    // of a d/0 infinity that overflows the long cast — a wider-than-ε
-    // ring is always safe, never lossy
-    val w = math.max(math.sqrt(eps2.toDouble) * (1 + 1e-9), 1e-3)
-    val sample = pivotSample(in)
-    // fewer distinct vectors than requested pivots (tiny/degenerate
-    // input): every selected pivot still yields a valid band, just a
-    // weaker one — proceed with what exists. Zero pivots = empty input =
-    // no pairs, by construction.
-    if (sample.isEmpty) return None
-    val allPivots = greedyPivots(sample, joinPivots + maxFp)
-    if (allPivots.isEmpty) return None
-    val jp = math.min(joinPivots, allPivots.size)
+    val pro = prologue(df, idCol, vecCol, eps2, joinPivots, maxFp)
+      .getOrElse(return None)
+    import pro.{in, jp, sample, w}
+    val allPivots = pro.pivots
     val fp =
       if (filterPivots == AutoFilterPivots)
         probeFilterPivots(sample, allPivots.map(_.toArray).toArray, jp, w)
@@ -225,6 +211,39 @@ object EpsilonJoin {
       .select(col("__ida").as("idA"), col("__idb").as("idB"),
         col("__d2").as("d2"))
     Some(Stages(candidates, banded, result))
+  }
+
+  private final case class Prologue(
+      in: DataFrame, w: Double, sample: Array[Array[Long]],
+      pivots: Seq[Seq[Long]], jp: Int)
+
+  /** The ONE shared derivation of the join's decision inputs — null
+    * filter, ring width, pivot sample, greedy pivots, join-pivot clamp —
+    * used by [[build]] AND [[resolveFilterPivots]], so the diagnostic
+    * can never silently report a different choice than the operator
+    * makes (the two-sites-re-deriving-a-policy drift hazard). None =
+    * empty input = no pairs by construction.
+    *
+    * `w` inflated 1e-9 relative: absorbs the <=1-ulp sqrt error at the
+    * ring boundary (object doc); only ever ADMITS candidates. Floored
+    * at 1e-3 so eps2=0 (exact-equality join) gets finite ring ids
+    * instead of a d/0 infinity that overflows the long cast — a
+    * wider-than-ε ring is always safe, never lossy. Fewer distinct
+    * vectors than requested pivots (tiny/degenerate input): every
+    * selected pivot still yields a valid band, just a weaker one —
+    * proceed with what exists.
+    */
+  private def prologue(
+      df: DataFrame, idCol: String, vecCol: String, eps2: Long,
+      joinPivots: Int, maxFp: Int): Option[Prologue] = {
+    val in = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val w = math.max(math.sqrt(eps2.toDouble) * (1 + 1e-9), 1e-3)
+    val sample = pivotSample(in)
+    if (sample.isEmpty) return None
+    val pivots = greedyPivots(sample, joinPivots + maxFp)
+    if (pivots.isEmpty) None
+    else Some(Prologue(in, w, sample, pivots, math.min(joinPivots, pivots.size)))
   }
 
   /** Bounded deterministic sample for pivot selection AND the auto-mode
@@ -335,21 +354,16 @@ object EpsilonJoin {
   }
 
   /** What auto mode would pick for `df` — the probe on its own, for
-    * diagnosis and tests (runs the same ONE sampling job [[selfJoin]]
-    * with [[AutoFilterPivots]] runs). */
+    * diagnosis and tests. Shares [[prologue]] with [[build]], so its
+    * answer IS the operator's decision (same sample job, same w, same
+    * pivots), not a re-derivation that could drift. */
   private[graft] def resolveFilterPivots(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       eps2: Long,
-      joinPivots: Int = 2): Int = {
-    val in = df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val w = math.max(math.sqrt(eps2.toDouble) * (1 + 1e-9), 1e-3)
-    val sample = pivotSample(in)
-    if (sample.isEmpty) return 0
-    val pivots = greedyPivots(sample, joinPivots + AutoMaxFilterPivots)
-    val jp = math.min(joinPivots, pivots.size)
-    probeFilterPivots(sample, pivots.map(_.toArray).toArray, jp, w)
-  }
+      joinPivots: Int = 2): Int =
+    prologue(df, idCol, vecCol, eps2, joinPivots, AutoMaxFilterPivots)
+      .map(p => probeFilterPivots(p.sample, p.pivots.map(_.toArray).toArray, p.jp, p.w))
+      .getOrElse(0)
 }

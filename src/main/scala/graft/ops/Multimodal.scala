@@ -357,7 +357,20 @@ object Multimodal {
             carry = rest
             n = ais.read(buf, carry, buf.length - carry)
           }
+          // torn-payload detection: AudioInputStream only ever returns
+          // WHOLE frames (the spec rounds short reads down to frame
+          // boundaries), so a body truncated mid-frame does NOT surface
+          // as a trailing partial here — it surfaces as FEWER frames
+          // than the container header declared. Compare against the
+          // declared frame length when the header carries one
+          // (NOT_SPECIFIED = streaming container: length unknowable,
+          // accept what decoded). carry != 0 stays as defense against a
+          // provider that violates the whole-frame contract.
+          val declared = ais.getFrameLength
           if (carry != 0) Left("error:decode") // torn mid-frame
+          else if (declared != javax.sound.sampled.AudioSystem.NOT_SPECIFIED &&
+              declared >= 0 && nFrames != declared)
+            Left("error:decode") // header claims more frames than the body holds
           else Right(DecodedAudio(fmt.getSampleRate.round, channels, nFrames,
             peak, sumAbs, sumSq, hist))
         }

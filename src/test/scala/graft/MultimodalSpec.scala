@@ -156,6 +156,14 @@ class MultimodalSpec extends SparkSpec {
   test("corrupt/compressed audio payloads take the row-error path") {
     val torn = Multimodal.syntheticWav(1L, 50).take(20) // RIFF magic, torn header
     assert(Multimodal.decodeAudio(torn).isLeft)
+    // body truncated AFTER a valid header: AudioInputStream returns only
+    // whole frames, so this surfaces as fewer frames than the header
+    // declares — must be a row error, never a silently short Right
+    val whole = Multimodal.syntheticWav(1L, 50)
+    assert(Multimodal.decodeAudio(whole.dropRight(1)) == Left("error:decode"),
+      "mid-frame truncation accepted")
+    assert(Multimodal.decodeAudio(whole.dropRight(10)) == Left("error:decode"),
+      "whole-frame truncation accepted")
     assert(Multimodal.decodeAudio("plain prose, not audio".getBytes("UTF-8"))
       == Left("error:unrecognized"))
     assert(Multimodal.decodeAudio(Array.empty[Byte]) == Left("error:unrecognized"))
