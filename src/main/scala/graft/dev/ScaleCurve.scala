@@ -567,6 +567,30 @@ object ScaleCurve {
           ()
         })
       }
+      // same protocol for the r16 real AUDIO path: synthetic-WAV media
+      // corpora (the q_audio_features payload shape: 50-99 frame 16-bit
+      // WAVs, 1-2 channels, every 10th torn), decode timed off parquet
+      def audioPath(k: Int) = s"$work/aud_x$k/media.parquet"
+      for (k <- Mults) {
+        if (!Files.exists(Paths.get(audioPath(k)))) {
+          spark.range(baseN * k).select(col("id")).as[Long]
+            .map { id =>
+              val wav = Multimodal.syntheticWav(
+                id, (50 + id % 50).toInt, 8000, (1 + id % 2).toInt)
+              if (id % 10 == 0) Multimodal.MediaRow(id, wav.take(20))
+              else Multimodal.MediaRow(id, wav)
+            }.toDF().repartition(32)
+            .write.mode("overwrite").parquet(audioPath(k))
+        }
+        val media = spark.read.parquet(audioPath(k))
+        record("auddecode", k, timed(2) {
+          val row = Multimodal.decodeAudioFeatures(spark, media).toDF()
+            .agg(sum(col("sum_sq")).as("s"),
+              sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("e"))
+            .collect()(0)
+          require(row.getLong(1) == baseN * k / 10, s"torn-row count drifted at x$k")
+        })
+      }
     }
 
     // ---------------------------------------------- streaming trigger path

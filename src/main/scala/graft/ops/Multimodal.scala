@@ -284,21 +284,64 @@ object Multimodal {
       sampleRate: Int, channels: Int, nFrames: Long,
       peakAbs: Long, sumAbs: Long, sumSq: Long, hist: Array[Long])
 
-  /** Decode PCM audio bytes with `javax.sound.sampled.AudioSystem`.
-    * Left(reason) for unrecognized containers (no provider claims the
-    * bytes — including every compressed codec, which the JDK does not
-    * ship), non-PCM encodings inside a recognized container, and torn
-    * payloads (header claims more frames than the body holds, or a
-    * trailing partial frame); never throws. Supports PCM_SIGNED /
-    * PCM_UNSIGNED at 8 or 16 bits, any channel count, either endianness
-    * — everything `AudioSystem.write` can produce for the PCM types.
+  /** PCM-container-ordered audio providers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` re-fetches the provider list and
+    * probes EVERY reader per call — including the JDK's
+    * SoftMidiAudioFileReader, whose MIDI probe is heavyweight and
+    * globally serializing: measured 5.7k opens/s with NO scaling across
+    * 16 threads, vs 1.36M/s single-thread and 9.4M/s at 16 threads with
+    * this cached WAV-first list (~190x — it made the decode
+    * mapPartitions hot path effectively serial). Order: the Wave
+    * readers first (the dominant container), then AIFF/AU; the MIDI
+    * reader is EXCLUDED deliberately — a MIDI payload is a score, not
+    * audio, and rendering it through the soft synthesizer would report
+    * synthesis statistics as if they were decoded samples; it routes to
+    * "error:unrecognized" instead (spec-pinned). Readers are stateless
+    * parsers (no instance fields), safe to share across threads.
+    */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toList
+    val (wave, rest) = all.partition(_.getClass.getSimpleName.startsWith("Wave"))
+    wave ++ rest.filterNot(_.getClass.getSimpleName.contains("Midi"))
+  }
+
+  /** Open `bytes` through the cached PCM-ordered providers; throws
+    * `UnsupportedAudioFileException` when none claims them (the
+    * AudioSystem contract, minus the MIDI renderer — scaladoc above).
+    * Falls back to `AudioSystem` on an exotic JVM with no SPI readers.
+    */
+  private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    if (audioReaders.isEmpty)
+      return javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no PCM provider claims the payload")
+  }
+
+  /** Decode PCM audio bytes via the JDK's `javax.sound.sampled`
+    * providers (cached, PCM-first — [[audioReaders]]). Left(reason) for
+    * unrecognized containers (no provider claims the bytes — including
+    * every compressed codec, which the JDK does not ship, and MIDI,
+    * which is deliberately not rendered), non-PCM encodings inside a
+    * recognized container, and torn payloads (header claims more frames
+    * than the body holds, or a trailing partial frame); never throws.
+    * Supports PCM_SIGNED / PCM_UNSIGNED at 8 or 16 bits, any channel
+    * count, either endianness — everything `AudioSystem.write` can
+    * produce for the PCM types.
     */
   def decodeAudio(bytes: Array[Byte], histBuckets: Int = 8)
       : Either[String, DecodedAudio] = {
     require(histBuckets >= 1, s"histBuckets must be >= 1, got $histBuckets")
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     try {
-      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val ais = openAudio(bytes)
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding

@@ -177,6 +177,15 @@ class MultimodalSpec extends SparkSpec {
       AudioFileFormat.Type.WAVE, bos)
     assert(Multimodal.decodeAudio(bos.toByteArray)
       .swap.exists(_.startsWith("error:unsupported-encoding")))
+    // MIDI: a real MThd container the JDK's soft-synth reader WOULD
+    // render to PCM — deliberately NOT audio here (a score is not a
+    // recording; synthesizing it would report synthesis stats as
+    // decoded samples). Must route unrecognized, not decode.
+    val seq = new javax.sound.midi.Sequence(javax.sound.midi.Sequence.PPQ, 4)
+    seq.createTrack()
+    val midiBos = new java.io.ByteArrayOutputStream()
+    javax.sound.midi.MidiSystem.write(seq, 0, midiBos)
+    assert(Multimodal.decodeAudio(midiBos.toByteArray) == Left("error:unrecognized"))
   }
 
   test("decodeAudioFeatures: mixed ok/corrupt batch routes per-row, no shuffle, deterministic") {
