@@ -5869,11 +5869,55 @@ object SparkEntry {
           .as("hist_hi"))
   }
 
-  /** Video-style frame sampling through the `mapPartitions` plumbing: 4
-    * evenly spaced byte-range "frames" per payload. Offsets/lengths are
-    * integer arithmetic and the per-frame digest is sha256 over the byte
-    * range — documents are ASCII, so the oracle reproduces every column
-    * (including digests) in SQL.
+  /** REAL video-container frame sampling ([[Multimodal
+    * .decodeMediaFrames]], `javax.imageio` multi-image readers —
+    * in-JDK): each document row becomes a deterministic synthetic
+    * animated GIF — 3-8 full grayscale frames whose pixel at
+    * (frame, x, y) is modular arithmetic on (doc_id, f, x, y)
+    * ([[Multimodal.syntheticGif]]; ≤256 colors per frame, so the
+    * palette is lossless) — except every 10th row, which carries a
+    * TRUNCATED GIF (magic intact, torn) for the row-error path. The
+    * operator counts TRUE container frames, samples 4 evenly
+    * (`idx = f·n/4`, the arithmetic `sample_exact` pins alongside
+    * `n_sampled = least(4, n_frames)`), and reduces each sampled frame
+    * to its exact gray mass; the oracle reproduces frame counts,
+    * sampled indexes, and per-frame masses as pure integer SQL.
+    */
+  private def qVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spread(t(spark, dir, "documents"))
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val gif = Multimodal.syntheticGif(
+          id, (5 + id % 5).toInt, (4 + id % 4).toInt, (3 + id % 6).toInt)
+        if (id % 10 == 0) Multimodal.MediaRow(id, gif.take(20)) // torn
+        else Multimodal.MediaRow(id, gif)
+      }.toDF()
+    Multimodal.decodeMediaFrameFeatures(spark, media, nSample = 4).toDF()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("n_err"),
+        sum(col("width").cast("long")).as("sum_w"),
+        sum(col("height").cast("long")).as("sum_h"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("n_sampled").cast("long")).as("total_sampled"),
+        sum(expr("aggregate(frame_gray, 0L, (a, x) -> a + x)")).as("total_gray"),
+        sum(expr("aggregate(frame_idx, 0L, (a, x) -> a + cast(x as long))"))
+          .as("idx_sum"),
+        expr("bool_and(size(frame_gray) = n_sampled AND size(frame_idx) = n_sampled)")
+          .as("shape_exact"),
+        expr("bool_and(status <> 'ok' OR n_sampled = least(4, n_frames))")
+          .as("sample_exact"))
+  }
+
+  /** Byte-range frame sampling through the `mapPartitions` plumbing
+    * (the compressed-video STUB domain — GIF/TIFF containers have the
+    * REAL path, [[qVideoFrames]]): 4 evenly spaced byte-range "frames"
+    * per payload. Offsets/lengths are integer arithmetic and the
+    * per-frame digest is sha256 over the byte range — documents are
+    * ASCII, so the oracle reproduces every column (including digests)
+    * in SQL.
     */
   private def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.attachBinary(spread(t(spark, dir, "documents")), "text")
@@ -7271,6 +7315,7 @@ object SparkEntry {
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_audio_features" -> (qAudioFeatures _),
+    "q_video_frames" -> (qVideoFrames _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -10841,6 +10886,41 @@ object SparkEntry {
         |       true AS hist_exact,
         |       CAST(sum(h0) AS BIGINT) AS hist_lo,
         |       CAST(sum(h7) AS BIGINT) AS hist_hi
+        |FROM per""".stripMargin,
+    // pure integer mirror of the synthetic-GIF frame formula
+    // (Multimodal.syntheticGif): pixel at (frame f, x, y) =
+    // (id*31 + f*17 + x*7 + y*13) % 256 on all three channels; the GIF
+    // palette is lossless for <=256 colors so the real multi-frame
+    // decode recovers these exactly, and the sampled indexes are
+    // f * nFrames // k (k = least(4, nFrames)) — the operator's arithmetic
+    "q_video_frames" ->
+      """WITH ok AS (
+        |  SELECT doc_id, 5 + doc_id % 5 AS w, 4 + doc_id % 4 AS h,
+        |         3 + doc_id % 6 AS nf, least(4, 3 + doc_id % 6) AS k
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |fr AS (
+        |  SELECT doc_id, w, h, nf,
+        |         unnest(list_transform(range(k), f -> f * nf // k)) AS idx
+        |  FROM ok),
+        |g AS (
+        |  SELECT doc_id, idx,
+        |    list_sum(flatten(list_transform(range(h), y ->
+        |      list_transform(range(w), x ->
+        |        3 * ((doc_id*31 + idx*17 + x*7 + y*13) % 256))))) AS fg
+        |  FROM fr),
+        |per AS (
+        |  SELECT doc_id, count(*) AS ks, sum(fg) AS tg, sum(idx) AS ti
+        |  FROM g GROUP BY doc_id)
+        |SELECT (SELECT count(*) FROM documents) AS n,
+        |       (SELECT count(*) FROM ok) AS n_ok,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_err,
+        |       (SELECT CAST(sum(w) AS BIGINT) FROM ok) AS sum_w,
+        |       (SELECT CAST(sum(h) AS BIGINT) FROM ok) AS sum_h,
+        |       (SELECT CAST(sum(nf) AS BIGINT) FROM ok) AS total_frames,
+        |       CAST(sum(ks) AS BIGINT) AS total_sampled,
+        |       CAST(sum(tg) AS BIGINT) AS total_gray,
+        |       CAST(sum(ti) AS BIGINT) AS idx_sum,
+        |       true AS shape_exact, true AS sample_exact
         |FROM per""".stripMargin,
     "q_repetition" ->
       s"""SELECT source,

@@ -591,6 +591,30 @@ object ScaleCurve {
           require(row.getLong(1) == baseN * k / 10, s"torn-row count drifted at x$k")
         })
       }
+      // and the r16 real FRAME-CONTAINER path: synthetic animated GIFs
+      // (the q_video_frames payload shape), full frame-walk + 4-sample
+      // decode timed off parquet
+      def gifPath(k: Int) = s"$work/gif_x$k/media.parquet"
+      for (k <- Mults) {
+        if (!Files.exists(Paths.get(gifPath(k)))) {
+          spark.range(baseN * k).select(col("id")).as[Long]
+            .map { id =>
+              val gif = Multimodal.syntheticGif(
+                id, (5 + id % 5).toInt, (4 + id % 4).toInt, (3 + id % 6).toInt)
+              if (id % 10 == 0) Multimodal.MediaRow(id, gif.take(20))
+              else Multimodal.MediaRow(id, gif)
+            }.toDF().repartition(32)
+            .write.mode("overwrite").parquet(gifPath(k))
+        }
+        val media = spark.read.parquet(gifPath(k))
+        record("gifframes", k, timed(2) {
+          val row = Multimodal.decodeMediaFrameFeatures(spark, media, nSample = 4).toDF()
+            .agg(sum(expr("aggregate(frame_gray, 0L, (a, x) -> a + x)")).as("g"),
+              sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("e"))
+            .collect()(0)
+          require(row.getLong(1) == baseN * k / 10, s"torn-row count drifted at x$k")
+        })
+      }
     }
 
     // ---------------------------------------------- streaming trigger path

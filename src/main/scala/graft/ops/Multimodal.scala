@@ -35,14 +35,20 @@ import org.apache.spark.sql.functions._
   * JDK ships no compressed-audio codec) take the same ROW-ERROR path as
   * images.
   *
-  * VIDEO remains a clearly-marked STUB ([[sampleFrames]]' byte-range
-  * "keyframes"), as does the compressed-audio embed stand-in
-  * ([[stubAudioDecode]]): the JDK has no compressed audio/video codecs,
-  * so those produce deterministic fake features while the Spark-side
-  * plumbing (schema, batch shape, partitioning) is real and tested.
-  * Swapping in a real codec touches only the per-payload decode
-  * function — exactly the swap [[decodeImage]] (r14→r15) and
-  * [[decodeAudio]] (r15→r16) already made for images and PCM audio.
+  * VIDEO-shaped frame sampling is REAL for the multi-frame containers
+  * the JDK can decode: [[decodeMediaFrames]] counts and samples true
+  * frames from animated GIF / multi-page TIFF via `javax.imageio`'s
+  * multi-image readers, with exact per-frame integer statistics
+  * oracle-checkable on deterministic synthetic GIFs ([[syntheticGif]]:
+  * grayscale palette → lossless). True video CODECS (MP4/H.264/VP9)
+  * have no in-JDK decoder — for those, [[sampleFrames]]' byte-range
+  * "keyframes" remain the clearly-marked STUB, as does the
+  * compressed-audio embed stand-in ([[stubAudioDecode]]): deterministic
+  * fake features over real, tested Spark-side plumbing. Swapping in a
+  * real codec touches only the per-payload decode function — exactly
+  * the swap [[decodeImage]] (r14→r15), [[decodeAudio]] (r15→r16), and
+  * [[decodeMediaFrames]] (r16) already made for images, PCM audio, and
+  * frame containers.
   */
 object Multimodal {
 
@@ -524,12 +530,179 @@ object Multimodal {
     (loudness, feat)
   }
 
+  // ----------------------------------------------------------------
+  // REAL multi-frame media path (javax.imageio multi-image readers —
+  // animated GIF, multi-page TIFF: true frame containers, in-JDK)
+  // ----------------------------------------------------------------
+
+  /** One sampled frame: its index in the container and its exact gray
+    * mass Σ(r+g+b) over the STORED raster. */
+  final case class FrameStat(frameIdx: Int, graySum: Long)
+
+  /** `sampled.length == min(nSample, nFrames)`; frames are sampled
+    * evenly at `idx = f·nFrames / k` (the same integer arithmetic as
+    * the byte-range stub, now over REAL frames). `width`/`height` are
+    * frame 0's raster dims. */
+  final case class DecodedFrames(
+      width: Int, height: Int, nFrames: Int, sampled: Array[FrameStat])
+
+  /** REAL frame sampling from a multi-frame media container via
+    * `javax.imageio`'s multi-image readers (in-JDK: animated GIF,
+    * multi-page TIFF) — the video-shaped decode: count the container's
+    * frames (`getNumImages(forceRead)` walks the whole stream; GIF
+    * torn TAILS are detected via the mandatory 0x3B trailer byte,
+    * because the reader otherwise silently drops a torn trailing
+    * frame), pick `nSample` evenly
+    * spaced indexes, decode each picked frame and reduce it to exact
+    * integer statistics. Statistics are over each frame's STORED
+    * raster (GIF disposal/compositing is deliberately not applied —
+    * deterministic, and the synthetic fixtures store full frames).
+    * True video CODECS (MP4/H.264/VP9) have no in-JDK decoder — those
+    * payloads take `error:unrecognized`, and [[sampleFrames]]' byte-
+    * range plumbing remains the documented stub for them.
+    * Left(reason) mirrors [[decodeImage]]'s row-error contract.
+    */
+  def decodeMediaFrames(bytes: Array[Byte], nSample: Int = 4)
+      : Either[String, DecodedFrames] = {
+    require(nSample >= 1, s"nSample must be >= 1, got $nSample")
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Left("error:unrecognized")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // GIF is a stream with NO declared frame count: the reader
+          // silently DROPS a torn trailing frame (getNumImages just
+          // reports fewer), so truncation is detected structurally — a
+          // conforming GIF's final byte is the 0x3B trailer; its
+          // absence IS the torn-tail signal (strict: trailing garbage
+          // after the trailer also rejects — loud beats silently short)
+          if (reader.getFormatName.equalsIgnoreCase("gif") &&
+              (bytes.isEmpty || bytes(bytes.length - 1) != 0x3b))
+            return Left("error:decode")
+          val n = reader.getNumImages(true) // full walk: torn frame 0/header throws here
+          if (n <= 0) Left("error:decode")
+          else {
+            val k = math.min(nSample, n)
+            val sampled = new Array[FrameStat](k)
+            var w = 0; var h = 0
+            var f = 0
+            while (f < k) {
+              val idx = f * n / k
+              val img = reader.read(idx)
+              if (f == 0) { w = img.getWidth; h = img.getHeight }
+              var s = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val v = img.getRGB(x, y)
+                  s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              sampled(f) = FrameStat(idx, s)
+              f += 1
+            }
+            Right(DecodedFrames(w, h, n, sampled))
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => Left("error:decode") }
+  }
+
+  /** `frame_idx.length == frame_gray.length == n_sampled ==
+    * min(requested, n_frames)` on ok rows; 0/0/empty on error rows. */
+  final case class MediaFrameRow(
+      id: Long, status: String, width: Int, height: Int,
+      n_frames: Int, n_sampled: Int,
+      frame_idx: Array[Int], frame_gray: Array[Long])
+
+  /** Batch frame-sample feature extraction over partitions: REAL
+    * container decode via [[decodeMediaFrames]], the same row-error
+    * routing / bounded-batch / no-shuffle shape as
+    * [[decodeImageFeatures]] and [[decodeAudioFeatures]].
+    */
+  def decodeMediaFrameFeatures(
+      spark: SparkSession,
+      media: DataFrame, // needs (id: long, content: binary)
+      nSample: Int = 4,
+      batchSize: Int = 64): Dataset[MediaFrameRow] = {
+    import spark.implicits._
+    media.select(col("id"), col("content")).as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { m =>
+            decodeMediaFrames(m.content, nSample) match {
+              case Right(d) => MediaFrameRow(m.id, "ok", d.width, d.height,
+                d.nFrames, d.sampled.length,
+                d.sampled.map(_.frameIdx), d.sampled.map(_.graySum))
+              case Left(err) => MediaFrameRow(m.id, err, 0, 0, 0, 0,
+                Array.empty[Int], Array.empty[Long])
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic animated GIF: `nFrames` full `w`×`h`
+    * grayscale frames whose pixel value at (frame f, x, y) is
+    * `(id·31 + f·17 + x·7 + y·13) mod 256`, replicated across r=g=b —
+    * ≤256 distinct colors per frame, so the GIF palette encodes them
+    * LOSSLESSLY (probed: read-back is bit-exact) and a SQL oracle
+    * reproduces every frame's gray mass as `3·v` sums with no image
+    * library.
+    */
+  def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      // interlacing OFF: the JDK GIF writer's default progressive mode
+      // permutes rows on very short images (probed at h=4: read-back
+      // rows came back in interlace storage order) — non-interlaced
+      // storage round-trips bit-exactly at every size
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (((id * 31 + f * 17 + x * 7 + y * 13) % 256) + 256).toInt % 256
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   final case class Frame(id: Long, frameIdx: Int, offset: Long, length: Int, sha8: String)
 
-  /** Frame sampling plumbing (video STUB domain): pick `nFrames` evenly
-    * spaced byte-range "frames" from an opaque payload. The ranges and
-    * digests are real; a production decoder replaces the range
-    * arithmetic with keyframe offsets.
+  /** Frame sampling plumbing (compressed-video STUB domain — GIF/TIFF
+    * containers have the REAL path, [[decodeMediaFrames]]): pick
+    * `nFrames` evenly spaced byte-range "frames" from an opaque
+    * payload. The ranges and digests are real; a production codec
+    * replaces the range arithmetic with keyframe offsets.
     */
   def sampleFrames(
       spark: SparkSession,

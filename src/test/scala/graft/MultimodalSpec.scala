@@ -217,6 +217,62 @@ class MultimodalSpec extends SparkSpec {
       again.map(r => (r.id, r.status, r.sum_sq, r.energy_hist.toSeq)).toSet)
   }
 
+  /** Independent frame-pixel-formula evaluation (the same modular
+    * arithmetic the DuckDB oracle uses). */
+  private def framePix(id: Long, f: Int, x: Int, y: Int): Long =
+    (((id * 31 + f * 17 + x * 7 + y * 13) % 256) + 256) % 256
+
+  test("decodeMediaFrames recovers synthetic GIF frames exactly (count, sampling arithmetic, gray mass)") {
+    for (id <- Seq(0L, 7L, 123L); (w, h, nf) <- Seq((6, 5, 1), (5, 4, 3), (9, 7, 8), (4, 4, 13))) {
+      val d = Multimodal.decodeMediaFrames(Multimodal.syntheticGif(id, w, h, nf), nSample = 4)
+        .fold(e => fail(s"decode failed: $e"), identity)
+      assert(d.width == w && d.height == h && d.nFrames == nf, s"id=$id nf=$nf")
+      val k = math.min(4, nf)
+      assert(d.sampled.length == k)
+      for (f <- 0 until k) {
+        val idx = f * nf / k
+        assert(d.sampled(f).frameIdx == idx, s"sample $f")
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield 3L * framePix(id, idx, x, y)).sum
+        assert(d.sampled(f).graySum == expected, s"id=$id frame $idx")
+      }
+    }
+  }
+
+  test("torn/foreign multi-frame payloads take the row-error path") {
+    val gif = Multimodal.syntheticGif(3L, 6, 5, 5)
+    assert(Multimodal.decodeMediaFrames(gif.take(20)) == Left("error:decode"))
+    assert(Multimodal.decodeMediaFrames(gif.dropRight(30)) == Left("error:decode"),
+      "torn tail must surface through the full-stream frame walk")
+    assert(Multimodal.decodeMediaFrames("not a container".getBytes("UTF-8"))
+      == Left("error:unrecognized"))
+    assert(Multimodal.decodeMediaFrames(Array.empty[Byte]) == Left("error:unrecognized"))
+    // a single-frame PNG is a valid 1-frame container, not an error
+    val png = Multimodal.decodeMediaFrames(Multimodal.syntheticPng(1L, 4, 3))
+      .fold(e => fail(e), identity)
+    assert(png.nFrames == 1 && png.sampled.length == 1)
+  }
+
+  test("decodeMediaFrameFeatures: mixed ok/torn batch routes per-row, no shuffle") {
+    val media = spark.range(30).select($"id").as[Long]
+      .map { id =>
+        val gif = Multimodal.syntheticGif(id, (4 + id % 4).toInt, (3 + id % 3).toInt, (2 + id % 5).toInt)
+        if (id % 10 == 0) Multimodal.MediaRow(id, gif.take(20))
+        else Multimodal.MediaRow(id, gif)
+      }.toDF()
+    val feats = Multimodal.decodeMediaFrameFeatures(spark, media, nSample = 4, batchSize = 7)
+    val rows = feats.collect()
+    val (ok, err) = rows.partition(_.status == "ok")
+    assert(ok.length == 27 && err.length == 3)
+    assert(err.forall(r => r.status == "error:decode" && r.frame_gray.isEmpty))
+    ok.foreach { r =>
+      assert(r.n_frames == 2 + r.id % 5 &&
+        r.n_sampled == math.min(4, r.n_frames) &&
+        r.frame_idx.length == r.n_sampled && r.frame_gray.length == r.n_sampled)
+    }
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("decodeImage handles non-RGB sources (grayscale PNG reports its band count)") {
     val img = new java.awt.image.BufferedImage(
       6, 5, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
