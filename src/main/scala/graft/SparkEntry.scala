@@ -5802,11 +5802,7 @@ object SparkEntry {
     import spark.implicits._
     val media = spread(t(spark, dir, "documents"))
       .select(col("doc_id")).as[Long]
-      .map { id =>
-        val png = Multimodal.syntheticPng(id, (8 + id % 8).toInt, (6 + id % 6).toInt)
-        if (id % 10 == 0) Multimodal.MediaRow(id, png.take(20)) // torn mid-header
-        else Multimodal.MediaRow(id, png)
-      }.toDF()
+      .map(Multimodal.pngFixture).toDF() // torn-rule + dims shared with ScaleCurve
     Multimodal.decodeImageFeatures(spark, media, gridW = 2, gridH = 2).toDF()
       .agg(
         count(lit(1)).as("n"),
@@ -5841,12 +5837,7 @@ object SparkEntry {
     import spark.implicits._
     val media = spread(t(spark, dir, "documents"))
       .select(col("doc_id")).as[Long]
-      .map { id =>
-        val wav = Multimodal.syntheticWav(
-          id, (50 + id % 50).toInt, 8000, (1 + id % 2).toInt)
-        if (id % 10 == 0) Multimodal.MediaRow(id, wav.take(20)) // torn mid-header
-        else Multimodal.MediaRow(id, wav)
-      }.toDF()
+      .map(Multimodal.wavFixture).toDF() // torn-rule + shape shared with ScaleCurve
     Multimodal.decodeAudioFeatures(spark, media).toDF()
       .agg(
         count(lit(1)).as("n"),
@@ -5887,12 +5878,7 @@ object SparkEntry {
     import spark.implicits._
     val media = spread(t(spark, dir, "documents"))
       .select(col("doc_id")).as[Long]
-      .map { id =>
-        val gif = Multimodal.syntheticGif(
-          id, (5 + id % 5).toInt, (4 + id % 4).toInt, (3 + id % 6).toInt)
-        if (id % 10 == 0) Multimodal.MediaRow(id, gif.take(20)) // torn
-        else Multimodal.MediaRow(id, gif)
-      }.toDF()
+      .map(Multimodal.gifFixture).toDF() // torn-rule + shape shared with ScaleCurve
     Multimodal.decodeMediaFrameFeatures(spark, media, nSample = 4).toDF()
       .agg(
         count(lit(1)).as("n"),

@@ -544,12 +544,7 @@ object ScaleCurve {
       for (k <- Mults) {
         if (!Files.exists(Paths.get(mediaPath(k)))) {
           spark.range(baseN * k).select(col("id")).as[Long]
-            .map { id =>
-              val png = Multimodal.syntheticPng(
-                id, (8 + id % 8).toInt, (6 + id % 6).toInt)
-              if (id % 10 == 0) Multimodal.MediaRow(id, png.take(20))
-              else Multimodal.MediaRow(id, png)
-            }.toDF().repartition(32)
+            .map(Multimodal.pngFixture).toDF().repartition(32)
             .write.mode("overwrite").parquet(mediaPath(k))
         }
         val media = spark.read.parquet(mediaPath(k))
@@ -574,12 +569,7 @@ object ScaleCurve {
       for (k <- Mults) {
         if (!Files.exists(Paths.get(audioPath(k)))) {
           spark.range(baseN * k).select(col("id")).as[Long]
-            .map { id =>
-              val wav = Multimodal.syntheticWav(
-                id, (50 + id % 50).toInt, 8000, (1 + id % 2).toInt)
-              if (id % 10 == 0) Multimodal.MediaRow(id, wav.take(20))
-              else Multimodal.MediaRow(id, wav)
-            }.toDF().repartition(32)
+            .map(Multimodal.wavFixture).toDF().repartition(32)
             .write.mode("overwrite").parquet(audioPath(k))
         }
         val media = spark.read.parquet(audioPath(k))
@@ -598,12 +588,7 @@ object ScaleCurve {
       for (k <- Mults) {
         if (!Files.exists(Paths.get(gifPath(k)))) {
           spark.range(baseN * k).select(col("id")).as[Long]
-            .map { id =>
-              val gif = Multimodal.syntheticGif(
-                id, (5 + id % 5).toInt, (4 + id % 4).toInt, (3 + id % 6).toInt)
-              if (id % 10 == 0) Multimodal.MediaRow(id, gif.take(20))
-              else Multimodal.MediaRow(id, gif)
-            }.toDF().repartition(32)
+            .map(Multimodal.gifFixture).toDF().repartition(32)
             .write.mode("overwrite").parquet(gifPath(k))
         }
         val media = spark.read.parquet(gifPath(k))

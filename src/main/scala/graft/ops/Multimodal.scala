@@ -78,6 +78,12 @@ object Multimodal {
       new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes)))
 
+  /** The ONE gray-mass kernel for a packed ARGB pixel: r+g+b, each
+    * channel 0..255 — shared by every decode loop so a future change
+    * (alpha handling, weighting) cannot silently diverge the paths. */
+  @inline private def rgbMass(v: Int): Int =
+    ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+
   // ----------------------------------------------------------------
   // REAL image path (javax.imageio)
   // ----------------------------------------------------------------
@@ -121,8 +127,8 @@ object Multimodal {
           val gy = math.min(y * gh / h, gh - 1)
           var x = 0
           while (x < w) {
-            val v = img.getRGB(x, y) // ARGB, exact for 8-bit sources (PNG lossless)
-            val g = ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+            // ARGB, exact for 8-bit sources (PNG lossless)
+            val g = rgbMass(img.getRGB(x, y))
             graySum += g
             sums(gy * gw + math.min(x * gw / w, gw - 1)) += g
             x += 1
@@ -203,8 +209,7 @@ object Multimodal {
             while (y < y1) {
               var x = x0
               while (x < x1) {
-                val v = img.getRGB(x, y)
-                s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+                s += rgbMass(img.getRGB(x, y))
                 x += 1
               }
               y += 1
@@ -500,6 +505,37 @@ object Multimodal {
   }
 
   // ----------------------------------------------------------------
+  // Shared oracle-fixture shapes: the ONE definition of the payload
+  // corpora that q_multimodal_features / q_audio_features /
+  // q_video_frames oracle AND the ScaleCurve media families measure —
+  // dims/torn-rule drift between the query and the bench would
+  // silently measure a different payload than the oracle checks, while
+  // the docs still claimed identity. (The oracle SQL mirrors these
+  // constants textually — that mirror is what CORRECTNESS gates.)
+  // ----------------------------------------------------------------
+
+  /** q_multimodal_features payload: (8+id%8)x(6+id%6) RGB PNG, every
+    * 10th torn mid-header. */
+  private[graft] def pngFixture(id: Long): MediaRow = {
+    val png = syntheticPng(id, (8 + id % 8).toInt, (6 + id % 6).toInt)
+    MediaRow(id, if (id % 10 == 0) png.take(20) else png)
+  }
+
+  /** q_audio_features payload: (50+id%50)-frame 16-bit 8 kHz WAV with
+    * 1+id%2 channels, every 10th torn mid-header. */
+  private[graft] def wavFixture(id: Long): MediaRow = {
+    val wav = syntheticWav(id, (50 + id % 50).toInt, 8000, (1 + id % 2).toInt)
+    MediaRow(id, if (id % 10 == 0) wav.take(20) else wav)
+  }
+
+  /** q_video_frames payload: (5+id%5)x(4+id%4) animated GIF with
+    * 3+id%6 frames, every 10th torn. */
+  private[graft] def gifFixture(id: Long): MediaRow = {
+    val gif = syntheticGif(id, (5 + id % 5).toInt, (4 + id % 4).toInt, (3 + id % 6).toInt)
+    MediaRow(id, if (id % 10 == 0) gif.take(20) else gif)
+  }
+
+  // ----------------------------------------------------------------
   // Compressed audio / video: documented STUBS (no compressed-media
   // codec in the JDK — PCM has the REAL path above)
   // ----------------------------------------------------------------
@@ -552,7 +588,12 @@ object Multimodal {
     * frames (`getNumImages(forceRead)` walks the whole stream; GIF
     * torn TAILS are detected via the mandatory 0x3B trailer byte,
     * because the reader otherwise silently drops a torn trailing
-    * frame), pick `nSample` evenly
+    * frame — this structural check is GIF-SPECIFIC: for other
+    * containers, e.g. multi-page TIFF whose IFD chain is intact but
+    * whose strip data is torn, truncation surfaces only when a SAMPLED
+    * frame's decode throws; a torn unsampled frame passes silently, so
+    * byte-integrity-critical pipelines pair this with a payload
+    * checksum column), pick `nSample` evenly
     * spaced indexes, decode each picked frame and reduce it to exact
     * integer statistics. Statistics are over each frame's STORED
     * raster (GIF disposal/compositing is deliberately not applied —
@@ -581,7 +622,7 @@ object Multimodal {
           // absence IS the torn-tail signal (strict: trailing garbage
           // after the trailer also rejects — loud beats silently short)
           if (reader.getFormatName.equalsIgnoreCase("gif") &&
-              (bytes.isEmpty || bytes(bytes.length - 1) != 0x3b))
+              bytes(bytes.length - 1) != 0x3b) // nonempty: a reader claimed it
             return Left("error:decode")
           val n = reader.getNumImages(true) // full walk: torn frame 0/header throws here
           if (n <= 0) Left("error:decode")
@@ -599,8 +640,7 @@ object Multimodal {
               while (y < img.getHeight) {
                 var x = 0
                 while (x < img.getWidth) {
-                  val v = img.getRGB(x, y)
-                  s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+                  s += rgbMass(img.getRGB(x, y))
                   x += 1
                 }
                 y += 1
