@@ -266,16 +266,11 @@ object Bench {
       loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(-1.0),
       Runtime.getRuntime.availableProcessors(), floorStateless, floorRocksdb)
     val contaminated = reasons.nonEmpty
-    // ONE string-escape policy for every environment-controlled or
-    // free-text value landing in the JSON line (sfDir, the ONLY filter,
-    // reasons): a quoted/exotic value must not corrupt the one line the
-    // harness parses
-    def jesc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    // ONE string-escape policy ([[JsonText]], shared with Verify) for
+    // every environment-controlled or free-text value landing in the
+    // JSON line (sfDir, the ONLY filter, reasons): a quoted/exotic
+    // value must not corrupt the one line the harness parses
+    def jesc(s: String): String = JsonText.escape(s)
     val reasonEsc = jesc(reasons.mkString("; "))
     def strList(xs: Seq[String]) = xs.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     // a SPARK_GRAFT_BENCH_ONLY-filtered drill must be self-identifying:

@@ -326,7 +326,11 @@ object DirLockDrive {
     // documented contract (dev/DIRLOCK_DRIVE.md).
     touch(s"$work/reader.stop")
     val readerStopped = awaitFile(s"$work/reader.stopped", 60000)
-    r.waitFor()
+    // timed: a wedged reader must not hang the drive past the finally's
+    // backstop — kill it here so the busy-poller can't outlive the run
+    if (!r.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
+      r.destroyForcibly(); r.waitFor()
+    }
     val lines = scala.io.Source.fromFile(s"$work/reader.log").getLines().toSeq
     def field(l: String, k: String): String =
       l.split(s"$k=\\[", 2).lift(1).map(_.takeWhile(_ != ']')).getOrElse("")

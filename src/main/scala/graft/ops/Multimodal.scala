@@ -361,14 +361,23 @@ object Multimodal {
         val bits = fmt.getSampleSizeInBits
         if (!signed && !unsigned) Left(s"error:unsupported-encoding:$enc")
         else if (bits != 8 && bits != 16) Left(s"error:unsupported-depth:$bits")
+        else if (fmt.getChannels < 1 || fmt.getChannels > 4096)
+          // a corrupt/crafted header's channel field sizes the frame —
+          // unguarded, a claimed 32k channels would allocate a 64 MB
+          // chunk buffer per row BEFORE any body check, and an OOM is
+          // not NonFatal: it would escape the catch and fail the task
+          // instead of routing to a row error (review finding, spec'd)
+          Left(s"error:unsupported-channels:${fmt.getChannels}")
         else {
           val channels = fmt.getChannels
           val bytesPerSample = bits / 8
           val frameSize = channels * bytesPerSample
           val big = fmt.isBigEndian
-          // stream the body in bounded chunks (never one giant copy);
+          // stream the body in bounded chunks (never one giant copy —
+          // ~64 KiB rounded to whole frames; frameSize <= 8 KiB by the
+          // channel guard, so the chunk never exceeds 64 KiB);
           // a trailing partial frame = torn payload = row error
-          val buf = new Array[Byte](math.max(frameSize * 1024, 4096) / frameSize * frameSize)
+          val buf = new Array[Byte](math.max(65536 / frameSize, 1) * frameSize)
           var carry = 0 // bytes of an incomplete frame held at buf start
           var nFrames = 0L
           var peak = 0L; var sumAbs = 0L; var sumSq = 0L
@@ -588,12 +597,13 @@ object Multimodal {
     * frames (`getNumImages(forceRead)` walks the whole stream; GIF
     * torn TAILS are detected via the mandatory 0x3B trailer byte,
     * because the reader otherwise silently drops a torn trailing
-    * frame — this structural check is GIF-SPECIFIC: for other
-    * containers, e.g. multi-page TIFF whose IFD chain is intact but
-    * whose strip data is torn, truncation surfaces only when a SAMPLED
-    * frame's decode throws; a torn unsampled frame passes silently, so
-    * byte-integrity-critical pipelines pair this with a payload
-    * checksum column), pick `nSample` evenly
+    * frame — this structural check is GIF-SPECIFIC: multi-page TIFF
+    * has no trailer convention, and a mid-body tear can pass SILENTLY
+    * SHORT — the reader stops the IFD walk at the tear and reports
+    * only the readable prefix's pages as the whole container (probed
+    * on JDK 17 and spec-pinned: a 3-page TIFF cut in half decodes as
+    * a valid 1-page container), so byte-integrity-critical pipelines
+    * pair this with a payload checksum column), pick `nSample` evenly
     * spaced indexes, decode each picked frame and reduce it to exact
     * integer statistics. Statistics are over each frame's STORED
     * raster (GIF disposal/compositing is deliberately not applied —

@@ -186,6 +186,21 @@ class MultimodalSpec extends SparkSpec {
     val midiBos = new java.io.ByteArrayOutputStream()
     javax.sound.midi.MidiSystem.write(seq, 0, midiBos)
     assert(Multimodal.decodeAudio(midiBos.toByteArray) == Left("error:unrecognized"))
+    // a crafted header claiming an absurd channel count must be a row
+    // error BEFORE any body-sized allocation (the JDK Wave reader
+    // accepts channels=32000; unguarded, the chunk buffer would be
+    // frameSize*1024 = 64 MB per row and an OOM escapes NonFatal)
+    val hostile = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(32000.toShort) // PCM, channels=32000
+      .putInt(8000).putInt(8000 * 32000 * 2)
+      .putShort((32000 * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    assert(Multimodal.decodeAudio(hostile.array())
+      == Left("error:unsupported-channels:32000"))
   }
 
   test("decodeAudioFeatures: mixed ok/corrupt batch routes per-row, no shuffle, deterministic") {
@@ -237,6 +252,63 @@ class MultimodalSpec extends SparkSpec {
         assert(d.sampled(f).graySum == expected, s"id=$id frame $idx")
       }
     }
+  }
+
+  test("decodeMediaFrames reads multi-page TIFF (the other in-JDK container) exactly") {
+    // Same pixel formula as syntheticGif, written as a multi-page TIFF
+    // via the JDK's ImageIO TIFF writer (Java 9+) — pins the scaladoc
+    // claim that the frame walk is container-generic, not GIF-only.
+    def syntheticTiff(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- 0 until nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val v = framePix(id, f, x, y).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        ios.flush()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    for (id <- Seq(0L, 9L); (w, h, nf) <- Seq((6, 5, 1), (5, 4, 3), (4, 4, 7))) {
+      val d = Multimodal.decodeMediaFrames(syntheticTiff(id, w, h, nf), nSample = 4)
+        .fold(e => fail(s"tiff decode failed: $e"), identity)
+      assert(d.width == w && d.height == h && d.nFrames == nf, s"id=$id nf=$nf")
+      val k = math.min(4, nf)
+      assert(d.sampled.length == k)
+      for (f <- 0 until k) {
+        val idx = f * nf / k
+        assert(d.sampled(f).frameIdx == idx)
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield 3L * framePix(id, idx, x, y)).sum
+        assert(d.sampled(f).graySum == expected, s"id=$id tiff frame $idx")
+      }
+    }
+    // Torn TIFF: a 3-byte head loses the 4-byte II*\0 magic
+    // (unrecognized); a tear past the magic is still CLAIMED by the
+    // TIFF reader SPI (probed on JDK 17: even a 6-byte head is claimed)
+    // and fails the IFD walk loudly (decode). But a MID-BODY tear can
+    // pass SILENTLY SHORT: the reader stops the IFD walk at the tear
+    // and reports only the readable prefix's pages (probed: a 3-page
+    // TIFF cut in half decodes as a valid 1-page container). This is
+    // the documented TIFF caveat — no trailer convention exists to
+    // detect it (GIF's 0x3B check has no TIFF equivalent), so
+    // byte-integrity-critical pipelines pair a payload checksum column.
+    val tiff = syntheticTiff(1L, 5, 4, 3)
+    assert(Multimodal.decodeMediaFrames(tiff.take(3)) == Left("error:unrecognized"))
+    assert(Multimodal.decodeMediaFrames(tiff.take(6)) == Left("error:decode"))
+    Multimodal.decodeMediaFrames(tiff.take(tiff.length / 2)).fold(
+      e => assert(e == "error:decode"),
+      d => assert(d.nFrames < 3, "a mid-body tear must not report all pages"))
   }
 
   test("torn/foreign multi-frame payloads take the row-error path") {
