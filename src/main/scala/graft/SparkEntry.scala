@@ -1417,17 +1417,26 @@ object SparkEntry {
     * hash identically.
     */
   private def qItemsets(spark: SparkSession, dir: String): DataFrame = {
-    // distinct (basket, brand): basket = order, item = part brand
+    // distinct (basket, brand): basket = order, item = part brand.
+    // Materialized ONCE (localCheckpoint): the basket count, the item
+    // supports, and BOTH sides of the within-basket pair self-join reuse
+    // this frame — unmaterialized, each branch re-derived the whole
+    // lineitem⋈part⋈distinct subtree (the before plan scanned lineitem
+    // and part 12x EACH; guide §3.3: materialise reused intermediates to
+    // truncate the plan). At 100 TB this is the difference between one
+    // pass over the fact table and twelve.
     val bi = t(spark, dir, "lineitem")
       .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
       .distinct()
+      .localCheckpoint(true)
     // RELATIVE support (0.5% of baskets): the threshold scales with the
     // data, so the same query is meaningful at sf0.001 and at 100 TB
     val nBaskets = bi.select(countDistinct("basket").as("n_baskets"))
     val itemSupp = bi.groupBy("item").agg(count(lit(1)).as("supp"))
     val frequent = itemSupp.crossJoin(broadcast(nBaskets)) // A-priori prune
       .filter(col("supp") * 200 >= col("n_baskets")).drop("n_baskets")
+      .localCheckpoint(true) // ≤|brands| rows, reused by fbi (x2) and sa/sb
     val fbi = bi.join(broadcast(frequent.select("item")), "item")
     val pairs = fbi.as("a").join(fbi.as("b"), Seq("basket"))
       .filter(col("a.item") < col("b.item"))

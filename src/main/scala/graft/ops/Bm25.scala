@@ -112,7 +112,11 @@ object Bm25 {
       qTextCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    // doc lengths materialized ONCE (localCheckpoint): the `stats` action
+    // below forces a full pass over this aggregate anyway, and the scoring
+    // join re-reads it — unmaterialized, the corpus-sized groupBy ran
+    // twice per query batch (once for stats, once inside the final join)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl")).localCheckpoint(true)
     val stats = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head
     val (nDocs, totTokens) = (stats.getLong(0), stats.getLong(1))
     val sIdfNum = if (nDocs > 0) sLong(2 * nDocs + 2) else 0L

@@ -44,8 +44,16 @@ object Mmr {
       lambda: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    // Materialize the shortlist ONCE (localCheckpoint): every round's
+    // scoring join, argmax, and anti-join referenced `candidates`
+    // repeatedly — with an expensive retrieval subtree feeding it, the
+    // unmaterialized loop re-derived that subtree ~(4k+1) times (q_mmr's
+    // before plan scanned the embeddings corpus 39x for k=3). The
+    // shortlist is bounded per the operator contract (k·candidates rows
+    // per query, never the corpus), so the checkpoint is always small.
     val base = candidates.select(col(qidCol).as("__q"), col(idCol).as("__id"),
       col(relCol).as("__rel"), col(vecCol).as("__v"))
+      .localCheckpoint(true)
     val argmax = Window.partitionBy("__q")
       .orderBy(col("__score").desc, col("__id").asc)
     var selected: DataFrame = null // accumulated (q, step, id, vec)
@@ -63,9 +71,13 @@ object Mmr {
             .withColumn("__score",
               lit(lambda) * col("__rel") - lit(1 - lambda) * col("__maxsim"))
         }
+      // one row per query: checkpoint eagerly so `selected` (read by every
+      // later round's scoring join) and the anti-join don't re-run this
+      // round's argmax — keeps plan depth constant across rounds
       val pick = scored.withColumn("__rn", row_number().over(argmax))
         .filter(col("__rn") === 1)
         .select(col("__q"), lit(step.toLong).as("step"), col("__id"), col("__v"))
+        .localCheckpoint(true)
       selected = if (selected == null) pick else selected.unionByName(pick)
       remaining = remaining.join(
         pick.select(col("__q").as("__pq"), col("__id").as("__pid")),
