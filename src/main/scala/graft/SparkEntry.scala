@@ -1937,10 +1937,15 @@ object SparkEntry {
   private def qKmeansExact(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.toDoubleArray
     val k = 4
+    // materialize the quantized vectors ONCE: `va` feeds every assign()
+    // call (3x) and `v` every centroid update (2x) — without the cut each
+    // consumer re-runs the parquet scan + binary decode + quantize
+    // subtree (guide §3.3: materialize reused intermediates)
     val va = spread(t(spark, dir, "embeddings"))
       .select(col("vec_id"),
         transform(toDoubleArray(col("embedding")),
           x => floor(x * 1000 + lit(0.5)).cast("long")).as("qarr"))
+      .localCheckpoint(true)
     val v = va.select(col("vec_id"), posexplode(col("qarr")))
       .toDF("vec_id", "pos", "xq")
     // scoring runs on the ARRAY form through the codegen SquaredL2 (n·k
@@ -2537,11 +2542,18 @@ object SparkEntry {
     * textbook single sweep, certifying the decomposition end-to-end.
     */
   private def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the narrow (type, ts0, ts1) frame ONCE: the auto-bucket
+    // p90 probe and the sweep are two full passes, and each would
+    // re-execute the JSON k-extraction over the whole events table — the
+    // parse dominates, not the sweep (guide §3.3: materialize a reused
+    // intermediate; the parsed frame is 3 narrow columns, a fraction of
+    // the raw props strings it replaces)
     val iv = events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .filter(col("k").isNotNull && col("k") > 0)
       .select(col("event_type"), col("ts").as("ts0"),
         timestamp_micros(unix_micros(col("ts")) + col("k") * 1000000L).as("ts1"))
+      .localCheckpoint(true)
     graft.ops.IntervalCoverage
       .peakConcurrencyAutoBucket(iv, Seq("event_type"), "ts0", "ts1")
       .orderBy("event_type")

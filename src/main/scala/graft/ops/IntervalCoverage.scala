@@ -150,10 +150,15 @@ object IntervalCoverage {
       .withColumn("__pe", least(col("__e"), col("__bkt") + bucketUs))
 
     val gb = groupCols.map(col) :+ col("__bkt")
+    // ±1 marks in ONE pass: a union of two selects over `pieces` would
+    // re-execute the whole pieces subtree (scan + explode + any upstream
+    // expression work) once per side — explode emits both marks per piece
+    // from a single execution. Row set is identical to the union form.
     val marks = pieces
-      .select((gb :+ col("__ps").as("__t") :+ lit(1L).as("__d")): _*)
-      .unionByName(pieces
-        .select((gb :+ col("__pe").as("__t") :+ lit(-1L).as("__d")): _*))
+      .select((gb :+ explode(array(
+        struct(col("__ps").as("__t"), lit(1L).as("__d")),
+        struct(col("__pe").as("__t"), lit(-1L).as("__d")))).as("__m")): _*)
+      .select((gb :+ col("__m.__t").as("__t") :+ col("__m.__d").as("__d")): _*)
     // default RANGE frame: peers at equal (t, d) aggregate together, so
     // the running value after all simultaneous starts is what peaks
     val w = Window.partitionBy(gb: _*).orderBy(col("__t"), col("__d"))

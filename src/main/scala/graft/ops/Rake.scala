@@ -56,20 +56,31 @@ object Rake {
       .withColumn("__grp", sum(when(col("__stop"), 1L).otherwise(0L)).over(w))
       .filter(!col("__stop"))
       .select("__doc", "__grp", "__pos", "__tok")
-    val plen = words.groupBy("__doc", "__grp").agg(count(lit(1)).as("__plen"))
-    val wordScores = words.join(plen, Seq("__doc", "__grp"))
+    // collapse the token stream to per-phrase token ARRAYS once and
+    // materialize: `words` used to feed three consumers (phrase lengths,
+    // word stats, phrase scores), each re-running the tokenize + window
+    // subtree over the whole corpus — 3 passes for 1 pass's information.
+    // `runs` is phrase-level (orders of magnitude fewer rows than tokens)
+    // and both remaining aggregates derive from a cheap explode of it.
+    val runs = words.groupBy("__doc", "__grp")
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        x => x.getField("__tok")).as("__toks"))
+      .localCheckpoint(true)
+    val occ = runs.select(col("__doc"), col("__grp"),
+      size(col("__toks")).cast("long").as("__plen"),
+      explode(col("__toks")).as("__tok"))
+    val wordScores = occ
       .groupBy("__tok")
       .agg(count(lit(1)).as("__freq"), sum("__plen").as("__deg"))
       .withColumn("__wscore_u", expr("(1000000 * __deg) div __freq"))
       .select("__tok", "__wscore_u")
-    val phrases = words.join(wordScores, "__tok")
+    val pscore = occ.join(wordScores, "__tok")
       .groupBy("__doc", "__grp")
-      .agg(
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-            x => x.getField("__tok"))).as("phrase"),
-        count(lit(1)).as("n_words"),
-        sum("__wscore_u").as("score_u"))
+      .agg(sum("__wscore_u").as("score_u"))
+    val phrases = runs.join(pscore, Seq("__doc", "__grp"))
+      .select(concat_ws(" ", col("__toks")).as("phrase"),
+        size(col("__toks")).cast("long").as("n_words"),
+        col("score_u"))
     phrases.groupBy("phrase")
       .agg(max("n_words").as("n_words"), count(lit(1)).as("n_occurrences"),
         max("score_u").as("score_u"))

@@ -443,10 +443,16 @@ class PlanSpec extends SparkSpec {
       "top-10 must be TakeOrdered, not a global sort")
   }
 
-  test("q_rake_keywords: phrase rebuild is object-hash, score join equi, top-k TakeOrdered") {
+  test("q_rake_keywords: tokenize runs once (materialized), top-k TakeOrdered") {
     val p = planStr(SparkEntry.queries("q_rake_keywords")(spark, sf))
-    assert(p.contains("ObjectHashAggregate"),
-      s"collect_list must run as ObjectHashAggregate:\n${p.take(1500)}")
+    // r16: the tokenize + per-doc window pass is collapsed to per-phrase
+    // token arrays and materialized ONCE (Rake.keywords `runs`); the
+    // returned plan must consume the materialized RDD and never re-run
+    // the regexp tokenizer (it used to run 3x, once per consumer)
+    assert(p.contains("ExistingRDD"),
+      s"phrase runs must be materialized once:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("regexp_extract_all"),
+      s"tokenize must not re-run in the final plan:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("TakeOrderedAndProject"),
       "top-10 must be TakeOrdered, not a global sort")
