@@ -460,13 +460,20 @@ object SparkEntry {
     // over different dirs (parallel bench/test runs in one session) must not
     // collide on a duplicate active query name / shared complete-mode table.
     val sinkName = "graft_log_stream_out_" + tmpKey(path)
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException("[graft] q_log_stream drain timed out after 300 s")
+    // batch-sized state width ([[withShufflePartitionsCap]]): the
+    // complete-mode aggregation instantiates one state store per shuffle
+    // partition per batch — at the session's 32-wide default that is
+    // 32 store open/commits per micro-batch for a 5-group aggregate; the
+    // source's own parallelism (maxFilesPerTrigger splits) is unaffected
+    withShufflePartitionsCap(spark, 8) {
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("[graft] q_log_stream drain timed out after 300 s")
+      }
     }
     spark.table(sinkName).orderBy("event_type")
   }
@@ -1003,13 +1010,17 @@ object SparkEntry {
     deleteRec(new java.io.File(snapBase)) // rebuild per run: the drain IS the query
     val snapDir = s"$snapBase/snap"
     val ev = events(spark, dir)
-    ev.filter(col("event_type") === "signup")
-      .groupBy("user_id")
-      .agg(min_by(struct(col("event_type"), col("value")),
-        struct(col("ts"), col("event_id"))).as("__first"))
-      .select(col("user_id"), col("__first.event_type").as("event_type"),
-        col("__first.value").as("value"))
-      .write.mode("overwrite").parquet(snapDir)
+    // seed snapshot at the same capped width as the batches below — a
+    // 32-file seed makes every subsequent batch pay a 32-file listing+read
+    withShufflePartitionsCap(spark, 8) {
+      ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__first"))
+        .select(col("user_id"), col("__first.event_type").as("event_type"),
+          col("__first.value").as("value"))
+        .write.mode("overwrite").parquet(snapDir)
+    }
     val ckpt = graft.Scratch.ephemeralCkptDir("graft_streamcdc_ckpt").toString
     val stream = spark.readStream
       .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
@@ -1021,15 +1032,22 @@ object SparkEntry {
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val cur = spark.read.parquet(snapDir)
-        val next = graft.ops.CdcApply.compact(
-          cur, batch.toDF(), Seq("user_id"), Seq("ts", "event_id"),
-          "op", "delete", Seq("event_type", "value"))
-        val tmp = s"$snapBase/snap_next"
-        next.write.mode("overwrite").parquet(tmp)
-        deleteRec(new java.io.File(snapDir))
-        if (!new java.io.File(tmp).renameTo(new java.io.File(snapDir)))
-          throw new IllegalStateException("snapshot swap failed")
+        // batch-sized width ([[withShufflePartitionsCap]]): the compact's
+        // aggregate + full-outer join and the snapshot rewrite all ran at
+        // the session's 32-wide default per micro-batch — 32-way shuffles
+        // over trigger-sized frames AND a 32-file snapshot that the NEXT
+        // batch pays to list and read; 8 tracks the batch volume
+        withShufflePartitionsCap(spark, 8) {
+          val cur = spark.read.parquet(snapDir)
+          val next = graft.ops.CdcApply.compact(
+            cur, batch.toDF(), Seq("user_id"), Seq("ts", "event_id"),
+            "op", "delete", Seq("event_type", "value"))
+          val tmp = s"$snapBase/snap_next"
+          next.write.mode("overwrite").parquet(tmp)
+          deleteRec(new java.io.File(snapDir))
+          if (!new java.io.File(tmp).renameTo(new java.io.File(snapDir)))
+            throw new IllegalStateException("snapshot swap failed")
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -3276,6 +3294,26 @@ object SparkEntry {
     * worse). One helper so all transformWithState queries and the bench
     * floor stay on identical settings.
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` capped at `cap`
+    * (never raised), restoring the prior value after — the micro-batch
+    * sizing discipline of [[graft.streaming.StreamingNearDedup.dedupBatch]]
+    * and `drainAppendToParquet`'s `statePartitionCap`, factored out for
+    * drains that manage their own sink. A micro-batch's frames are
+    * trigger-sized, not box-sized: running their shuffles (and any state
+    * stores keyed off the shuffle width) at the session's cluster-sized
+    * width spends more on task launch and state-store open/commit than on
+    * data (measured 6.86 → 5.86 s on the near-dedup drain at 32 → 8,
+    * dev/DRAIN_PROFILE.md r13). Deployments with bigger triggers size the
+    * cap to their own batch volume.
+    */
+  private def withShufflePartitionsCap[A](spark: SparkSession, cap: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val capped = math.min(prev.toInt, cap).toString
+    spark.conf.set("spark.sql.shuffle.partitions", capped)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def withRocksDbStateStore[A](spark: SparkSession)(body: => A): A = {
     val confs = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
