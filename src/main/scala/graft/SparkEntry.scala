@@ -3267,13 +3267,18 @@ object SparkEntry {
     // derived from the dir like qLogStream's: concurrent drains must not
     // collide on a duplicate active query name.
     val sinkName = "graft_stream_out_" + tmpKey(dir)
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop() // a partial memory table would silently fail the oracle
-      throw new IllegalStateException("[graft] q_streaming_window drain timed out after 300 s")
+    // batch-sized state width ([[withShufflePartitionsCap]], the
+    // q_log_stream rationale): one state store per shuffle partition for
+    // a few-hundred-window aggregate; scan-side parallelism unaffected
+    withShufflePartitionsCap(spark, 8) {
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop() // a partial memory table would silently fail the oracle
+        throw new IllegalStateException("[graft] q_streaming_window drain timed out after 300 s")
+      }
     }
     spark.table(sinkName).orderBy("hour", "event_type")
   }
@@ -3956,6 +3961,9 @@ object SparkEntry {
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // NO width cap here: measured 3.20 -> 3.35 s with one (r16 batch-4
+        // drill) — the per-batch cost is the tokenize+score CPU, which
+        // wants the full core count, not state/task overhead
         graft.streaming.IdempotentParquetSink.writeBatch(
           QualityClassifier.score(b, "doc_id", "text", model, carryCols = Seq("lang")),
           id, sinkDir)
@@ -6510,6 +6518,8 @@ object SparkEntry {
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // NO width cap here: measured 1.97 -> 2.16 s with one (r16 batch-4
+        // drill) — the line-level clean pipeline is CPU-bound per batch
         graft.streaming.IdempotentParquetSink.writeBatch(
           c4CleanVerdicts(c4Pages(b)), id, sinkDir)
       }
