@@ -10,7 +10,9 @@
 # Env passthrough: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_N,
 # SPARK_GRAFT_BENCH_ONLY, SPARK_DRIVER_MEM.
 set -euo pipefail
-SNAP=/tmp/graft_snap_classes
+# SPARK_GRAFT_SNAP_DIR: alternate frozen-class dir, so interleaved A/B
+# drills can point the B side at a saved before-snapshot
+SNAP=${SPARK_GRAFT_SNAP_DIR:-/tmp/graft_snap_classes}
 if [ "${1:-}" = "--snapshot" ]; then
   shift
   rm -rf "$SNAP"; mkdir -p "$SNAP"

@@ -2022,24 +2022,38 @@ object SparkEntry {
     val und = graft.ops.EpsilonJoin.selfJoin(spread(q), "vec_id", "q", eps2)
       .select(col("idA").as("ida"), col("idB").as("idb"))
       .localCheckpoint(true) // reused by degree, core edges, and borders
-    val adj = und.select(col("ida").as("node"), col("idb").as("nb"))
-      .union(und.select(col("idb").as("node"), col("ida").as("nb")))
-    val core = adj.groupBy("node").agg(count(lit(1)).as("nnb"))
-      .filter(col("nnb") >= minNb).select("node")
-    val coreEdges = und
-      .join(core.select(col("node").as("ida")), Seq("ida"))
-      .join(core.select(col("node").as("idb")), Seq("idb"))
-    val comp = graft.ops.DupGroups.connectedComponents(coreEdges, "ida", "idb")
-    // tiny labeled frames are each read 2-3 times below (cluster rollup +
-    // noise count) — checkpoint so the join chains run once
-    val coreLab = core.join(comp, Seq("node"), "left")
-      .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
-      .localCheckpoint(true)
-    val borderLab = adj
-      .join(coreLab.select(col("node").as("nb"), col("cluster")), Seq("nb"))
-      .join(core, Seq("node"), "left_anti")
-      .groupBy("node").agg(min("cluster").as("cluster"))
-      .localCheckpoint(true)
+    // the ε-join above is the query's real work and runs at full session
+    // width; everything after it operates on the ε-graph of the DECLARED
+    // ≤1000-point subset (hundreds of edges) — running its degree counts,
+    // CC rounds, and labeling joins box-wide spends more on task launch
+    // than on data, so the tail is batch-sized like the streaming drains
+    // ([[withShufflePartitionsCap]] rationale; the CC rounds additionally
+    // self-size from their measured edge count)
+    val (coreLab, borderLab) = withShufflePartitionsCap(spark, 8) {
+      // symmetric orientation in ONE explode pass, not a self-union that
+      // re-reads the checkpoint twice
+      val adj = und.select(explode(array(
+          struct(col("ida").as("node"), col("idb").as("nb")),
+          struct(col("idb").as("node"), col("ida").as("nb")))).as("p"))
+        .select(col("p.node").as("node"), col("p.nb").as("nb"))
+      val core = adj.groupBy("node").agg(count(lit(1)).as("nnb"))
+        .filter(col("nnb") >= minNb).select("node")
+      val coreEdges = und
+        .join(core.select(col("node").as("ida")), Seq("ida"))
+        .join(core.select(col("node").as("idb")), Seq("idb"))
+      val comp = graft.ops.DupGroups.connectedComponents(coreEdges, "ida", "idb")
+      // tiny labeled frames are each read 2-3 times below (cluster rollup +
+      // noise count) — checkpoint so the join chains run once
+      val coreLab = core.join(comp, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+        .localCheckpoint(true)
+      val borderLab = adj
+        .join(coreLab.select(col("node").as("nb"), col("cluster")), Seq("nb"))
+        .join(core, Seq("node"), "left_anti")
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      (coreLab, borderLab)
+    }
     val clusters = coreLab.groupBy("cluster").agg(count(lit(1)).as("n_core"))
       .join(borderLab.groupBy("cluster").agg(count(lit(1)).as("n_border")),
         Seq("cluster"), "left")
@@ -3311,12 +3325,41 @@ object SparkEntry {
     * dev/DRAIN_PROFILE.md r13). Deployments with bigger triggers size the
     * cap to their own batch volume.
     */
+  /** Concurrency (ADVICE r16): the conf is SESSION-global and drains may
+    * overlap (sink names are dir-keyed for exactly that reason), so a raw
+    * save/set/restore races — drain B can save A's capped value as its
+    * "prev" and restore it after A restores the real one, leaving the
+    * session permanently capped. Guarded by a per-session reference
+    * count: the FIRST entrant saves the session value, every entrant may
+    * only LOWER the effective value, and only the LAST exitor restores
+    * the saved one. A non-integer session value (e.g. `auto` under some
+    * resource managers) skips capping entirely instead of throwing.
+    */
+  private val shufflePartitionsCapGuard =
+    new java.util.HashMap[SparkSession, (Int, String)]()
+
   private def withShufflePartitionsCap[A](spark: SparkSession, cap: Int)(body: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val capped = math.min(prev.toInt, cap).toString
-    spark.conf.set("spark.sql.shuffle.partitions", capped)
+    val key = "spark.sql.shuffle.partitions"
+    val entered = shufflePartitionsCapGuard.synchronized {
+      val prev = spark.conf.get(key)
+      prev.toIntOption match {
+        case None => false // non-integer deployment value: run uncapped
+        case Some(cur) =>
+          val old = shufflePartitionsCapGuard.get(spark)
+          if (old == null) shufflePartitionsCapGuard.put(spark, (1, prev))
+          else shufflePartitionsCapGuard.put(spark, (old._1 + 1, old._2))
+          if (cur > cap) spark.conf.set(key, cap.toString)
+          true
+      }
+    }
     try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally if (entered) shufflePartitionsCapGuard.synchronized {
+      val (n, saved) = shufflePartitionsCapGuard.get(spark)
+      if (n == 1) {
+        shufflePartitionsCapGuard.remove(spark)
+        spark.conf.set(key, saved)
+      } else shufflePartitionsCapGuard.put(spark, (n - 1, saved))
+    }
   }
 
   private def withRocksDbStateStore[A](spark: SparkSession)(body: => A): A = {
@@ -3403,11 +3446,7 @@ object SparkEntry {
     }
     val finished = statePartitionCap match {
       case None => run()
-      case Some(cap) =>
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        val capped = math.min(prev.toInt, cap).toString
-        try { spark.conf.set("spark.sql.shuffle.partitions", capped); run() }
-        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      case Some(cap) => withShufflePartitionsCap(spark, cap)(run())
     }
     // the per-drain checkpoint is one-shot (next drain creates a fresh one):
     // delete it, or repeated bench/verify rounds accumulate offset logs and

@@ -30,19 +30,27 @@ object JobProfile {
     final case class Job(id: Int, desc: String, start: Long,
         var end: Long = -1L, var tasks: Int = 0, var stages: Int = 0)
     val jobs = new scala.collection.mutable.ArrayBuffer[Job]
+    // stageId -> jobId from the job-start event's stage list: overlapping
+    // jobs (AQE broadcast-exchange jobs run concurrently with the main
+    // job) would otherwise have their stages attributed to whichever job
+    // started LAST (ADVICE r16)
+    val stageToJob = new scala.collection.mutable.HashMap[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
         jobs += Job(e.jobId, d, System.nanoTime())
+        e.stageIds.foreach(s => stageToJob(s) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.find(_.id == e.jobId).foreach(_.end = System.nanoTime())
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          if (jobs.nonEmpty) {
-            val j = jobs.last
+          val owner = stageToJob.get(e.stageInfo.stageId)
+            .flatMap(id => jobs.find(_.id == id))
+            .orElse(jobs.lastOption) // unmapped (resubmitted) stage: old behavior
+          owner.foreach { j =>
             j.tasks += e.stageInfo.numTasks
             j.stages += 1
           }
@@ -61,6 +69,13 @@ object JobProfile {
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      // the listener bus is asynchronous: trailing onJobEnd/onStageCompleted
+      // events may still be in flight when count() returns — poll until
+      // every recorded job has an end time (short timeout) before
+      // snapshotting, or jobs print with duration -1 (ADVICE r16)
+      val deadline = System.nanoTime() + 2000000000L
+      while (jobs.synchronized(jobs.exists(_.end < 0)) &&
+          System.nanoTime() < deadline) Thread.sleep(20)
       spark.sparkContext.removeSparkListener(listener)
       val snap = jobs.synchronized(jobs.toList)
       println(f"== $qname round $round: total $dt%.3f s, rows=$rows, jobs=${snap.size}")

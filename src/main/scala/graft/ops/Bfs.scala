@@ -42,6 +42,10 @@ object Bfs {
       seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // (pre-partitioning e by __src for exchange-free frontier joins was
+    // measured and rejected in r17 — see the PageRank.cleanEdges note: at
+    // bench scale the frontier join is broadcast, so the repartition only
+    // added an exchange; q_bfs_hops read 1.07x against flat controls)
     val e = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .na.drop().distinct()

@@ -174,6 +174,31 @@ private[graft] object Lineage {
   final class Chain private[Lineage] () {
     private var prevFile: Option[String] = None
 
+    /** [[cut]] that ADDITIONALLY returns aggregate `metrics` of the same
+      * materializing action, via `Dataset.observe`: a CollectMetrics node
+      * rides the plan the eager cut executes, so a generational loop's
+      * convergence measurement (count/checksum of the new generation)
+      * costs ZERO extra actions — the separate per-round aggregate job it
+      * replaces was, at small-graph bench scale, as expensive as the
+      * round itself (r16 verdict item 1). Blocks until the observed row
+      * is delivered (the listener bus is async; the eager cut guarantees
+      * the action has run, so the wait is milliseconds).
+      *
+      * Contract: `metrics` must be aggregate expressions per the observe
+      * contract (no distinct aggregates, deterministic inputs). On a real
+      * cluster a speculative or re-attempted task can double-count into
+      * an observed metric (accumulator semantics) — callers must use the
+      * metrics only to GATE convergence (a perturbed round reads as
+      * "changed", costing at most one extra round), never as a result.
+      */
+    def cutObserved(df: DataFrame, metrics: Seq[org.apache.spark.sql.Column])
+        : (DataFrame, Map[String, Any]) = {
+      require(metrics.nonEmpty, "cutObserved needs at least one metric")
+      val obs = org.apache.spark.sql.Observation()
+      val out = cut(df.observe(obs, metrics.head, metrics.tail: _*))
+      (out, obs.get)
+    }
+
     def cut(df: DataFrame): DataFrame = {
       val reliable = reliableSelected(df.sparkSession)
       val out = Lineage.cutInternal(df, viaChain = true)

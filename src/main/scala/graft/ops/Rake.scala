@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   * gaps-and-islands grouping); word stats are one hash aggregate over
   * the vocabulary; the phrase read-back joins on token (shuffle by
   * vocabulary key, never all-pairs). Top-k is a single TakeOrdered.
+  *
+  * Execution contract (ADVICE r16): [[keywords]] EAGERLY runs a Spark job
+  * at call time — the per-phrase token arrays are materialized once via
+  * `localCheckpoint` so the two downstream aggregates don't re-run the
+  * tokenize pass — and therefore requires a BATCH DataFrame (a streaming
+  * input throws; wrap per micro-batch via foreachBatch instead). Local
+  * checkpoints are non-replicated: on a real cluster an executor loss
+  * after materialization fails the calling job, which then reruns — the
+  * deliberate trade for not paying the tokenize pass 3×; deployments that
+  * need durability set `spark.graft.checkpoint=reliable` semantics by
+  * materializing upstream themselves.
   */
 object Rake {
 

@@ -118,6 +118,63 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("cutObserved: metrics ride the cut's own action, in local AND reliable mode") {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("graft-lineage-observed")
+    try {
+      // local mode: the observed row must equal a separately-computed
+      // aggregate of the SAME frame, and the cut frame must be intact
+      session.conf.set("spark.graft.checkpoint", "local")
+      val df = session.range(1, 101).select(col("id").as("x"))
+      val metrics = Seq(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val (cutLocal, mLocal) = {
+        val chain = Lineage.chain()
+        chain.cutObserved(df, metrics)
+      }
+      assert(mLocal("n") == 100L && mLocal("s") == 5050L)
+      assert(cutLocal.agg(sum("x")).as[Long].head() == 5050L)
+
+      // reliable mode: the persist-then-checkpoint path must deliver the
+      // same metrics exactly once (not doubled by the checkpoint's second
+      // file-writing pass — it reads the persisted blocks)
+      session.sparkContext.setCheckpointDir(dir.toString)
+      session.conf.set("spark.graft.checkpoint", "reliable")
+      val (cutRel, mRel) = {
+        val chain = Lineage.chain()
+        chain.cutObserved(df, metrics)
+      }
+      assert(mRel("n") == 100L && mRel("s") == 5050L,
+        s"reliable-mode observed metrics were $mRel — doubled metrics mean " +
+          "the checkpoint write re-executed the CollectMetrics subtree")
+      assert(cutRel.agg(sum("x")).as[Long].head() == 5050L)
+    } finally {
+      session.conf.set("spark.graft.checkpoint", "local")
+      deleteTree(dir)
+    }
+  }
+
+  test("connectedComponents is width-independent: session widths 1 and 7 agree") {
+    // the scale-adaptive round widths (measured edge count / target rows,
+    // capped at the session width) must never change the RESULT — only
+    // where rows sit; exercised at two session widths that bracket the
+    // adaptive width the tiny edge set selects
+    val session = spark
+    import session.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("u", "v")
+    val want = Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L))
+    val prev = session.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (w <- Seq("1", "7")) {
+        session.conf.set("spark.sql.shuffle.partitions", w)
+        assert(DupGroups.connectedComponents(edges, "u", "v")
+          .as[(Long, Long)].collect().toSet == want, s"at session width $w")
+      }
+    } finally session.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("reliable-mode chain cut that loses checkpoint identification warns once per JVM") {
     // the decision split out of Chain.cut (a real reflection miss needs a
     // Spark whose LogicalRDD drifted — this pins the condition + latch):
