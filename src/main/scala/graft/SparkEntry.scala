@@ -1111,9 +1111,17 @@ object SparkEntry {
     deleteRec(new java.io.File(base)) // the drain is the query
     val sink = s"$base/sink"
     withRocksDbStateStore(spark) {
+      // 4 files/trigger -> 2 data batches: cross-batch state accumulation
+      // is still exercised (the point of the query) without paying the
+      // RocksDB store open/changelog-commit cycle 6 more times — the
+      // q_streaming_join batch-count rationale. The declared result is
+      // batching-INVARIANT by construction: emissions are cumulative and
+      // the readout takes the per-key MAX, the identity the oracle pins
+      // (JobProfile r17: 8 batches ran 0.21-0.75 s each, ~85% store
+      // open/commit + planning on 2-partition state).
       val stream = spark.readStream
         .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 4)
         .parquet(srcDir)
         .select(col("user_id").as("k"),
           floor(col("value") * 1000000).cast("long").as("inc"))
@@ -1142,9 +1150,12 @@ object SparkEntry {
     deleteRec(new java.io.File(base))
     val sink = s"$base/sink"
     withRocksDbStateStore(spark) {
+      // 2 data batches, not 8 — the q_transform_state batch-count
+      // rationale; per-(user,type) counts are order-free, so the max-over-
+      // emissions identity is batching-invariant
       val stream = spark.readStream
         .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 4)
         .parquet(srcDir)
         .select(col("user_id").as("userId"), col("event_type").as("eventType"))
         .as[graft.streaming.TypeCounts.In]
@@ -6088,9 +6099,13 @@ object SparkEntry {
     deleteRec(new java.io.File(base))
     val sink = s"$base/sink"
     withRocksDbStateStore(spark) {
+      // 2 data batches, not 8 — the q_transform_state batch-count
+      // rationale; RecentValues sorts each batch to the (ts, event_id)
+      // total order and the readout arg-maxes on the monotonic nSeen, so
+      // the final window is batching-invariant (time-ordered chunks)
       val stream = spark.readStream
         .schema("event_id LONG, event_type STRING, user_id LONG, ts TIMESTAMP, value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 4)
         .parquet(srcDir)
         .select(col("user_id").as("userId"), col("event_id").as("eventId"),
           unix_micros(col("ts")).as("tsUs"),
