@@ -70,7 +70,8 @@ object ScaleCurve {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = args.headOption
       .filterNot(a => a == "deep" || a == "trig" || a == "ann" || a == "cc" ||
-        a == "r14" || a == "bpelarge" || a == "epsconc" || a == "imgdecode")
+        a == "r14" || a == "bpelarge" || a == "epsconc" || a == "imgdecode" ||
+        a == "corescale")
       .getOrElse("/tmp/graft_scale")
     // "deep": one extra x300 point for the CPU-bound families whose
     // exponents are still parallelism-saturating at x100 — the
@@ -98,6 +99,12 @@ object ScaleCurve {
     // "imgdecode": only the real-image-decode families (self-synthesized
     // PNG media corpus — no docs/embeddings replication needed)
     val imgOnly = args.contains("imgdecode")
+    // "corescale": the FULL family set at ONE large size (x30, ~150k docs)
+    // at the session's SPARK_GRAFT_CPUS — run once at 8 and once at 32 to
+    // measure the core-scaling ratio on data big enough for 32 cores
+    // (VERDICT r16 item 7: the sf0.1 bench is too small to demonstrate
+    // parallel speedup)
+    val coreOnly = args.contains("corescale")
     val spark = SparkSession.builder()
       .appName("graft-scale-curve")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -121,13 +128,14 @@ object ScaleCurve {
     // ------------------------------------------------------ synthesis
     val allMults = if (trigOnly || annOnly || bpeLargeOnly || epsConcOnly ||
         imgOnly) Nil
+      else if (coreOnly) Seq(30)
       else if (deep) Mults :+ 300 else Mults
     def docsPath(k: Int) = s"$work/x$k/documents.parquet"
     def embPath(k: Int) = s"$work/x$k/embeddings.parquet"
     // replicated embeddings: fresh vec_ids, per-replica deterministic
     // noise so vectors spread instead of clustering by replica
     if (!trigOnly && !ccOnly && !r14Only && !bpeLargeOnly && !epsConcOnly &&
-        !imgOnly) Mults.foreach { k =>
+        !imgOnly) allMults.filter(_ <= Mults.last).foreach { k =>
       if (!Files.exists(Paths.get(embPath(k)))) {
         val e = spark.read.parquet(s"$base/embeddings.parquet")
         val reps = (0 until k).map { rep =>
@@ -174,7 +182,7 @@ object ScaleCurve {
       root
     }
     if (!trigOnly && !annOnly && !ccOnly && !r14Only && !bpeLargeOnly &&
-        !epsConcOnly && !imgOnly) Mults.foreach(logTree)
+        !epsConcOnly && !imgOnly) allMults.filter(_ <= Mults.last).foreach(logTree)
 
     def timed(runs: Int)(f: => Unit): Double =
       (1 to runs).map { _ =>
@@ -405,7 +413,7 @@ object ScaleCurve {
     // a flat curve = per-batch work is batch-proportional, as claimed
     // (banding the batch + one join against persisted postings).
     if (!trigOnly && !annOnly && !ccOnly && !r14Only && !bpeLargeOnly &&
-        !epsConcOnly && !imgOnly) {
+        !epsConcOnly && !imgOnly && !coreOnly) {
       val sndDocs = spark.read.parquet(docsPath(10)).persist()
       sndDocs.count()
       val sink = s"$work/snd_curve/sink"

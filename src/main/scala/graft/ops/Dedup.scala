@@ -701,23 +701,38 @@ object Dedup {
     * set Jaccard is identical up to ~2^-64 collisions) — no explode, no
     * extra shuffle beyond the two joins.
     */
+  /** Execution contract (r17): runs eagerly at call time and requires
+    * batch inputs — the candidate pairs and the candidate-doc shingle
+    * frame are `localCheckpoint`-materialized, because each feeds the
+    * plan 2-3 times with DIFFERENT shuffle keys (pair set: the id-set
+    * distinct + both verify joins; shingles: the idA and idB sides), so
+    * exchange reuse cannot dedup them and the candidate generator + the
+    * corpus semi-join + shingling would otherwise execute twice each
+    * (guide §3.3; measured on q_minhash_lsh). Both frames are bounded by
+    * the LSH candidate volume (bucket-capped), not the corpus. Local
+    * checkpoints are non-replicated: an executor loss after
+    * materialization fails the (rerunnable) calling job — the
+    * Rake.keywords trade.
+    */
   def verifyJaccard(
       candidates: DataFrame, // (idA, idB)
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3): DataFrame = {
+    val cand = candidates.select("idA", "idB").localCheckpoint(eager = true)
     // Only documents that appear in a candidate pair need shingling —
     // semi-join on the candidate id set so the corpus filters before the
     // expensive shingle computation. NOT a pinned broadcast: on a
     // heavy-duplicate corpus (the case nearDedup exists for) the id set is
     // O(corpus); AQE broadcasts it when it is actually small.
-    val ids = candidates
+    val ids = cand
       .select(explode(array(col("idA"), col("idB"))).as("__vid")).distinct()
     val sh = df.join(ids, col(idCol) === col("__vid"), "left_semi")
       .select(col(idCol).as("__vid"),
         array_distinct(graft.functions.HashedShingles(col(textCol), shingleN)).as("__sh"))
-    candidates
+      .localCheckpoint(eager = true)
+    cand
       .join(sh.withColumnRenamed("__vid", "idA").withColumnRenamed("__sh", "__shA"), "idA")
       .join(sh.withColumnRenamed("__vid", "idB").withColumnRenamed("__sh", "__shB"), "idB")
       .withColumn("jaccard",
