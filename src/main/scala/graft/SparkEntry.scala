@@ -3495,8 +3495,12 @@ object SparkEntry {
     val sinkDir = s"/tmp/graft_stream_sink/$key"
     deleteRec(new java.io.File(sinkDir)) // fresh sink per run (deterministic re-runs)
     val schema = spark.read.parquet(srcDir).schema
+    // 2 data batches (was 4): several micro-batches are still exercised —
+    // the watermark advances between batches and windows span them — and
+    // the emitted set is watermark-final-determined, so the declared
+    // result is batching-invariant (the q_streaming_hll argument)
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2") // several micro-batches, not one big one
+      .option("maxFilesPerTrigger", "4")
       .parquet(srcDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -3608,8 +3612,13 @@ object SparkEntry {
     val sinkDir = s"/tmp/graft_stream_hll_sink/${tmpKey(dir)}"
     deleteRec(new java.io.File(sinkDir))
     val schema = spark.read.parquet(srcDir).schema
+    // 2 data batches, not 4 (the q_streaming_join posture): the append-mode
+    // emission set is {windows whose end the FINAL watermark passes} — a
+    // pure function of the data, not of the batching — while cross-batch
+    // watermark advancement and state carry-over stay exercised; each
+    // dropped batch was a full state-store open/commit cycle
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2")
+      .option("maxFilesPerTrigger", "4")
       .parquet(srcDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
